@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables
+  * (TESTDATA.md / FIXTURES.md §B). One parquet file per table under the
+  * scale-factor directory. All reads go through here so column pruning /
+  * filter pushdown behavior can be asserted in one place.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as a long (nanos since epoch) and truncate to
+    * a microsecond TimestampType — the same floor-truncation DuckDB
+    * applies when casting TIMESTAMP_NS → TIMESTAMP, so oracle comparisons
+    * agree.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** A probe query: the Spark implementation plus (when SQL-expressible) the
+  * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
+  * tables. Column names/aliases MUST match between the two (the driver
+  * sorts columns by name before hashing).
+  */
+final case class QueryDef(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def sql(o: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(fn, Some(o))
+  def noOracle(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(fn, None)
+}

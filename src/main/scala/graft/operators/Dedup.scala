@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.functions.{Sketches, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.10):
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale notes (the designs are chosen for 100 TB, not 500 rows):
+  *  - Exact dedup is a hash aggregation on a digest — one shuffle on the
+  *    digest, map-side partial aggregation; never on raw text (shuffling
+  *    full documents to compare equality wastes network).
+  *  - Sketches (MinHash signature, SimHash) are custom Catalyst
+  *    expressions ([[graft.functions.MinHashSignatureExpr]]) — one
+  *    imperative pass per document instead of interpreted nested
+  *    higher-order functions.
+  *  - MinHash/LSH candidate generation is the published banding scheme
+  *    (Broder; Leskovec et al., "Mining of Massive Datasets" ch.3): a doc
+  *    emits `bands` rows, pairs form only inside equal (band, band-hash)
+  *    buckets — an equi shuffle join, never an n² cross join. AQE's skew
+  *    handling covers pathological buckets (e.g. boilerplate docs).
+  *    The band index is exploded through a Generate node *before* the
+  *    band hash is computed, so the signature expression is evaluated
+  *    once per document, not once per band (projection collapse would
+  *    otherwise inline it into every band).
+  *  - SimHash blocking uses the pigeonhole split of the 64-bit signature
+  *    into `blocks` equal slices: pairs within Hamming distance
+  *    `blocks - 1` must agree on at least one slice, so candidates again
+  *    form by equi join on (slice-index, slice-value).
+  */
+object Dedup {
+
+  /** Per-document digest used for exact dedup: md5 of the raw text. */
+  def withDigest(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("digest", md5(col(textCol)))
+
+  /** Exact dedup: keep the lowest-id document per distinct text digest.
+    * Aggregates on the 128-bit digest (16 B/row over the wire, not the
+    * document body).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val keep = withDigest(docs, textCol)
+      .groupBy("digest").agg(min(col(idCol)).as(idCol))
+    docs.join(keep, idCol)
+  }
+
+  /** (id, MinHash signature) per document — one imperative expression
+    * evaluation per row.
+    */
+  def signatures(docs: DataFrame, numHashes: Int = 64, shingleSize: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      Sketches.minhashSignature(
+        array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)),
+        numHashes).as("sig"))
+
+  /** Estimated Jaccard similarity from two MinHash signatures: fraction of
+    * agreeing positions.
+    */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / size(sigA)
+
+  /** MinHash+LSH near-duplicate candidate pairs with estimated Jaccard ≥
+    * `threshold`. `bands` must divide `numHashes`. Returns
+    * (id_a, id_b, est_jaccard), id_a < id_b, deduplicated across bands.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = signatures(docs, numHashes, idCol = idCol, textCol = textCol)
+    // Generate sits between the signature projection and the band-hash
+    // projection: sig evaluates once per doc, band hashing touches only
+    // the r-long slice.
+    val banded = sigs
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .select(col("id"), col("sig"), col("b"),
+        xxhash64(col("b"), slice(col("sig"), col("b") * r + 1, lit(r))).as("h"))
+    val a = banded.select(col("b"), col("h"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("b"), col("h"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("b", "h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        round(estJaccard(col("sig_a"), col("sig_b")), 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`.
+    * Candidate generation by pigeonhole blocking: the 64-bit signature is
+    * split into `maxHamming + 1` slices; any pair within the distance
+    * shares at least one identical slice → equi join on (slice, value).
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val sigs = docs.select(col(idCol).as("id"),
+      Sketches.simhash64(TextFunctions.words(col(textCol))).as("sig"))
+    val blocked = sigs
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(blocks - 1))).as("i"))
+      .select(col("id"), col("sig"), col("i"),
+        // slice i: bits [i*width, (i+1)*width) — last block keeps the tail
+        when(col("i") === blocks - 1, call_function("shiftright", col("sig"), col("i") * width))
+          .otherwise(call_function("shiftright", col("sig"), col("i") * width)
+            .bitwiseAND((1L << width) - 1)).as("v"))
+    val a = blocked.select(col("i"), col("v"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = blocked.select(col("i"), col("v"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("i", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity between two precomputed distinct
+    * shingle arrays.
+    */
+  def jaccard(gramsA: Column, gramsB: Column): Column = {
+    val inter = size(array_intersect(gramsA, gramsB))
+    val union = size(array_union(gramsA, gramsB))
+    when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)
+  }
+
+  /** Exact n-gram Jaccard between two raw text columns. */
+  def ngramJaccard(textA: Column, textB: Column, n: Int = 3): Column =
+    jaccard(array_distinct(TextFunctions.wordShingles(textA, n)),
+      array_distinct(TextFunctions.wordShingles(textB, n)))
+
+  /** Verified near-dup pairs: MinHash/LSH candidates re-checked with exact
+    * n-gram Jaccard (the standard two-phase dedup: cheap candidate gen,
+    * exact verify on the tiny candidate set). Shingle arrays are computed
+    * once per document and joined to the candidate pairs — never
+    * recomputed per pair.
+    */
+  def verifiedNearDups(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cands = minhashNearDups(docs, threshold * 0.6, idCol = idCol, textCol = textCol)
+      .select("id_a", "id_b")
+    val grams = docs.select(col(idCol).as("gid"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("grams"))
+    cands
+      .join(grams.select(col("gid").as("id_a"), col("grams").as("grams_a")), "id_a")
+      .join(grams.select(col("gid").as("id_b"), col("grams").as("grams_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("grams_a"), col("grams_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Probe queries for the LLM-data-pipeline surface (SURVEY.md §2.10):
+  * text analysis, dedup, similarity search over the `documents` /
+  * `embeddings` tables. Oracle SQL (DuckDB dialect) provided wherever the
+  * semantics are SQL-expressible; sketch-based ops (MinHash, SimHash, ANN)
+  * get rows-only checks here and exact golden tests in ScalaTest.
+  */
+object PipelineQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+    // ---- text analysis ----------------------------------------------------
+    "t1_text_stats" -> QueryDef.sql(
+      """SELECT lang, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), round(avg("n_chars"), 4).as("avg_chars"))
+        .orderBy("lang")
+    },
+
+    "t2_token_count" -> QueryDef.sql(
+      """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    "t3_punct_ratio" -> QueryDef.sql(
+      """SELECT doc_id,
+        |  round(CAST(len(regexp_extract_all(text, '[.,!?;:''"()\[\]{}-]')) AS DOUBLE)
+        |        / length(text), 6) AS punct_ratio
+        |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"))
+        .orderBy("doc_id")
+    },
+
+    "t4_fingerprint" -> QueryDef.sql(
+      """SELECT doc_id, md5(array_to_string(
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> len(x) > 0), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // quality + language ID: heuristics, no SQL twin — rows-only check +
+    // golden ScalaTest.
+    "t5_quality_lang" -> QueryDef.noOracle { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langId(col("text")).as("lang_pred"),
+          TextFunctions.tokenEstimate(col("text")).as("token_est"))
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup ------------------------------------------------------------
+    "d1_dedup_exact" -> QueryDef.sql(
+      """SELECT count(*) AS n_total, count(DISTINCT text) AS n_unique
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_total"), countDistinct(col("text")).as("n_unique"))
+    },
+
+    "d2_dedup_hash" -> QueryDef.sql(
+      """SELECT md5(text) AS h, count(*) AS cnt FROM documents
+        |GROUP BY md5(text) ORDER BY h""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("h")
+    },
+
+    "d3_minhash_neardup" -> QueryDef.noOracle { (s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+
+    "d4_simhash_neardup" -> QueryDef.noOracle { (s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 7)
+        .orderBy("id_a", "id_b")
+    },
+
+    "d5_verified_neardup" -> QueryDef.noOracle { (s, d) =>
+      Dedup.verifiedNearDups(Tables.documents(s, d), threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- similarity search -------------------------------------------------
+    "s1_cosine_topk" -> QueryDef.sql(
+      """SELECT vec_id, round(list_cosine_similarity(
+        |    CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      Similarity.topKCosine(Tables.embeddings(s, d), queryId = 0L, k = 20)
+    },
+
+    "s2_embed_neardup" -> QueryDef.sql(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 200 AND b.vec_id < 200
+        |  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), idCap = 200L, threshold = 0.3)
+    },
+
+    "s3_ann_topk" -> QueryDef.noOracle { (s, d) =>
+      Similarity.topKCosineApprox(Tables.embeddings(s, d), queryId = 0L, k = 20)
+    }
+  )
+}

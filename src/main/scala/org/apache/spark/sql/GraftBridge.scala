@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` classic Column ↔ Expression converters.
+  * Spark 4's `Column` is connect-agnostic (no public `.expr` / `new
+  * Column(expr)`), so extension libraries provide this shim in the
+  * `org.apache.spark.sql` package — the same pattern public Spark
+  * connector/extension projects use.
+  */
+object GraftBridge {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
