@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{PipelineQueries, Relational}
+import graft.weather.WeatherQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -13,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
-    Relational.defs ++ PipelineQueries.defs
+    Relational.defs ++ PipelineQueries.defs ++ WeatherQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → filter → partial/final hash agg → sort.

@@ -1,0 +1,68 @@
+package graft.weather
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Geospatial helpers: the geocode lookup join (J1, the reference's
+  * Nominatim lookup `server.py:96-119` re-expressed as a broadcast join
+  * against a places dimension) and the nearest-grid-point join (J4 —
+  * Open-Meteo resolves coordinates to its model grid, `WetIng.pdf` p.1).
+  */
+object Geo {
+
+  /** Great-circle distance in km (haversine; all built-in math — SC9). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    lit(2 * 6371.0088) * asin(sqrt(a))
+  }
+
+  /** J1: resolve place names to coordinates via a broadcast lookup join.
+    * Mirrors `exactly_one=True` (`server.py:110`): names matching zero or
+    * more than one dimension row resolve to null coordinates with a
+    * diagnostic `geocode_matches` count, so callers can fail fast the way
+    * the reference's error envelope does (`server.py:112-114`).
+    */
+  def geocodeJoin(requests: DataFrame, places: DataFrame,
+      placeCol: String = "place"): DataFrame = {
+    val counted = places.groupBy(col(placeCol)).agg(
+      count(lit(1)).as("geocode_matches"),
+      min(struct(col("latitude"), col("longitude"))).as("best"))
+    requests
+      .join(broadcast(counted), Seq(placeCol), "left")
+      .withColumn("geocode_matches", coalesce(col("geocode_matches"), lit(0L)))
+      .withColumn("resolved_latitude",
+        when(col("geocode_matches") === 1, col("best.latitude")))
+      .withColumn("resolved_longitude",
+        when(col("geocode_matches") === 1, col("best.longitude")))
+      .drop("best")
+  }
+
+  /** J4: map each query point to the nearest grid point. The grid side is
+    * small (model grid cells for the region of interest) → broadcast;
+    * candidate pruning by a bounding box of `maxKm` before the exact
+    * haversine ranking, so the nested-loop join touches a constant-size
+    * neighborhood per query row instead of the full grid.
+    */
+  def nearestGridPoint(queries: DataFrame, grid: DataFrame, maxKm: Double = 100.0): DataFrame = {
+    val degTol = maxKm / 111.0 // 1° latitude ≈ 111 km; lon tolerance widened below
+    val g = broadcast(grid.select(
+      Seq(col("latitude").as("g_lat"), col("longitude").as("g_lon")) ++
+        grid.columns.filterNot(c => c == "latitude" || c == "longitude")
+          .map(col): _*))
+    val joined = queries.join(g,
+      (abs(col("g_lat") - col("latitude")) <= degTol) &&
+        (abs(col("g_lon") - col("longitude")) <= degTol * 2))
+    val w = Window.partitionBy(queries.columns.map(col): _*)
+      .orderBy(haversineKm(col("latitude"), col("longitude"),
+        col("g_lat"), col("g_lon")).asc, col("g_lat"), col("g_lon"))
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .withColumn("grid_dist_km",
+        round(haversineKm(col("latitude"), col("longitude"),
+          col("g_lat"), col("g_lon")), 3))
+  }
+}

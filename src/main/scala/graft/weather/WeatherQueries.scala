@@ -1,0 +1,106 @@
+package graft.weather
+
+import graft.QueryDef
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+
+/** Weather-path probe queries (SURVEY.md §2.1–2.4, §3.4) over the payload
+  * fixtures. These exercise the [REF]/[SEM] surface — block→wide→long
+  * conversion, daily rollup, resampling, geocode/nearest-grid joins, the
+  * dual projection, and the as-of alignment join. No DuckDB oracle (the
+  * fixture JSON is not among the oracle's tables): the driver records
+  * rows-only checks here, and the golden equivalences live in ScalaTest
+  * (hourly→daily rollup ≡ the fixture's own daily block).
+  */
+object WeatherQueries {
+
+  private def engine(s: org.apache.spark.sql.SparkSession) = new WeatherEngine(s)
+
+  private val prague = Location(Some("Prague"), None, None)
+
+  def defs: Map[String, QueryDef] = Map(
+    // [SEM] A1–A7: native daily rollup from hourly, granularity ≥1440 path
+    "wx1_daily_rollup" -> QueryDef.noOracle { (s, _) =>
+      engine(s).forecast(ForecastRequest(prague, granularity = 1440,
+        forecastDays = Some(7), pastDays = Some(2)))
+        .fold(e => sys.error(e), identity)
+        .orderBy("date")
+    },
+
+    // A9: 15-minute → hourly resample
+    "wx2_resample_hourly" -> QueryDef.noOracle { (s, _) =>
+      val wide = WeatherOps.toWide(
+        WeatherOps.readBlocks(s, s"${WeatherEngine.defaultFixtureDir}/minutely15_2d.json",
+          WeatherSchemas.GranMinutely15),
+        WeatherSchemas.GranMinutely15)
+      WeatherOps.resample(wide, "1 hour").orderBy("ts_local")
+    },
+
+    // §1.3 long (tidy) form — the downstream-ML layout (README.md:18)
+    "wx3_long_form" -> QueryDef.noOracle { (s, _) =>
+      val wide = WeatherOps.toWide(
+        WeatherOps.readBlocks(s, s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json"))
+      WeatherOps.toLong(wide).orderBy("latitude", "ts_local", "variable")
+    },
+
+    // J1: geocode lookup join incl. missing + ambiguous names
+    "wx4_geocode_join" -> QueryDef.noOracle { (s, _) =>
+      import s.implicits._
+      val requests = Seq("Prague", "Brno", "Atlantis", "Springfield")
+        .toDF("place")
+      Geo.geocodeJoin(requests, engine(s).places).orderBy("place")
+    },
+
+    // J4: nearest-grid-point theta join, bounding-box pruned
+    "wx5_nearest_grid" -> QueryDef.noOracle { (s, _) =>
+      import s.implicits._
+      val queryPoints = Seq((50.0, 14.5), (49.3, 16.5), (49.9, 18.0))
+        .toDF("latitude", "longitude")
+      Geo.nearestGridPoint(queryPoints,
+        engine(s).places.select("place", "latitude", "longitude"))
+        .orderBy("latitude")
+    },
+
+    // §2.5 flagship: rolling 3-hour mean temperature per location
+    "wx6_rolling_3h" -> QueryDef.noOracle { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val wide = WeatherOps.toWide(
+        WeatherOps.readBlocks(s, s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json"))
+      val w = Window.partitionBy("latitude", "longitude").orderBy("ts_local")
+        .rowsBetween(-2, Window.currentRow)
+      wide.select(col("latitude"), col("longitude"), col("ts_local"),
+          col("temperature_2m"),
+          round(avg("temperature_2m").over(w), 4).as("temp_3h_mean"))
+        .orderBy("latitude", "ts_local")
+    },
+
+    // get_history daily path over the 31-day archive block
+    "wx7_history_daily" -> QueryDef.noOracle { (s, _) =>
+      engine(s).history(HistoryRequest(prague, "2024-05-05", "2024-05-20",
+        granularity = 1440))
+        .fold(e => sys.error(e), identity)
+        .orderBy("date")
+    },
+
+    // P2/J2: hourly series enriched with daily rollup values
+    "wx8_hourly_with_daily" -> QueryDef.noOracle { (s, _) =>
+      engine(s).hourlyWithDaily(ForecastRequest(prague,
+        forecastDays = Some(7), pastDays = Some(2)))
+        .fold(e => sys.error(e), identity)
+        .orderBy("ts_local")
+    },
+
+    // J3 generic as-of: probe points 30 min past each hour joined to the
+    // latest at-or-earlier weather observation
+    "wx9_asof_weather" -> QueryDef.noOracle { (s, _) =>
+      val wide = WeatherOps.toWide(
+        WeatherOps.readBlocks(s, s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json"))
+        .select("latitude", "longitude", "ts_local", "temperature_2m", "precipitation")
+      val probes = wide.select(col("latitude"), col("longitude"),
+        (col("ts_local") + expr("INTERVAL 30 MINUTES")).as("ts_local"))
+      AsOf.asofJoin(probes, wide, Seq("latitude", "longitude"), "ts_local",
+        Seq("temperature_2m", "precipitation"))
+        .orderBy("latitude", "ts_local")
+    }
+  )
+}

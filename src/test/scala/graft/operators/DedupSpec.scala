@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest to hide from the loud hunters"
+
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),                                       // exact dup of 0
+    (2L, base.replace("green", "dark")),              // near dup of 0
+    (3L, "completely different text about spark catalyst optimizer rules " +
+      "and whole stage code generation for columnar execution engines"),
+    (4L, "another unrelated document mentioning weather forecast api " +
+      "payloads with hourly temperature and precipitation arrays")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one row per distinct text, lowest id") {
+    val kept = Dedup.exact(docs)
+    assert(kept.count() === 4)
+    assert(kept.filter(col("doc_id") === 1L).count() === 0)
+  }
+
+  test("minhash signature: identical texts agree, near-dups mostly agree") {
+    val sigs = Dedup.signatures(docs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    val agree02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree02 > 32, s"near-dup agreement only $agree02/64")
+    val agree03 = sigs(0L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree03 < 16, s"unrelated docs agree $agree03/64")
+  }
+
+  test("minhash LSH surfaces dup and near-dup pairs, not unrelated ones") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical → distance 0; near-dup within 7 bits; unrelated far") {
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.Sketches.simhash64(
+        graft.functions.TextFunctions.words(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) === 0)
+    assert(ham(sigs(0L), sigs(2L)) <= 7)
+    assert(ham(sigs(0L), sigs(3L)) > 10)
+  }
+
+  test("verified near-dups report exact n-gram jaccard") {
+    val verified = Dedup.verifiedNearDups(docs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(verified((0L, 1L)) === 1.0)
+    assert(verified.contains((0L, 2L)))
+    assert(verified((0L, 2L)) > 0.4 && verified((0L, 2L)) < 1.0)
+  }
+
+  test("pigeonhole blocking finds all pairs within the hamming budget (exhaustive check)") {
+    val viaBlocks = Dedup.simhashNearDups(docs, maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force ground truth
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.Sketches.simhash64(
+        graft.functions.TextFunctions.words(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (ia, ib)).toSet
+    assert(viaBlocks === truth)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilarityAsOfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
+      (3L, Array(3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val sims = Similarity.nearDupPairs(df, idCap = 10, threshold = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(sims((1L, 3L)) - 1.0) < 1e-9)
+    assert(math.abs(sims((1L, 2L))) < 1e-9)
+  }
+
+  test("exact top-k is ordered by similarity desc on real embeddings") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val top = Similarity.topKCosine(emb, queryId = 0L, k = 10).collect()
+    assert(top.length === 10)
+    val sims = top.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(!top.exists(_.getLong(0) == 0L))
+  }
+
+  test("LSH ANN top-k recalls a reasonable share of the exact top-k") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val exact = Similarity.topKCosine(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    // nBits sizes buckets to the corpus: 4 bits → 16 buckets over 500
+    // vectors, Hamming-1 multiprobe scans ~30% of the corpus.
+    val approx = Similarity.topKCosineApprox(emb, 0L, 10, nBits = 4).collect()
+      .map(_.getLong(0)).toSet
+    val recall = (exact & approx).size / 10.0
+    assert(recall >= 0.3, s"ANN recall $recall too low even for multi-probe LSH")
+  }
+
+  test("as-of join picks the latest at-or-earlier build row per key") {
+    val build = Seq(
+      ("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 02:00:00", 2.0),
+      ("b", "2024-01-01 01:00:00", 5.0)
+    ).toDF("k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val probe = Seq(
+      ("a", "2024-01-01 01:30:00"), // → 00:00 value 1.0
+      ("a", "2024-01-01 02:00:00"), // tie: inclusive → 2.0
+      ("b", "2024-01-01 00:30:00"), // before any build row → null
+      ("c", "2024-01-01 09:00:00")  // no build key → null
+    ).toDF("k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+
+    val got = AsOf.asofJoin(probe, build, Seq("k"), "ts", Seq("v"))
+      .orderBy("k", "ts")
+      .select("k", "asof_v").as[(String, Option[Double])].collect()
+    assert(got === Array(("a", Some(1.0)), ("a", Some(2.0)), ("b", None), ("c", None)))
+  }
+
+  test("lastEventBefore matches a hand-computed case") {
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "purchase"),
+      (2L, "2024-01-01 01:00:00", 7L, "click"),
+      (3L, "2024-01-01 02:00:00", 7L, "purchase"),
+      (4L, "2024-01-01 03:00:00", 7L, "click"),
+      (5L, "2024-01-01 00:30:00", 8L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = AsOf.lastEventBefore(events, "click", "purchase")
+      .as[(Long, Option[java.sql.Timestamp])].collect().toMap
+    assert(got(2L).get.toString.startsWith("2024-01-01 00:00:00"))
+    assert(got(4L).get.toString.startsWith("2024-01-01 02:00:00"))
+    assert(got(5L).isEmpty)
+  }
+}
