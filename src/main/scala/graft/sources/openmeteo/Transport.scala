@@ -1,0 +1,144 @@
+package graft.sources.openmeteo
+
+/** Transport layer for the connector (SURVEY.md §2.1 S1–S5, §4): the seam
+  * where the live HTTP client would sit. Offline mode (the only mode in
+  * this zero-egress environment) reads block payload fixture files; the
+  * retry/backoff/rate-limit *policies* around it are real and mirror the
+  * reference's operational behavior:
+  *  - up to `maxRetries` attempts with exponential backoff (1→2→4 s) on
+  *    transient errors, plus one final fallback attempt
+  *    (`server.py:68-93`)
+  *  - fail-fast on non-retryable (4xx-analogue) errors (`server.py:80-82`)
+  *  - a minimum delay between calls (`AsyncRateLimiter(1.1 s)`,
+  *    `server.py:108`)
+  *  - per-category call counters (`API_CALLS`, `server.py:37`)
+  */
+trait Transport extends Serializable {
+  /** Fetch one block payload (a JSON document) for the given params. */
+  def fetch(params: Map[String, String]): String
+}
+
+/** Non-retryable failure — the analogue of an HTTP 4xx with diagnostics
+  * (`server.py:263-277`).
+  */
+final class FatalTransportException(msg: String) extends RuntimeException(msg)
+
+/** Transient failure — the analogue of a timeout/network error. */
+final class TransientTransportException(msg: String) extends RuntimeException(msg)
+
+/** Reads block payloads from a JSON-lines fixture file; params select the
+  * block whose coordinates are nearest to (latitude, longitude). Missing
+  * file → fatal (config error); no blocks → fatal (location not covered).
+  */
+final class OfflineTransport(path: String) extends Transport {
+  override def fetch(params: Map[String, String]): String = {
+    val lat = params.get("latitude").map(_.toDouble)
+      .getOrElse(throw new FatalTransportException("latitude required"))
+    val lon = params.get("longitude").map(_.toDouble)
+      .getOrElse(throw new FatalTransportException("longitude required"))
+    val file = new java.io.File(path)
+    if (!file.exists())
+      throw new FatalTransportException(s"fixture not found: $path")
+    val lines = scala.io.Source.fromFile(file, "UTF-8")
+    try {
+      val blocks = lines.getLines().filter(_.nonEmpty).toVector
+      if (blocks.isEmpty) throw new FatalTransportException(s"empty fixture: $path")
+      // nearest block by simple lat/lon distance (offline grid resolution)
+      blocks.minBy { b =>
+        val bl = OfflineTransport.extractNumber(b, "latitude")
+        val bo = OfflineTransport.extractNumber(b, "longitude")
+        math.hypot(bl - lat, bo - lon)
+      }
+    } finally lines.close()
+  }
+}
+
+object OfflineTransport {
+  /** Cheap top-level scalar extraction without a full parse (the full
+    * parse happens once per partition in the reader).
+    */
+  private[openmeteo] def extractNumber(json: String, key: String): Double = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + key + "\"\\s*:\\s*(-?[0-9.]+)").matcher(json)
+    if (m.find()) m.group(1).toDouble else Double.NaN
+  }
+}
+
+/** Exponential-backoff retry policy (S4). `backoffBaseMs` is injectable so
+  * tests run instantly; production default mirrors the reference (1 s base,
+  * doubling, 3 retries + final fallback attempt).
+  */
+final case class RetryPolicy(maxRetries: Int = 3, backoffBaseMs: Long = 1000L)
+
+final class RetryingTransport(inner: Transport, policy: RetryPolicy)
+    extends Transport {
+  @volatile var attempts: Int = 0
+
+  override def fetch(params: Map[String, String]): String = {
+    var delay = policy.backoffBaseMs
+    var lastErr: Throwable = null
+    var attempt = 0
+    while (attempt < policy.maxRetries) {
+      attempt += 1; attempts += 1
+      try return inner.fetch(params)
+      catch {
+        case e: FatalTransportException => throw e // fail fast, no retry
+        case e: Exception =>
+          lastErr = e
+          if (attempt < policy.maxRetries) {
+            Thread.sleep(delay)
+            delay *= 2
+          }
+      }
+    }
+    // final fallback attempt after the backoff loop (server.py:89-93)
+    attempts += 1
+    try inner.fetch(params)
+    catch { case e: Exception =>
+      throw new RuntimeException(
+        s"transport failed after ${policy.maxRetries} retries + fallback", lastErr)
+    }
+  }
+}
+
+/** Minimum-delay admission control (S3): at most one call per
+  * `minDelayMs` per JVM — the connector-side quota guard. Combined with a
+  * cap on scan partitions, executor fan-out cannot exceed the API quota.
+  */
+final class RateLimitedTransport(inner: Transport, minDelayMs: Long)
+    extends Transport {
+  override def fetch(params: Map[String, String]): String = {
+    RateLimitedTransport.acquire(minDelayMs)
+    inner.fetch(params)
+  }
+}
+
+object RateLimitedTransport {
+  private val lastCall = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def acquire(minDelayMs: Long): Unit = {
+    var ok = false
+    while (!ok) {
+      val prev = lastCall.get()
+      val now = System.currentTimeMillis()
+      val wait = prev + minDelayMs - now
+      if (wait > 0) Thread.sleep(wait)
+      else ok = lastCall.compareAndSet(prev, now)
+    }
+  }
+}
+
+/** Per-category call counters (S5, `API_CALLS`): JVM-wide like the
+  * reference's module global; surfaced per-scan via the V2 custom metric.
+  */
+object CallCounters {
+  private val counters =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  def inc(category: String): Unit =
+    counters.computeIfAbsent(category, _ => new java.util.concurrent.atomic.AtomicLong())
+      .incrementAndGet()
+
+  def get(category: String): Long =
+    Option(counters.get(category)).map(_.get()).getOrElse(0L)
+}

@@ -90,6 +90,25 @@ object WeatherQueries {
         .orderBy("ts_local")
     },
 
+    // S1/S2: DataSource V2 connector path — projection + ts-range pushdown
+    // reach the scan (asserted in OpenMeteoSourceSpec via the plan text)
+    "wx10_connector_scan" -> QueryDef.noOracle { (s, _) =>
+      s.read.format("openmeteo")
+        .option("path", s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json")
+        .load()
+        .filter(col("ts_local") >= lit("2024-07-02 00:00:00").cast("timestamp_ntz"))
+        .select("latitude", "longitude", "ts_local", "temperature_2m", "precipitation")
+        .orderBy("latitude", "ts_local")
+    },
+
+    // Connector daily rollup: pushed scan feeding the native A1-A7 agg
+    "wx11_connector_rollup" -> QueryDef.noOracle { (s, _) =>
+      val wide = s.read.format("openmeteo")
+        .option("path", s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json")
+        .load()
+      WeatherOps.dailyRollup(wide).orderBy("latitude", "date")
+    },
+
     // J3 generic as-of: probe points 30 min past each hour joined to the
     // latest at-or-earlier weather observation
     "wx9_asof_weather" -> QueryDef.noOracle { (s, _) =>

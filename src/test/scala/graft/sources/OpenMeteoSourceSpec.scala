@@ -1,0 +1,115 @@
+package graft.sources.openmeteo
+
+import graft.TestSpark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpenMeteoSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val fixture = s"${TestSpark.fixtures}/hourly_7d.json"
+
+  private def read() = spark.read.format("openmeteo")
+    .option("path", fixture).load()
+
+  test("scan reads all blocks as wide rows") {
+    val df = read()
+    assert(df.count() === 2 * 7 * 24)
+    assert(df.schema.fieldNames.take(4) ===
+      Array("latitude", "longitude", "ts_local", "ts_utc"))
+  }
+
+  test("projection pushdown: required columns become the request variables") {
+    val df = read().select("ts_local", "temperature_2m")
+    val scanDesc = df.queryExecution.executedPlan.toString()
+    assert(scanDesc.contains("RequestedVariables: [temperature_2m]"),
+      s"scan not pruned:\n$scanDesc")
+    assert(df.count() === 2 * 7 * 24)
+  }
+
+  test("filter pushdown: ts_local range is consumed by the scan") {
+    val df = read()
+      .filter(col("ts_local") >= lit("2024-07-02 00:00:00").cast("timestamp_ntz") &&
+        col("ts_local") < lit("2024-07-04 00:00:00").cast("timestamp_ntz"))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("ts_local"), s"filters not pushed:\n$plan")
+    assert(df.count() === 2 * 2 * 24) // 2 locations × 2 days
+    // fully consumed: no lingering post-scan Filter on ts_local
+    assert(!plan.contains("Filter (isnotnull(ts_local"), s"post-scan filter remains:\n$plan")
+  }
+
+  test("ts_utc equals local minus offset through the connector") {
+    val first = read().orderBy("latitude", "ts_local").limit(1)
+      .select("ts_local", "ts_utc").collect()(0)
+    assert(first.getAs[java.time.LocalDateTime](0).toString.startsWith("2024-07-01T00:00"))
+    assert(first.getAs[java.sql.Timestamp](1).toInstant.toString.startsWith("2024-06-30T22:00"))
+  }
+
+  test("connector result agrees with the JSON-reader path (pushed ≡ native, §4)") {
+    val viaConnector = read()
+      .select("latitude", "ts_local", "temperature_2m", "precipitation")
+    val viaJson = graft.weather.WeatherOps.toWide(
+      graft.weather.WeatherOps.readBlocks(spark, fixture))
+      .select("latitude", "ts_local", "temperature_2m", "precipitation")
+    assert(viaConnector.exceptAll(viaJson).count() === 0)
+    assert(viaJson.exceptAll(viaConnector).count() === 0)
+  }
+
+  test("retry policy: transient errors retried with backoff, then succeed") {
+    var calls = 0
+    val flaky = new Transport {
+      override def fetch(p: Map[String, String]): String = {
+        calls += 1
+        if (calls < 3) throw new TransientTransportException("timeout")
+        "ok"
+      }
+    }
+    val t = new RetryingTransport(flaky, RetryPolicy(maxRetries = 3, backoffBaseMs = 1L))
+    assert(t.fetch(Map.empty) === "ok")
+    assert(calls === 3)
+  }
+
+  test("retry policy: fatal errors fail fast without retry (server.py:80-82)") {
+    var calls = 0
+    val fatal = new Transport {
+      override def fetch(p: Map[String, String]): String = {
+        calls += 1; throw new FatalTransportException("400 bad request")
+      }
+    }
+    val t = new RetryingTransport(fatal, RetryPolicy(maxRetries = 3, backoffBaseMs = 1L))
+    intercept[FatalTransportException](t.fetch(Map.empty))
+    assert(calls === 1)
+  }
+
+  test("retry policy: exhausted retries surface the last transient error") {
+    val alwaysDown = new Transport {
+      override def fetch(p: Map[String, String]): String =
+        throw new TransientTransportException("down")
+    }
+    val t = new RetryingTransport(alwaysDown, RetryPolicy(maxRetries = 2, backoffBaseMs = 1L))
+    intercept[RuntimeException](t.fetch(Map.empty))
+    assert(t.attempts === 3) // 2 retries + 1 fallback
+  }
+
+  test("rate limiter enforces the minimum call spacing (server.py:108)") {
+    val inner = new Transport {
+      override def fetch(p: Map[String, String]): String = "ok"
+    }
+    val t = new RateLimitedTransport(inner, minDelayMs = 50L)
+    val t0 = System.currentTimeMillis()
+    t.fetch(Map.empty); t.fetch(Map.empty); t.fetch(Map.empty)
+    assert(System.currentTimeMillis() - t0 >= 100L)
+  }
+
+  test("offline transport resolves the nearest block and counts calls") {
+    val t = new OfflineTransport(fixture)
+    val before = CallCounters.get("forecast")
+    val brno = t.fetch(Map("latitude" -> "49.2", "longitude" -> "16.6"))
+    assert(OfflineTransport.extractNumber(brno, "latitude") === 49.19)
+    intercept[FatalTransportException](t.fetch(Map.empty))
+    intercept[FatalTransportException](
+      new OfflineTransport("/nonexistent.json").fetch(
+        Map("latitude" -> "0", "longitude" -> "0")))
+  }
+}

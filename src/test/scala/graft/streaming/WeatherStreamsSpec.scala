@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import WeatherStreams.Revision
+
+/** MemoryStream-driven checks (SURVEY.md §5 item 5): revision upsert keeps
+  * max issued_at; duplicates collapse; windowed aggs and sessionization
+  * produce the expected shapes.
+  */
+class WeatherStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def rev(issued: String, valid: String, temp: Double): Revision =
+    Revision(50.0, 14.0, ts(valid), ts(issued), temp, 0.0)
+
+  test("revision upsert emits newer revisions and drops stale ones") {
+    import spark.implicits._
+    val input = MemoryStream[Revision](spark)
+    val q = WeatherStreams.latestRevisions(input.toDS())
+      .writeStream.format("memory").queryName("upsert_out")
+      .outputMode("update").start()
+    try {
+      input.addData(rev("2024-07-01 06:00:00", "2024-07-01 12:00:00", 20.0))
+      q.processAllAvailable()
+      input.addData(
+        rev("2024-07-01 06:30:00", "2024-07-01 12:00:00", 21.5), // newer → emit
+        rev("2024-07-01 05:00:00", "2024-07-01 12:00:00", 19.0)) // stale → drop
+      q.processAllAvailable()
+      val got = spark.table("upsert_out")
+        .select("issued_at", "temperature_2m").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getDouble(1))
+      assert(got.toSet === Set(
+        "2024-07-01 06:00:00.0" -> 20.0,
+        "2024-07-01 06:30:00.0" -> 21.5))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark collapses duplicate deliveries") {
+    import spark.implicits._
+    val input = MemoryStream[Revision](spark)
+    val q = WeatherStreams.dedupRevisions(input.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val r = rev("2024-07-01 06:00:00", "2024-07-01 12:00:00", 20.0)
+      input.addData(r, r)
+      q.processAllAvailable()
+      input.addData(r) // re-delivered in a later batch, still within watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 1)
+    } finally q.stop()
+  }
+
+  test("windowed means aggregate revisions into valid-time windows") {
+    import spark.implicits._
+    val input = MemoryStream[Revision](spark)
+    val q = WeatherStreams.windowedMeans(input.toDS(), "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        rev("2024-07-01 06:00:00", "2024-07-01 12:10:00", 20.0),
+        rev("2024-07-01 06:00:00", "2024-07-01 12:40:00", 22.0),
+        rev("2024-07-01 06:00:00", "2024-07-01 13:05:00", 30.0))
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .select("ts", "temp_mean", "n_obs").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getDouble(1), r.getLong(2))).toSet
+      assert(got === Set(
+        ("2024-07-01 12:00:00.0", 21.0, 2L),
+        ("2024-07-01 13:00:00.0", 30.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows split on the gap") {
+    import spark.implicits._
+    case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val q = WeatherStreams.sessionize(
+      input.toDS().toDF("user_id", "ts", "value"), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (7L, ts("2024-07-01 10:00:00"), 1.0),
+        (7L, ts("2024-07-01 10:10:00"), 2.0), // same session
+        (7L, ts("2024-07-01 11:30:00"), 3.0), // gap > 30 min → new session
+        (8L, ts("2024-07-01 10:05:00"), 4.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.sorted === Array((7L, 1L), (7L, 2L), (8L, 1L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch merge keeps max issued_at per key across batches") {
+    import spark.implicits._
+    val existing = Seq(
+      rev("2024-07-01 06:00:00", "2024-07-01 12:00:00", 20.0)).toDF()
+    val batch = Seq(
+      rev("2024-07-01 06:30:00", "2024-07-01 12:00:00", 21.5),
+      rev("2024-07-01 05:00:00", "2024-07-01 12:00:00", 19.0),
+      rev("2024-07-01 06:00:00", "2024-07-01 13:00:00", 25.0)).toDF()
+    val merged = WeatherStreams.mergeBatch(existing, batch)
+      .select("ts_valid", "temperature_2m").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getDouble(1)).toSet
+    assert(merged === Set(
+      "2024-07-01 12:00:00.0" -> 21.5,
+      "2024-07-01 13:00:00.0" -> 25.0))
+  }
+
+  test("block-stream ingest applies the catalog schema to file drops") {
+    val stream = WeatherStreams.readBlockStream(spark, TestSpark.fixtures)
+    assert(stream.isStreaming)
+    val q = graft.weather.WeatherOps.toWide(stream)
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // hourly_7d (2 locs × 168 h) + edge_dst_nulls (47) files match the schema;
+      // daily-only and 15-min files contribute null/empty hourly structs.
+      assert(spark.table("ingest_out").count() >= 2 * 7 * 24)
+    } finally q.stop()
+  }
+}
