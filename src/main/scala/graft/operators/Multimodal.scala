@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column operators (builder mandate, alongside SURVEY.md
+  * §2.10): image/audio/video travel as opaque `binary` columns with typed
+  * metadata; decode / feature-extract / resize / frame-sample run as
+  * partition-local batch transforms.
+  *
+  * The actual codec is STUBBED ([[MediaCodec.Stub]]) — no image/audio
+  * libraries exist in this container — but everything Spark-side is real
+  * and tested: the binary+metadata schema, the `mapPartitions` batch
+  * shape (one codec instance per partition, streamed row batches — the
+  * Scala analogue of `mapInPandas`), the native-expression frame
+  * sampler, and the partitioning story (binary payloads never shuffle;
+  * features are extracted before any wide operation).
+  *
+  * The binary test corpus derives from `documents.text` (`cast(text AS
+  * BINARY)`) so the pipeline runs against the real driver tables at any
+  * scale factor.
+  */
+object Multimodal {
+
+  /** Typed media metadata carried next to the opaque payload. */
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("sample_rate", IntegerType)))
+
+  /** The codec seam. A real deployment plugs libjpeg/ffmpeg/librosa
+    * bindings here; the environment has none, so [[Stub]] computes a
+    * deterministic fake "decode" (byte histogram) with the same signature
+    * and cost model (one call per payload, partition-local).
+    */
+  trait MediaCodec extends Serializable {
+    /** bytes → fixed-size feature vector (e.g. pooled embedding). */
+    def decodeFeatures(bytes: Array[Byte], bins: Int): Array[Float]
+  }
+
+  object MediaCodec {
+    /** Deterministic fake: L1-normalized byte histogram folded into
+      * `bins` buckets. Stands in for a real decoder; NOT a real image
+      * decode.
+      */
+    object Stub extends MediaCodec {
+      override def decodeFeatures(bytes: Array[Byte], bins: Int): Array[Float] = {
+        val hist = new Array[Float](bins)
+        var i = 0
+        while (i < bytes.length) {
+          hist((bytes(i) & 0xff) % bins) += 1f
+          i += 1
+        }
+        if (bytes.nonEmpty) {
+          var k = 0
+          while (k < bins) { hist(k) /= bytes.length; k += 1 }
+        }
+        hist
+      }
+    }
+  }
+
+  /** documents → a media table: (media_id, kind, bytes, meta). Kind fans
+    * out deterministically so each modality path has rows at every SF.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("bytes"),
+      struct(
+        concat(lit("application/x-graft-"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int"))).as("mime"),
+        (pmod(col("doc_id"), lit(64)) * 16 + 64).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) * 16 + 64).cast("int").as("height"),
+        (length(col("text")) * 40L).as("duration_ms"),
+        lit(16000).as("sample_rate")).as("meta"))
+
+  /** Decode/feature-extract via the codec seam: partition-local batch
+    * transform (the `mapInPandas` analogue) — one codec per partition,
+    * rows streamed, output is (media_id, features array<float>). The
+    * payload column is consumed here; only the small feature vector
+    * continues down the pipeline (never shuffle raw media).
+    */
+  def extractFeatures(media: DataFrame, codec: MediaCodec = MediaCodec.Stub,
+      bins: Int = 16): DataFrame = {
+    val session = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      // codec initialized once per partition, reused across the batch
+      val localCodec = codec
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("bytes")).getOrElse(Array.empty)
+        Row(r.getAs[Long]("media_id"),
+          localCodec.decodeFeatures(bytes, bins).toSeq)
+      }
+    }(encoder)
+  }
+
+  /** Frame sampling as native expressions: every `stride` bytes yields a
+    * `frameLen`-byte "frame" (the chunking pattern of video frame
+    * extraction), exploded to (media_id, frame_idx, frame_bytes). Pure
+    * Generate — no shuffle, no UDF.
+    */
+  def sampleFrames(media: DataFrame, frameLen: Int = 64, stride: Int = 256,
+      maxFrames: Int = 8): DataFrame = {
+    val nFrames = least(
+      greatest(floor((length(col("bytes")) - frameLen) / stride) + 1, lit(0)),
+      lit(maxFrames)).cast("int")
+    media
+      .select(col("media_id"), col("bytes"), col("meta"),
+        posexplode(transform(sequence(lit(0), nFrames - 1),
+          i => substring(col("bytes"), (i * stride + 1).cast("int"), lit(frameLen))))
+          .as(Seq("frame_idx", "frame_bytes")))
+      .select("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** "Resize": deterministic re-bin of a feature vector to a new width
+    * (mean-pool adjacent bins) — native `transform`/`aggregate` over the
+    * array, the same shape a real thumbnailer's pooled output takes.
+    */
+  def resizeFeatures(features: DataFrame, from: Int = 16, to: Int = 4): DataFrame = {
+    require(from % to == 0)
+    val k = from / to
+    features.withColumn("features",
+      transform(sequence(lit(0), lit(to - 1)), b =>
+        aggregate(slice(col("features"), b * k + 1, lit(k)),
+          lit(0.0f), (acc, x) => acc + x) / k))
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+    // binary-column stats with a DuckDB oracle (octet_length over the
+    // same utf-8 payload)
+    "mm1_media_stats" -> QueryDef.sql(
+      """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  count(*) AS cnt, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin) { (s, d) =>
+      mediaFromDocuments(graft.Tables.documents(s, d))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("cnt"),
+          sum(length(col("bytes"))).as("total_bytes"))
+        .orderBy("kind")
+    },
+
+    "mm2_decode_features" -> QueryDef.noOracle { (s, d) =>
+      val media = mediaFromDocuments(graft.Tables.documents(s, d))
+      extractFeatures(media)
+        .select(col("media_id"), round(element_at(col("features"), 1), 6).as("f0"),
+          size(col("features")).as("dim"))
+        .orderBy("media_id")
+    },
+
+    "mm3_frame_sample" -> QueryDef.noOracle { (s, d) =>
+      val media = mediaFromDocuments(graft.Tables.documents(s, d))
+        .filter(col("kind") === "video")
+      sampleFrames(media)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame_bytes")).as("frame_len"))
+        .orderBy("media_id", "frame_idx")
+    }
+  )
+}

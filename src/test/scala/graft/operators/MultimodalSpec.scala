@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val media = Multimodal.mediaFromDocuments(
+    Tables.documents(spark, TestSpark.sfDir))
+
+  test("media table: binary payload + typed metadata, all kinds present") {
+    assert(media.count() === 500)
+    assert(media.schema("bytes").dataType.typeName === "binary")
+    assert(media.select("kind").distinct().count() === 3)
+    val m = media.select("meta.mime", "meta.width", "meta.duration_ms")
+      .limit(1).collect()(0)
+    assert(m.getString(0).startsWith("application/x-graft-"))
+    assert(m.getInt(1) >= 64)
+  }
+
+  test("feature extraction: one normalized vector per payload, partition-local") {
+    val feats = Multimodal.extractFeatures(media, bins = 16)
+    assert(feats.count() === 500)
+    val row = feats.filter(col("media_id") === 0L).collect()(0)
+    val v = row.getSeq[Float](1)
+    assert(v.length === 16)
+    assert(math.abs(v.sum - 1.0f) < 1e-3, "histogram should be L1-normalized")
+    // determinism: same payload → same features
+    val again = Multimodal.extractFeatures(media, bins = 16)
+      .filter(col("media_id") === 0L).collect()(0).getSeq[Float](1)
+    assert(v === again)
+  }
+
+  test("frame sampling: stride/length respected, capped frame count") {
+    val frames = Multimodal.sampleFrames(media.filter(col("kind") === "video"),
+      frameLen = 64, stride = 256, maxFrames = 8)
+    val byMedia = frames.groupBy("media_id")
+      .agg(count(lit(1)).as("n"), max("frame_idx").as("maxIdx"))
+    assert(byMedia.filter(col("n") > 8).count() === 0)
+    assert(frames.filter(length(col("frame_bytes")) > 64).count() === 0)
+    // a long document yields multiple frames
+    assert(frames.groupBy("media_id").count().agg(max("count"))
+      .collect()(0).getLong(0) >= 2)
+  }
+
+  test("resize mean-pools adjacent feature bins") {
+    import spark.implicits._
+    val one = Seq((1L, Seq(1.0f, 3.0f, 5.0f, 7.0f))).toDF("media_id", "features")
+    val resized = Multimodal.resizeFeatures(one, from = 4, to = 2)
+      .collect()(0).getSeq[Float](1)
+    assert(resized === Seq(2.0f, 6.0f))
+  }
+}
