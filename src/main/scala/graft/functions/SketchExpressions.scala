@@ -31,20 +31,58 @@ object Sketches {
     (a, b)
   }
 
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  def minhashSignature(words: Column, numHashes: Int, shingleSize: Int): Column =
     GraftBridge.toColumn(
-      MinHashSignatureExpr(GraftBridge.toExpression(shingles), numHashes))
+      MinHashSignatureExpr(GraftBridge.toExpression(words), numHashes, shingleSize))
 
   def simhash64(words: Column): Column =
     GraftBridge.toColumn(SimHash64Expr(GraftBridge.toExpression(words)))
+
+  def ngramJaccard(wordsA: Column, wordsB: Column, shingleSize: Int): Column =
+    GraftBridge.toColumn(NgramJaccardExpr(
+      GraftBridge.toExpression(wordsA), GraftBridge.toExpression(wordsB), shingleSize))
+
+  /** Distinct rolling shingle hashes of a word array: each word hashed
+    * once, `n` consecutive word hashes combined with a polynomial mix —
+    * no shingle strings ever materialize.
+    */
+  private[functions] def shingleHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): Array[Long] = {
+    val m = arr.numElements()
+    val wh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      wh(i) = if (arr.isNullAt(i)) 0L
+      else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val count = if (m == 0) 0 else math.max(m - n + 1, 1)
+    val set = new java.util.HashSet[Long](count * 2)
+    val out = new Array[Long](count)
+    var k = 0
+    i = 0
+    while (i < count) {
+      var h = 0L
+      var j = 0
+      val span = math.min(n, m - i)
+      while (j < span) {
+        h = h * 0x9E3779B97F4A7C15L ^ wh(i + j)
+        j += 1
+      }
+      if (set.add(h)) { out(k) = h; k += 1 }
+      i += 1
+    }
+    if (k == out.length) out else java.util.Arrays.copyOf(out, k)
+  }
 }
 
-/** MinHash signature of an `array<string>` shingle set: element k is
-  * min over shingles of a_k * xxhash64(shingle) + b_k. Empty/null-only
-  * arrays yield a signature of Long.MaxValue sentinels (no shingle
+/** MinHash signature of a word array: element k is min over distinct
+  * `shingleSize`-gram rolling hashes of a_k * h + b_k. Shingling happens
+  * inside the expression (word-hash combine, no shingle strings).
+  * Empty/null-only arrays yield Long.MaxValue sentinels (no shingle
   * evidence — never collides with real minima in practice).
   */
-case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+case class MinHashSignatureExpr(child: Expression, numHashes: Int, shingleSize: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -54,19 +92,16 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
   private lazy val (mulA, addB) = Sketches.affineParams(numHashes)
 
   override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+    val shingles = Sketches.shingleHashes(input.asInstanceOf[ArrayData], shingleSize)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-        var k = 0
-        while (k < numHashes) {
-          val h = mulA(k) * base + addB(k)
-          if (h < mins(k)) mins(k) = h
-          k += 1
-        }
+    while (i < shingles.length) {
+      val base = shingles(i)
+      var k = 0
+      while (k < numHashes) {
+        val h = mulA(k) * base + addB(k)
+        if (h < mins(k)) mins(k) = h
+        k += 1
       }
       i += 1
     }
@@ -75,6 +110,34 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Exact n-gram Jaccard between two word arrays, computed imperatively on
+  * rolling shingle hashes (hash-set intersection — no string shingles, no
+  * interpreted array_intersect).
+  */
+case class NgramJaccardExpr(left: Expression, right: Expression, shingleSize: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ngram_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ga = Sketches.shingleHashes(a.asInstanceOf[ArrayData], shingleSize)
+    val gb = Sketches.shingleHashes(b.asInstanceOf[ArrayData], shingleSize)
+    if (ga.isEmpty && gb.isEmpty) return java.lang.Double.valueOf(0.0)
+    val setA = new java.util.HashSet[Long](ga.length * 2)
+    ga.foreach(setA.add)
+    var inter = 0
+    gb.foreach(h => if (setA.contains(h)) inter += 1)
+    val union = ga.length + gb.length - inter
+    java.lang.Double.valueOf(inter.toDouble / union)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** 64-bit SimHash of an `array<string>` token array: bit i is set when

@@ -52,9 +52,8 @@ object Dedup {
   def signatures(docs: DataFrame, numHashes: Int = 64, shingleSize: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("id"),
-      Sketches.minhashSignature(
-        array_distinct(TextFunctions.wordShingles(col(textCol), shingleSize)),
-        numHashes).as("sig"))
+      Sketches.minhashSignature(TextFunctions.words(col(textCol)),
+        numHashes, shingleSize).as("sig"))
 
   /** Estimated Jaccard similarity from two MinHash signatures: fraction of
     * agreeing positions.
@@ -137,21 +136,21 @@ object Dedup {
 
   /** Verified near-dup pairs: MinHash/LSH candidates re-checked with exact
     * n-gram Jaccard (the standard two-phase dedup: cheap candidate gen,
-    * exact verify on the tiny candidate set). Shingle arrays are computed
-    * once per document and joined to the candidate pairs — never
-    * recomputed per pair.
+    * exact verify on the tiny candidate set). Word arrays are computed
+    * once per document and joined to the candidate pairs; the Jaccard
+    * itself is the imperative [[graft.functions.NgramJaccardExpr]].
     */
   def verifiedNearDups(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val cands = minhashNearDups(docs, threshold * 0.6, idCol = idCol, textCol = textCol)
       .select("id_a", "id_b")
-    val grams = docs.select(col(idCol).as("gid"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("grams"))
+    val words = docs.select(col(idCol).as("gid"),
+      TextFunctions.words(col(textCol)).as("w"))
     cands
-      .join(grams.select(col("gid").as("id_a"), col("grams").as("grams_a")), "id_a")
-      .join(grams.select(col("gid").as("id_b"), col("grams").as("grams_b")), "id_b")
+      .join(words.select(col("gid").as("id_a"), col("w").as("w_a")), "id_a")
+      .join(words.select(col("gid").as("id_b"), col("w").as("w_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("grams_a"), col("grams_b")), 6).as("jaccard"))
+        round(Sketches.ngramJaccard(col("w_a"), col("w_b"), n), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

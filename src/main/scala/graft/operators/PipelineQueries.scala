@@ -53,14 +53,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // quality + language ID: heuristics, no SQL twin — rows-only check +
-    // golden ScalaTest.
+    // quality + language ID + token estimate: fused single-pass native
+    // expression (TextStatsExpr); heuristics, no SQL twin — rows-only
+    // check + ScalaTest parity with the column-function versions.
     "t5_quality_lang" -> QueryDef.noOracle { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          TextFunctions.qualityScore(col("text")).as("quality"),
-          TextFunctions.langId(col("text")).as("lang_pred"),
-          TextFunctions.tokenEstimate(col("text")).as("token_est"))
+          graft.functions.TextStats.textStats(col("text")).as("st"))
+        .select(col("doc_id"), col("st.quality").as("quality"),
+          col("st.lang_pred").as("lang_pred"),
+          col("st.token_est").as("token_est"),
+          col("st.n_words").as("n_words"),
+          round(col("st.stopword_ratio"), 6).as("stopword_ratio"))
         .orderBy("doc_id")
     },
 

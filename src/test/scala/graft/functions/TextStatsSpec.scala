@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity: the fused TextStatsExpr must agree with the composable
+  * column-function versions on real documents.
+  */
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val both = Tables.documents(spark, TestSpark.sfDir)
+    .select(col("doc_id"), col("text"),
+      TextStats.textStats(col("text")).as("st"),
+      TextFunctions.qualityScore(col("text")).as("quality_hof"),
+      TextFunctions.tokenEstimate(col("text")).as("token_est_hof"),
+      size(TextFunctions.words(col("text"))).cast("long").as("n_words_hof"),
+      round(TextFunctions.punctRatio(col("text")), 9).as("punct_hof"),
+      TextFunctions.langId(col("text")).as("lang_hof"))
+    .cache()
+
+  test("quality, token estimate, word count, punct ratio match the HOF versions") {
+    assert(both.filter(col("st.quality") =!= col("quality_hof")).count() === 0)
+    assert(both.filter(col("st.token_est") =!= col("token_est_hof")).count() === 0)
+    assert(both.filter(col("st.n_words") =!= col("n_words_hof")).count() === 0)
+    assert(both.filter(
+      abs(col("st.punct_ratio") - col("punct_hof")) > 1e-9).count() === 0)
+  }
+
+  test("language ID agrees except on tie-break (different deterministic rule)") {
+    val n = both.count()
+    val agree = both.filter(col("st.lang_pred") === col("lang_hof")).count()
+    assert(agree >= (n * 0.9).toLong, s"lang agreement $agree/$n")
+  }
+
+  test("edge cases: empty, whitespace, digits") {
+    import spark.implicits._
+    val edge = Seq("", "   ", "12 34", "the the the").toDF("text")
+      .select(TextStats.textStats(col("text")).as("st"))
+      .select("st.n_words", "st.lang_pred", "st.token_est").collect()
+    assert(edge(0).getLong(0) === 0 && edge(0).getString(1) === "und")
+    assert(edge(1).getLong(0) === 0)
+    assert(edge(2).getLong(0) === 2 && edge(2).getLong(2) === 4)
+    assert(edge(3).getString(1) === "en")
+  }
+}
