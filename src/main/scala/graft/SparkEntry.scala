@@ -14,8 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
-    Relational.defs ++ PipelineQueries.defs ++ WeatherQueries.defs ++
-      operators.Multimodal.defs
+    Relational.defs ++ operators.Relational2.defs ++ PipelineQueries.defs ++
+      WeatherQueries.defs ++ operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → filter → partial/final hash agg → sort.

@@ -46,7 +46,7 @@ object Sketches {
     * once, `n` consecutive word hashes combined with a polynomial mix —
     * no shingle strings ever materialize.
     */
-  private[functions] def shingleHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+  def shingleHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
       n: Int): Array[Long] = {
     val m = arr.numElements()
     val wh = new Array[Long](m)

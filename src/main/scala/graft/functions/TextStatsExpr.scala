@@ -29,7 +29,7 @@ object TextStats {
   def textStats(text: Column): Column =
     GraftBridge.toColumn(TextStatsExpr(GraftBridge.toExpression(text)))
 
-  private[functions] val langProfiles: Seq[(String, Set[String])] = Seq(
+  val langProfiles: Seq[(String, Set[String])] = Seq(
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"),
     "en" -> Set("the", "and", "is", "of", "to", "in", "that", "it", "with"),
     "es" -> Set("el", "la", "los", "las", "es", "de", "que", "y", "en"),
@@ -43,7 +43,7 @@ object TextStats {
   private val punctChars = ".,!?;:'\"()[]{}-".toSet
 
   /** One pass over the text computing every stat. */
-  private[functions] def compute(text: String): (Long, Double, Double, Double,
+  def compute(text: String): (Long, Double, Double, Double,
       Double, String, Long) = {
     val len = text.length
     var punct = 0
