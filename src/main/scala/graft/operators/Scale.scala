@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities (SURVEY.md §4 "Partitioning & shuffle"): explicit skew
+  * salting and bucketed co-located joins — the two knobs AQE cannot
+  * always turn for you at 100 TB.
+  *
+  * When to use what:
+  *  - AQE skew-join handles moderate skew automatically (split oversized
+  *    partitions at runtime) — the default, nothing to do.
+  *  - [[saltedJoin]] is for pathological hot keys (one key ≫ executor
+  *    memory): the build side is replicated `saltFactor`× and the probe
+  *    side scattered, so no single task owns a whole hot key.
+  *  - [[writeBucketed]] pre-shuffles once at write time; every later join
+  *    or aggregation on the bucket key is exchange-free (the dominant
+  *    cost at petabyte scale is repeated shuffles of the same fact
+  *    table).
+  */
+object Scale {
+
+  /** Skew-tolerant inner equi-join. The probe (large, skewed) side gets a
+    * random-but-deterministic salt in [0, saltFactor); the build side is
+    * exploded once per salt value. Result is exactly the plain join's
+    * (verified by SkewSpec); cost trades `saltFactor`× build-side
+    * replication for even task sizing on the probe side.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      saltFactor: Int = 8): DataFrame = {
+    val salted = probe.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor))
+        .cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write a DataFrame bucketed + sorted by `key` into the session
+    * catalog. Two tables bucketed the same way join with zero Exchange
+    * (asserted in SkewSpec) — the pre-partitioning pattern for fact
+    * tables that are joined repeatedly on the same key.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", s"${sys.props("java.io.tmpdir")}/graft_bucketed/$table")
+      .saveAsTable(table)
+}

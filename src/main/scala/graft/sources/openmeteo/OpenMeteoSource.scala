@@ -61,11 +61,14 @@ final case class OpenMeteoOptions(path: String, granKey: String,
 object OpenMeteoOptions {
   def apply(o: CaseInsensitiveStringMap): OpenMeteoOptions = {
     val gran = o.getOrDefault("granularity", "hourly")
-    require(gran == WeatherSchemas.GranHourly || gran == WeatherSchemas.GranMinutely15,
-      s"unsupported granularity '$gran' (hourly | minutely_15)")
+    require(gran == WeatherSchemas.GranHourly ||
+      gran == WeatherSchemas.GranMinutely15 || gran == WeatherSchemas.GranDaily,
+      s"unsupported granularity '$gran' (hourly | minutely_15 | daily)")
     val vars = Option(o.get("variables"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(WeatherSchemas.defaultHourlyNames)
+      .getOrElse(if (gran == WeatherSchemas.GranDaily)
+        WeatherSchemas.defaultDailyNames
+      else WeatherSchemas.defaultHourlyNames)
     OpenMeteoOptions(
       Option(o.get("path")).getOrElse(
         s"${graft.weather.WeatherEngine.defaultFixtureDir}/hourly_7d.json"),
@@ -84,17 +87,29 @@ class OpenMeteoTable(opts: OpenMeteoOptions) extends Table with SupportsRead {
 }
 
 object OpenMeteoTable {
-  /** Full wide schema: location, local + UTC timestamps, variables. */
+  /** Full wide schema. Sub-daily: location + local/UTC timestamps +
+    * hourly variables. Daily (the source's pre-aggregated rollup,
+    * `server.py:219-223`): location + date + daily variables.
+    */
   def wideSchema(opts: OpenMeteoOptions): StructType = {
-    val varFields = opts.variables.map { v =>
-      val dt = WeatherSchemas.hourlyByName.get(v).map(_.dataType).getOrElse(DoubleType)
-      StructField(v, dt, nullable = true)
-    }
-    StructType(Seq(
+    val loc = Seq(
       StructField("latitude", DoubleType, nullable = false),
-      StructField("longitude", DoubleType, nullable = false),
-      StructField("ts_local", TimestampNTZType, nullable = false),
-      StructField("ts_utc", TimestampType, nullable = false)) ++ varFields)
+      StructField("longitude", DoubleType, nullable = false))
+    if (opts.granKey == WeatherSchemas.GranDaily) {
+      val varFields = opts.variables.map { v =>
+        val dt = WeatherSchemas.dailyByName.get(v).map(_.dataType).getOrElse(DoubleType)
+        StructField(v, dt, nullable = true)
+      }
+      StructType(loc ++ Seq(StructField("date", DateType, nullable = false)) ++ varFields)
+    } else {
+      val varFields = opts.variables.map { v =>
+        val dt = WeatherSchemas.hourlyByName.get(v).map(_.dataType).getOrElse(DoubleType)
+        StructField(v, dt, nullable = true)
+      }
+      StructType(loc ++ Seq(
+        StructField("ts_local", TimestampNTZType, nullable = false),
+        StructField("ts_utc", TimestampType, nullable = false)) ++ varFields)
+    }
   }
 }
 
@@ -235,9 +250,13 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
     } else {
       val timeArr = g.get("time")
       times = (0 until timeArr.size()).map { i =>
-        val t = java.time.LocalDateTime.parse(timeArr.get(i).asText(),
-          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm"))
-        DateTimeUtils.localDateTimeToMicros(t)
+        if (opts.granKey == WeatherSchemas.GranDaily)
+          // DateType days since epoch
+          java.time.LocalDate.parse(timeArr.get(i).asText()).toEpochDay
+        else
+          DateTimeUtils.localDateTimeToMicros(
+            java.time.LocalDateTime.parse(timeArr.get(i).asText(),
+              java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm")))
       }.toArray
       keep = times.map(t =>
         lo.forall(t >= _) && hi.forall(h => if (hiInclusive) t <= h else t < h))
@@ -261,6 +280,7 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
         case "longitude" => lon
         case "ts_local"  => times(pos)
         case "ts_utc"    => times(pos) - offsetSec * 1000000L
+        case "date"      => java.lang.Integer.valueOf(times(pos).toInt): Any
         case v =>
           varArrays.get(v) match {
             case Some(arr) if pos < arr.size() && !arr.get(pos).isNull =>
@@ -269,6 +289,8 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
               f.dataType match {
                 case IntegerType =>
                   java.lang.Integer.valueOf(arr.get(pos).asInt()): Any
+                case StringType =>
+                  UTF8String.fromString(arr.get(pos).asText()): Any
                 case _ =>
                   java.lang.Double.valueOf(arr.get(pos).asDouble()): Any
               }

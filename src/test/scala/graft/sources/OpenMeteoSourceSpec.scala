@@ -112,4 +112,32 @@ class OpenMeteoSourceSpec extends AnyFunSuite {
       new OfflineTransport("/nonexistent.json").fetch(
         Map("latitude" -> "0", "longitude" -> "0")))
   }
+
+  test("daily granularity reads the source's pre-aggregated block") {
+    val daily = spark.read.format("openmeteo")
+      .option("path", fixture).option("granularity", "daily").load()
+    assert(daily.count() === 2 * 7)
+    assert(daily.schema("date").dataType.typeName === "date")
+    assert(daily.schema("sunrise").dataType.typeName === "string")
+  }
+
+  test("aggregate pushdown golden: source daily block equals native rollup (§4)") {
+    val derivable = Seq("weather_code", "temperature_2m_max", "temperature_2m_min",
+      "apparent_temperature_max", "apparent_temperature_min", "precipitation_sum",
+      "rain_sum", "snowfall_sum", "precipitation_hours", "sunshine_duration",
+      "uv_index_max")
+    val pushed = spark.read.format("openmeteo")
+      .option("path", fixture).option("granularity", "daily").load()
+      .select((Seq("latitude", "longitude", "date") ++ derivable).map(col): _*)
+    val native = graft.weather.WeatherOps.dailyRollup(
+      spark.read.format("openmeteo").option("path", fixture).load()
+        .withColumnRenamed("ts_local", "ts_local"))
+      .select((Seq("latitude", "longitude", "date") ++ derivable).map(col): _*)
+    assert(pushed.count() === 14 && native.count() === 14)
+    val joined = pushed.as("p").join(native.as("n"), Seq("latitude", "longitude", "date"))
+    derivable.foreach { v =>
+      val bad = joined.filter(abs(col(s"p.$v") - col(s"n.$v")) > 1e-9).count()
+      assert(bad === 0, s"pushed daily '$v' != native rollup")
+    }
+  }
 }
