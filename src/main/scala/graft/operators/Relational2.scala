@@ -260,6 +260,30 @@ object Relational2 {
         .orderBy("source")
     },
 
+    // ---- batch sessionization: session_window ≡ gaps-and-islands SQL ----
+    "a17_sessionize" -> QueryDef.sql(
+      """WITH g AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+        |    CASE WHEN CAST(ts AS TIMESTAMP)
+        |           - lag(CAST(ts AS TIMESTAMP)) OVER
+        |             (PARTITION BY user_id ORDER BY ts, event_id)
+        |           >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(brk) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS sess FROM g)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    },
+
     // ---- date truncations ------------------------------------------------
     "sc14_date_trunc" -> QueryDef.sql(
       """SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS m,

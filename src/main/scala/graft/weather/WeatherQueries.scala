@@ -109,6 +109,17 @@ object WeatherQueries {
       WeatherOps.dailyRollup(wide).orderBy("latitude", "date")
     },
 
+    // §4 aggregate pushdown path: the source's pre-aggregated daily block
+    "wx12_connector_daily" -> QueryDef.noOracle { (s, _) =>
+      s.read.format("openmeteo")
+        .option("path", s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json")
+        .option("granularity", "daily")
+        .load()
+        .select("latitude", "longitude", "date", "temperature_2m_max",
+          "precipitation_sum", "weather_code", "sunrise")
+        .orderBy("latitude", "date")
+    },
+
     // J3 generic as-of: probe points 30 min past each hour joined to the
     // latest at-or-earlier weather observation
     "wx9_asof_weather" -> QueryDef.noOracle { (s, _) =>
