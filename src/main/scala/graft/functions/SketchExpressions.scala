@@ -38,6 +38,13 @@ object Sketches {
   def simhash64(words: Column): Column =
     GraftBridge.toColumn(SimHash64Expr(GraftBridge.toExpression(words)))
 
+  /** SimHash straight from the text column: tokenization (lowercase
+    * alphanumeric runs, same rule as `TextFunctions.words`) fused into
+    * the expression — no interpreted split/filter HOF stage.
+    */
+  def simhash64Text(text: Column): Column =
+    GraftBridge.toColumn(SimHashTextExpr(GraftBridge.toExpression(text)))
+
   def ngramJaccard(wordsA: Column, wordsB: Column, shingleSize: Int): Column =
     GraftBridge.toColumn(NgramJaccardExpr(
       GraftBridge.toExpression(wordsA), GraftBridge.toExpression(wordsB), shingleSize))
@@ -106,6 +113,56 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int, shingleSize: 
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SimHash computed directly from the raw text: single pass splitting
+  * lowercase alphanumeric runs and folding each word's hash into the
+  * 64 bit-vote counters. ASCII-equivalent to
+  * `SimHash64Expr(TextFunctions.words(text))` (parity-tested); avoids
+  * materializing the word array entirely.
+  */
+case class SimHashTextExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64_text"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val len = text.length
+    val votes = new Array[Int](64)
+    val sb = new java.lang.StringBuilder(24)
+    var i = 0
+    while (i <= len) {
+      val alnum = i < len && {
+        val c = Character.toLowerCase(text.charAt(i))
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      }
+      if (alnum) sb.append(Character.toLowerCase(text.charAt(i)))
+      else if (sb.length() > 0) {
+        val h = XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString),
+          StringType, 42L)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    java.lang.Long.valueOf(sig)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -101,7 +101,7 @@ object Dedup {
     val blocks = maxHamming + 1
     val width = 64 / blocks
     val sigs = docs.select(col(idCol).as("id"),
-      Sketches.simhash64(TextFunctions.words(col(textCol))).as("sig"))
+      Sketches.simhash64Text(col(textCol)).as("sig"))
     val blocked = sigs
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(blocks - 1))).as("i"))

@@ -284,6 +284,47 @@ object Relational2 {
         .orderBy("user_id", "session_start")
     },
 
+    // ---- cube (full grouping-set lattice) --------------------------------
+    "a18_cube" -> QueryDef.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag").as("g_rf"), col("l_linestatus").as("g_ls"))
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("g_rf").asc_nulls_first, col("g_ls").asc_nulls_first)
+        .select(col("g_rf").as("l_returnflag"), col("g_ls").as("l_linestatus"),
+          col("cnt"), col("sum_qty"))
+    },
+
+    // ---- exact-dedup operator output (keep lowest id per text) -----------
+    "d6_dedup_keep" -> QueryDef.sql(
+      """SELECT doc_id FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.exact(Tables.documents(s, d))
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // ---- generator / UDTF surface: posexplode ≡ unnest WITH ORDINALITY ---
+    "u4_posexplode" -> QueryDef.sql(
+      """SELECT doc_id, CAST(p.i - 1 AS BIGINT) AS pos, p.w AS word
+        |FROM (
+        |  SELECT doc_id,
+        |    unnest([{'w': words[i], 'i': i} for i in range(1, len(words)+1)]) AS p
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |        FROM documents WHERE doc_id < 20))
+        |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "word")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+        .orderBy("doc_id", "pos")
+    },
+
     // ---- date truncations ------------------------------------------------
     "sc14_date_trunc" -> QueryDef.sql(
       """SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS m,

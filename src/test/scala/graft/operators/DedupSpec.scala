@@ -78,4 +78,14 @@ class DedupSpec extends AnyFunSuite {
     } yield (ia, ib)).toSet
     assert(viaBlocks === truth)
   }
+
+  test("fused simhash64Text matches simhash64(words(text)) on real documents") {
+    val docsReal = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+    val mismatch = docsReal.select(
+      graft.functions.Sketches.simhash64Text(col("text")).as("a"),
+      graft.functions.Sketches.simhash64(
+        graft.functions.TextFunctions.words(col("text"))).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatch === 0)
+  }
 }
