@@ -109,6 +109,14 @@ object WeatherQueries {
       WeatherOps.dailyRollup(wide).orderBy("latitude", "date")
     },
 
+    // ML feature prep (README.md:18): lags + rolling means + calendar +
+    // next-hour target in one shuffle
+    "wx13_ml_features" -> QueryDef.noOracle { (s, _) =>
+      val wide = WeatherOps.toWide(
+        WeatherOps.readBlocks(s, s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json"))
+      Features.hourlyFeatures(wide).orderBy("latitude", "ts_local")
+    },
+
     // §4 aggregate pushdown path: the source's pre-aggregated daily block
     "wx12_connector_daily" -> QueryDef.noOracle { (s, _) =>
       s.read.format("openmeteo")

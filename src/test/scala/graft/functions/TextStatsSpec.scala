@@ -44,4 +44,23 @@ class TextStatsSpec extends AnyFunSuite {
     assert(edge(2).getLong(0) === 2 && edge(2).getLong(2) === 4)
     assert(edge(3).getString(1) === "en")
   }
+
+  test("custom expressions are SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, TestSpark.sfDir).limit(50)
+      .createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash64_text(text) AS sh,
+        |  text_stats(text).lang_pred AS lang,
+        |  ngram_jaccard(split(lower(text), '[^a-z0-9]+'),
+        |                split(lower(text), '[^a-z0-9]+'), 3) AS self_j
+        |FROM docs_sql ORDER BY doc_id""".stripMargin).collect()
+    assert(viaSql.length === 50)
+    assert(viaSql.forall(r => math.abs(r.getDouble(3) - 1.0) < 1e-9),
+      "self-jaccard must be 1")
+    val viaApi = Tables.documents(spark, TestSpark.sfDir).limit(50)
+      .select(graft.functions.Sketches.simhash64Text(col("text")))
+      .collect().map(_.getLong(0))
+    assert(viaSql.map(_.getLong(1)).sameElements(viaApi))
+  }
 }

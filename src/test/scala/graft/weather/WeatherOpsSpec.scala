@@ -91,4 +91,25 @@ class WeatherOpsSpec extends AnyFunSuite {
     // max/min ignore the null hours rather than poisoning the day
     assert(rolled.filter(col("temperature_2m_max").isNull).count() === 0)
   }
+
+  test("ML feature builder: lags, rolling means, calendar, target") {
+    val feats = Features.hourlyFeatures(wide)
+    assert(feats.count() === 2 * 7 * 24)
+    val cols = feats.columns.toSet
+    assert(Seq("temperature_2m_lag1h", "temperature_2m_mean3h",
+      "temperature_2m_mean24h", "precipitation_delta1h", "hour_of_day",
+      "day_of_week", "target_next_1h").forall(cols.contains))
+    // first hour of a location has null lag, last has null target
+    val prague = feats.filter(col("latitude") === 50.08).orderBy("ts_local").collect()
+    assert(prague.head.isNullAt(prague.head.fieldIndex("temperature_2m_lag1h")))
+    assert(prague.last.isNullAt(prague.last.fieldIndex("target_next_1h")))
+    // rolling mean at 3rd row equals mean of first three temps
+    val t = prague.take(3).map(_.getAs[Double]("temperature_2m"))
+    assert(math.abs(prague(2).getAs[Double]("temperature_2m_mean3h")
+      - BigDecimal(t.sum / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // single shuffle: one Exchange hashpartitioning in the plan
+    val plan = feats.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected one shuffle, plan:\n$plan")
+  }
 }
