@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
-    Relational.defs ++ operators.Relational2.defs ++ PipelineQueries.defs ++
+    Relational.defs ++ operators.Relational2.defs ++
+      operators.Relational3.defs ++ PipelineQueries.defs ++
       WeatherQueries.defs ++ operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Third relational batch: outer joins, null semantics, EXISTS-style
+  * TPC-H shapes, and approximate aggregates. Outer-join oracles need
+  * explicit NULLS FIRST ordering (Spark ASC is nulls-first, DuckDB
+  * default is nulls-last).
+  */
+object Relational3 {
+
+  def defs: Map[String, QueryDef] = Map(
+    // ---- outer joins ----------------------------------------------------
+    "j7_left_outer" -> QueryDef.sql(
+      """SELECT c_custkey, o_orderkey
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "o_orderkey")
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
+    "j8_full_outer" -> QueryDef.sql(
+      """SELECT s_suppkey, n.n_nationkey AS nationkey
+        |FROM supplier s FULL OUTER JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |ORDER BY s_suppkey NULLS FIRST, nationkey NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"),
+          "full_outer")
+        .select(col("s_suppkey"), col("n_nationkey").as("nationkey"))
+        .orderBy(col("s_suppkey").asc_nulls_first, col("nationkey").asc_nulls_first)
+    },
+
+    // ---- null semantics -------------------------------------------------
+    "n1_null_semantics" -> QueryDef.sql(
+      """SELECT count(*) AS n_rows,
+        |  count(nullif(c_mktsegment, 'BUILDING')) AS n_nonnull,
+        |  CAST(sum(CASE WHEN nullif(c_mktsegment, 'BUILDING')
+        |    IS DISTINCT FROM 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_from
+        |FROM customer""".stripMargin) { (s, d) =>
+      val seg = nullif(col("c_mktsegment"), lit("BUILDING"))
+      Tables.customer(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(seg).as("n_nonnull"),
+        sum(when(!(seg <=> lit("AUTOMOBILE")), 1).otherwise(0)).as("n_distinct_from"))
+    },
+
+    // ---- TPC-H Q4 shape: EXISTS semi join + priority counts -------------
+    "q4_order_priority" -> QueryDef.sql(
+      """SELECT o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate") < lit("1996-10-01").cast("date"))
+      val li = Tables.lineitem(s, d)
+      o.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- TPC-H Q10 shape: returned-item revenue per customer ------------
+    "q10_returned_items" -> QueryDef.sql(
+      """SELECT c_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_custkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // ---- approximate count-distinct (HLL++): rows-only check ------------
+    // (approx result is engine-specific; the ScalaTest asserts the ±5%
+    // error bound against the exact count instead)
+    "a19_approx_distinct" -> QueryDef.noOracle { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy("l_returnflag")
+    }
+  )
+}
