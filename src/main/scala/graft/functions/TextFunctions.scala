@@ -102,18 +102,22 @@ object TextFunctions {
     "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai", "you", "ren", "ta"))
 
   /** N-gram/stopword language-ID heuristic: score each language profile by
-    * the fraction of document words it matches; emit the argmax, or "und"
-    * (undetermined) when nothing scores. Deterministic, expression-only —
-    * at scale this is one projection, no shuffle.
+    * its stopword hit count; emit the argmax, or "und" (undetermined)
+    * when nothing scores. Ties break to the alphabetically FIRST language
+    * (a strict-greater fold over alphabetically ordered profiles — same
+    * rule as the fused [[TextStats]] expression). Deterministic,
+    * expression-only — at scale this is one projection, no shuffle.
     */
   def langId(text: Column): Column = {
     val ws = words(text)
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, sw) =>
-      struct(
-        size(filter(ws, w => w.isin(sw.map(lit(_)): _*))).as("hits"),
-        lit(lang).as("lang"))
+      (lang, size(filter(ws, w => w.isin(sw.map(lit(_)): _*))))
     }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    val best = scored.foldLeft(struct(lit(0).as("hits"), lit("und").as("lang"))) {
+      case (acc, (lang, hits)) =>
+        when(hits > acc.getField("hits"),
+          struct(hits.as("hits"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    best.getField("lang")
   }
 }

@@ -53,10 +53,12 @@ object TextStats {
     var inLetters = false
     while (i < len) {
       val c = text.charAt(i)
-      val isLetter = Character.isLetter(c)
+      // ASCII letter class, matching tokenEstimate's [A-Za-z] regex —
+      // Character.isLetter would diverge on non-ASCII ("café" = 1 vs 2)
+      val isLetter = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
       if (isLetter && !inLetters) tokenEst += 1
       else if (!isLetter) {
-        if (Character.isDigit(c)) tokenEst += 1
+        if (c >= '0' && c <= '9') tokenEst += 1
         else if (!Character.isWhitespace(c)) {
           tokenEst += 1
           if (punctChars.contains(c)) punct += 1

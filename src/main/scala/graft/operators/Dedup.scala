@@ -43,6 +43,7 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val keep = withDigest(docs, textCol)
       .groupBy("digest").agg(min(col(idCol)).as(idCol))
+      .select(idCol) // drop the internal digest from the output schema
     docs.join(keep, idCol)
   }
 

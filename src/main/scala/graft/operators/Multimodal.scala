@@ -116,11 +116,16 @@ object Multimodal {
     val nFrames = least(
       greatest(floor((length(col("bytes")) - frameLen) / stride) + 1, lit(0)),
       lit(maxFrames)).cast("int")
+    // sequence(0, -1) would yield [0, -1] (negative step inferred), so
+    // payloads shorter than a frame must map to an empty array — the
+    // posexplode then drops the row, which is the intended "no frames".
+    val frames = when(nFrames > 0,
+      transform(sequence(lit(0), nFrames - 1),
+        i => substring(col("bytes"), (i * stride + 1).cast("int"), lit(frameLen))))
+      .otherwise(array().cast("array<binary>"))
     media
       .select(col("media_id"), col("bytes"), col("meta"),
-        posexplode(transform(sequence(lit(0), nFrames - 1),
-          i => substring(col("bytes"), (i * stride + 1).cast("int"), lit(frameLen))))
-          .as(Seq("frame_idx", "frame_bytes")))
+        posexplode(frames).as(Seq("frame_idx", "frame_bytes")))
       .select("media_id", "frame_idx", "frame_bytes")
   }
 

@@ -141,10 +141,13 @@ class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
         tsLoMicros = Some(maxLo(toMicros(v).get + 1))
       case GreaterThanOrEqual(_, v) =>
         tsLoMicros = Some(maxLo(toMicros(v).get))
+      // Upper bounds normalize to an exclusive micro bound so combining
+      // `<` and `<=` filters can never mis-inherit inclusivity
+      // (LessThanOrEqual(X) ≡ LessThan(X + 1 µs)).
       case LessThan(_, v) =>
         tsHiMicros = Some(minHi(toMicros(v).get)); tsHiInclusive = false
       case LessThanOrEqual(_, v) =>
-        tsHiMicros = Some(minHi(toMicros(v).get))
+        tsHiMicros = Some(minHi(toMicros(v).get + 1)); tsHiInclusive = false
       case _ =>
     }
     pushed = accepted
@@ -185,20 +188,23 @@ class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
     Array(new ApiCallsMetric)
 
   /** One partition per block line (offline stand-in for location ×
-    * date-chunk), capped by maxPartitions.
+    * date-chunk). `maxPartitions` caps PARALLELISM, never coverage: when
+    * blocks outnumber the cap, each partition reads a strided group of
+    * blocks.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val src = scala.io.Source.fromFile(opts.path, "UTF-8")
     val n = try src.getLines().count(_.nonEmpty) finally src.close()
-    (0 until math.min(n, opts.maxPartitions))
-      .map(i => OpenMeteoPartition(i): InputPartition).toArray
+    val parts = math.min(math.max(n, 1), opts.maxPartitions)
+    (0 until parts).map(p =>
+      OpenMeteoPartition((p until n by parts).toArray): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new OpenMeteoReaderFactory(opts, schema, lo, hi, hiInclusive)
 }
 
-final case class OpenMeteoPartition(index: Int) extends InputPartition
+final case class OpenMeteoPartition(blockIndices: Array[Int]) extends InputPartition
 
 class ApiCallsMetric extends CustomSumMetric {
   override def name(): String = "apiCalls"
@@ -214,30 +220,36 @@ class OpenMeteoReaderFactory(opts: OpenMeteoOptions, schema: StructType,
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new OpenMeteoReader(opts, schema, lo, hi, hiInclusive,
-      partition.asInstanceOf[OpenMeteoPartition].index)
+      partition.asInstanceOf[OpenMeteoPartition].blockIndices)
 }
 
-/** Executor-side reader: one block fetch per partition (the connector's
-  * HTTP unit), parsed once, streamed out as pruned wide rows with the
-  * pushed time range applied at the array index level.
+/** Executor-side reader: each block in the partition is one fetch (the
+  * connector's HTTP unit), parsed once, streamed out as pruned wide rows
+  * with the pushed time range applied at the array index level.
   */
 class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
-    lo: Option[Long], hi: Option[Long], hiInclusive: Boolean, index: Int)
-    extends PartitionReader[InternalRow] {
+    lo: Option[Long], hi: Option[Long], hiInclusive: Boolean,
+    blockIndices: Array[Int]) extends PartitionReader[InternalRow] {
 
+  private var blockCursor = 0
   private var pos = -1
-  private var times: Array[Long] = _
-  private var keep: Array[Boolean] = _
+  private var times: Array[Long] = Array.empty
+  private var keep: Array[Boolean] = Array.empty
   private var lat: Double = _
   private var lon: Double = _
   private var offsetSec: Long = _
   private var varArrays: Map[String, JsonNode] = Map.empty
   private var fetches = 0L
 
-  private lazy val initialized: Boolean = {
+  private lazy val blockLines: Vector[String] = {
     val src = scala.io.Source.fromFile(opts.path, "UTF-8")
-    val line = try src.getLines().filter(_.nonEmpty).drop(index).next()
-    finally src.close()
+    try {
+      val all = src.getLines().filter(_.nonEmpty).toVector
+      blockIndices.toVector.map(all)
+    } finally src.close()
+  }
+
+  private def loadBlock(line: String): Unit = {
     fetches += 1
     CallCounters.inc("forecast")
     val root = new ObjectMapper().readTree(line)
@@ -246,7 +258,7 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
     offsetSec = root.get("utc_offset_seconds").asLong()
     val g = root.get(opts.granKey)
     if (g == null || g.isNull || g.get("time") == null) {
-      times = Array.empty; keep = Array.empty
+      times = Array.empty; keep = Array.empty; varArrays = Map.empty
     } else {
       val timeArr = g.get("time")
       times = (0 until timeArr.size()).map { i =>
@@ -263,14 +275,19 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
       varArrays = schema.fieldNames
         .filter(f => g.has(f)).map(f => f -> g.get(f)).toMap
     }
-    true
+    pos = -1
   }
 
   override def next(): Boolean = {
-    require(initialized)
-    pos += 1
-    while (pos < times.length && !keep(pos)) pos += 1
-    pos < times.length
+    while (true) {
+      pos += 1
+      while (pos < times.length && !keep(pos)) pos += 1
+      if (pos < times.length) return true
+      if (blockCursor >= blockLines.length) return false
+      loadBlock(blockLines(blockCursor))
+      blockCursor += 1
+    }
+    false
   }
 
   override def get(): InternalRow = {

@@ -91,12 +91,15 @@ final class RetryingTransport(inner: Transport, policy: RetryPolicy)
           }
       }
     }
-    // final fallback attempt after the backoff loop (server.py:89-93)
+    // final fallback attempt after the backoff loop (server.py:89-93);
+    // fatal errors keep failing fast even here
     attempts += 1
     try inner.fetch(params)
-    catch { case e: Exception =>
-      throw new RuntimeException(
-        s"transport failed after ${policy.maxRetries} retries + fallback", lastErr)
+    catch {
+      case e: FatalTransportException => throw e
+      case _: Exception =>
+        throw new RuntimeException(
+          s"transport failed after ${policy.maxRetries} retries + fallback", lastErr)
     }
   }
 }

@@ -47,14 +47,19 @@ object Geo {
     * neighborhood per query row instead of the full grid.
     */
   def nearestGridPoint(queries: DataFrame, grid: DataFrame, maxKm: Double = 100.0): DataFrame = {
-    val degTol = maxKm / 111.0 // 1° latitude ≈ 111 km; lon tolerance widened below
+    val degTol = maxKm / 111.0 // 1° latitude ≈ 111 km
     val g = broadcast(grid.select(
       Seq(col("latitude").as("g_lat"), col("longitude").as("g_lon")) ++
         grid.columns.filterNot(c => c == "latitude" || c == "longitude")
           .map(col): _*))
+    // Longitude degrees shrink by cos(lat): widen the box accordingly
+    // (clamped near the poles) and wrap the difference across the
+    // antimeridian so ±180° neighbors stay candidates.
+    val lonTol = lit(degTol) / greatest(cos(radians(col("latitude"))), lit(0.05))
+    val lonDiff = abs(col("g_lon") - col("longitude"))
+    val lonDist = least(lonDiff, lit(360.0) - lonDiff)
     val joined = queries.join(g,
-      (abs(col("g_lat") - col("latitude")) <= degTol) &&
-        (abs(col("g_lon") - col("longitude")) <= degTol * 2))
+      (abs(col("g_lat") - col("latitude")) <= degTol) && (lonDist <= lonTol))
     val w = Window.partitionBy(queries.columns.map(col): _*)
       .orderBy(haversineKm(col("latitude"), col("longitude"),
         col("g_lat"), col("g_lon")).asc, col("g_lat"), col("g_lon"))

@@ -80,8 +80,10 @@ object Requests {
         if (key == WeatherSchemas.GranDaily)
           req.dailyVariables.getOrElse(WeatherSchemas.defaultDailyNames)
         else WeatherSchemas.defaultHourlyNames)
-      // Default horizon applies only when neither days param was given
-      // (server.py:237-249); forecast horizon capped at the API limit.
+      // Default horizon applies unless a POSITIVE days param was given —
+      // the reference's checks are `is not None and > 0`
+      // (server.py:237-245), so an explicit 0 behaves like absent there
+      // too; forecast horizon capped at the API limit.
       val anyGiven = req.forecastDays.exists(_ > 0) || req.pastDays.exists(_ > 0)
       val fcst = req.forecastDays.filter(_ > 0)
         .map(d => math.min(d, MaxForecastDays))

@@ -127,17 +127,29 @@ class WeatherEngine(
     }
 
   /** P2/J2: dual projection — hourly series enriched with that day's
-    * rollup values, one join on (location, date).
+    * rollup values, one join on (location, date). The rollup needs its
+    * full input variable set regardless of the caller's projection, so
+    * the hourly request is widened for the rollup and the caller's
+    * columns are restored afterwards.
     */
-  def hourlyWithDaily(req: ForecastRequest): Either[String, DataFrame] =
-    forecast(req.copy(granularity = 60)).map { hourly =>
-      val daily = WeatherOps.dailyRollup(hourly)
-      hourly.withColumn("date", to_date(col("ts_local")))
+  def hourlyWithDaily(req: ForecastRequest): Either[String, DataFrame] = {
+    val fullReq = req.copy(granularity = 60, variables = None)
+    forecast(fullReq).map { hourlyAll =>
+      val daily = WeatherOps.dailyRollup(hourlyAll)
+      val requested = req.variables
+        .map(_.filter(WeatherSchemas.hourlyByName.contains))
+        .getOrElse(WeatherSchemas.defaultHourlyNames)
+      val base = Seq("latitude", "longitude", "ts_local", "ts_utc")
+      hourlyAll.withColumn("date", to_date(col("ts_local")))
         .join(daily.select(col("latitude"), col("longitude"), col("date"),
           col("temperature_2m_max"), col("temperature_2m_min"),
           col("precipitation_sum")),
           Seq("latitude", "longitude", "date"), "left")
+        .select((base ++ Seq("date") ++ requested ++
+          Seq("temperature_2m_max", "temperature_2m_min", "precipitation_sum"))
+          .map(col): _*)
     }
+  }
 }
 
 object WeatherEngine {

@@ -93,8 +93,9 @@ object WeatherOps {
     *  - weather_code: mode, ties to the smallest code (A7) — computed via
     *    a count-then-rank sub-aggregation (`mode()` breaks ties
     *    nondeterministically)
-    * Slot length is inferred per (location, day) from the series cadence
-    * so the same code rolls up hourly and 15-minute data.
+    * `slotSeconds` is the series cadence (3600 for hourly — the default —
+    * 900 for 15-minute data); precipitation_hours and sunshine_duration
+    * scale by it, so callers rolling up 15-minute data must pass 900.
     */
   def dailyRollup(wide: DataFrame, slotSeconds: Int = 3600): DataFrame = {
     val keyed = wide.withColumn("date", to_date(col("ts_local")))

@@ -28,10 +28,8 @@ class TextStatsSpec extends AnyFunSuite {
       abs(col("st.punct_ratio") - col("punct_hof")) > 1e-9).count() === 0)
   }
 
-  test("language ID agrees except on tie-break (different deterministic rule)") {
-    val n = both.count()
-    val agree = both.filter(col("st.lang_pred") === col("lang_hof")).count()
-    assert(agree >= (n * 0.9).toLong, s"lang agreement $agree/$n")
+  test("language ID agrees exactly (same alphabetical-first tie-break)") {
+    assert(both.filter(col("st.lang_pred") =!= col("lang_hof")).count() === 0)
   }
 
   test("edge cases: empty, whitespace, digits") {

@@ -51,4 +51,16 @@ class MultimodalSpec extends AnyFunSuite {
       .collect()(0).getSeq[Float](1)
     assert(resized === Seq(2.0f, 6.0f))
   }
+
+  test("payloads shorter than a frame yield zero frames, not garbage") {
+    import spark.implicits._
+    val tiny = Seq((1L, "short"), (2L, "x" * 500)).toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("bytes"),
+        lit(null).as("meta"))
+    val frames = Multimodal.sampleFrames(tiny, frameLen = 64, stride = 256)
+    val byId = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byId.contains(1L), "short payload must produce no frames")
+    assert(byId(2L) === 2L) // floor((500-64)/256)+1
+  }
 }

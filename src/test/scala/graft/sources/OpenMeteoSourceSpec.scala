@@ -140,4 +140,19 @@ class OpenMeteoSourceSpec extends AnyFunSuite {
       assert(bad === 0, s"pushed daily '$v' != native rollup")
     }
   }
+
+  test("maxPartitions caps parallelism without dropping blocks") {
+    val df = spark.read.format("openmeteo")
+      .option("path", fixture).option("maxPartitions", "1").load()
+    assert(df.rdd.getNumPartitions === 1)
+    assert(df.count() === 2 * 7 * 24) // both blocks still fully read
+  }
+
+  test("combined < and <= upper bounds keep the boundary row") {
+    val df = read().filter(
+      col("ts_local") <= lit("2024-07-02 05:00:00").cast("timestamp_ntz") &&
+        col("ts_local") < lit("2024-07-03 00:00:00").cast("timestamp_ntz"))
+    // inclusive bound is the tighter one: hours 00:00..05:00 on 2 days’ worth
+    assert(df.count() === 2 * (24 + 6))
+  }
 }
