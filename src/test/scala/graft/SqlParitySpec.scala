@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Three-way parity: for every probe whose oracle SQL is dialect-shared
+  * ANSI, the SAME SQL text must produce the SAME result through
+  * `spark.sql` as the DataFrame program does (and the driver already
+  * checks both against DuckDB). This pins the SQL front-end to the
+  * DataFrame surface.
+  */
+class SqlParitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Oracle strings that parse identically in Spark SQL and DuckDB. */
+  private val shared = Seq(
+    "s7_scan_count", "p1_project", "f3_date_range", "f6_coalesce",
+    "j1_join_bcast", "j5_semi_join", "j5_anti_join", "j7_left_outer",
+    "a10_tpch_q1", "a11_count_distinct", "a15_having",
+    "q4_order_priority", "q6_forecast_revenue", "q7_scalar_subquery",
+    "q8_cross_join", "q10_returned_items", "sc11_case_when",
+    "u1_intersect", "u2_except", "u3_union_all", "n1_null_semantics",
+    "d1_dedup_exact", "d6_dedup_keep", "t1_text_stats", "w7_running_sum")
+
+  private def registerViews(): Unit =
+    Tables.names.foreach { t =>
+      val df = t match {
+        case "events" => Tables.events(spark, TestSpark.sfDir)
+        case other    => Tables.load(spark, TestSpark.sfDir, other)
+      }
+      df.createOrReplaceTempView(t)
+    }
+
+  test("shared-dialect oracle SQL gives identical results via spark.sql") {
+    registerViews()
+    val oracle = SparkEntry.oracleSql
+    val queries = SparkEntry.queries
+    val failures = shared.flatMap { name =>
+      val sqlRes = try Right(spark.sql(oracle(name)).collect().toSeq)
+      catch { case e: Throwable => Left(s"$name: SQL failed: ${e.getMessage.take(120)}") }
+      sqlRes match {
+        case Left(err) => Some(err)
+        case Right(viaSql) =>
+          val viaDf = queries(name)(spark, TestSpark.sfDir).collect().toSeq
+          if (viaSql.map(_.toString) == viaDf.map(_.toString)) None
+          else Some(s"$name: ${viaSql.size} vs ${viaDf.size} rows or values differ")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("GraftExtensions injects all engine functions into a registry") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    org.apache.spark.sql.GraftBridge.registerExtensionFunctions(ext, reg)
+    Seq("minhash_signature", "simhash64", "simhash64_text",
+      "ngram_jaccard", "text_stats").foreach { f =>
+      assert(reg.functionExists(FunctionIdentifier(f)), s"$f not registered")
+    }
+  }
+}
