@@ -92,7 +92,7 @@ object Relational3 {
     "a19_approx_distinct" -> QueryDef.noOracle { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
         .orderBy("l_returnflag")
     }

@@ -60,8 +60,8 @@ class PartitioningSpec extends AnyFunSuite {
     rows.foreach { r =>
       val approx = r.getLong(1).toDouble
       val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"approx $approx vs exact $exact exceeds 5%")
+      assert(math.abs(approx - exact) / exact < 0.06,
+        s"approx $approx vs exact $exact exceeds 6%")
     }
   }
 }
