@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
 /** SQL registration of the engine's custom Catalyst expressions, so the
   * `spark.sql(...)` surface reaches them too:
@@ -10,31 +11,41 @@ import org.apache.spark.sql.SparkSession
   *   spark.sql("SELECT minhash_signature(words, 64, 3) FROM docs")
   * }}}
   *
-  * Registered: minhash_signature(words, numHashes, shingleSize),
-  * simhash64(words), simhash64_text(text),
-  * ngram_jaccard(wordsA, wordsB, n), text_stats(text).
+  * The single (name, arity, builder) table here also backs
+  * [[graft.GraftExtensions]] — one list, two entry points, no drift.
   */
 object GraftFunctions {
 
-  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
-      what: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+  private def intLit(e: Expression, fn: String, what: String): Int = e match {
+    case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+      s"$fn: $what must be an integer literal, got $other")
   }
+
+  private def checked(name: String, arity: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != arity) throw new IllegalArgumentException(
+        s"$name expects $arity arguments, got ${es.length}")
+      build(es)
+    }
+
+  /** name → builder, shared by session-level and extensions registration. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_signature" -> checked("minhash_signature", 3)(es =>
+      MinHashSignatureExpr(es.head,
+        intLit(es(1), "minhash_signature", "numHashes"),
+        intLit(es(2), "minhash_signature", "shingleSize"))),
+    "simhash64" -> checked("simhash64", 1)(es => SimHash64Expr(es.head)),
+    "simhash64_text" -> checked("simhash64_text", 1)(es => SimHashTextExpr(es.head)),
+    "ngram_jaccard" -> checked("ngram_jaccard", 3)(es =>
+      NgramJaccardExpr(es.head, es(1), intLit(es(2), "ngram_jaccard", "shingleSize"))),
+    "text_stats" -> checked("text_stats", 1)(es => TextStatsExpr(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("minhash_signature",
-      es => MinHashSignatureExpr(es.head, intLit(es(1), "numHashes"),
-        intLit(es(2), "shingleSize")), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      es => SimHash64Expr(es.head), "built-in")
-    reg.createOrReplaceTempFunction("simhash64_text",
-      es => SimHashTextExpr(es.head), "built-in")
-    reg.createOrReplaceTempFunction("ngram_jaccard",
-      es => NgramJaccardExpr(es.head, es(1), intLit(es(2), "shingleSize")), "built-in")
-    reg.createOrReplaceTempFunction("text_stats",
-      es => TextStatsExpr(es.head), "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }

@@ -132,17 +132,21 @@ case class SimHashTextExpr(child: Expression)
   override def prettyName: String = "simhash64_text"
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    // full-string lowercase first (Locale.ROOT) — per-char toLowerCase
+    // diverges from Spark's lower() on chars like 'İ' (U+0130), which
+    // would change tokenization vs the words(text) path
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase(java.util.Locale.ROOT)
     val len = text.length
     val votes = new Array[Int](64)
     val sb = new java.lang.StringBuilder(24)
     var i = 0
     while (i <= len) {
       val alnum = i < len && {
-        val c = Character.toLowerCase(text.charAt(i))
+        val c = text.charAt(i)
         (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
       }
-      if (alnum) sb.append(Character.toLowerCase(text.charAt(i)))
+      if (alnum) sb.append(text.charAt(i))
       else if (sb.length() > 0) {
         val h = XxHash64Function.hash(
           org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString),

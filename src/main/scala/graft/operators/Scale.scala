@@ -28,9 +28,14 @@ object Scale {
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       saltFactor: Int = 8): DataFrame = {
+    // Salt must be DETERMINISTIC per row content: a nondeterministic salt
+    // (rand / monotonically_increasing_id) changes on stage retry and
+    // loses or duplicates rows across reducers (the SPARK-23207 class of
+    // bug). Hashing the full row spreads a hot key as long as payloads
+    // differ — identical full-duplicate rows co-locate, which is correct
+    // if not load-balanced.
     val salted = probe.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor))
-        .cast("int"))
+      pmod(xxhash64(probe.columns.map(col): _*), lit(saltFactor)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

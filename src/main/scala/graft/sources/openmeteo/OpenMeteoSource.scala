@@ -120,8 +120,7 @@ class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
   private var requiredSchema: StructType = OpenMeteoTable.wideSchema(opts)
   private var pushed: Array[Filter] = Array.empty
   private var tsLoMicros: Option[Long] = None
-  private var tsHiMicros: Option[Long] = None // exclusive upper bound flag below
-  private var tsHiInclusive = true
+  private var tsHiMicros: Option[Long] = None // EXCLUSIVE upper micro bound
 
   /** Column pruning ⇒ the connector's "variables" request param (P1). */
   override def pruneColumns(required: StructType): Unit =
@@ -145,9 +144,9 @@ class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
       // `<` and `<=` filters can never mis-inherit inclusivity
       // (LessThanOrEqual(X) ≡ LessThan(X + 1 µs)).
       case LessThan(_, v) =>
-        tsHiMicros = Some(minHi(toMicros(v).get)); tsHiInclusive = false
+        tsHiMicros = Some(minHi(toMicros(v).get))
       case LessThanOrEqual(_, v) =>
-        tsHiMicros = Some(minHi(toMicros(v).get + 1)); tsHiInclusive = false
+        tsHiMicros = Some(minHi(toMicros(v).get + 1))
       case _ =>
     }
     pushed = accepted
@@ -166,19 +165,20 @@ class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new OpenMeteoScan(opts, requiredSchema, pushed, tsLoMicros,
-      tsHiMicros, tsHiInclusive)
+    new OpenMeteoScan(opts, requiredSchema, pushed, tsLoMicros, tsHiMicros)
 }
 
 class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
-    pushed: Array[Filter], lo: Option[Long], hi: Option[Long],
-    hiInclusive: Boolean) extends Scan with Batch {
+    pushed: Array[Filter], lo: Option[Long], hi: Option[Long])
+    extends Scan with Batch {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
   override def description(): String = {
-    val vars = schema.fieldNames.filter(WeatherSchemas.hourlyByName.contains)
+    val catalog = if (opts.granKey == WeatherSchemas.GranDaily)
+      WeatherSchemas.dailyByName else WeatherSchemas.hourlyByName
+    val vars = schema.fieldNames.filter(catalog.contains)
     s"openmeteo gran=${opts.granKey} RequestedVariables: [${vars.mkString(",")}] " +
       s"PushedTimeRange: [${lo.getOrElse("-inf")}, ${hi.getOrElse("+inf")}] " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
@@ -201,7 +201,7 @@ class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OpenMeteoReaderFactory(opts, schema, lo, hi, hiInclusive)
+    new OpenMeteoReaderFactory(opts, schema, lo, hi)
 }
 
 final case class OpenMeteoPartition(blockIndices: Array[Int]) extends InputPartition
@@ -216,10 +216,10 @@ final case class ApiCallsTaskMetric(value: Long) extends CustomTaskMetric {
 }
 
 class OpenMeteoReaderFactory(opts: OpenMeteoOptions, schema: StructType,
-    lo: Option[Long], hi: Option[Long], hiInclusive: Boolean)
+    lo: Option[Long], hi: Option[Long])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new OpenMeteoReader(opts, schema, lo, hi, hiInclusive,
+    new OpenMeteoReader(opts, schema, lo, hi,
       partition.asInstanceOf[OpenMeteoPartition].blockIndices)
 }
 
@@ -228,7 +228,7 @@ class OpenMeteoReaderFactory(opts: OpenMeteoOptions, schema: StructType,
   * with the pushed time range applied at the array index level.
   */
 class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
-    lo: Option[Long], hi: Option[Long], hiInclusive: Boolean,
+    lo: Option[Long], hi: Option[Long],
     blockIndices: Array[Int]) extends PartitionReader[InternalRow] {
 
   private var blockCursor = 0
@@ -242,11 +242,13 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
   private var fetches = 0L
 
   private lazy val blockLines: Vector[String] = {
+    // stream the file, retaining ONLY this partition's lines — holding
+    // the whole file per task would cost numPartitions x file size
+    val idxSet = blockIndices.toSet
     val src = scala.io.Source.fromFile(opts.path, "UTF-8")
-    try {
-      val all = src.getLines().filter(_.nonEmpty).toVector
-      blockIndices.toVector.map(all)
-    } finally src.close()
+    try src.getLines().filter(_.nonEmpty).zipWithIndex
+      .collect { case (l, i) if idxSet(i) => l }.toVector
+    finally src.close()
   }
 
   private def loadBlock(line: String): Unit = {
@@ -270,8 +272,7 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
             java.time.LocalDateTime.parse(timeArr.get(i).asText(),
               java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm")))
       }.toArray
-      keep = times.map(t =>
-        lo.forall(t >= _) && hi.forall(h => if (hiInclusive) t <= h else t < h))
+      keep = times.map(t => lo.forall(t >= _) && hi.forall(t < _))
       varArrays = schema.fieldNames
         .filter(f => g.has(f)).map(f => f -> g.get(f)).toMap
     }

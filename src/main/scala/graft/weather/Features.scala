@@ -22,7 +22,11 @@ object Features {
 
   def hourlyFeatures(wide: DataFrame,
       valueCols: Seq[String] = Seq("temperature_2m", "precipitation",
-        "pressure_msl", "cloud_cover")): DataFrame = {
+        "pressure_msl", "cloud_cover"),
+      targetCol: String = "temperature_2m"): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols must not be empty")
+    require(valueCols.contains(targetCol),
+      s"targetCol '$targetCol' must be one of valueCols")
     val byLoc = Window.partitionBy("latitude", "longitude").orderBy("ts_local")
     val roll3 = byLoc.rowsBetween(-2, Window.currentRow)
     val roll24 = byLoc.rowsBetween(-23, Window.currentRow)
@@ -40,6 +44,6 @@ object Features {
         hour(col("ts_local")).cast("int").as("hour_of_day"),
         dayofweek(col("ts_local")).cast("int").as("day_of_week")) ++
         valueCols.map(col) ++ featureCols :+
-        lead(col(valueCols.head), 1).over(byLoc).as("target_next_1h"): _*)
+        lead(col(targetCol), 1).over(byLoc).as("target_next_1h"): _*)
   }
 }

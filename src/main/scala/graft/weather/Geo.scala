@@ -55,7 +55,11 @@ object Geo {
     // Longitude degrees shrink by cos(lat): widen the box accordingly
     // (clamped near the poles) and wrap the difference across the
     // antimeridian so ±180° neighbors stay candidates.
-    val lonTol = lit(degTol) / greatest(cos(radians(col("latitude"))), lit(0.05))
+    // near the poles cos(lat)→0 and any longitude can be within maxKm:
+    // let the tolerance grow to the full 180° instead of clamping it
+    val lonTol = least(
+      lit(degTol) / greatest(cos(radians(col("latitude"))), lit(1e-6)),
+      lit(180.0))
     val lonDiff = abs(col("g_lon") - col("longitude"))
     val lonDist = least(lonDiff, lit(360.0) - lonDiff)
     val joined = queries.join(g,
