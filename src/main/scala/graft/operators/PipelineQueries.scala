@@ -68,6 +68,45 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- training-data assembly -------------------------------------------
+    // Sequence packing: assign documents to fixed-token-budget packs by
+    // running-sum binning within each shard (source). The shard key keeps
+    // the window partitioned — a global cumsum would serialize at scale.
+    "t6_sequence_packing" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER
+        |    (PARTITION BY source ORDER BY doc_id) AS cum FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / 512).cast("long").as("pack_id"))
+        .orderBy("doc_id")
+    },
+
+    // Stratified sampling per language (training-mix control): seeded,
+    // deterministic within a Spark version; no SQL twin → rows-only +
+    // per-stratum bound checks in ScalaTest.
+    "t7_stratified_sample" -> QueryDef.noOracle { (s, d) =>
+      Tables.documents(s, d)
+        .stat.sampleBy("lang",
+          Map("de" -> 0.5, "en" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1),
+          seed = 42L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // ---- dedup ------------------------------------------------------------
     "d1_dedup_exact" -> QueryDef.sql(
       """SELECT count(*) AS n_total, count(DISTINCT text) AS n_unique

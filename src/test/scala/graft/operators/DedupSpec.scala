@@ -88,4 +88,37 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("a") =!= col("b")).count()
     assert(mismatch === 0)
   }
+
+  test("sequence packing: packs respect the token budget per shard") {
+    val packed = graft.operators.PipelineQueries.defs("t6_sequence_packing")
+      .fn(spark, graft.TestSpark.sfDir)
+    val perPack = packed.groupBy("source", "pack_id")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("docs"))
+    // a pack can only exceed the budget by less than its last document
+    val maxDoc = packed.agg(max("n_tokens")).collect()(0).getLong(0)
+    val over = perPack.filter(col("tok") >= lit(512L) + maxDoc).count()
+    assert(over === 0, "a pack exceeds budget by more than one document")
+    assert(perPack.count() > packed.select("source").distinct().count(),
+      "expected multiple packs per shard")
+  }
+
+  test("stratified sample: per-stratum counts are plausible and deterministic") {
+    val q = graft.operators.PipelineQueries.defs("t7_stratified_sample")
+    val a = q.fn(spark, graft.TestSpark.sfDir).collect()
+    val b = q.fn(spark, graft.TestSpark.sfDir).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)), "not deterministic")
+    val counts = q.fn(spark, graft.TestSpark.sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracs = Map("de" -> 0.5, "en" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1)
+    fracs.foreach { case (lang, f) =>
+      val got = counts.getOrElse(lang, 0L).toDouble
+      val expect = totals(lang) * f
+      assert(math.abs(got - expect) <= math.max(10, expect * 0.6),
+        s"$lang: sampled $got vs expected ~$expect")
+    }
+  }
 }
