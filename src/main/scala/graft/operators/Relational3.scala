@@ -86,6 +86,40 @@ object Relational3 {
         .limit(20)
     },
 
+    // ---- regex extraction ------------------------------------------------
+    "sc15_regex" -> QueryDef.sql(
+      """SELECT event_id, regexp_extract(props, '(\d+)', 1) AS first_num,
+        |  regexp_matches(event_type, '^(click|view)$') AS is_passive
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        regexp_extract(col("props"), "(\\d+)", 1).as("first_num"),
+        col("event_type").rlike("^(click|view)$").as("is_passive"))
+        .orderBy("event_id")
+    },
+
+    // ---- conditional aggregates -----------------------------------------
+    "a20_conditional_agg" -> QueryDef.sql(
+      """SELECT event_type,
+        |  CAST(count_if(value > 100) AS BIGINT) AS n_big,
+        |  bool_and(value IS NOT NULL) AS all_present,
+        |  bool_or(value > 500) AS any_huge
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d).groupBy("event_type").agg(
+        count_if(col("value") > 100).as("n_big"),
+        bool_and(col("value").isNotNull).as("all_present"),
+        bool_or(col("value") > 500).as("any_huge"))
+        .orderBy("event_type")
+    },
+
+    // ---- ordered string aggregation --------------------------------------
+    "a21_string_agg" -> QueryDef.sql(
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+      Tables.nation(s, d).groupBy("n_regionkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"))
+        .orderBy("n_regionkey")
+    },
+
     // ---- approximate count-distinct (HLL++): rows-only check ------------
     // (approx result is engine-specific; the ScalaTest asserts the ±5%
     // error bound against the exact count instead)
