@@ -46,10 +46,24 @@ object Bench {
         }
         name -> t
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver parses the LAST stdout line as JSON from a bounded tail
+    // capture — the printed line must stay well under ~1.5 kB. Print the
+    // headline subset (slowest 24 queries, covering every operator family's
+    // cost center) on the wire; the complete per-query map goes to a file.
+    val headline = results.sortBy(-_._2).take(24)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}"""
+    val wire = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$headline,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Exception => }
+    println(wire)
     spark.stop()
   }
 }

@@ -33,10 +33,15 @@ object TextFunctions {
     */
   def wordShingles(text: Column, n: Int): Column = {
     val ws = words(text)
-    when(size(ws) < n, array(concat_ws(" ", ws)))
-      .otherwise(transform(
-        sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+    // Empty/whitespace-only documents yield NO shingles (not [""]) so the
+    // HOF path agrees with the fused NgramJaccardExpr / shingleHashes
+    // (m == 0) behavior: Jaccard of two empty documents is 0.0 on both
+    // APIs. A single partial shingle survives only for 0 < |words| < n.
+    when(size(ws) === 0, array().cast("array<string>"))
+      .otherwise(when(size(ws) < n, array(concat_ws(" ", ws)))
+        .otherwise(transform(
+          sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
   }
 
   /** Punctuation ratio: punctuation chars / total chars (0 for empty). */

@@ -56,7 +56,9 @@ class OpenMeteoTableProvider extends TableProvider with DataSourceRegister {
 }
 
 final case class OpenMeteoOptions(path: String, granKey: String,
-    variables: Seq[String], maxPartitions: Int)
+    variables: Seq[String], maxPartitions: Int,
+    maxRetries: Int = 3, backoffBaseMs: Long = 1000L, rateLimitMs: Long = 0L,
+    chaosFailFirst: Boolean = false)
 
 object OpenMeteoOptions {
   def apply(o: CaseInsensitiveStringMap): OpenMeteoOptions = {
@@ -72,7 +74,11 @@ object OpenMeteoOptions {
     OpenMeteoOptions(
       Option(o.get("path")).getOrElse(
         s"${graft.weather.WeatherEngine.defaultFixtureDir}/hourly_7d.json"),
-      gran, vars, o.getInt("maxPartitions", 64))
+      gran, vars, o.getInt("maxPartitions", 64),
+      maxRetries = o.getInt("maxRetries", 3),
+      backoffBaseMs = o.getLong("backoffBaseMs", 1000L),
+      rateLimitMs = o.getLong("rateLimitMs", 0L),
+      chaosFailFirst = o.getBoolean("chaosFailFirst", false))
   }
 }
 
@@ -224,8 +230,13 @@ class OpenMeteoReaderFactory(opts: OpenMeteoOptions, schema: StructType,
 }
 
 /** Executor-side reader: each block in the partition is one fetch (the
-  * connector's HTTP unit), parsed once, streamed out as pruned wide rows
-  * with the pushed time range applied at the array index level.
+  * connector's HTTP unit) issued THROUGH the [[Transport]] stack —
+  * offline line source wrapped by [[RetryingTransport]] (and
+  * [[RateLimitedTransport]] when `rateLimitMs` > 0) — so the
+  * retry/backoff/admission policies govern real scans exactly as they
+  * would around a live HTTP client. Each block is parsed once and
+  * streamed out as pruned wide rows with the pushed time range applied
+  * at the array index level.
   */
 class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
     lo: Option[Long], hi: Option[Long],
@@ -241,19 +252,17 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
   private var varArrays: Map[String, JsonNode] = Map.empty
   private var fetches = 0L
 
-  private lazy val blockLines: Vector[String] = {
-    // stream the file, retaining ONLY this partition's lines — holding
-    // the whole file per task would cost numPartitions x file size
-    val idxSet = blockIndices.toSet
-    val src = scala.io.Source.fromFile(opts.path, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).zipWithIndex
-      .collect { case (l, i) if idxSet(i) => l }.toVector
-    finally src.close()
+  private lazy val transport: Transport = {
+    val base = new LineOfflineTransport(opts.path, blockIndices, opts.chaosFailFirst)
+    val retried = new RetryingTransport(base,
+      RetryPolicy(opts.maxRetries, opts.backoffBaseMs))
+    if (opts.rateLimitMs > 0) new RateLimitedTransport(retried, opts.rateLimitMs)
+    else retried
   }
 
-  private def loadBlock(line: String): Unit = {
+  private def loadBlock(blockIdx: Int): Unit = {
     fetches += 1
-    CallCounters.inc("forecast")
+    val line = transport.fetch(Map("block" -> blockIdx.toString))
     val root = new ObjectMapper().readTree(line)
     lat = root.get("latitude").asDouble()
     lon = root.get("longitude").asDouble()
@@ -284,8 +293,8 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
       pos += 1
       while (pos < times.length && !keep(pos)) pos += 1
       if (pos < times.length) return true
-      if (blockCursor >= blockLines.length) return false
-      loadBlock(blockLines(blockCursor))
+      if (blockCursor >= blockIndices.length) return false
+      loadBlock(blockIndices(blockCursor))
       blockCursor += 1
     }
     false

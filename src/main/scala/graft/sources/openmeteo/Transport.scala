@@ -64,6 +64,39 @@ object OfflineTransport {
   }
 }
 
+/** Scan-path offline transport: `fetch(Map("block" -> i))` returns fixture
+  * line `i` — the offline stand-in for one location×chunk HTTP request.
+  * The file is streamed ONCE per instance (= once per task), retaining
+  * only the lines this partition owns, so a P-partition scan costs P
+  * streaming passes, not P × full-file memory.
+  *
+  * `failFirstAttempt` is deterministic fault injection for tests: the
+  * first fetch of each block raises a transient error, proving the
+  * [[RetryingTransport]] decorator actually sits on the scan path.
+  */
+final class LineOfflineTransport(path: String, wanted: Array[Int],
+    failFirstAttempt: Boolean = false) extends Transport {
+
+  private lazy val lines: Map[Int, String] = {
+    val idxSet = wanted.toSet
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).zipWithIndex
+      .collect { case (l, i) if idxSet(i) => i -> l }.toMap
+    finally src.close()
+  }
+  private val attempted = scala.collection.mutable.Set.empty[Int]
+
+  override def fetch(params: Map[String, String]): String = {
+    val idx = params.get("block").map(_.toInt)
+      .getOrElse(throw new FatalTransportException("block index required"))
+    CallCounters.inc("forecast")
+    if (failFirstAttempt && attempted.add(idx))
+      throw new TransientTransportException(s"injected transient failure, block $idx")
+    lines.getOrElse(idx,
+      throw new FatalTransportException(s"block $idx not in partition of $path"))
+  }
+}
+
 /** Exponential-backoff retry policy (S4). `backoffBaseMs` is injectable so
   * tests run instantly; production default mirrors the reference (1 s base,
   * doubling, 3 retries + final fallback attempt).

@@ -62,14 +62,20 @@ object Geo {
       lit(180.0))
     val lonDiff = abs(col("g_lon") - col("longitude"))
     val lonDist = least(lonDiff, lit(360.0) - lonDiff)
-    val joined = queries.join(g,
-      (abs(col("g_lat") - col("latitude")) <= degTol) && (lonDist <= lonTol))
-    val w = Window.partitionBy(queries.columns.map(col): _*)
+    // Unique row id on the query side: identical query rows keep their
+    // multiplicity (the window dedups per input ROW, not per value), and a
+    // left join surfaces queries with no grid point within maxKm as rows
+    // with null grid columns instead of silently dropping them.
+    val keyed = queries.withColumn("__qid", monotonically_increasing_id())
+    val joined = keyed.join(g,
+      (abs(col("g_lat") - col("latitude")) <= degTol) && (lonDist <= lonTol),
+      "left")
+    val w = Window.partitionBy(col("__qid"))
       .orderBy(haversineKm(col("latitude"), col("longitude"),
-        col("g_lat"), col("g_lon")).asc, col("g_lat"), col("g_lon"))
+        col("g_lat"), col("g_lon")).asc_nulls_last, col("g_lat"), col("g_lon"))
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "__qid")
       .withColumn("grid_dist_km",
         round(haversineKm(col("latitude"), col("longitude"),
           col("g_lat"), col("g_lon")), 3))

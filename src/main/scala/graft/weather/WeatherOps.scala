@@ -43,13 +43,20 @@ object WeatherOps {
       col("latitude"), col("longitude"), col("utc_offset_seconds"),
       col(granKey).as("g"),
       posexplode(col(s"$granKey.time")).as(Seq("pos", "time_str")))
+      .withColumn("ts_local",
+        to_timestamp_ntz(col("time_str"), lit("yyyy-MM-dd'T'HH:mm")))
     val varCols = vars.map(v => element_at(col(s"g.$v"), col("pos") + 1).as(v))
+    // ts_utc must NOT depend on spark.sql.session.timeZone: re-anchor the
+    // wall-clock fields in an explicit UTC zone (make_timestamp with a
+    // timezone argument), then subtract the payload's utc_offset_seconds —
+    // the same arithmetic the connector reader does on raw micros.
+    val tsUtc = expr(
+      "make_timestamp(year(ts_local), month(ts_local), day(ts_local), " +
+        "hour(ts_local), minute(ts_local), second(ts_local), 'UTC') " +
+        "- make_interval(0, 0, 0, 0, 0, 0, utc_offset_seconds)")
     exploded.select(
-      Seq(col("latitude"), col("longitude"),
-        to_timestamp_ntz(col("time_str"), lit("yyyy-MM-dd'T'HH:mm")).as("ts_local"),
-        (to_timestamp_ntz(col("time_str"), lit("yyyy-MM-dd'T'HH:mm")).cast("timestamp")
-          - expr("make_interval(0, 0, 0, 0, 0, 0, utc_offset_seconds)")).as("ts_utc"))
-        ++ varCols: _*)
+      Seq(col("latitude"), col("longitude"), col("ts_local"),
+        tsUtc.as("ts_utc")) ++ varCols: _*)
   }
 
   /** Daily block → wide daily rows (for history at granularity ≥ 1440 and

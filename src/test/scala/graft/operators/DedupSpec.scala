@@ -56,6 +56,20 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sigs(0L), sigs(3L)) > 10)
   }
 
+  test("empty/whitespace docs: HOF and fused Jaccard agree at 0.0 (ADVICE r1)") {
+    val pairs = Seq(("", ""), ("   ", "\t\n"), ("", "real words here"))
+      .toDF("a", "b")
+    val out = pairs.select(
+      Dedup.ngramJaccard(col("a"), col("b")).as("hof"),
+      graft.functions.Sketches.ngramJaccard(
+        graft.functions.TextFunctions.words(col("a")),
+        graft.functions.TextFunctions.words(col("b")), 3).as("fused")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) === 0.0, s"HOF jaccard ${r.getDouble(0)} != 0.0")
+      assert(r.getDouble(1) === 0.0, s"fused jaccard ${r.getDouble(1)} != 0.0")
+    }
+  }
+
   test("verified near-dups report exact n-gram jaccard") {
     val verified = Dedup.verifiedNearDups(docs, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -47,13 +47,27 @@ class OpenMeteoSourceSpec extends AnyFunSuite {
   }
 
   test("connector result agrees with the JSON-reader path (pushed ≡ native, §4)") {
-    val viaConnector = read()
-      .select("latitude", "ts_local", "temperature_2m", "precipitation")
+    // ts_utc included: both paths must agree on the UTC instant, not just
+    // the local wall-clock (ADVICE r1: ts_utc was session-tz dependent)
+    val cols = Seq("latitude", "ts_local", "ts_utc", "temperature_2m", "precipitation")
+    val viaConnector = read().select(cols.map(col): _*)
     val viaJson = graft.weather.WeatherOps.toWide(
       graft.weather.WeatherOps.readBlocks(spark, fixture))
-      .select("latitude", "ts_local", "temperature_2m", "precipitation")
+      .select(cols.map(col): _*)
     assert(viaConnector.exceptAll(viaJson).count() === 0)
     assert(viaJson.exceptAll(viaConnector).count() === 0)
+  }
+
+  test("retry decorator sits on the actual scan path (injected transient failures)") {
+    val before = CallCounters.get("forecast")
+    val df = spark.read.format("openmeteo")
+      .option("path", fixture)
+      .option("chaosFailFirst", "true") // first fetch of every block fails
+      .option("backoffBaseMs", "1")
+      .load()
+    assert(df.count() === 2 * 7 * 24) // scan survives via RetryingTransport
+    // every block cost at least 2 transport calls (1 failure + 1 retry)
+    assert(CallCounters.get("forecast") - before >= 4)
   }
 
   test("retry policy: transient errors retried with backoff, then succeed") {

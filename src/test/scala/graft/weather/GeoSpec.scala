@@ -1,0 +1,48 @@
+package graft.weather
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** J4 nearest-grid-point join semantics (ADVICE r1): row multiplicity is
+  * preserved for identical query rows, and queries with no grid point in
+  * range surface as left-join rows with null grid columns.
+  */
+class GeoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val grid = Seq(
+    (50.0, 14.25, "cell_a"),
+    (50.0, 14.50, "cell_b"),
+    (49.0, 16.50, "cell_c")
+  ).toDF("latitude", "longitude", "cell")
+
+  test("each query maps to its nearest cell with bounded distance") {
+    val q = Seq((50.07, 14.43), (49.19, 16.61)).toDF("latitude", "longitude")
+    val out = Geo.nearestGridPoint(q, grid, maxKm = 100.0)
+      .orderBy("latitude").collect()
+    assert(out.map(_.getAs[String]("cell")).toSeq === Seq("cell_c", "cell_b"))
+    assert(out.forall(_.getAs[Double]("grid_dist_km") < 100.0))
+  }
+
+  test("identical query rows keep their multiplicity") {
+    val q = Seq((50.07, 14.43), (50.07, 14.43), (50.07, 14.43))
+      .toDF("latitude", "longitude")
+    val out = Geo.nearestGridPoint(q, grid)
+    assert(out.count() === 3, "duplicate query rows collapsed")
+    assert(out.select("cell").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("cell_b"))
+  }
+
+  test("queries with no grid point within maxKm surface with null grid columns") {
+    val q = Seq((50.07, 14.43), (-33.86, 151.21)).toDF("latitude", "longitude")
+    val out = Geo.nearestGridPoint(q, grid, maxKm = 100.0)
+    assert(out.count() === 2, "unmatched query row dropped")
+    val sydney = out.filter(col("latitude") < 0).collect()(0)
+    assert(sydney.isNullAt(sydney.fieldIndex("cell")))
+    assert(sydney.isNullAt(sydney.fieldIndex("grid_dist_km")))
+    val prague = out.filter(col("latitude") > 0).collect()(0)
+    assert(prague.getAs[String]("cell") === "cell_b")
+  }
+}

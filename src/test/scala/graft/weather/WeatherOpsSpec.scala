@@ -55,6 +55,22 @@ class WeatherOpsSpec extends AnyFunSuite {
       .startsWith("2024-06-30T22:00"))
   }
 
+  test("SC10: ts_utc does not depend on spark.sql.session.timeZone") {
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    def utcInstants(): Seq[String] = WeatherOps.toWide(blocks)
+      .orderBy("latitude", "ts_local").limit(5)
+      .select(unix_micros(col("ts_utc"))).collect().map(_.getLong(0).toString).toSeq
+    try {
+      spark.conf.set(tzKey, "UTC")
+      val underUtc = utcInstants()
+      spark.conf.set(tzKey, "America/New_York")
+      assert(utcInstants() === underUtc, "ts_utc shifted with session timezone")
+      spark.conf.set(tzKey, "Asia/Tokyo")
+      assert(utcInstants() === underUtc, "ts_utc shifted with session timezone")
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   test("long form is (location, ts, variable) tidy with 15 vars per hour") {
     val long = WeatherOps.toLong(wide)
     assert(long.count() === 2 * 7 * 24 * 15)
