@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
     Relational.defs ++ operators.Relational2.defs ++
-      operators.Relational3.defs ++ PipelineQueries.defs ++
+      operators.Relational3.defs ++ operators.Relational4.defs ++
+      PipelineQueries.defs ++
       WeatherQueries.defs ++ operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,235 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fourth relational batch: the remaining classic TPC-H query shapes
+  * (correlated scalar subqueries, nested aggregation, IN/NOT-IN subqueries,
+  * disjunctive predicate bundles), grouping sets, ntile/range-frame
+  * windows, band joins, and LIMIT/OFFSET pagination. All declarative —
+  * Catalyst picks broadcast vs shuffle joins and rewrites the subqueries
+  * to semi/anti joins; every probe has a DuckDB oracle twin.
+  */
+object Relational4 {
+
+  def defs: Map[String, QueryDef] = Map(
+    // ---- TPC-H Q2 shape: correlated scalar subquery (min per group) -----
+    // partsupp does not exist in the test schema; lineitem's
+    // (l_partkey, l_suppkey) serves as the part↔supplier bridge.
+    "q2_min_supplier" -> QueryDef.sql(
+      """SELECT p.p_partkey, s.s_suppkey, round(s.s_acctbal, 2) AS bal
+        |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |WHERE p.p_size <= 3
+        |  AND s.s_acctbal = (SELECT min(s2.s_acctbal)
+        |                     FROM supplier s2 JOIN lineitem l2
+        |                       ON l2.l_suppkey = s2.s_suppkey
+        |                     WHERE l2.l_partkey = p.p_partkey)
+        |GROUP BY 1, 2, 3
+        |ORDER BY p_partkey, s_suppkey""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+      val sup = Tables.supplier(s, d)
+      val minBal = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("mb_partkey"))
+        .agg(min("s_acctbal").as("min_bal"))
+      Tables.part(s, d).filter(col("p_size") <= 3)
+        .join(li, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("s_suppkey") === col("l_suppkey"))
+        .join(minBal, col("mb_partkey") === col("p_partkey") &&
+          col("s_acctbal") === col("min_bal"))
+        .select(col("p_partkey"), col("s_suppkey"),
+          round(col("s_acctbal"), 2).as("bal"))
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+    },
+
+    // ---- TPC-H Q13 shape: left outer join + nested aggregation ----------
+    "q13_cust_distribution" -> QueryDef.sql(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |      GROUP BY c.c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // ---- TPC-H Q14 shape: conditional-aggregate ratio over a join -------
+    "q14_promo_share" -> QueryDef.sql(
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= DATE '1996-01-01'
+        |  AND l_shipdate < DATE '1996-04-01'""".stripMargin) { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1996-04-01").cast("date"))
+        .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(0)) / sum(rev), 6)
+          .as("promo_share"))
+    },
+
+    // ---- TPC-H Q16 shape: NOT IN subquery + count distinct --------------
+    "q16_supplier_cnt" -> QueryDef.sql(
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_size <= 10
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin) { (s, d) =>
+      val excluded = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_size") <= 10),
+          col("p_partkey") === col("l_partkey"))
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+    },
+
+    // ---- TPC-H Q18 shape: IN (GROUP BY ... HAVING) subquery -------------
+    "q18_large_orders" -> QueryDef.sql(
+      """SELECT c.c_custkey, o.o_orderkey, round(t.sum_qty, 2) AS sum_qty
+        |FROM orders o
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |      GROUP BY l_orderkey HAVING sum(l_quantity) > 200) t
+        |  ON t.l_orderkey = o.o_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin) { (s, d) =>
+      val big = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 200)
+      Tables.orders(s, d)
+        .join(big, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("sum_qty"), 2).as("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+    },
+
+    // ---- TPC-H Q19 shape: disjunctive predicate bundles over a join -----
+    // Catalyst extracts the common join key from the OR'd bundles so this
+    // stays an equi-join with a residual filter, not a nested loop.
+    "q19_disjunctive" -> QueryDef.sql(
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_type = 'PROMO' AND l_quantity >= 25)""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+          (col("p_type") === "PROMO" && col("l_quantity") >= 25))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    },
+
+    // ---- TPC-H Q22 shape: global-avg scalar subquery + NOT EXISTS -------
+    "q22_idle_customers" -> QueryDef.sql(
+      """SELECT CAST(c_custkey % 7 AS BIGINT) AS bucket,
+        |  count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(avg("c_acctbal")).collect()(0).getDouble(0)
+      val bigSpenders = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 300000).select("o_custkey")
+      cust.filter(col("c_acctbal") > avgBal)
+        .join(bigSpenders, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy((col("c_custkey") % 7).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum("c_acctbal"), 2).as("totacctbal"))
+        .orderBy("bucket")
+    },
+
+    // ---- GROUPING SETS with grouping() flags ----------------------------
+    "u5_grouping_sets" -> QueryDef.sql(
+      """SELECT n_name, o_orderpriority,
+        |  CAST(grouping(n_name) AS INT) AS g_nation,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS cnt
+        |FROM orders o
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())
+        |ORDER BY g_nation, g_prio, n_name, o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.nation(s, d), col("n_nationkey") === col("c_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("n_name"), col("o_orderpriority")), Seq(col("n_name")), Seq()),
+          col("n_name"), col("o_orderpriority"))
+        .agg(grouping(col("n_name")).cast("int").as("g_nation"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          count(lit(1)).as("cnt"))
+        .select(col("n_name"), col("o_orderpriority"), col("g_nation"),
+          col("g_prio"), col("cnt"))
+        .orderBy(col("g_nation"), col("g_prio"), col("n_name"),
+          col("o_orderpriority"))
+    },
+
+    // ---- window: ntile bucketing ----------------------------------------
+    "w8_ntile" -> QueryDef.sql(
+      """SELECT event_id,
+        |  ntile(8) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bucket
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), ntile(8).over(w).as("bucket"))
+        .orderBy("event_id")
+    },
+
+    // ---- window: value-based RANGE frame --------------------------------
+    // The frame is defined on the ORDER BY value axis (all rows within 5.0
+    // below the current row's value), not on row positions — peers with
+    // equal values share one frame, so the result is order-insensitive.
+    "w9_range_frame" -> QueryDef.sql(
+      """SELECT event_id,
+        |  round(sum(value) OVER (PARTITION BY event_type ORDER BY value
+        |    RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW), 4) AS rsum
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        round(expr("sum(value) OVER (PARTITION BY event_type ORDER BY value " +
+          "RANGE BETWEEN 5.0 PRECEDING AND CURRENT ROW)"), 4).as("rsum"))
+        .orderBy("event_id")
+    },
+
+    // ---- band (range) join: equi key + date-interval residual -----------
+    "j9_band_join" -> QueryDef.sql(
+      """SELECT o.o_orderkey, count(*) AS n_within
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  AND l.l_shipdate >= o.o_orderdate
+        |  AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_within"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- pagination: ORDER BY + LIMIT/OFFSET ----------------------------
+    "o2_limit_offset" -> QueryDef.sql(
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 500""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+        .offset(500).limit(100)
+    })
+}
