@@ -20,9 +20,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
+    // Aggregate pushdown: hourly→daily rollups over the openmeteo source
+    // are rewritten to the source's pre-aggregated daily scan (SURVEY §4).
+    ext.injectOptimizerRule(_ => graft.plans.DailyRollupPushdown)
+  }
 }

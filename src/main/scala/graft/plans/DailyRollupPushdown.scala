@@ -1,0 +1,160 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.DateType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.openmeteo.{OpenMeteoTable, OpenMeteoOptions}
+import graft.weather.WeatherSchemas
+
+/** Aggregate pushdown rule (SURVEY.md §4): the reference never computes
+  * daily rollups locally — it asks the source for the pre-aggregated
+  * `daily` block (`server.py:219-223`). This rule gives Catalyst the same
+  * move: an `Aggregate` over an `openmeteo` HOURLY scan whose grouping is
+  * exactly (latitude, longitude, to_date(ts_local)) and whose aggregate
+  * expressions are all recognizable daily-catalog definitions (max/min,
+  * round(sum, 2)) is rewritten to a DAILY-granularity scan of the same
+  * source — the per-hour rows are never fetched at all.
+  *
+  * The rewrite is correctness-gated by the golden test asserting pushed ≡
+  * native per daily variable (OpenMeteoSourceSpec). Conservative bail-outs
+  * (rule leaves the plan untouched) whenever:
+  *  - any aggregate expression is not in the recognized catalog
+  *    (`avg`, `sum` without the canonical rounding, filters, DISTINCT …)
+  *  - a Filter sits between the Aggregate and the scan (a pushed ts range
+  *    does not translate 1:1 to a date range)
+  *  - grouping is not exactly the (lat, lon, day) key
+  *
+  * Registered via [[graft.GraftExtensions]] (injectOptimizerRule), so any
+  * session with the extensions gets it; it runs in the operator-
+  * optimization batch, before V2ScanRelationPushDown turns the relation
+  * into a scan.
+  */
+object DailyRollupPushdown extends Rule[LogicalPlan] {
+
+  /** hourly source column -> daily variable names for each supported agg. */
+  private val maxVars = Map(
+    "temperature_2m" -> "temperature_2m_max",
+    "apparent_temperature" -> "apparent_temperature_max",
+    "uv_index" -> "uv_index_max",
+    "wind_speed_10m" -> "wind_speed_10m_max",
+    "wind_gusts_10m" -> "wind_gusts_10m_max")
+  private val minVars = Map(
+    "temperature_2m" -> "temperature_2m_min",
+    "apparent_temperature" -> "apparent_temperature_min")
+  private val sumVars = Map(
+    "precipitation" -> "precipitation_sum",
+    "rain" -> "rain_sum",
+    "snowfall" -> "snowfall_sum")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(groupingExprs, aggExprs, child, _) =>
+      rewrite(agg, groupingExprs, aggExprs, child).getOrElse(agg)
+  }
+
+  private def rewrite(agg: Aggregate, groupingExprs: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    // Accept the relation directly or under a pure attribute/alias Project
+    // (CollapseProject usually inlines it, but don't depend on batch order).
+    val (relationOpt, substitutions) = child match {
+      case r: DataSourceV2Relation => (Some(r), Map.empty[ExprId, Expression])
+      case Project(projectList, r: DataSourceV2Relation)
+          if projectList.forall {
+            case _: AttributeReference => true
+            case Alias(_, _) => true
+            case _ => false
+          } =>
+        val subs = projectList.collect {
+          case a @ Alias(e, _) => a.exprId -> e
+        }.toMap
+        (Some(r), subs)
+      case _ => (None, Map.empty[ExprId, Expression])
+    }
+    val hourlyOpts: OpenMeteoOptions = relationOpt.map(_.table) match {
+      case Some(t: OpenMeteoTable)
+          if t.opts.granKey == WeatherSchemas.GranHourly => t.opts
+      case _ => return None
+    }
+
+    def inline(e: Expression): Expression = e.transform {
+      case a: AttributeReference if substitutions.contains(a.exprId) =>
+        inline(substitutions(a.exprId))
+    }
+    def stripAlias(e: Expression): Expression = e match {
+      case Alias(child, _) => stripAlias(child)
+      case other => other
+    }
+    def isDayOf(e: Expression): Boolean = stripAlias(inline(e)) match {
+      case Cast(a: AttributeReference, DateType, _, _) => a.name == "ts_local"
+      case _ => false
+    }
+    def isAttr(e: Expression, name: String): Boolean = stripAlias(inline(e)) match {
+      case a: AttributeReference => a.name == name
+      case _ => false
+    }
+
+    // Grouping must be exactly the (latitude, longitude, day) key.
+    val groupingOk = groupingExprs.size == 3 &&
+      groupingExprs.exists(isAttr(_, "latitude")) &&
+      groupingExprs.exists(isAttr(_, "longitude")) &&
+      groupingExprs.exists(isDayOf)
+    if (!groupingOk) return None
+
+    // Map every output expression to a column of the daily scan; any
+    // unrecognized expression aborts the whole rewrite.
+    def dailyVarFor(e: Expression): Option[String] = inline(e) match {
+      case AggregateExpression(Max(a: AttributeReference), _, false, None, _) =>
+        maxVars.get(a.name)
+      case AggregateExpression(Min(a: AttributeReference), _, false, None, _) =>
+        minVars.get(a.name)
+      case r: Round => (r.child, r.scale) match {
+        case (AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _),
+            Literal(2, _)) => sumVars.get(a.name)
+        case _ => None
+      }
+      case _ => None
+    }
+
+    sealed trait Target
+    case object LatT extends Target
+    case object LonT extends Target
+    case object DateT extends Target
+    final case class VarT(name: String) extends Target
+
+    val targets: Seq[Option[(NamedExpression, Target)]] = aggExprs.map {
+      case ne if isAttr(ne, "latitude") => Some(ne -> LatT)
+      case ne if isAttr(ne, "longitude") => Some(ne -> LonT)
+      case a @ Alias(e, _) if isDayOf(e) => Some(a -> DateT)
+      case a @ Alias(e, _) => dailyVarFor(e).map(v => a -> VarT(v))
+      case _ => None
+    }
+    if (targets.exists(_.isEmpty)) return None
+    val resolved = targets.flatten
+
+    val neededVars = resolved.collect { case (_, VarT(v)) => v }
+    if (neededVars.isEmpty) return None
+
+    // Build the daily-granularity relation of the same source.
+    val dailyOpts = hourlyOpts.copy(
+      granKey = WeatherSchemas.GranDaily, variables = neededVars.distinct)
+    val dailyRelation = DataSourceV2Relation.create(
+      new OpenMeteoTable(dailyOpts), None, None, CaseInsensitiveStringMap.empty())
+    def dailyAttr(name: String): Option[Attribute] =
+      dailyRelation.output.find(_.name == name)
+
+    // Re-alias daily columns to the aggregate's original output exprIds so
+    // every parent reference keeps resolving.
+    val projectList: Seq[Option[NamedExpression]] = resolved.map {
+      case (ne, LatT)    => dailyAttr("latitude").map(Alias(_, ne.name)(ne.exprId))
+      case (ne, LonT)    => dailyAttr("longitude").map(Alias(_, ne.name)(ne.exprId))
+      case (ne, DateT)   => dailyAttr("date").map(Alias(_, ne.name)(ne.exprId))
+      case (ne, VarT(v)) => dailyAttr(v).map(Alias(_, ne.name)(ne.exprId))
+    }
+    if (projectList.exists(_.isEmpty)) None
+    else Some(Project(projectList.flatten, dailyRelation))
+  }
+}

@@ -82,7 +82,7 @@ object OpenMeteoOptions {
   }
 }
 
-class OpenMeteoTable(opts: OpenMeteoOptions) extends Table with SupportsRead {
+class OpenMeteoTable(val opts: OpenMeteoOptions) extends Table with SupportsRead {
   override def name(): String = s"openmeteo(${opts.path})"
   override def schema(): StructType = OpenMeteoTable.wideSchema(opts)
   override def capabilities(): util.Set[TableCapability] =

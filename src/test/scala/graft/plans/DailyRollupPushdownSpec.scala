@@ -1,0 +1,84 @@
+package graft.plans
+
+import graft.TestSpark
+import graft.sources.openmeteo.OpenMeteoTable
+import graft.weather.{WeatherOps, WeatherSchemas}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The §4 aggregate-pushdown rule: a recognizable hourly→daily rollup over
+  * the openmeteo connector is rewritten to the source's pre-aggregated
+  * daily scan; anything outside the recognized catalog is left untouched.
+  * The rule is active through the production wiring (GraftExtensions on
+  * the shared test session).
+  */
+class DailyRollupPushdownSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val fixture = s"${TestSpark.fixtures}/hourly_7d.json"
+
+  private def hourly() = spark.read.format("openmeteo")
+    .option("path", fixture).load()
+
+  private def scanTables(df: DataFrame): Seq[OpenMeteoTable] =
+    df.queryExecution.optimizedPlan.collect {
+      case s: DataSourceV2ScanRelation => s.relation.table
+      case r: DataSourceV2Relation => r.table
+    }.collect { case t: OpenMeteoTable => t }
+
+  private def scanGrans(df: DataFrame): Seq[String] =
+    scanTables(df).map(_.opts.granKey)
+
+  private def rollupQuery(df: DataFrame) = df
+    .groupBy(col("latitude"), col("longitude"),
+      to_date(col("ts_local")).as("date"))
+    .agg(max("temperature_2m").as("temperature_2m_max"),
+      min("temperature_2m").as("temperature_2m_min"),
+      round(sum("precipitation"), 2).as("precipitation_sum"))
+
+  test("recognized rollup is rewritten to a daily-granularity scan") {
+    val df = rollupQuery(hourly())
+    assert(scanGrans(df) === Seq(WeatherSchemas.GranDaily),
+      s"expected daily scan, plan:\n${df.queryExecution.optimizedPlan}")
+    // pruned to exactly the needed daily variables
+    assert(scanTables(df).flatMap(_.opts.variables).toSet ===
+      Set("temperature_2m_max", "temperature_2m_min", "precipitation_sum"))
+  }
+
+  test("rewritten result equals the native hourly aggregation") {
+    // native path: JSON reader (no V2 relation, rule can't fire)
+    val native = rollupQuery(
+      WeatherOps.toWide(WeatherOps.readBlocks(spark, fixture)))
+      .orderBy("latitude", "date").collect()
+    val pushed = rollupQuery(hourly()).orderBy("latitude", "date").collect()
+    assert(pushed.length === 14)
+    assert(pushed.map(_.toString).toSeq === native.map(_.toString).toSeq)
+  }
+
+  test("unrecognized aggregate (avg) bails out and keeps the hourly scan") {
+    val df = hourly()
+      .groupBy(col("latitude"), col("longitude"),
+        to_date(col("ts_local")).as("date"))
+      .agg(avg("temperature_2m").as("t_avg"))
+    assert(scanGrans(df) === Seq(WeatherSchemas.GranHourly))
+  }
+
+  test("intermediate filter bails out (ts range does not map to a date range)") {
+    val df = hourly()
+      .filter(col("ts_local") >=
+        lit("2024-07-02 06:00:00").cast("timestamp_ntz"))
+      .groupBy(col("latitude"), col("longitude"),
+        to_date(col("ts_local")).as("date"))
+      .agg(max("temperature_2m").as("temperature_2m_max"))
+    assert(scanGrans(df) === Seq(WeatherSchemas.GranHourly))
+  }
+
+  test("non-day grouping bails out") {
+    val df = hourly()
+      .groupBy(col("latitude"), col("longitude"))
+      .agg(max("temperature_2m").as("temperature_2m_max"))
+    assert(scanGrans(df) === Seq(WeatherSchemas.GranHourly))
+  }
+}
