@@ -154,4 +154,63 @@ object Dedup {
         round(Sketches.ngramJaccard(col("w_a"), col("w_b"), n), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Connected components over a near-dup pair list → (id, cluster_id)
+    * with cluster_id = the smallest member id (the canonical
+    * representative, as in "keep lowest id per cluster" dedup policy).
+    *
+    * Algorithm: iterative minimum-label propagation — each round every
+    * node adopts the min label in its neighborhood (one shuffle join +
+    * one aggregation per round), stopping when a round changes nothing.
+    * Rounds needed = O(log n) on typical near-dup graphs (star-shaped
+    * components); `maxRounds` bounds pathological chains. This is the
+    * join-based formulation of Kiveris et al.'s "Connected Components in
+    * MapReduce" — no GraphX dependency, plain shuffles that AQE can size.
+    * Intermediate results are cached and the lineage cut every round, so
+    * the plan does not grow exponentially with iterations.
+    */
+  def clusters(pairs: DataFrame, maxRounds: Int = 20,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val spark = pairs.sparkSession
+    // symmetric edge list (both directions) — neighborhoods see all peers
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** End-to-end near-dup clustering: verified MinHash pairs → connected
+    * components → every document labeled with its cluster representative
+    * (singletons keep their own id).
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val comp = clusters(
+      verifiedNearDups(docs, threshold, idCol = idCol, textCol = textCol))
+    docs.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+  }
 }

@@ -163,6 +163,20 @@ object PipelineQueries {
 
     "s3_ann_topk" -> QueryDef.noOracle { (s, d) =>
       Similarity.topKCosineApprox(Tables.embeddings(s, d), queryId = 0L, k = 20)
+    },
+
+    "s4_ivf_topk" -> QueryDef.noOracle { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.ivfCentroids(emb, nCentroids = 16)
+      Similarity.topKCosineIVF(emb, queryId = 0L, k = 20, centroids, nProbe = 4)
+    },
+
+    "d7_neardup_clusters" -> QueryDef.noOracle { (s, d) =>
+      Dedup.nearDupClusters(Tables.documents(s, d), threshold = 0.3)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"),
+          min("doc_id").as("representative"))
+        .filter(col("cluster_size") > 1)
+        .orderBy(col("cluster_size").desc, col("cluster_id"))
     }
   )
 }

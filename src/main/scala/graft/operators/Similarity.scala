@@ -105,4 +105,73 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  // ---- IVF (inverted-file) ANN ------------------------------------------
+
+  /** Squared L2 distance between a vector column and a literal centroid. */
+  private def l2sq(v: Column, c: Array[Double]): Column =
+    aggregate(zip_with(v, array(c.map(lit(_)): _*),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Index of the nearest centroid (L2), evaluated in-row — no UDF, no
+    * shuffle. Built as an ARRAY of the per-centroid distances + argmin
+    * (array_position of the min): the expression tree stays LINEAR in the
+    * centroid count. (A when()-chain fold would copy the accumulator
+    * subtree into both branches and grow 2^nCentroids nodes.) Ties — only
+    * possible for bit-identical distances — resolve to the lowest index.
+    */
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = array(centroids.map(c => l2sq(v, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Train the IVF coarse quantizer: seeded KMeans (Spark MLlib) over the
+    * embedding column. Deterministic for a fixed seed. The centroid table
+    * is tiny (nCentroids × dim doubles) and returned driver-side — at
+    * cluster scale it is trained on a sample and broadcast as literals.
+    */
+  def ivfCentroids(embeddings: DataFrame, nCentroids: Int = 16,
+      seed: Long = 42L): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = embeddings
+      .select(array_to_vector(asDouble(col("embedding"))).as("features"))
+    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
+      .fit(feats)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** Embeddings with their IVF list id (`centroid_id`). Persist/bucket by
+    * this column once and every subsequent query touches only nProbe
+    * lists — the classic IVF-Flat layout, here as plain partitioning.
+    */
+  def ivfAssign(embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    embeddings.withColumn("centroid_id",
+      nearestCentroid(asDouble(col("embedding")), centroids))
+
+  /** IVF approximate top-k: rank the query's nProbe nearest lists
+    * driver-side (centroids are in hand), then exact cosine only over
+    * vectors in those lists. Scan cost drops from N to ≈ N×nProbe/nLists;
+    * the candidate filter `centroid_id IN (...)` is partition-prunable
+    * when the index is written partitioned/bucketed by list.
+    */
+  def topKCosineIVF(embeddings: DataFrame, queryId: Long, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int = 4): DataFrame = {
+    val assigned = ivfAssign(embeddings, centroids)
+    val qVec = embeddings.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv"))
+    val q = broadcast(qVec)
+    val qArr = qVec.collect()(0).getSeq[Double](0).toArray
+    def dist(c: Array[Double]): Double =
+      c.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probeLists = centroids.zipWithIndex.sortBy { case (c, _) => dist(c) }
+      .take(nProbe).map(_._2)
+    assigned.filter(col("vec_id") =!= queryId &&
+        col("centroid_id").isin(probeLists.map(Int.box): _*))
+      .crossJoin(q)
+      .select(col("vec_id"),
+        round(cosine(asDouble(col("embedding")), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

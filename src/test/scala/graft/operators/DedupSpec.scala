@@ -56,6 +56,26 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sigs(0L), sigs(3L)) > 10)
   }
 
+  test("clusters: connected components resolve to the minimum member id") {
+    // components: {1,2,3,4} via a chain, {10,11}, and 20-20 has no edges
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("nearDupClusters labels every doc; dups share a representative") {
+    val labeled = Dedup.nearDupClusters(docs, threshold = 0.3)
+    assert(labeled.count() === 5) // left join keeps singletons
+    val byId = labeled.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(byId(0L) === 0L && byId(1L) === 0L && byId(2L) === 0L,
+      s"near-dup trio split: $byId")
+    assert(byId(3L) === 3L && byId(4L) === 4L, s"singletons mislabeled: $byId")
+  }
+
   test("empty/whitespace docs: HOF and fused Jaccard agree at 0.0 (ADVICE r1)") {
     val pairs = Seq(("", ""), ("   ", "\t\n"), ("", "real words here"))
       .toDF("a", "b")

@@ -37,6 +37,26 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"ANN recall $recall too low even for multi-probe LSH")
   }
 
+  test("IVF ANN: deterministic centroids, candidate scan shrinks, decent recall") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val c1 = Similarity.ivfCentroids(emb, nCentroids = 8)
+    val c2 = Similarity.ivfCentroids(emb, nCentroids = 8)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq,
+      "seeded KMeans centroids not deterministic")
+
+    // nProbe=3 of 8 lists → candidate set is a strict subset of the corpus
+    val assigned = Similarity.ivfAssign(emb, c1)
+    val listSizes = assigned.groupBy("centroid_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(listSizes.size === 8 && listSizes.values.sum === emb.count())
+
+    val exact = Similarity.topKCosine(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.topKCosineIVF(emb, 0L, 10, c1, nProbe = 3).collect()
+      .map(_.getLong(0)).toSet
+    val recall = (exact & ivf).size / 10.0
+    assert(recall >= 0.3, s"IVF recall $recall too low for nProbe=3/8")
+  }
+
   test("as-of join picks the latest at-or-earlier build row per key") {
     val build = Seq(
       ("a", "2024-01-01 00:00:00", 1.0),
