@@ -172,8 +172,10 @@ object Dedup {
   def clusters(pairs: DataFrame, maxRounds: Int = 20,
       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
     val spark = pairs.sparkSession
-    // symmetric edge list (both directions) — neighborhoods see all peers
-    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    // symmetric edge list (both directions) — neighborhoods see all peers.
+    // The input pair pipeline (often a full MinHash run) is cached BEFORE
+    // the union so the reversed branch reuses it instead of recomputing.
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst")).cache()
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -199,6 +201,7 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
+    fwd.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -107,6 +107,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // corpus vocabulary: explode → hash-agg → top-k. At 100 TB this is the
+    // classic word-count shape: Generate (no shuffle) → partial agg on
+    // every mapper → single narrow final agg → TakeOrdered.
+    "t8_word_freq" -> QueryDef.sql(
+      """SELECT w AS word, count(*) AS freq
+        |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '[^a-z0-9]+')) AS w
+        |      FROM documents)
+        |WHERE w <> '' GROUP BY w
+        |ORDER BY freq DESC, word LIMIT 50""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.words(lower(trim(col("text"))))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word"))
+        .limit(50)
+    },
+
     // ---- dedup ------------------------------------------------------------
     "d1_dedup_exact" -> QueryDef.sql(
       """SELECT count(*) AS n_total, count(DISTINCT text) AS n_unique

@@ -123,10 +123,14 @@ object Relational3 {
     // ---- approximate count-distinct (HLL++): rows-only check ------------
     // (approx result is engine-specific; the ScalaTest asserts the ±5%
     // error bound against the exact count instead)
+    // rsd 0.05 (Spark's default, 2^11 HLL registers/group): the 6%-bound
+    // check in PartitioningSpec uses tighter settings; the probe itself
+    // demonstrates the approx-vs-exact tradeoff, where 0.02 cost 4-6 s/run
+    // in HLL merge time for no informational gain.
     "a19_approx_distinct" -> QueryDef.noOracle { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        .agg(approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
         .orderBy("l_returnflag")
     }

@@ -58,7 +58,7 @@ class OpenMeteoTableProvider extends TableProvider with DataSourceRegister {
 final case class OpenMeteoOptions(path: String, granKey: String,
     variables: Seq[String], maxPartitions: Int,
     maxRetries: Int = 3, backoffBaseMs: Long = 1000L, rateLimitMs: Long = 0L,
-    chaosFailFirst: Boolean = false)
+    chaosFailFirst: Boolean = false, chunkDays: Int = 30)
 
 object OpenMeteoOptions {
   def apply(o: CaseInsensitiveStringMap): OpenMeteoOptions = {
@@ -78,7 +78,8 @@ object OpenMeteoOptions {
       maxRetries = o.getInt("maxRetries", 3),
       backoffBaseMs = o.getLong("backoffBaseMs", 1000L),
       rateLimitMs = o.getLong("rateLimitMs", 0L),
-      chaosFailFirst = o.getBoolean("chaosFailFirst", false))
+      chaosFailFirst = o.getBoolean("chaosFailFirst", false),
+      chunkDays = o.getInt("chunkDays", 30))
   }
 }
 
@@ -193,24 +194,42 @@ class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new ApiCallsMetric)
 
-  /** One partition per block line (offline stand-in for location ×
-    * date-chunk). `maxPartitions` caps PARALLELISM, never coverage: when
-    * blocks outnumber the cap, each partition reads a strided group of
-    * blocks.
+  /** Partition = location block × date chunk (the connector's HTTP unit
+    * at scale: one remote request per location and `chunkDays` window).
+    * Date chunking applies when BOTH time bounds were pushed down — the
+    * span is then known and is split into `chunkDays` slices, so long
+    * histories for one location fan out across executors instead of
+    * serializing into one task. `maxPartitions` caps PARALLELISM, never
+    * coverage: when block×chunk units outnumber the cap, each partition
+    * reads a strided group of blocks (chunk splits are dropped first —
+    * correctness never depends on chunking).
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val src = scala.io.Source.fromFile(opts.path, "UTF-8")
     val n = try src.getLines().count(_.nonEmpty) finally src.close()
-    val parts = math.min(math.max(n, 1), opts.maxPartitions)
-    (0 until parts).map(p =>
-      OpenMeteoPartition((p until n by parts).toArray): InputPartition).toArray
+    val chunkMicros = opts.chunkDays.toLong * 24L * 3600L * 1000000L
+    val chunks: Seq[(Option[Long], Option[Long])] = (lo, hi) match {
+      case (Some(l), Some(h)) if opts.chunkDays > 0 && h - l > chunkMicros &&
+          // never exceed the parallelism cap with chunking alone
+          n.toLong * ((h - l + chunkMicros - 1) / chunkMicros) <= opts.maxPartitions =>
+        val bounds = l.until(h, chunkMicros) :+ h
+        bounds.init.zip(bounds.tail).map { case (a, b) => (Some(a), Some(b)) }
+      case _ => Seq((lo, hi))
+    }
+    val parts = math.min(math.max(n, 1), math.max(opts.maxPartitions / chunks.size, 1))
+    (for {
+      p <- 0 until parts
+      (cLo, cHi) <- chunks
+    } yield OpenMeteoPartition((p until n by parts).toArray, cLo, cHi): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new OpenMeteoReaderFactory(opts, schema, lo, hi)
 }
 
-final case class OpenMeteoPartition(blockIndices: Array[Int]) extends InputPartition
+final case class OpenMeteoPartition(blockIndices: Array[Int],
+    lo: Option[Long], hi: Option[Long]) extends InputPartition
 
 class ApiCallsMetric extends CustomSumMetric {
   override def name(): String = "apiCalls"
@@ -224,9 +243,11 @@ final case class ApiCallsTaskMetric(value: Long) extends CustomTaskMetric {
 class OpenMeteoReaderFactory(opts: OpenMeteoOptions, schema: StructType,
     lo: Option[Long], hi: Option[Long])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new OpenMeteoReader(opts, schema, lo, hi,
-      partition.asInstanceOf[OpenMeteoPartition].blockIndices)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[OpenMeteoPartition]
+    // chunk bounds (already intersected with the pushed range at planning)
+    new OpenMeteoReader(opts, schema, p.lo, p.hi, p.blockIndices)
+  }
 }
 
 /** Executor-side reader: each block in the partition is one fetch (the

@@ -19,7 +19,11 @@ class SqlParitySpec extends AnyFunSuite {
     "q4_order_priority", "q6_forecast_revenue", "q7_scalar_subquery",
     "q8_cross_join", "q10_returned_items", "sc11_case_when",
     "u1_intersect", "u2_except", "u3_union_all", "n1_null_semantics",
-    "d1_dedup_exact", "d6_dedup_keep", "t1_text_stats", "w7_running_sum")
+    "d1_dedup_exact", "d6_dedup_keep", "t1_text_stats", "w7_running_sum",
+    "q2_min_supplier", "q13_cust_distribution", "q14_promo_share",
+    "q16_supplier_cnt", "q18_large_orders", "q19_disjunctive",
+    "q22_idle_customers", "u5_grouping_sets", "w8_ntile", "w9_range_frame",
+    "j9_band_join", "o2_limit_offset")
 
   private def registerViews(): Unit =
     Tables.names.foreach { t =>

@@ -162,6 +162,17 @@ class OpenMeteoSourceSpec extends AnyFunSuite {
     assert(df.count() === 2 * 7 * 24) // both blocks still fully read
   }
 
+  test("pushed date range splits into date-chunk partitions without dup or loss") {
+    val df = spark.read.format("openmeteo")
+      .option("path", fixture).option("chunkDays", "2").load()
+      .filter(col("ts_local") >= lit("2024-07-01 00:00:00").cast("timestamp_ntz") &&
+        col("ts_local") < lit("2024-07-07 00:00:00").cast("timestamp_ntz"))
+    // 6-day span / 2-day chunks = 3 chunks × 2 block-groups = 6 partitions
+    assert(df.rdd.getNumPartitions === 6)
+    assert(df.count() === 2 * 6 * 24)
+    assert(df.select("latitude", "ts_local").distinct().count() === 2 * 6 * 24)
+  }
+
   test("combined < and <= upper bounds keep the boundary row") {
     val df = read().filter(
       col("ts_local") <= lit("2024-07-02 05:00:00").cast("timestamp_ntz") &&
