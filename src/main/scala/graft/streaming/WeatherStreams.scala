@@ -119,4 +119,32 @@ object WeatherStreams {
     unioned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** An actual measurement arriving from a station/sensor stream. */
+  final case class Observation(
+      latitude: Double, longitude: Double,
+      obs_ts: java.sql.Timestamp, observed_temp: Double)
+
+  /** Stream-stream interval join (§2.8): pair each observation with the
+    * forecast for the valid hour it falls in, at the same location —
+    * the forecast-accuracy stream (`README.md:18`'s "forecasts and
+    * actuals" in one record). Both sides carry watermarks so Spark can
+    * bound the join state: a forecast row is held only until the
+    * watermark passes its valid hour + the join interval; observations
+    * symmetrically. Inner join ⇒ append-mode output.
+    */
+  def forecastVsObserved(forecasts: Dataset[Revision],
+      observations: Dataset[Observation]): DataFrame = {
+    val f = forecasts.toDF().withWatermark("ts_valid", "2 hours")
+      .select(col("latitude").as("f_lat"), col("longitude").as("f_lon"),
+        col("ts_valid"), col("temperature_2m").as("forecast_temp"))
+    val o = observations.toDF().withWatermark("obs_ts", "2 hours")
+    o.join(f,
+      col("f_lat") === col("latitude") && col("f_lon") === col("longitude") &&
+        col("obs_ts") >= col("ts_valid") &&
+        col("obs_ts") < col("ts_valid") + expr("INTERVAL 1 HOUR"))
+      .select(col("latitude"), col("longitude"), col("ts_valid"),
+        col("obs_ts"), col("forecast_temp"), col("observed_temp"),
+        round(col("observed_temp") - col("forecast_temp"), 4).as("error"))
+  }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the headline probes (the ".explain and
+  * iterate" discipline, SURVEY.md §4): scans must be pruned and
+  * filter-pushed, joins must be hash-based (never nested-loop for equi
+  * shapes), and the hot path must sit inside whole-stage codegen.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sfDir
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("q19 disjunctive bundles stay an equi hash join (common key extracted)") {
+    val p = plan("q19_disjunctive")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"disjunctive predicates degraded to a nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), s"no hash join:\n$p")
+  }
+
+  test("j9 band join uses the equi key with the range as residual") {
+    val p = plan("j9_band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join degraded to a nested loop:\n$p")
+  }
+
+  test("p1 projection prunes the parquet read schema to the selected columns") {
+    val p = plan("p1_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity") &&
+      !read.contains("l_extendedprice"), s"scan not pruned: $read")
+  }
+
+  test("f1 value predicate is pushed to the parquet scan") {
+    val p = plan("f1_between")
+    assert(p.contains("PushedFilters: [IsNotNull(value), GreaterThanOrEqual(value,-90.0)") ||
+      (p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(value")),
+      s"filter not pushed:\n$p")
+  }
+
+  test("a10 aggregation runs partial/final inside whole-stage codegen") {
+    val df = SparkEntry.queries("a10_tpch_q1")(spark, d)
+    val pre = df.queryExecution.executedPlan.toString
+    assert(pre.contains("partial_sum") && "HashAggregate".r.findAllIn(pre).length >= 2,
+      s"partial/final hash agg missing:\n$pre")
+    df.collect() // AQE: codegen markers appear only in the FINAL plan
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("WholeStageCodegen") || fin.contains("*("),
+      s"no codegen spans in final plan:\n$fin")
+  }
+
+  test("j1 dimension lookup broadcasts the small side") {
+    val p = plan("j1_join_bcast")
+    assert(p.contains("BroadcastHashJoin"), s"dimension not broadcast:\n$p")
+  }
+
+  test("o1/o2 ordered limits use TakeOrderedAndProject, not a full sort") {
+    assert(plan("o1_topk").contains("TakeOrderedAndProject"))
+    assert(plan("o2_limit_offset").contains("TakeOrderedAndProject"))
+  }
+}

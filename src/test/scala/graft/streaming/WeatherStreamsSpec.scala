@@ -19,6 +19,32 @@ class WeatherStreamsSpec extends AnyFunSuite {
   private def rev(issued: String, valid: String, temp: Double): Revision =
     Revision(50.0, 14.0, ts(valid), ts(issued), temp, 0.0)
 
+  test("stream-stream interval join pairs observations with their valid-hour forecast") {
+    import spark.implicits._
+    import WeatherStreams.Observation
+    val forecasts = MemoryStream[Revision](spark)
+    val obs = MemoryStream[Observation](spark)
+    val q = WeatherStreams.forecastVsObserved(forecasts.toDS(), obs.toDS())
+      .writeStream.format("memory").queryName("fva_out")
+      .outputMode("append").start()
+    try {
+      forecasts.addData(
+        rev("2024-07-01 06:00:00", "2024-07-01 12:00:00", 20.0),
+        rev("2024-07-01 06:00:00", "2024-07-01 13:00:00", 22.0))
+      obs.addData(
+        Observation(50.0, 14.0, ts("2024-07-01 12:30:00"), 21.0), // in hour 12
+        Observation(50.0, 14.0, ts("2024-07-01 14:30:00"), 25.0), // no forecast
+        Observation(60.0, 10.0, ts("2024-07-01 12:15:00"), 5.0))  // other loc
+      q.processAllAvailable()
+      val out = spark.table("fva_out").collect()
+      assert(out.length === 1, s"expected one match, got ${out.toSeq}")
+      val r = out(0)
+      assert(r.getAs[Double]("forecast_temp") === 20.0)
+      assert(r.getAs[Double]("observed_temp") === 21.0)
+      assert(r.getAs[Double]("error") === 1.0)
+    } finally q.stop()
+  }
+
   test("revision upsert emits newer revisions and drops stale ones") {
     import spark.implicits._
     val input = MemoryStream[Revision](spark)
