@@ -131,6 +131,43 @@ object WeatherOps {
     agg.join(dominant, Seq("latitude", "longitude", "date"), "left")
   }
 
+  /** Gap filling for ML feature prep (`README.md:18`): linearly
+    * interpolate null measurement values between their nearest non-null
+    * neighbors within the same location series, but only across gaps of
+    * at most `maxGapSeconds` of real elapsed time (ts_utc, so DST
+    * wall-clock jumps don't distort the weights). Values outside that
+    * bound — and leading/trailing nulls with only one neighbor — stay
+    * null: inventing data across long outages is worse than a gap.
+    *
+    * Interpolate INTENSIVE variables only (temperature, humidity, …);
+    * extensive ones (precipitation sums) are zero-filled by nature, not
+    * interpolated — the default var list filters by catalog kind.
+    *
+    * Mechanics: per variable, last-non-null before / first-non-null
+    * after via frame-bounded window functions — all vars share one
+    * (location, ts) sort, so the whole fill is a single exchange.
+    */
+  def interpolateGaps(wide: DataFrame,
+      vars: Seq[String] = defaultHourlyNames.filter(v =>
+        hourlyByName.get(v).exists(_.kind == Intensive)),
+      maxGapSeconds: Long = 6 * 3600L): DataFrame = {
+    val w = Window.partitionBy("latitude", "longitude").orderBy("ts_local")
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    val t = (unix_micros(col("ts_utc")) / 1e6)
+    vars.foldLeft(wide) { (df, v) =>
+      val pv = last(col(v), ignoreNulls = true).over(before)
+      val pt = last(when(col(v).isNotNull, t), ignoreNulls = true).over(before)
+      val nv = first(col(v), ignoreNulls = true).over(after)
+      val nt = first(when(col(v).isNotNull, t), ignoreNulls = true).over(after)
+      val interp = pv + (nv - pv) * (t - pt) / (nt - pt)
+      df.withColumn(v,
+        when(col(v).isNotNull, col(v)).otherwise(
+          when(pv.isNotNull && nv.isNotNull && (nt - pt) <= maxGapSeconds,
+            round(interp, 4))))
+    }
+  }
+
   /** A9: resample the wide form to a coarser cadence. Aggregation per
     * variable follows the catalog kind: intensive → mean, extensive →
     * sum, coded → max (severity-biased). `target` is any Spark window

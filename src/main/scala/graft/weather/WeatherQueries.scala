@@ -117,6 +117,16 @@ object WeatherQueries {
       Features.hourlyFeatures(wide).orderBy("latitude", "ts_local")
     },
 
+    // gap filling: bounded linear interpolation of intensive variables
+    "wx14_interpolate" -> QueryDef.noOracle { (s, _) =>
+      val wide = WeatherOps.toWide(WeatherOps.readBlocks(s,
+        s"${WeatherEngine.defaultFixtureDir}/edge_dst_nulls.json"))
+      WeatherOps.interpolateGaps(wide)
+        .select("latitude", "longitude", "ts_local", "temperature_2m",
+          "relative_humidity_2m", "precipitation")
+        .orderBy("latitude", "ts_local")
+    },
+
     // §4 aggregate pushdown path: the source's pre-aggregated daily block
     "wx12_connector_daily" -> QueryDef.noOracle { (s, _) =>
       s.read.format("openmeteo")

@@ -108,6 +108,30 @@ class WeatherOpsSpec extends AnyFunSuite {
     assert(rolled.filter(col("temperature_2m_max").isNull).count() === 0)
   }
 
+  test("interpolateGaps fills bounded null gaps linearly, leaves long gaps null") {
+    val edge = WeatherOps.readBlocks(spark, s"${TestSpark.fixtures}/edge_dst_nulls.json")
+    val w = WeatherOps.toWide(edge)
+    // fixture: temps null at local 03:00–05:00, neighbors 10.82 @01:00
+    // and 18.8 @06:00 (02:00 skipped by DST ⇒ 5 h elapsed gap)
+    val filled = WeatherOps.interpolateGaps(w)
+    assert(filled.filter(col("temperature_2m").isNull).count() === 0)
+    val got = filled
+      .filter(col("ts_local").cast("string").startsWith("2024-03-31 0"))
+      .orderBy("ts_local").collect()
+      .map(r => r.getAs[java.time.LocalDateTime]("ts_local").getHour ->
+        r.getAs[Double]("temperature_2m")).toMap
+    assert(math.abs(got(3) - 14.012) < 1e-9, s"03:00 -> ${got(3)}")
+    assert(math.abs(got(4) - 15.608) < 1e-9, s"04:00 -> ${got(4)}")
+    assert(math.abs(got(5) - 17.204) < 1e-9, s"05:00 -> ${got(5)}")
+    // tighter budget than the 5 h gap: stays null
+    val strict = WeatherOps.interpolateGaps(w, maxGapSeconds = 3 * 3600L)
+    assert(strict.filter(col("temperature_2m").isNull).count() === 3)
+    // single shuffle for the whole fill
+    val plan = filled.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"expected one exchange:\n$plan")
+  }
+
   test("ML feature builder: lags, rolling means, calendar, target") {
     val feats = Features.hourlyFeatures(wide)
     assert(feats.count() === 2 * 7 * 24)
