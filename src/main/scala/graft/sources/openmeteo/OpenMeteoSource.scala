@@ -122,12 +122,21 @@ object OpenMeteoTable {
 
 class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var requiredSchema: StructType = OpenMeteoTable.wideSchema(opts)
   private var pushed: Array[Filter] = Array.empty
   private var tsLoMicros: Option[Long] = None
   private var tsHiMicros: Option[Long] = None // EXCLUSIVE upper micro bound
+  private var limit: Option[Int] = None
+
+  /** LIMIT reaches the scan: each partition stops fetching blocks once it
+    * has emitted `limit` rows (partial pushdown — Spark still applies the
+    * global limit), so a `LIMIT 10` over thousands of locations issues a
+    * handful of fetches instead of all of them.
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Column pruning ⇒ the connector's "variables" request param (P1). */
   override def pruneColumns(required: StructType): Unit =
@@ -172,11 +181,12 @@ class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new OpenMeteoScan(opts, requiredSchema, pushed, tsLoMicros, tsHiMicros)
+    new OpenMeteoScan(opts, requiredSchema, pushed, tsLoMicros, tsHiMicros, limit)
 }
 
 class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
-    pushed: Array[Filter], lo: Option[Long], hi: Option[Long])
+    pushed: Array[Filter], lo: Option[Long], hi: Option[Long],
+    limit: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = schema
@@ -188,7 +198,8 @@ class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
     val vars = schema.fieldNames.filter(catalog.contains)
     s"openmeteo gran=${opts.granKey} RequestedVariables: [${vars.mkString(",")}] " +
       s"PushedTimeRange: [${lo.getOrElse("-inf")}, ${hi.getOrElse("+inf")}] " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      limit.map(n => s" PushedLimit: $n").getOrElse("")
   }
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
@@ -225,7 +236,7 @@ class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OpenMeteoReaderFactory(opts, schema, lo, hi)
+    new OpenMeteoReaderFactory(opts, schema, lo, hi, limit)
 }
 
 final case class OpenMeteoPartition(blockIndices: Array[Int],
@@ -241,12 +252,12 @@ final case class ApiCallsTaskMetric(value: Long) extends CustomTaskMetric {
 }
 
 class OpenMeteoReaderFactory(opts: OpenMeteoOptions, schema: StructType,
-    lo: Option[Long], hi: Option[Long])
+    lo: Option[Long], hi: Option[Long], limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OpenMeteoPartition]
     // chunk bounds (already intersected with the pushed range at planning)
-    new OpenMeteoReader(opts, schema, p.lo, p.hi, p.blockIndices)
+    new OpenMeteoReader(opts, schema, p.lo, p.hi, p.blockIndices, limit)
   }
 }
 
@@ -261,10 +272,12 @@ class OpenMeteoReaderFactory(opts: OpenMeteoOptions, schema: StructType,
   */
 class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
     lo: Option[Long], hi: Option[Long],
-    blockIndices: Array[Int]) extends PartitionReader[InternalRow] {
+    blockIndices: Array[Int], limit: Option[Int] = None)
+    extends PartitionReader[InternalRow] {
 
   private var blockCursor = 0
   private var pos = -1
+  private var emitted = 0L
   private var times: Array[Long] = Array.empty
   private var keep: Array[Boolean] = Array.empty
   private var lat: Double = _
@@ -310,10 +323,12 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
   }
 
   override def next(): Boolean = {
+    // pushed limit: stop BEFORE fetching further blocks once satisfied
+    if (limit.exists(emitted >= _)) return false
     while (true) {
       pos += 1
       while (pos < times.length && !keep(pos)) pos += 1
-      if (pos < times.length) return true
+      if (pos < times.length) { emitted += 1; return true }
       if (blockCursor >= blockIndices.length) return false
       loadBlock(blockIndices(blockCursor))
       blockCursor += 1

@@ -162,6 +162,19 @@ class OpenMeteoSourceSpec extends AnyFunSuite {
     assert(df.count() === 2 * 7 * 24) // both blocks still fully read
   }
 
+  test("limit pushdown stops block fetches early") {
+    val before = CallCounters.get("forecast")
+    val df = spark.read.format("openmeteo")
+      .option("path", fixture).option("maxPartitions", "1").load()
+      .limit(5)
+    assert(df.count() === 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 5"), s"limit not pushed:\n$plan")
+    // single partition, 5 rows from the first block: exactly one fetch,
+    // the second block is never requested
+    assert(CallCounters.get("forecast") - before === 1)
+  }
+
   test("pushed date range splits into date-chunk partitions without dup or loss") {
     val df = spark.read.format("openmeteo")
       .option("path", fixture).option("chunkDays", "2").load()
