@@ -123,6 +123,38 @@ object PipelineQueries {
         .limit(50)
     },
 
+    // language-ID heuristic, oracle-checked: per-language stopword hit
+    // counts with argmax, ties to the alphabetically-first language, 'und'
+    // when nothing scores — mirrored exactly in DuckDB list lambdas.
+    "t9_lang_id" -> QueryDef.sql(
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> x <> '') AS ws
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu'], x))) AS de,
+        |    len(list_filter(ws, x -> list_contains(['the','and','is','of','to','in','that','it','with'], x))) AS en,
+        |    len(list_filter(ws, x -> list_contains(['el','la','los','las','es','de','que','y','en'], x))) AS es,
+        |    len(list_filter(ws, x -> list_contains(['le','la','les','est','et','des','une','que','dans'], x))) AS fr,
+        |    len(list_filter(ws, x -> list_contains(['de','shi','le','bu','wo','zai','you','ren','ta'], x))) AS zh
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+        |       WHEN de = greatest(de, en, es, fr, zh) THEN 'de'
+        |       WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
+        |       WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
+        |       WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.words(col("text"))).cast("long").as("n_words"),
+          TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
     // ---- dedup ------------------------------------------------------------
     "d1_dedup_exact" -> QueryDef.sql(
       """SELECT count(*) AS n_total, count(DISTINCT text) AS n_unique
