@@ -155,6 +155,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Fuzzy string matching: all distinct-value pairs within Levenshtein
+    * distance `maxDist` (vocabulary-level fuzzy dedup — titles, names,
+    * URLs). Blocking is LOSSLESS and EQUI: |len(a)−len(b)| ≤ maxDist is
+    * implied by dist ≤ maxDist, so side A explodes into its 2·maxDist+1
+    * length buckets and joins side B on B's exact length — a plain
+    * shuffle hash join, never an n² nested loop; each surviving pair is
+    * produced exactly once (B's bucket is unique per pair). The exact
+    * `levenshtein` verify runs only inside the banded candidates. At
+    * larger vocabularies, add the positional q-gram count filter
+    * (Gravano et al., VLDB'01) as a second equi-blocking stage before
+    * the verify.
+    */
+  def editDistancePairs(values: DataFrame, strCol: String,
+      maxDist: Int = 2): DataFrame = {
+    val v = values.select(col(strCol).cast("string").as("name")).distinct()
+    val a = v.select(col("name").as("name_a"))
+      .withColumn("bucket", explode(sequence(
+        length(col("name_a")) - maxDist, length(col("name_a")) + maxDist)))
+    val b = v.select(col("name").as("name_b"),
+      length(col("name_b")).as("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Connected components over a near-dup pair list → (id, cluster_id)
     * with cluster_id = the smallest member id (the canonical
     * representative, as in "keep lowest id per cluster" dedup policy).

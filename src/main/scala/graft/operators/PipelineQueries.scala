@@ -225,6 +225,19 @@ object PipelineQueries {
           min("doc_id").as("representative"))
         .filter(col("cluster_size") > 1)
         .orderBy(col("cluster_size").desc, col("cluster_id"))
+    },
+
+    // fuzzy vocabulary matching, oracle-checked: the banded equi-join +
+    // levenshtein verify must equal DuckDB's quadratic filter exactly
+    "d8_fuzzy_match" -> QueryDef.sql(
+      """WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM names a JOIN names b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+      Dedup.editDistancePairs(Tables.part(s, d), "p_name", maxDist = 2)
+        .orderBy("name_a", "name_b")
     }
   )
 }

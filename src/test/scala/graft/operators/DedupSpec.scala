@@ -56,6 +56,22 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sigs(0L), sigs(3L)) > 10)
   }
 
+  test("editDistancePairs: banded equi join finds exactly the close pairs") {
+    val vocab = Seq("spark", "spars", "sparkle", "flink", "plink", "duckdb")
+      .toDF("title")
+    val got = Dedup.editDistancePairs(vocab, "title", maxDist = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // spars↔sparkle is distance 3 (sub + 2 inserts): correctly excluded
+    assert(got === Set(
+      ("spark", "sparkle", 2L), ("spark", "spars", 1L),
+      ("flink", "plink", 1L)))
+    val plan = Dedup.editDistancePairs(vocab, "title", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"fuzzy join degraded to a nested loop:\n$plan")
+  }
+
   test("clusters: connected components resolve to the minimum member id") {
     // components: {1,2,3,4} via a chain, {10,11}, and 20-20 has no edges
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
