@@ -117,6 +117,32 @@ object WeatherQueries {
       Features.hourlyFeatures(wide).orderBy("latitude", "ts_local")
     },
 
+    // forecast-vs-actuals accuracy (batch twin of the stream-stream
+    // interval join): hourly forecasts ⋈ 15-min observations equi on
+    // (location, hour) — per-day MAE/bias of the temperature forecast
+    "wx15_forecast_accuracy" -> QueryDef.noOracle { (s, _) =>
+      val forecasts = WeatherOps.toWide(WeatherOps.readBlocks(s,
+        s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json"))
+        .select(col("latitude"), col("longitude"),
+          col("ts_local").as("hour"), col("temperature_2m").as("forecast_temp"))
+      val observed = WeatherOps.toWide(
+        WeatherOps.readBlocks(s,
+          s"${WeatherEngine.defaultFixtureDir}/minutely15_2d.json",
+          WeatherSchemas.GranMinutely15),
+        WeatherSchemas.GranMinutely15)
+        .select(col("latitude"), col("longitude"),
+          date_trunc("hour", col("ts_local")).cast("timestamp_ntz").as("hour"),
+          col("temperature_2m").as("observed_temp"))
+      observed.join(forecasts, Seq("latitude", "longitude", "hour"))
+        .groupBy(col("latitude"), col("longitude"),
+          to_date(col("hour")).as("date"))
+        .agg(round(avg(abs(col("observed_temp") - col("forecast_temp"))), 4)
+            .as("mae"),
+          round(avg(col("observed_temp") - col("forecast_temp")), 4).as("bias"),
+          count(lit(1)).as("n_obs"))
+        .orderBy("latitude", "date")
+    },
+
     // gap filling: bounded linear interpolation of intensive variables
     "wx14_interpolate" -> QueryDef.noOracle { (s, _) =>
       val wide = WeatherOps.toWide(WeatherOps.readBlocks(s,
