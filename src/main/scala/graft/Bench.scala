@@ -54,9 +54,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // The driver parses the LAST stdout line as JSON from a bounded tail
     // capture — the printed line must stay well under ~1.5 kB. Print the
-    // headline subset (slowest 24 queries, covering every operator family's
-    // cost center) on the wire; the complete per-query map goes to a file.
-    val headline = results.sortBy(-_._2).take(24)
+    // headline subset (every FAILED query first — a crash must never be
+    // invisible on the wire — then the slowest) and write the complete
+    // per-query map to a file.
+    val (failed, ok) = results.partition(_._2 < 0)
+    val headline = (failed ++ ok.sortBy(-_._2)).take(24)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}"""
     val wire = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$headline,"sf":"$sfDir"}"""

@@ -193,8 +193,9 @@ object Dedup {
     * components); `maxRounds` bounds pathological chains. This is the
     * join-based formulation of Kiveris et al.'s "Connected Components in
     * MapReduce" — no GraphX dependency, plain shuffles that AQE can size.
-    * Intermediate results are cached and the lineage cut every round, so
-    * the plan does not grow exponentially with iterations.
+    * Each round is localCheckpoint'ed: the plan re-roots at materialized
+    * partitions, so neither the recompute chain nor the logical plan tree
+    * grows with the iteration count.
     */
   def clusters(pairs: DataFrame, maxRounds: Int = 20,
       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
@@ -205,8 +206,12 @@ object Dedup {
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst")).cache()
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
+    // localCheckpoint (not cache!) each round: cache only short-circuits
+    // recomputation — the LOGICAL plan still grows ~3× per round and an
+    // O(3^rounds) plan tree OOMs the driver on long chains. Checkpointing
+    // truly re-roots the plan at the materialized partitions.
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -219,7 +224,7 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()
@@ -227,9 +232,23 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
+    // Plain min-propagation needs O(diameter) rounds — O(log n) holds for
+    // star-like near-dup graphs but NOT for long chains. Splitting one
+    // component into several silently corrupts dedup, so non-convergence
+    // is an error, not a warning.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds " +
+          "(component diameter exceeds the budget); raise maxRounds")
+    // Re-root the result on its own cache so (a) the caller holds THE
+    // cached handle and can unpersist it, and (b) unpersisting the loop's
+    // working set cannot trigger an O(rounds) lineage recompute later.
+    val out = labels.select(col("id"), col("label").as("cluster_id")).cache()
+    out.count()
+    labels.unpersist()
     edges.unpersist()
     fwd.unpersist()
-    labels.select(col("id"), col("label").as("cluster_id"))
+    out
   }
 
   /** End-to-end near-dup clustering: verified MinHash pairs → connected

@@ -220,10 +220,12 @@ object PipelineQueries {
     },
 
     "d7_neardup_clusters" -> QueryDef.noOracle { (s, d) =>
+      // cluster_id IS the minimum member id (clusters() invariant), so it
+      // doubles as the representative — no extra min aggregation
       Dedup.nearDupClusters(Tables.documents(s, d), threshold = 0.3)
-        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"),
-          min("doc_id").as("representative"))
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
         .filter(col("cluster_size") > 1)
+        .withColumn("representative", col("cluster_id"))
         .orderBy(col("cluster_size").desc, col("cluster_id"))
     },
 

@@ -144,11 +144,14 @@ object Relational4 {
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
       val cust = Tables.customer(s, d)
+      // scalar subquery as a broadcast single-row join: stays lazy, and a
+      // NULL avg (no positive balances) filters to empty exactly like SQL
       val avgBal = cust.filter(col("c_acctbal") > 0)
-        .agg(avg("c_acctbal")).collect()(0).getDouble(0)
+        .agg(avg("c_acctbal").as("avg_bal"))
       val bigSpenders = Tables.orders(s, d)
         .filter(col("o_totalprice") > 300000).select("o_custkey")
-      cust.filter(col("c_acctbal") > avgBal)
+      cust.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
         .join(bigSpenders, col("o_custkey") === col("c_custkey"), "left_anti")
         .groupBy((col("c_custkey") % 7).cast("long").as("bucket"))
         .agg(count(lit(1)).as("numcust"),

@@ -157,20 +157,25 @@ object Similarity {
     */
   def topKCosineIVF(embeddings: DataFrame, queryId: Long, k: Int,
       centroids: Array[Array[Double]], nProbe: Int = 4): DataFrame = {
-    val assigned = ivfAssign(embeddings, centroids)
-    val qVec = embeddings.filter(col("vec_id") === queryId)
-      .select(asDouble(col("embedding")).as("qv"))
-    val q = broadcast(qVec)
-    val qArr = qVec.collect()(0).getSeq[Double](0).toArray
+    // fetch the query vector ONCE; it is needed driver-side anyway to
+    // rank the probe lists, and embedding it as a literal spares the
+    // broadcast-join job. An absent queryId yields an empty result (same
+    // contract as topKCosine), not a crash.
+    val qRows = embeddings.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv")).limit(1).collect()
+    if (qRows.isEmpty)
+      return embeddings.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val qArr = qRows(0).getSeq[Double](0).toArray
     def dist(c: Array[Double]): Double =
       c.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
     val probeLists = centroids.zipWithIndex.sortBy { case (c, _) => dist(c) }
       .take(nProbe).map(_._2)
-    assigned.filter(col("vec_id") =!= queryId &&
+    val qLit = array(qArr.map(lit(_)): _*)
+    ivfAssign(embeddings, centroids)
+      .filter(col("vec_id") =!= queryId &&
         col("centroid_id").isin(probeLists.map(Int.box): _*))
-      .crossJoin(q)
       .select(col("vec_id"),
-        round(cosine(asDouble(col("embedding")), col("qv")), 6).as("sim"))
+        round(cosine(asDouble(col("embedding")), qLit), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }

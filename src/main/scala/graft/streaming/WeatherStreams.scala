@@ -126,25 +126,36 @@ object WeatherStreams {
       obs_ts: java.sql.Timestamp, observed_temp: Double)
 
   /** Stream-stream interval join (§2.8): pair each observation with the
-    * forecast for the valid hour it falls in, at the same location —
+    * forecast(s) for the valid hour it falls in, at the same location —
     * the forecast-accuracy stream (`README.md:18`'s "forecasts and
     * actuals" in one record). Both sides carry watermarks so Spark can
     * bound the join state: a forecast row is held only until the
     * watermark passes its valid hour + the join interval; observations
     * symmetrically. Inner join ⇒ append-mode output.
+    *
+    * REVISION CONTRACT: a valid hour is re-published every ~15 min, and
+    * an append-mode stream-stream join cannot consult "the latest
+    * revision so far" (that needs mutable state the join doesn't have) —
+    * so every matching revision emits a row, tagged with `issued_at`.
+    * Downstream pick the policy: max-`issued_at` per (location, hour,
+    * obs) in a `foreachBatch` merge ([[mergeBatch]]), or per-lead-time
+    * accuracy curves using (`ts_valid` − `issued_at`) directly — the
+    * revision axis is analytic signal, not noise.
     */
   def forecastVsObserved(forecasts: Dataset[Revision],
       observations: Dataset[Observation]): DataFrame = {
     val f = forecasts.toDF().withWatermark("ts_valid", "2 hours")
       .select(col("latitude").as("f_lat"), col("longitude").as("f_lon"),
-        col("ts_valid"), col("temperature_2m").as("forecast_temp"))
+        col("ts_valid"), col("issued_at"),
+        col("temperature_2m").as("forecast_temp"))
     val o = observations.toDF().withWatermark("obs_ts", "2 hours")
     o.join(f,
       col("f_lat") === col("latitude") && col("f_lon") === col("longitude") &&
         col("obs_ts") >= col("ts_valid") &&
         col("obs_ts") < col("ts_valid") + expr("INTERVAL 1 HOUR"))
       .select(col("latitude"), col("longitude"), col("ts_valid"),
-        col("obs_ts"), col("forecast_temp"), col("observed_temp"),
+        col("issued_at"), col("obs_ts"), col("forecast_temp"),
+        col("observed_temp"),
         round(col("observed_temp") - col("forecast_temp"), 4).as("error"))
   }
 }

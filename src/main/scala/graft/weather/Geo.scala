@@ -67,8 +67,13 @@ object Geo {
     // left join surfaces queries with no grid point within maxKm as rows
     // with null grid columns instead of silently dropping them.
     val keyed = queries.withColumn("__qid", monotonically_increasing_id())
+    // the box prune admits corners up to ~sqrt(2)*maxKm: the exact radial
+    // bound must ALSO be part of the join condition, so an in-box but
+    // out-of-range point resolves to the null (unmatched) row, not a match
     val joined = keyed.join(g,
-      (abs(col("g_lat") - col("latitude")) <= degTol) && (lonDist <= lonTol),
+      (abs(col("g_lat") - col("latitude")) <= degTol) && (lonDist <= lonTol) &&
+        (haversineKm(col("latitude"), col("longitude"),
+          col("g_lat"), col("g_lon")) <= maxKm),
       "left")
     val w = Window.partitionBy(col("__qid"))
       .orderBy(haversineKm(col("latitude"), col("longitude"),

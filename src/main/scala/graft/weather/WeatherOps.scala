@@ -134,10 +134,14 @@ object WeatherOps {
   /** Gap filling for ML feature prep (`README.md:18`): linearly
     * interpolate null measurement values between their nearest non-null
     * neighbors within the same location series, but only across gaps of
-    * at most `maxGapSeconds` of real elapsed time (ts_utc, so DST
-    * wall-clock jumps don't distort the weights). Values outside that
-    * bound — and leading/trailing nulls with only one neighbor — stay
-    * null: inventing data across long outages is worse than a gap.
+    * at most `maxGapSeconds`, measured on the ts_utc axis. Caveat: the
+    * payload carries ONE `utc_offset_seconds` per block (§1.2), so
+    * ts_utc is wall-clock shifted by a constant — a DST transition
+    * inside the series still distorts gap lengths by the DST hour
+    * (exact per-sample offsets would need a zone-rules lookup the
+    * payload doesn't provide). Values outside the budget — and
+    * leading/trailing nulls with only one neighbor — stay null:
+    * inventing data across long outages is worse than a gap.
     *
     * Interpolate INTENSIVE variables only (temperature, humidity, …);
     * extensive ones (precipitation sums) are zero-filled by nature, not

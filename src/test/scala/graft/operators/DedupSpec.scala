@@ -82,6 +82,15 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters: long chains converge given enough rounds, throw when capped") {
+    // a 12-node chain has diameter 11 — min-label propagation needs more
+    // than 3 rounds, and silent truncation must be an error
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ok = Dedup.clusters(chain, maxRounds = 15).collect()
+    assert(ok.forall(_.getLong(1) === 1L), "chain not fully labeled")
+    intercept[IllegalStateException](Dedup.clusters(chain, maxRounds = 3))
+  }
+
   test("nearDupClusters labels every doc; dups share a representative") {
     val labeled = Dedup.nearDupClusters(docs, threshold = 0.3)
     assert(labeled.count() === 5) // left join keeps singletons

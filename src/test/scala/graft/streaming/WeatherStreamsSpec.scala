@@ -30,6 +30,7 @@ class WeatherStreamsSpec extends AnyFunSuite {
     try {
       forecasts.addData(
         rev("2024-07-01 06:00:00", "2024-07-01 12:00:00", 20.0),
+        rev("2024-07-01 09:00:00", "2024-07-01 12:00:00", 20.6), // revision
         rev("2024-07-01 06:00:00", "2024-07-01 13:00:00", 22.0))
       obs.addData(
         Observation(50.0, 14.0, ts("2024-07-01 12:30:00"), 21.0), // in hour 12
@@ -37,11 +38,14 @@ class WeatherStreamsSpec extends AnyFunSuite {
         Observation(60.0, 10.0, ts("2024-07-01 12:15:00"), 5.0))  // other loc
       q.processAllAvailable()
       val out = spark.table("fva_out").collect()
-      assert(out.length === 1, s"expected one match, got ${out.toSeq}")
-      val r = out(0)
-      assert(r.getAs[Double]("forecast_temp") === 20.0)
-      assert(r.getAs[Double]("observed_temp") === 21.0)
-      assert(r.getAs[Double]("error") === 1.0)
+      // REVISION CONTRACT: both revisions of hour 12 emit, tagged with
+      // issued_at; downstream picks latest (or lead-time curves)
+      assert(out.length === 2, s"expected both revisions, got ${out.toSeq}")
+      val byIssue = out.map(r =>
+        r.getAs[java.sql.Timestamp]("issued_at") -> r.getAs[Double]("error")).toMap
+      assert(byIssue(ts("2024-07-01 06:00:00")) === 1.0)
+      assert(math.abs(byIssue(ts("2024-07-01 09:00:00")) - 0.4) < 1e-9)
+      assert(out.forall(_.getAs[Double]("observed_temp") === 21.0))
     } finally q.stop()
   }
 

@@ -35,6 +35,16 @@ class GeoSpec extends AnyFunSuite {
       === Seq("cell_b"))
   }
 
+  test("in-box but out-of-radius grid points resolve to null, not a match") {
+    // grid point at the box corner: |dlat|≈0.85°(≈95 km), |dlon|≈1.30°
+    // (≈91 km at 50°N) — inside the bounding box but haversine ≈131 km
+    val cornerGrid = Seq((50.85, 15.73, "corner")).toDF("latitude", "longitude", "cell")
+    val q = Seq((50.0, 14.43)).toDF("latitude", "longitude")
+    val out = Geo.nearestGridPoint(q, cornerGrid, maxKm = 100.0).collect()(0)
+    assert(out.isNullAt(out.fieldIndex("cell")),
+      s"out-of-radius corner point matched: $out")
+  }
+
   test("queries with no grid point within maxKm surface with null grid columns") {
     val q = Seq((50.07, 14.43), (-33.86, 151.21)).toDF("latitude", "longitude")
     val out = Geo.nearestGridPoint(q, grid, maxKm = 100.0)

@@ -112,7 +112,8 @@ class WeatherOpsSpec extends AnyFunSuite {
     val edge = WeatherOps.readBlocks(spark, s"${TestSpark.fixtures}/edge_dst_nulls.json")
     val w = WeatherOps.toWide(edge)
     // fixture: temps null at local 03:00–05:00, neighbors 10.82 @01:00
-    // and 18.8 @06:00 (02:00 skipped by DST ⇒ 5 h elapsed gap)
+    // and 18.8 @06:00 — a 5 h gap on the single-offset ts_utc axis (the
+    // DST hour skipped at 02:00 is NOT visible to a per-block offset)
     val filled = WeatherOps.interpolateGaps(w)
     assert(filled.filter(col("temperature_2m").isNull).count() === 0)
     val got = filled
