@@ -106,17 +106,64 @@ object DailyRollupPushdown extends Rule[LogicalPlan] {
 
     // Map every output expression to a column of the daily scan; any
     // unrecognized expression aborts the whole rewrite.
-    def dailyVarFor(e: Expression): Option[String] = inline(e) match {
+    def stripCasts(e: Expression): Expression = e match {
+      case Cast(c, _, _, _) => stripCasts(c)
+      case other => other
+    }
+    def numLit(e: Expression): Option[Double] = stripCasts(e) match {
+      case Literal(v: Int, _)    => Some(v.toDouble)
+      case Literal(v: Long, _)   => Some(v.toDouble)
+      case Literal(v: Double, _) => Some(v)
+      case Literal(v: Float, _)  => Some(v.toDouble)
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) => Some(d.toDouble)
+      case _ => None
+    }
+    // sum(when(attr > threshold, thenV).otherwise(elseV)) →
+    // (attr name, threshold, thenV, elseV)
+    def sumOfCase(e: Expression): Option[(String, Double, Double, Double)] =
+      stripCasts(e) match {
+        case AggregateExpression(Sum(c, _), _, false, None, _) =>
+          stripCasts(c) match {
+            case CaseWhen(Seq((GreaterThan(a, thr), thenE)), Some(elseE)) =>
+              (stripCasts(a), numLit(thr), numLit(thenE), numLit(elseE)) match {
+                case (attr: AttributeReference, Some(t), Some(v1), Some(v0)) =>
+                  Some((attr.name, t, v1, v0))
+                case _ => None
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+    def dailyVarFor(e: Expression): Option[String] = stripCasts(inline(e)) match {
       case AggregateExpression(Max(a: AttributeReference), _, false, None, _) =>
         maxVars.get(a.name)
       case AggregateExpression(Min(a: AttributeReference), _, false, None, _) =>
         minVars.get(a.name)
-      case r: Round => (r.child, r.scale) match {
+      case r: Round => ((r.child, r.scale) match {
         case (AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _),
             Literal(2, _)) => sumVars.get(a.name)
         case _ => None
+      }).orElse((sumOfCase(r.child), numLit(r.scale)) match {
+        // A6: round(sum(when(shortwave_radiation > 120, 3600).otherwise(0)), 1)
+        case (Some(("shortwave_radiation", 120.0, 3600.0, 0.0)), Some(1.0)) =>
+          Some("sunshine_duration")
+        case _ => None
+      })
+      // A4: sum(when(precipitation > 0, 1).otherwise(0)) * 1.0 — hourly
+      // cadence only (any other slot multiplier bails)
+      case m: Multiply =>
+        val sides = Seq((m.left, m.right), (m.right, m.left))
+        sides.collectFirst {
+          case (factor, sumSide)
+              if numLit(factor).contains(1.0) &&
+                sumOfCase(sumSide).contains(("precipitation", 0.0, 1.0, 0.0)) =>
+            "precipitation_hours"
+        }
+      case other => sumOfCase(other) match {
+        // bare slot-count sum (multiplier folded away entirely)
+        case Some(("precipitation", 0.0, 1.0, 0.0)) => Some("precipitation_hours")
+        case _ => None
       }
-      case _ => None
     }
 
     sealed trait Target
@@ -147,12 +194,16 @@ object DailyRollupPushdown extends Rule[LogicalPlan] {
       dailyRelation.output.find(_.name == name)
 
     // Re-alias daily columns to the aggregate's original output exprIds so
-    // every parent reference keeps resolving.
+    // every parent reference keeps resolving. Type equality is required —
+    // cast-stripping during recognition must never change the output type.
+    def aliased(attrName: String, ne: NamedExpression): Option[NamedExpression] =
+      dailyAttr(attrName).filter(_.dataType == ne.dataType)
+        .map(Alias(_, ne.name)(ne.exprId))
     val projectList: Seq[Option[NamedExpression]] = resolved.map {
-      case (ne, LatT)    => dailyAttr("latitude").map(Alias(_, ne.name)(ne.exprId))
-      case (ne, LonT)    => dailyAttr("longitude").map(Alias(_, ne.name)(ne.exprId))
-      case (ne, DateT)   => dailyAttr("date").map(Alias(_, ne.name)(ne.exprId))
-      case (ne, VarT(v)) => dailyAttr(v).map(Alias(_, ne.name)(ne.exprId))
+      case (ne, LatT)    => aliased("latitude", ne)
+      case (ne, LonT)    => aliased("longitude", ne)
+      case (ne, DateT)   => aliased("date", ne)
+      case (ne, VarT(v)) => aliased(v, ne)
     }
     if (projectList.exists(_.isEmpty)) None
     else Some(Project(projectList.flatten, dailyRelation))

@@ -57,6 +57,41 @@ class DailyRollupPushdownSpec extends AnyFunSuite {
     assert(pushed.map(_.toString).toSeq === native.map(_.toString).toSeq)
   }
 
+  test("sum-of-case shapes (precipitation_hours, sunshine_duration) push down too") {
+    val slotHours = lit(1.0)
+    val df = hourly()
+      .groupBy(col("latitude"), col("longitude"),
+        to_date(col("ts_local")).as("date"))
+      .agg(
+        (sum(when(col("precipitation") > 0, 1).otherwise(0)) * slotHours)
+          .cast("double").as("precipitation_hours"),
+        round(sum(when(col("shortwave_radiation") > 120, lit(3600.0))
+          .otherwise(0.0)), 1).as("sunshine_duration"),
+        max("uv_index").as("uv_index_max"))
+    assert(scanGrans(df) === Seq(WeatherSchemas.GranDaily),
+      s"sum-of-case not recognized, plan:\n${df.queryExecution.optimizedPlan}")
+    // equals the native JSON-path aggregation
+    val native = WeatherOps.toWide(WeatherOps.readBlocks(spark, fixture))
+      .groupBy(col("latitude"), col("longitude"), to_date(col("ts_local")).as("date"))
+      .agg((sum(when(col("precipitation") > 0, 1).otherwise(0)) * slotHours)
+          .cast("double").as("precipitation_hours"),
+        round(sum(when(col("shortwave_radiation") > 120, lit(3600.0))
+          .otherwise(0.0)), 1).as("sunshine_duration"),
+        max("uv_index").as("uv_index_max"))
+      .orderBy("latitude", "date").collect()
+    val pushed = df.orderBy("latitude", "date").collect()
+    assert(pushed.map(_.toString).toSeq === native.map(_.toString).toSeq)
+  }
+
+  test("15-minute slot multiplier is NOT recognized (daily block is hourly-derived)") {
+    val df = hourly()
+      .groupBy(col("latitude"), col("longitude"),
+        to_date(col("ts_local")).as("date"))
+      .agg((sum(when(col("precipitation") > 0, 1).otherwise(0)) * lit(0.25))
+        .cast("double").as("precipitation_hours"))
+    assert(scanGrans(df) === Seq(WeatherSchemas.GranHourly))
+  }
+
   test("unrecognized aggregate (avg) bails out and keeps the hourly scan") {
     val df = hourly()
       .groupBy(col("latitude"), col("longitude"),
