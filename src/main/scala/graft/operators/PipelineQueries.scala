@@ -219,6 +219,15 @@ object PipelineQueries {
       Similarity.topKCosineIVF(emb, queryId = 0L, k = 20, centroids, nProbe = 4)
     },
 
+    // compressed-index search: int8-quantized vectors (4× smaller),
+    // reconstructed on the fly for the cosine ranking
+    "s5_quantized_topk" -> QueryDef.noOracle { (s, d) =>
+      val dq = Similarity.dequantizeInt8(
+        Similarity.quantizeInt8(Tables.embeddings(s, d)))
+        .select(col("vec_id"), col("embedding_dq").as("embedding"))
+      Similarity.topKCosine(dq, queryId = 0L, k = 20)
+    },
+
     "d7_neardup_clusters" -> QueryDef.noOracle { (s, d) =>
       // cluster_id IS the minimum member id (clusters() invariant), so it
       // doubles as the representative — no extra min aggregation

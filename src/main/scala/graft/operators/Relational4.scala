@@ -234,5 +234,20 @@ object Relational4 {
       Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
         .orderBy("l_orderkey", "l_linenumber")
         .offset(500).limit(100)
+    },
+
+    // ---- bitwise scalar family ------------------------------------------
+    "sc16_bitwise" -> QueryDef.sql(
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS b_and, o_orderkey | 15 AS b_or,
+        |  xor(o_orderkey, 85) AS b_xor,
+        |  CAST(o_orderkey % 64 AS BIGINT) << 2 AS b_shl
+        |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(255).as("b_and"),
+        col("o_orderkey").bitwiseOR(15).as("b_or"),
+        col("o_orderkey").bitwiseXOR(85).as("b_xor"),
+        shiftleft((col("o_orderkey") % 64).cast("long"), 2).cast("long").as("b_shl"))
+        .orderBy("o_orderkey").limit(2000)
     })
 }

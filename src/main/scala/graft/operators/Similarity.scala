@@ -106,6 +106,30 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- int8 quantization (index compression) ----------------------------
+
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =
+    * round(x_i / scale). Cuts index memory/IO 4× for ANN at scale (the
+    * standard faiss-style SQ8 layout); reconstruction error per element
+    * is ≤ scale/2. All native `transform`/`aggregate` expressions.
+    * Output: `q` array<tinyint> + `q_scale` double alongside the id.
+    */
+  def quantizeInt8(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val maxAbs = aggregate(v, lit(0.0),
+      (acc, x) => greatest(acc, abs(x)))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+    embeddings
+      .withColumn("q_scale", scale)
+      .withColumn("q", transform(v,
+        x => round(x / col("q_scale"), 0).cast("tinyint")))
+  }
+
+  /** Reconstruct approximate double vectors from the int8 form. */
+  def dequantizeInt8(quantized: DataFrame, outCol: String = "embedding_dq"): DataFrame =
+    quantized.withColumn(outCol,
+      transform(col("q"), q => q.cast("double") * col("q_scale")))
+
   // ---- IVF (inverted-file) ANN ------------------------------------------
 
   /** Squared L2 distance between a vector column and a literal centroid. */

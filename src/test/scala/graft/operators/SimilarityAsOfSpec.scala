@@ -57,6 +57,25 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall too low for nProbe=3/8")
   }
 
+  test("int8 quantization: bounded reconstruction error, cosine preserved") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(200)
+    val dq = Similarity.dequantizeInt8(Similarity.quantizeInt8(emb))
+    // per-element error ≤ q_scale/2 (+ float32 input noise)
+    val overBound = org.apache.spark.sql.functions.zip_with(
+      Similarity.asDouble(col("embedding")), col("embedding_dq"),
+      (a, b) => abs(a - b) > col("q_scale") * 0.5 + lit(1e-6))
+    val viol = dq.filter(
+      org.apache.spark.sql.functions.exists(overBound, b => b)).count()
+    assert(viol === 0, s"$viol vectors exceed the quantization error bound")
+    // cosine(original, reconstructed) stays ≈ 1
+    val minCos = dq.select(org.apache.spark.sql.functions.min(
+      Similarity.cosine(Similarity.asDouble(col("embedding")),
+        col("embedding_dq")))).collect()(0).getDouble(0)
+    assert(minCos > 0.995, s"quantization destroyed similarity: min cosine $minCos")
+    // tinyint payload
+    assert(dq.schema("q").dataType.simpleString === "array<tinyint>")
+  }
+
   test("as-of join picks the latest at-or-earlier build row per key") {
     val build = Seq(
       ("a", "2024-01-01 00:00:00", 1.0),
