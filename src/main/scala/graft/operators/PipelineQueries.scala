@@ -148,10 +148,13 @@ object PipelineQueries {
         |       WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
         |       ELSE 'zh' END AS lang_pred
         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // fused TextStats expression, NOT the HOF langId: one imperative
+      // pass per document (the HOF path measured 5.4 s vs 0.3 s at sf0.1)
       Tables.documents(s, d)
         .select(col("doc_id"),
-          size(TextFunctions.words(col("text"))).cast("long").as("n_words"),
-          TextFunctions.langId(col("text")).as("lang_pred"))
+          graft.functions.TextStats.textStats(col("text")).as("st"))
+        .select(col("doc_id"), col("st.n_words").cast("long").as("n_words"),
+          col("st.lang_pred").as("lang_pred"))
         .orderBy("doc_id")
     },
 

@@ -52,4 +52,33 @@ object Scale {
       .sortBy(key)
       .option("path", s"${sys.props("java.io.tmpdir")}/graft_bucketed/$table")
       .saveAsTable(table)
+
+  /** Materialize a training corpus as token-budgeted shards: documents
+    * are packed by running-sum binning within each `shardKeyCol` group
+    * (same rule as the t6 probe), then written
+    * `partitionBy(shardKey, pack_id)` with deterministic in-file order —
+    * every (source, pack) directory is one reproducible training shard a
+    * loader can consume independently. The cumulative sum windows per
+    * source (never globally — a global cumsum serializes at scale), and
+    * the pre-write repartition lines partitions up with output
+    * directories so each shard is written by exactly one task.
+    */
+  def writeTrainingShards(docs: DataFrame, outDir: String,
+      tokensPerShard: Int = 512, textCol: String = "text",
+      idCol: String = "doc_id", shardKeyCol: String = "source"): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(shardKeyCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens",
+        graft.functions.TextFunctions.tokenCount(col(textCol)))
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / tokensPerShard)
+          .cast("long"))
+      .repartition(col(shardKeyCol), col("pack_id"))
+      .sortWithinPartitions(idCol)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(shardKeyCol, "pack_id")
+      .parquet(outDir)
+  }
 }

@@ -58,4 +58,31 @@ class ScaleSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("training-shard writer: token-budgeted, partition-per-shard, deterministic") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+    Scale.writeTrainingShards(docs, out, tokensPerShard = 512)
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count(), "shard write lost documents")
+    // every (source, pack) shard respects budget + one overflowing doc
+    val sums = back.groupBy("source", "pack_id")
+      .agg(sum("n_tokens").as("tok"), max("n_tokens").as("mx")).collect()
+    sums.foreach { r =>
+      assert(r.getLong(r.fieldIndex("tok")) <=
+        512 + r.getLong(r.fieldIndex("mx")),
+        s"shard over budget: $r")
+    }
+    // physical layout: one directory per (source, pack)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("source=")))
+    // deterministic: second write produces identical shard assignment
+    val out2 = java.nio.file.Files.createTempDirectory("graft_shards2").toString
+    Scale.writeTrainingShards(docs, out2, tokensPerShard = 512)
+    val a = back.select("doc_id", "pack_id").orderBy("doc_id").collect().toSeq
+    val b = spark.read.parquet(out2).select("doc_id", "pack_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(a.map(_.toString) === b.map(_.toString))
+  }
 }
