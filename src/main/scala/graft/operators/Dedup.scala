@@ -210,6 +210,15 @@ object Dedup {
     // recomputation — the LOGICAL plan still grows ~3× per round and an
     // O(3^rounds) plan tree OOMs the driver on long chains. Checkpointing
     // truly re-roots the plan at the materialized partitions.
+    // Dataset.unpersist() is a no-op for checkpointed data (it lives at
+    // the RDD level, below the CacheManager): release each round's blocks
+    // through the LogicalRDD's own RDD handle.
+    def releaseCheckpoint(ds: DataFrame): Unit =
+      ds.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ =>
+      }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var converged = false
@@ -227,7 +236,7 @@ object Dedup {
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
+      releaseCheckpoint(labels)
       labels = next
       converged = changed == 0
       round += 1
@@ -245,7 +254,7 @@ object Dedup {
     // working set cannot trigger an O(rounds) lineage recompute later.
     val out = labels.select(col("id"), col("label").as("cluster_id")).cache()
     out.count()
-    labels.unpersist()
+    releaseCheckpoint(labels)
     edges.unpersist()
     fwd.unpersist()
     out

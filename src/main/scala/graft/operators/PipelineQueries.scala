@@ -83,15 +83,10 @@ object PipelineQueries {
         |SELECT doc_id, source, n_tokens,
         |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("cum", sum("n_tokens").over(w))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          floor((col("cum") - col("n_tokens")) / 512).cast("long").as("pack_id"))
+      // single source of truth: the same Scale.packTokens the shard
+      // writer materializes with
+      Scale.packTokens(Tables.documents(s, d), tokensPerShard = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
         .orderBy("doc_id")
     },
 

@@ -53,32 +53,44 @@ object Scale {
       .option("path", s"${sys.props("java.io.tmpdir")}/graft_bucketed/$table")
       .saveAsTable(table)
 
-  /** Materialize a training corpus as token-budgeted shards: documents
-    * are packed by running-sum binning within each `shardKeyCol` group
-    * (same rule as the t6 probe), then written
-    * `partitionBy(shardKey, pack_id)` with deterministic in-file order —
-    * every (source, pack) directory is one reproducible training shard a
-    * loader can consume independently. The cumulative sum windows per
-    * source (never globally — a global cumsum serializes at scale), and
-    * the pre-write repartition lines partitions up with output
-    * directories so each shard is written by exactly one task.
+  /** Token-budget pack assignment (ONE definition — the t6 probe and the
+    * shard writer share it): running-sum binning of `tokenCount(text)`
+    * within each `shardKeyCol` group, ordered by `idCol`. The cumulative
+    * sum windows per group, never globally — a global cumsum serializes
+    * at scale. Null/absent text counts as 0 tokens so every document
+    * lands in a real pack (a null pack_id would silently route rows to
+    * the Hive default partition at write time).
     */
-  def writeTrainingShards(docs: DataFrame, outDir: String,
-      tokensPerShard: Int = 512, textCol: String = "text",
-      idCol: String = "doc_id", shardKeyCol: String = "source"): Unit = {
+  def packTokens(docs: DataFrame, tokensPerShard: Int = 512,
+      textCol: String = "text", idCol: String = "doc_id",
+      shardKeyCol: String = "source"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(shardKeyCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("n_tokens",
-        graft.functions.TextFunctions.tokenCount(col(textCol)))
+        coalesce(graft.functions.TextFunctions.tokenCount(col(textCol)), lit(0L)))
       .withColumn("pack_id",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / tokensPerShard)
           .cast("long"))
+  }
+
+  /** Materialize a training corpus as token-budgeted shards via
+    * [[packTokens]], written `partitionBy(shardKey, pack_id)` — every
+    * (source, pack) directory is one reproducible training shard a
+    * loader can consume independently. The pre-write repartition lines
+    * tasks up with output directories (one shard = one task), and
+    * sortWithinPartitions covers the dynamic-partition writer's required
+    * (shardKey, pack_id) prefix PLUS idCol — the writer then inserts no
+    * sort of its own, so in-file document order is pinned run-to-run.
+    */
+  def writeTrainingShards(docs: DataFrame, outDir: String,
+      tokensPerShard: Int = 512, textCol: String = "text",
+      idCol: String = "doc_id", shardKeyCol: String = "source"): Unit =
+    packTokens(docs, tokensPerShard, textCol, idCol, shardKeyCol)
       .repartition(col(shardKeyCol), col("pack_id"))
-      .sortWithinPartitions(idCol)
+      .sortWithinPartitions(col(shardKeyCol), col("pack_id"), col(idCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(shardKeyCol, "pack_id")
       .parquet(outDir)
-  }
 }
