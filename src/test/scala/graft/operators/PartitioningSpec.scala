@@ -28,6 +28,27 @@ class PartitioningSpec extends AnyFunSuite {
     assert(read.count() === expected && expected > 0)
   }
 
+  test("IVF index written partitionBy(centroid_id) prunes probe lists at the scan") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val centroids = Similarity.ivfCentroids(emb, nCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.ivfAssign(emb, centroids)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+
+    val probed = spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(0, 3))
+    val plan = probed.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [centroid_id") ||
+      plan.contains("PartitionFilters: [isnotnull(centroid_id") ||
+      (plan.contains("PartitionFilters") && plan.contains("centroid_id IN")),
+      s"probe-list filter not pruning partitions:\n$plan")
+    // the probed subset is exactly those two lists
+    val expected = Similarity.ivfAssign(emb, centroids)
+      .filter(col("centroid_id").isin(0, 3)).count()
+    assert(probed.count() === expected && expected > 0)
+    assert(probed.count() < emb.count(), "probe did not shrink the scan")
+  }
+
   test("AQE splits skewed join partitions at runtime") {
     import spark.implicits._
     // no manual repartition: AQE only rewrites ENSURE_REQUIREMENTS shuffles
