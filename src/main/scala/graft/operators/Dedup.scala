@@ -229,16 +229,24 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("label").as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      releaseCheckpoint(labels)
-      labels = next
-      converged = changed == 0
+      // convergence is decidable from neighborMin alone (a node changes
+      // iff some neighbor carries a smaller label) — checked BEFORE
+      // building the next generation, so the confirming round costs one
+      // join instead of a full materialize-compare cycle
+      val changed = labels.join(neighborMin, Seq("id"))
+        .filter(col("nbr_label") < col("label")).limit(1).count()
+      if (changed == 0) converged = true
+      else {
+        val next = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label")))
+              .as("label"))
+          .localCheckpoint()
+        releaseCheckpoint(labels)
+        labels = next
+      }
+      releaseCheckpoint(neighborMin)
       round += 1
     }
     // Plain min-propagation needs O(diameter) rounds — O(log n) holds for
