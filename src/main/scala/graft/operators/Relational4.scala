@@ -236,6 +236,58 @@ object Relational4 {
         .offset(500).limit(100)
     },
 
+    // ---- TPC-H Q17 shape: correlated scalar avg per group ---------------
+    "q17_small_quantity" -> QueryDef.sql(
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+        |WHERE p.p_brand = 'Brand#13'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l.l_partkey)""".stripMargin) { (s, d) =>
+      val partAvg = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((avg("l_quantity") * 0.2).as("qty_cap"))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_brand") === "Brand#13"),
+          col("p_partkey") === col("l_partkey"))
+        .join(partAvg, col("ap_partkey") === col("l_partkey"))
+        .filter(col("l_quantity") < col("qty_cap"))
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    },
+
+    // ---- TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation --------
+    // Catalyst plans the two correlated subqueries as a left-semi and a
+    // left-anti join on the shared order key with residual conditions.
+    "q21_waiting_supplier" -> QueryDef.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin) { (s, d) =>
+      val l2 = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+          col("l_shipdate").as("d3"))
+      Tables.supplier(s, d)
+        .join(Tables.lineitem(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(l2, col("o2") === col("l_orderkey") &&
+          col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("o3") === col("l_orderkey") &&
+          col("s3") =!= col("l_suppkey") &&
+          col("d3") > col("l_shipdate"), "left_anti")
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+
     // ---- bitwise scalar family ------------------------------------------
     "sc16_bitwise" -> QueryDef.sql(
       """SELECT o_orderkey,

@@ -23,7 +23,8 @@ class SqlParitySpec extends AnyFunSuite {
     "q2_min_supplier", "q13_cust_distribution", "q14_promo_share",
     "q16_supplier_cnt", "q18_large_orders", "q19_disjunctive",
     "q22_idle_customers", "u5_grouping_sets", "w8_ntile", "w9_range_frame",
-    "j9_band_join", "o2_limit_offset")
+    "j9_band_join", "o2_limit_offset", "q17_small_quantity",
+    "q21_waiting_supplier")
 
   private def registerViews(): Unit =
     Tables.names.foreach { t =>
