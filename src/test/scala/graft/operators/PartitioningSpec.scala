@@ -37,16 +37,17 @@ class PartitioningSpec extends AnyFunSuite {
 
     val probed = spark.read.parquet(dir)
       .filter(col("centroid_id").isin(0, 3))
-    val plan = probed.queryExecution.executedPlan.toString()
-    assert(plan.contains("PartitionFilters: [centroid_id") ||
-      plan.contains("PartitionFilters: [isnotnull(centroid_id") ||
-      (plan.contains("PartitionFilters") && plan.contains("centroid_id IN")),
-      s"probe-list filter not pruning partitions:\n$plan")
     // the probed subset is exactly those two lists
     val expected = Similarity.ivfAssign(emb, centroids)
       .filter(col("centroid_id").isin(0, 3)).count()
-    assert(probed.count() === expected && expected > 0)
-    assert(probed.count() < emb.count(), "probe did not shrink the scan")
+    val probedCount = probed.count()
+    assert(probedCount === expected && expected > 0)
+    assert(probedCount < emb.count(), "probe did not shrink the scan")
+    // plan asserted AFTER execution (final adaptive plan — CLAUDE.md rule)
+    val plan = probed.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [centroid_id") ||
+      plan.contains("PartitionFilters: [isnotnull(centroid_id"),
+      s"probe-list filter not pruning partitions:\n$plan")
   }
 
   test("AQE splits skewed join partitions at runtime") {
