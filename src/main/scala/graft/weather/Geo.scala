@@ -40,6 +40,28 @@ object Geo {
       .drop("best")
   }
 
+  /** Morton (Z-order) code of a (lat, lon) point at `bits` bits per axis:
+    * interleaves the quantized axes so points close on the curve are
+    * close in BOTH dimensions. Sorting/range-partitioning a geo table by
+    * this key before writing gives every parquet file a compact lat AND
+    * lon bounding box, so min/max row-group statistics prune 2-D box
+    * queries — the standard Z-order data-layout trick (Delta/Iceberg
+    * OPTIMIZE ZORDER), here as a plain column expression. Linear tree:
+    * one OR pair per bit.
+    */
+  def mortonCode(lat: Column, lon: Column, bits: Int = 12): Column = {
+    val scaleMax = (1L << bits) - 1
+    val qLat = least(floor((lat + 90.0) / 180.0 * (1L << bits)),
+      lit(scaleMax)).cast("long")
+    val qLon = least(floor((lon + 180.0) / 360.0 * (1L << bits)),
+      lit(scaleMax)).cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(qLat.bitwiseAND(lit(1L << i)), i + 1))
+        .bitwiseOR(shiftleft(qLon.bitwiseAND(lit(1L << i)), i))
+    }
+  }
+
   /** J4: map each query point to the nearest grid point. The grid side is
     * small (model grid cells for the region of interest) → broadcast;
     * candidate pruning by a bounding box of `maxKm` before the exact

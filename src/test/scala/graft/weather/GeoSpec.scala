@@ -45,6 +45,30 @@ class GeoSpec extends AnyFunSuite {
       s"out-of-radius corner point matched: $out")
   }
 
+  test("mortonCode: interleaving is monotone per axis and clusters 2-D files") {
+    import org.apache.spark.sql.functions.{input_file_name, max => smax, min => smin}
+    // synthetic world grid of points
+    val pts = (for { la <- -80 to 80 by 4; lo <- -170 to 170 by 4 }
+      yield (la.toDouble, lo.toDouble)).toDF("latitude", "longitude")
+    // write range-partitioned by the Z-order key: 16 files
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    pts.withColumn("z", Geo.mortonCode(col("latitude"), col("longitude")))
+      .repartitionByRange(16, col("z"))
+      .write.mode("overwrite").parquet(dir)
+    // every file's lat AND lon bounding box must be a small fraction of
+    // the globe — the property min/max pruning relies on
+    val boxes = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((smax("latitude") - smin("latitude")).as("dlat"),
+        (smax("longitude") - smin("longitude")).as("dlon"))
+      .collect()
+    assert(boxes.length >= 8)
+    val avgArea = boxes.map(r => r.getDouble(1) * r.getDouble(2)).sum / boxes.length
+    val worldArea = 160.0 * 340.0
+    assert(avgArea < worldArea / 4,
+      f"files not spatially clustered: avg bbox $avgArea%.0f vs world $worldArea%.0f")
+  }
+
   test("queries with no grid point within maxKm surface with null grid columns") {
     val q = Seq((50.07, 14.43), (-33.86, 151.21)).toDF("latitude", "longitude")
     val out = Geo.nearestGridPoint(q, grid, maxKm = 100.0)
