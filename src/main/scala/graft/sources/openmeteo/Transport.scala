@@ -97,6 +97,55 @@ final class LineOfflineTransport(path: String, wanted: Array[Int],
   }
 }
 
+/** Live HTTP transport (S1/S2): GET `baseUrl?params` via the JDK HTTP
+  * client — the drop-in production implementation of the seam the
+  * offline transports stand in for. Error classification mirrors the
+  * reference exactly (`server.py:68-93`):
+  *  - timeouts / connection failures → [[TransientTransportException]]
+  *    (retryable — [[RetryingTransport]] wraps this)
+  *  - HTTP 4xx → [[FatalTransportException]] with body diagnostics
+  *    (fail fast, no retry, `server.py:80-82`)
+  *  - HTTP 5xx → transient (the remote may recover)
+  * The client is per-instance and `@transient lazy`: each executor
+  * builds its own pooled client on first fetch (the reference's single
+  * shared `httpx.AsyncClient`, `server.py:39-40`, per JVM).
+  */
+final class HttpTransport(baseUrl: String, timeoutMs: Long = 30000L)
+    extends Transport {
+
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .build()
+
+  override def fetch(params: Map[String, String]): String = {
+    val qs = params.toSeq.sortBy(_._1).map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+        java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("&")
+    val uri = java.net.URI.create(
+      if (qs.isEmpty) baseUrl else s"$baseUrl?$qs")
+    val req = java.net.http.HttpRequest.newBuilder(uri)
+      .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
+    CallCounters.inc("http")
+    val resp =
+      try client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      catch {
+        case e: java.net.http.HttpTimeoutException =>
+          throw new TransientTransportException(s"timeout: ${e.getMessage}")
+        case e: java.io.IOException =>
+          throw new TransientTransportException(s"network: ${e.getMessage}")
+      }
+    resp.statusCode() match {
+      case c if c >= 200 && c < 300 => resp.body()
+      case c if c >= 400 && c < 500 =>
+        throw new FatalTransportException(
+          s"HTTP $c: ${resp.body().take(200)}")
+      case c => throw new TransientTransportException(s"HTTP $c")
+    }
+  }
+}
+
 /** Exponential-backoff retry policy (S4). `backoffBaseMs` is injectable so
   * tests run instantly; production default mirrors the reference (1 s base,
   * doubling, 3 retries + final fallback attempt).

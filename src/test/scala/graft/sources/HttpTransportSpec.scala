@@ -1,0 +1,67 @@
+package graft.sources.openmeteo
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The LIVE transport against a loopback JDK HttpServer (no egress): the
+  * full retry/fail-fast/param-encoding behavior of the production HTTP
+  * path, exercised over real sockets.
+  */
+class HttpTransportSpec extends AnyFunSuite {
+
+  private def withServer(handler: HttpExchange => (Int, String))(
+      body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/forecast", (ex: HttpExchange) => {
+      val (code, resp) = handler(ex)
+      val bytes = resp.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/v1/forecast")
+    finally server.stop(0)
+  }
+
+  test("query params are encoded and delivered; body returned on 200") {
+    withServer(ex => (200, s"echo:${ex.getRequestURI.getQuery}")) { url =>
+      val out = new HttpTransport(url).fetch(
+        Map("latitude" -> "50.08", "hourly" -> "temperature_2m,rain"))
+      // getQuery returns the DECODED form: %2C arrives back as ','
+      assert(out === "echo:hourly=temperature_2m,rain&latitude=50.08")
+    }
+  }
+
+  test("5xx is transient: RetryingTransport retries until the remote recovers") {
+    val calls = new AtomicInteger(0)
+    withServer { _ =>
+      if (calls.incrementAndGet() < 3) (503, "unavailable") else (200, "ok")
+    } { url =>
+      val t = new RetryingTransport(new HttpTransport(url),
+        RetryPolicy(maxRetries = 3, backoffBaseMs = 1L))
+      assert(t.fetch(Map.empty) === "ok")
+      assert(calls.get() === 3)
+    }
+  }
+
+  test("4xx fails fast with diagnostics and is never retried (server.py:80-82)") {
+    val calls = new AtomicInteger(0)
+    withServer { _ => calls.incrementAndGet(); (400, "bad latitude") } { url =>
+      val t = new RetryingTransport(new HttpTransport(url),
+        RetryPolicy(maxRetries = 3, backoffBaseMs = 1L))
+      val e = intercept[FatalTransportException](t.fetch(Map.empty))
+      assert(e.getMessage.contains("400") && e.getMessage.contains("bad latitude"))
+      assert(calls.get() === 1)
+    }
+  }
+
+  test("connection failure is transient (network-error classification)") {
+    // nothing listens on this port
+    val t = new HttpTransport("http://127.0.0.1:1/v1/forecast", timeoutMs = 500L)
+    intercept[TransientTransportException](t.fetch(Map.empty))
+  }
+}
