@@ -58,7 +58,8 @@ class OpenMeteoTableProvider extends TableProvider with DataSourceRegister {
 final case class OpenMeteoOptions(path: String, granKey: String,
     variables: Seq[String], maxPartitions: Int,
     maxRetries: Int = 3, backoffBaseMs: Long = 1000L, rateLimitMs: Long = 0L,
-    chaosFailFirst: Boolean = false, chunkDays: Int = 30)
+    chaosFailFirst: Boolean = false, chunkDays: Int = 30,
+    httpBaseUrl: Option[String] = None)
 
 object OpenMeteoOptions {
   def apply(o: CaseInsensitiveStringMap): OpenMeteoOptions = {
@@ -79,7 +80,8 @@ object OpenMeteoOptions {
       backoffBaseMs = o.getLong("backoffBaseMs", 1000L),
       rateLimitMs = o.getLong("rateLimitMs", 0L),
       chaosFailFirst = o.getBoolean("chaosFailFirst", false),
-      chunkDays = o.getInt("chunkDays", 30))
+      chunkDays = o.getInt("chunkDays", 30),
+      httpBaseUrl = Option(o.get("httpBaseUrl")))
   }
 }
 
@@ -287,7 +289,14 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
   private var fetches = 0L
 
   private lazy val transport: Transport = {
-    val base = new LineOfflineTransport(opts.path, blockIndices, opts.chaosFailFirst)
+    // httpBaseUrl flips the scan to the LIVE transport (each block fetch
+    // becomes one GET); otherwise the offline line source stands in.
+    // The retry/rate-limit decorators are identical either way.
+    val base: Transport = opts.httpBaseUrl match {
+      case Some(url) => new HttpTransport(url)
+      case None =>
+        new LineOfflineTransport(opts.path, blockIndices, opts.chaosFailFirst)
+    }
     val retried = new RetryingTransport(base,
       RetryPolicy(opts.maxRetries, opts.backoffBaseMs))
     if (opts.rateLimitMs > 0) new RateLimitedTransport(retried, opts.rateLimitMs)

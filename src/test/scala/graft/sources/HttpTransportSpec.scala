@@ -64,4 +64,27 @@ class HttpTransportSpec extends AnyFunSuite {
     val t = new HttpTransport("http://127.0.0.1:1/v1/forecast", timeoutMs = 500L)
     intercept[TransientTransportException](t.fetch(Map.empty))
   }
+
+  test("end-to-end: DSv2 scan over HTTP equals the offline scan") {
+    val spark = graft.TestSpark.spark
+    val fixture = s"${graft.TestSpark.fixtures}/hourly_7d.json"
+    val lines = scala.io.Source.fromFile(fixture, "UTF-8").getLines()
+      .filter(_.nonEmpty).toVector
+    withServer { ex =>
+      // the connector's offline unit is ?block=<i>: serve fixture line i
+      val idx = ex.getRequestURI.getQuery.split("&")
+        .collectFirst { case s if s.startsWith("block=") => s.drop(6).toInt }
+      idx.filter(i => i >= 0 && i < lines.size)
+        .map(i => (200, lines(i))).getOrElse((404, "no such block"))
+    } { url =>
+      val viaHttp = spark.read.format("openmeteo")
+        .option("path", fixture) // still used for partition planning
+        .option("httpBaseUrl", url)
+        .load()
+      val offline = spark.read.format("openmeteo").option("path", fixture).load()
+      assert(viaHttp.count() === 2 * 7 * 24)
+      assert(viaHttp.exceptAll(offline).count() === 0)
+      assert(offline.exceptAll(viaHttp).count() === 0)
+    }
+  }
 }
