@@ -56,30 +56,40 @@ object TextStats {
       // ASCII letter class, matching tokenEstimate's [A-Za-z] regex —
       // Character.isLetter would diverge on non-ASCII ("café" = 1 vs 2)
       val isLetter = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      // whitespace per Java regex \s (ASCII only) — Character.isWhitespace
+      // admits Unicode spaces the HOF regex does not
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
       if (isLetter && !inLetters) tokenEst += 1
       else if (!isLetter) {
         if (c >= '0' && c <= '9') tokenEst += 1
-        else if (!Character.isWhitespace(c)) {
+        else if (!isWs) {
           tokenEst += 1
           if (punctChars.contains(c)) punct += 1
-        } else if (punctChars.contains(c)) punct += 1
+        }
       }
       inLetters = isLetter
       i += 1
     }
-    // word pass: lowercase alnum runs (same as TextFunctions.words)
+    // word pass over the FULL-STRING lowercased text (Locale.ROOT) —
+    // per-char toLowerCase diverges from Spark/DuckDB lower() on chars
+    // like U+0130 whose lowercase is multi-char (same fix as
+    // SimHashTextExpr); any char outside [a-z0-9] after lowering is a
+    // separator, exactly TextFunctions.words' split class
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
+    val llen = lowered.length
     var nWords = 0L
     var wordLenSum = 0L
     var stopHits = 0
     val langHits = new Array[Int](langProfiles.size)
     val sb = new java.lang.StringBuilder(24)
     i = 0
-    while (i <= len) {
-      val alnum = i < len && {
-        val c = Character.toLowerCase(text.charAt(i))
+    while (i <= llen) {
+      val alnum = i < llen && {
+        val c = lowered.charAt(i)
         (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
       }
-      if (alnum) sb.append(Character.toLowerCase(text.charAt(i)))
+      if (alnum) sb.append(lowered.charAt(i))
       else if (sb.length() > 0) {
         val w = sb.toString
         nWords += 1

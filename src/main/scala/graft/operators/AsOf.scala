@@ -29,6 +29,12 @@ object AsOf {
     * `carry` columns from the latest `build` row with
     * `build.tsCol <= probe.tsCol`, matching on `keys`. Carried columns are
     * emitted as `asof_<name>`; probe columns pass through unchanged.
+    *
+    * The carry columns travel as ONE struct and a single
+    * `last(ignoreNulls)` picks the latest build ROW — per-column lasts
+    * would skip a null field of the latest row and mix values from
+    * different build rows (a latest reading with a null sensor must
+    * carry that null, not resurrect an older reading).
     */
   def asofJoin(
       probe: DataFrame,
@@ -37,27 +43,31 @@ object AsOf {
       tsCol: String,
       carry: Seq[String]): DataFrame = {
     val probeCols = probe.columns
-    // Align schemas: probe side gets null carry columns, build side only
-    // participates with keys + ts + carry.
-    val carried = carry.map(c => s"asof_$c")
+    // Align schemas: probe side gets a null carry struct, build side only
+    // participates with keys + ts + the carry struct.
+    val carryType = org.apache.spark.sql.types.StructType(
+      carry.map(c => org.apache.spark.sql.types.StructField(
+        c, build.schema(c).dataType, nullable = true)))
     val buildSide = build.select(
-      (keys.map(col) :+ col(tsCol)) ++
-        carry.map(c => col(c).as(s"asof_$c")) :+ lit(0).as("__asof_tag"): _*)
+      (keys.map(col) :+ col(tsCol)) :+
+        struct(carry.map(col): _*).as("__asof_row") :+
+        lit(0).as("__asof_tag"): _*)
     val extra = probeCols.filterNot(c => keys.contains(c) || c == tsCol)
     val buildAligned = extra.foldLeft(buildSide)((df, c) =>
       df.withColumn(c, lit(null).cast(probe.schema(c).dataType)))
-    val probeAligned = carried.zip(carry).foldLeft(
-      probe.withColumn("__asof_tag", lit(1)))((df, cc) =>
-      df.withColumn(cc._1, lit(null).cast(build.schema(cc._2).dataType)))
+    val probeAligned = probe
+      .withColumn("__asof_tag", lit(1))
+      .withColumn("__asof_row", lit(null).cast(carryType))
 
     val unioned = probeAligned.unionByName(buildAligned)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("__asof_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carried.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val filled = unioned.withColumn("__asof_row",
+      last(col("__asof_row"), ignoreNulls = true).over(w))
     filled.filter(col("__asof_tag") === 1)
-      .select(probeCols.map(col) ++ carried.map(col): _*)
+      .select(probeCols.map(col) ++
+        carry.map(c => col(s"__asof_row.$c").as(s"asof_$c")): _*)
   }
 
   /** Specialized probe used by the correctness gate: for each `probeType`

@@ -210,15 +210,6 @@ object Dedup {
     // recomputation — the LOGICAL plan still grows ~3× per round and an
     // O(3^rounds) plan tree OOMs the driver on long chains. Checkpointing
     // truly re-roots the plan at the materialized partitions.
-    // Dataset.unpersist() is a no-op for checkpointed data (it lives at
-    // the RDD level, below the CacheManager): release each round's blocks
-    // through the LogicalRDD's own RDD handle.
-    def releaseCheckpoint(ds: DataFrame): Unit =
-      ds.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ =>
-      }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var converged = false
@@ -243,10 +234,10 @@ object Dedup {
             least(col("label"), coalesce(col("nbr_label"), col("label")))
               .as("label"))
           .localCheckpoint()
-        releaseCheckpoint(labels)
+        release(labels)
         labels = next
       }
-      releaseCheckpoint(neighborMin)
+      release(neighborMin)
       round += 1
     }
     // Plain min-propagation needs O(diameter) rounds — O(log n) holds for
@@ -257,16 +248,27 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds " +
           "(component diameter exceeds the budget); raise maxRounds")
-    // Re-root the result on its own cache so (a) the caller holds THE
-    // cached handle and can unpersist it, and (b) unpersisting the loop's
-    // working set cannot trigger an O(rounds) lineage recompute later.
-    val out = labels.select(col("id"), col("label").as("cluster_id")).cache()
-    out.count()
-    releaseCheckpoint(labels)
+    // The final labels checkpoint is the single storage copy backing the
+    // result (a plain projection over it). It stays materialized until
+    // [[release]] — re-caching it separately would just pin a second copy.
     edges.unpersist()
     fwd.unpersist()
-    out
+    labels.select(col("id"), col("label").as("cluster_id"))
   }
+
+  /** Free the checkpointed partitions backing a [[clusters]] /
+    * [[nearDupClusters]] result. `Dataset.unpersist()` cannot do this —
+    * checkpointed data lives at the RDD level, below the CacheManager —
+    * so this walks the plan and unpersists the LogicalRDD handles. Call
+    * it when done with the result; using the DataFrame afterwards
+    * recomputes from scratch.
+    */
+  def release(ds: DataFrame): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 
   /** End-to-end near-dup clustering: verified MinHash pairs → connected
     * components → every document labeled with its cluster representative

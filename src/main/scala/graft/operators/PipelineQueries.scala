@@ -23,8 +23,12 @@ object PipelineQueries {
         .orderBy("lang")
     },
 
+    // the CASE mirrors tokenCount's empty-string rule: DuckDB's
+    // len(string_split_regex(trim(''), …)) is 1 (['']), Spark returns 0
     "t2_token_count" -> QueryDef.sql(
-      """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      """SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
@@ -75,7 +79,8 @@ object PipelineQueries {
     "t6_sequence_packing" -> QueryDef.sql(
       """WITH t AS (
         |  SELECT doc_id, source,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT *, sum(n_tokens) OVER
@@ -112,7 +117,7 @@ object PipelineQueries {
         |WHERE w <> '' GROUP BY w
         |ORDER BY freq DESC, word LIMIT 50""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
-        .select(explode(TextFunctions.words(lower(trim(col("text"))))).as("word"))
+        .select(explode(TextFunctions.words(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("word"))
         .limit(50)

@@ -192,7 +192,7 @@ object Relational4 {
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
       Tables.events(s, d)
-        .select(col("event_id"), ntile(8).over(w).as("bucket"))
+        .select(col("event_id"), ntile(8).over(w).cast("long").as("bucket"))
         .orderBy("event_id")
     },
 

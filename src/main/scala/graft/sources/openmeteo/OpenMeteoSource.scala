@@ -218,7 +218,15 @@ class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
     * correctness never depends on chunking).
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val src = scala.io.Source.fromFile(opts.path, "UTF-8")
+    // Partition planning derives from the LOCAL block list even in
+    // httpBaseUrl mode (each line = one remote unit): a live deployment
+    // would plan from its locations×chunk manifest instead. Fail with a
+    // clear message rather than a bare FileNotFoundException.
+    val file = new java.io.File(opts.path)
+    require(file.exists(),
+      s"openmeteo: block manifest not found at ${opts.path} — the 'path' " +
+        "option is required for partition planning (also in httpBaseUrl mode)")
+    val src = scala.io.Source.fromFile(file, "UTF-8")
     val n = try src.getLines().count(_.nonEmpty) finally src.close()
     val chunkMicros = opts.chunkDays.toLong * 24L * 3600L * 1000000L
     val chunks: Seq[(Option[Long], Option[Long])] = (lo, hi) match {

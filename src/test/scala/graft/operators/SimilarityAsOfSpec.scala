@@ -76,6 +76,23 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     assert(dq.schema("q").dataType.simpleString === "array<tinyint>")
   }
 
+  test("as-of carries the latest build ROW whole — null fields stay null") {
+    val spark2 = spark
+    import spark2.implicits._
+    val build = Seq(
+      ("k", 1L, Some(20.0), 0.5),
+      ("k", 2L, None: Option[Double], 1.0) // latest row: temp is null
+    ).toDF("key", "ts", "temperature", "precipitation")
+    val probe = Seq(("k", 3L)).toDF("key", "ts")
+    val out = AsOf.asofJoin(probe, build, Seq("key"), "ts",
+      Seq("temperature", "precipitation")).collect()(0)
+    // per-column last(ignoreNulls) would resurrect 20.0 from ts=1 and mix
+    // rows; the contract is the ts=2 row verbatim: (null, 1.0)
+    assert(out.isNullAt(out.fieldIndex("asof_temperature")),
+      s"stale temperature resurrected: $out")
+    assert(out.getAs[Double]("asof_precipitation") === 1.0)
+  }
+
   test("as-of join picks the latest at-or-earlier build row per key") {
     val build = Seq(
       ("a", "2024-01-01 00:00:00", 1.0),
