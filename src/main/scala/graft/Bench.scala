@@ -62,8 +62,12 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}"""
     val wire = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$headline,"sf":"$sfDir"}"""
+    // BENCH_FULL.json is the canonical full-map artifact (BASELINE.md):
+    // a SPARK_GRAFT_BENCH_ONLY-filtered run must never clobber it — those
+    // go to BENCH_ONLY.json instead.
+    val outFile = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_ONLY.json"
     try {
-      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      val w = new java.io.PrintWriter(outFile)
       try w.println(fullLine) finally w.close()
     } catch { case _: Exception => }
     println(wire)

@@ -81,12 +81,21 @@ object Dedup {
         explode(sequence(lit(0), lit(bands - 1))).as("b"))
       .select(col("id"), col("sig"), col("b"),
         xxhash64(col("b"), slice(col("sig"), col("b") * r + 1, lit(r))).as("h"))
-    val a = banded.select(col("b"), col("h"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("b"), col("h"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("b", "h"))
+    // Candidate dedup carries ONLY the id pair: a doc pair can collide in
+    // up to `bands` buckets, and shuffling the two 64-long signatures
+    // through the distinct (~1 kB/pair) dominates the dedup exchange at
+    // scale. Signatures re-attach afterwards — one narrow join per side
+    // (the signature recompute is embarrassingly-parallel map CPU; the
+    // distinct's shuffle bytes are the scarce resource at 100 TB).
+    val a = banded.select(col("b"), col("h"), col("id").as("id_a"))
+    val b = banded.select(col("b"), col("h"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("b", "h"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
+      .select("id_a", "id_b")
       .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(estJaccard(col("sig_a"), col("sig_b")), 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
@@ -153,6 +162,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(Sketches.ngramJaccard(col("w_a"), col("w_b"), n), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** EXACT all-pairs n-gram Jaccard similarity join at ≥ `threshold` —
+    * no sketch, no loss — via prefix filtering (Bayardo et al., "Scaling
+    * Up All Pairs Similarity Search", WWW'07; Chaudhuri et al., ICDE'06):
+    * order every document's distinct shingles by a global rarity order
+    * (document frequency, ties by value); for Jaccard ≥ t two sets MUST
+    * share at least one of each other's first |S| − ⌈t·|S|⌉ + 1 shingles,
+    * so candidates form by an equi join on prefix shingles only — an
+    * inverted-index shuffle, never an n² cross join — and the exact
+    * Jaccard verify runs on candidates alone. Rarity ordering keeps
+    * postings lists short (the rarest shingles index the fewest docs).
+    *
+    * This is the ground-truth twin of [[verifiedNearDups]]: same output
+    * contract, 100% recall by construction, DuckDB-oracle-checkable. At
+    * 100 TB the LSH path bounds cost independently of similarity skew;
+    * this path is preferred when exactness is contractual (dedup before
+    * eval-set splits).
+    */
+  def exactJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val sh = docs.select(col(idCol).as("id"),
+        array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("g"))
+      .withColumn("sz", size(col("g")))
+      .filter(col("sz") > 0)
+    val postings = sh.select(col("id"), col("sz"), explode(col("g")).as("t"))
+    val docFreq = postings.groupBy("t").agg(count(lit(1)).as("df"))
+    // prefix length |S| − ⌈t·|S|⌉ + 1 under the global (df, shingle) order
+    val ranked = postings.join(docFreq, "t")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("t"))))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("t", "id")
+    val cands = ranked.select(col("t"), col("id").as("id_a"))
+      .join(ranked.select(col("t"), col("id").as("id_b")), Seq("t"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(sh.select(col("id").as("id_a"), col("g").as("g_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("g").as("g_b")), "id_b")
+      .withColumn("j", jaccard(col("g_a"), col("g_b")))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }
 
   /** Fuzzy string matching: all distinct-value pairs within Levenshtein

@@ -157,15 +157,42 @@ object Multimodal {
         .orderBy("kind")
     },
 
-    "mm2_decode_features" -> QueryDef.noOracle { (s, d) =>
+    // decode path, oracle-checked: the stub codec's bin-0 histogram count
+    // is recovered integer-exactly from the normalized float feature
+    // (round(f0 · n_bytes) — float error < 1 ulp · n_bytes ≪ 0.5), and
+    // DuckDB recomputes it character-wise (documents are ASCII, so byte
+    // values ≡ ascii codes).
+    "mm2_decode_features" -> QueryDef.sql(
+      """SELECT doc_id AS media_id,
+        |  CAST(len(list_filter(string_split(text, ''),
+        |       c -> c <> '' AND ascii(c) % 16 = 0)) AS BIGINT) AS f0_count,
+        |  CAST(16 AS INT) AS dim,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
       val media = mediaFromDocuments(graft.Tables.documents(s, d))
       extractFeatures(media)
-        .select(col("media_id"), round(element_at(col("features"), 1), 6).as("f0"),
-          size(col("features")).as("dim"))
+        .join(media.select(col("media_id"),
+          length(col("bytes")).cast("long").as("n_bytes")), "media_id")
+        .select(col("media_id"),
+          round(element_at(col("features"), 1).cast("double") * col("n_bytes"))
+            .cast("long").as("f0_count"),
+          size(col("features")).as("dim"),
+          col("n_bytes"))
         .orderBy("media_id")
     },
 
-    "mm3_frame_sample" -> QueryDef.noOracle { (s, d) =>
+    // frame chunking, oracle-checked: DuckDB mirrors the stride/length
+    // arithmetic over octet_length (kind 'video' ⇔ doc_id % 3 = 2, cf.
+    // mediaFromDocuments)
+    "mm3_frame_sample" -> QueryDef.sql(
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS blen,
+        |    least(greatest(CAST(floor((octet_length(encode(text)) - 64) / 256.0) AS BIGINT) + 1, 0), 8) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(least(64, blen - i * 256) AS INT) AS frame_len
+        |FROM (SELECT media_id, blen, unnest(range(nf)) AS i FROM f)
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
       val media = mediaFromDocuments(graft.Tables.documents(s, d))
         .filter(col("kind") === "video")
       sampleFrames(media)

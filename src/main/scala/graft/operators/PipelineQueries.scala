@@ -58,9 +58,45 @@ object PipelineQueries {
     },
 
     // quality + language ID + token estimate: fused single-pass native
-    // expression (TextStatsExpr); heuristics, no SQL twin — rows-only
-    // check + ScalaTest parity with the column-function versions.
-    "t5_quality_lang" -> QueryDef.noOracle { (s, d) =>
+    // expression (TextStatsExpr), every formula mirrored in DuckDB list
+    // lambdas — same word split as t9, same stopword/profile sets, same
+    // quality weights (TextStats.compute).
+    "t5_quality_lang" -> QueryDef.sql(
+      """WITH base AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> x <> '') AS ws,
+        |    len(regexp_extract_all(text, '[.,!?;:''"()\[\]{}-]')) AS punct,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+        |       + len(regexp_extract_all(text, '[0-9]'))
+        |       + len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0b\f\r]')) AS BIGINT) AS token_est
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id, len, token_est, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CASE WHEN len(ws) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(ws, x -> list_contains(
+        |           ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], x))) AS DOUBLE) / len(ws) END AS stop_ratio,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / len END AS punct_ratio,
+        |    CASE WHEN len(ws) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) END AS mean_wl,
+        |    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu'], x))) AS de,
+        |    len(list_filter(ws, x -> list_contains(['the','and','is','of','to','in','that','it','with'], x))) AS en,
+        |    len(list_filter(ws, x -> list_contains(['el','la','los','las','es','de','que','y','en'], x))) AS es,
+        |    len(list_filter(ws, x -> list_contains(['le','la','les','est','et','des','une','que','dans'], x))) AS fr,
+        |    len(list_filter(ws, x -> list_contains(['de','shi','le','bu','wo','zai','you','ren','ta'], x))) AS zh
+        |  FROM base)
+        |SELECT doc_id,
+        |  round((least(len / 500.0, 1.0) + least(stop_ratio * 4.0, 1.0)
+        |       + CASE WHEN punct_ratio > 0.3 THEN 0.0 ELSE 1.0 - punct_ratio END
+        |       + CASE WHEN mean_wl < 2.0 OR mean_wl > 12.0 THEN 0.2 ELSE 1.0 END) / 4.0, 6) AS quality,
+        |  CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+        |       WHEN de = greatest(de, en, es, fr, zh) THEN 'de'
+        |       WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
+        |       WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
+        |       WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred,
+        |  token_est, n_words, round(stop_ratio, 6) AS stopword_ratio
+        |FROM stats ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
           graft.functions.TextStats.textStats(col("text")).as("st"))
@@ -95,14 +131,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // Stratified sampling per language (training-mix control): seeded,
-    // deterministic within a Spark version; no SQL twin → rows-only +
-    // per-stratum bound checks in ScalaTest.
-    "t7_stratified_sample" -> QueryDef.noOracle { (s, d) =>
-      Tables.documents(s, d)
-        .stat.sampleBy("lang",
-          Map("de" -> 0.5, "en" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1),
-          seed = 42L)
+    // Stratified sampling per language (training-mix control): the
+    // deterministic md5 hash gate (Scale.hashStratifiedSample) — portable
+    // across engines, so DuckDB computes the identical sample.
+    "t7_stratified_sample" -> QueryDef.sql(
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8) AS UBIGINT) % 1000
+        |      < CASE lang WHEN 'de' THEN 500 WHEN 'en' THEN 500
+        |                  WHEN 'es' THEN 200 WHEN 'fr' THEN 200
+        |                  WHEN 'zh' THEN 100 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Scale.hashStratifiedSample(Tables.documents(s, d), "lang",
+          Map("de" -> 0.5, "en" -> 0.5, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1))
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },
@@ -223,8 +263,20 @@ object PipelineQueries {
     },
 
     // compressed-index search: int8-quantized vectors (4× smaller),
-    // reconstructed on the fly for the cosine ranking
-    "s5_quantized_topk" -> QueryDef.noOracle { (s, d) =>
+    // reconstructed on the fly for the cosine ranking. Quantize →
+    // dequantize → cosine is exact arithmetic, so DuckDB mirrors it.
+    "s5_quantized_topk" -> QueryDef.sql(
+      """WITH dq AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> round(x / (CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END), 0)
+        |           * (CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END)) AS v
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m
+        |        FROM embeddings))
+        |SELECT vec_id, round(list_cosine_similarity(
+        |    v, (SELECT v FROM dq WHERE vec_id = 0)), 6) AS sim
+        |FROM dq WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
       val dq = Similarity.dequantizeInt8(
         Similarity.quantizeInt8(Tables.embeddings(s, d)))
         .select(col("vec_id"), col("embedding_dq").as("embedding"))
@@ -239,6 +291,33 @@ object PipelineQueries {
         .filter(col("cluster_size") > 1)
         .withColumn("representative", col("cluster_id"))
         .orderBy(col("cluster_size").desc, col("cluster_id"))
+    },
+
+    // EXACT near-dup ground truth, oracle-checked: the prefix-filtered
+    // inverted-index join (100% recall by construction) must equal
+    // DuckDB's quadratic all-pairs n-gram Jaccard exactly — this row
+    // proves the scalable candidate path loses no pairs.
+    "d9_exact_jaccard_pairs" -> QueryDef.sql(
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END) AS g
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                      x -> x <> '') AS ws
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(a.g) > 0 AND len(b.g) > 0
+        |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.exactJaccardPairs(Tables.documents(s, d), threshold = 0.4)
+        .orderBy("id_a", "id_b")
     },
 
     // fuzzy vocabulary matching, oracle-checked: the banded equi-join +

@@ -75,6 +75,33 @@ object Scale {
           .cast("long"))
   }
 
+  /** Deterministic stratified sampler (training-mix control): keep a row
+    * iff an md5-derived hash of its id falls under the stratum's rate —
+    * `h(id) mod 1000 < rate·1000`. Unlike `df.stat.sampleBy` (engine-RNG
+    * bound, irreproducible across Spark versions), the md5 gate is a pure
+    * function of the row id: portable across engines (DuckDB computes the
+    * identical gate — the t7 oracle), stable under retries/partitioning,
+    * and per-row independent, so stratum proportions concentrate tightly
+    * at scale. Strata absent from `rates` are dropped, matching the
+    * sampleBy contract. No shuffle: a scan-local filter.
+    */
+  def hashStratifiedSample(df: DataFrame, strataCol: String,
+      rates: Map[String, Double], idCol: String = "doc_id",
+      seed: Long = 42L): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    // permille thresholds as a literal map: rate resolution 1/1000
+    val thresholds = map(rates.toSeq.flatMap { case (k, v) =>
+      Seq(lit(k), lit(math.round(v * 1000).toInt))
+    }: _*)
+    val gate = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit("#" + seed))), 1, 8),
+      16, 10).cast("long") % 1000
+    df.withColumn("__thr", element_at(thresholds, col(strataCol)))
+      .filter(col("__thr").isNotNull && gate < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Materialize a training corpus as token-budgeted shards via
     * [[packTokens]], written `partitionBy(shardKey, pack_id)` — every
     * (source, pack) directory is one reproducible training shard a

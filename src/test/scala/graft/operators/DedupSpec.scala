@@ -161,6 +161,42 @@ class DedupSpec extends AnyFunSuite {
       "expected multiple packs per shard")
   }
 
+  test("exactJaccardPairs equals the naive quadratic join (100% recall)") {
+    // real corpus slice: every pair ≥ τ from the prefix-filtered path must
+    // match the brute-force cross join exactly — losslessness is the
+    // operator's contract
+    val corpus = graft.Tables.documents(spark, TestSpark.sfDir)
+      .filter(col("doc_id") < 120)
+    val tau = 0.35
+    val fast = Dedup.exactJaccardPairs(corpus, threshold = tau)
+      .orderBy("id_a", "id_b").collect()
+    val sh = corpus.select(col("doc_id"),
+      array_distinct(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("g"))
+    val naive = sh.select(col("doc_id").as("id_a"), col("g").as("g_a"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("g").as("g_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("j", Dedup.jaccard(col("g_a"), col("g_b")))
+      .filter(col("j") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b").collect()
+    assert(fast.map(_.toString).toSeq === naive.map(_.toString).toSeq)
+    assert(naive.nonEmpty, "slice should contain at least one near-dup pair")
+  }
+
+  test("hash-gate sampler: deterministic, strata outside rates dropped") {
+    val df = graft.Tables.documents(spark, TestSpark.sfDir)
+    val s1 = Scale.hashStratifiedSample(df, "lang", Map("en" -> 0.5, "de" -> 0.2))
+    val s2 = Scale.hashStratifiedSample(df, "lang", Map("en" -> 0.5, "de" -> 0.2))
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted
+      === s2.select("doc_id").collect().map(_.getLong(0)).sorted)
+    assert(s1.filter(!col("lang").isin("en", "de")).count() === 0)
+    // changing the seed changes the sample (not a constant gate)
+    val s3 = Scale.hashStratifiedSample(df, "lang", Map("en" -> 0.5, "de" -> 0.2),
+      seed = 7L)
+    assert(s3.select("doc_id").collect().map(_.getLong(0)).toSet
+      !== s1.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("stratified sample: per-stratum counts are plausible and deterministic") {
     val q = graft.operators.PipelineQueries.defs("t7_stratified_sample")
     val a = q.fn(spark, graft.TestSpark.sfDir).collect()
