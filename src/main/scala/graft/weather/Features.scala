@@ -31,13 +31,22 @@ object Features {
     val roll3 = byLoc.rowsBetween(-2, Window.currentRow)
     val roll24 = byLoc.rowsBetween(-23, Window.currentRow)
 
+    // Rolling means divide a 4-d.p.-rounded running SUM by the non-null
+    // count instead of using avg(): source readings carry ≤2 decimals, so
+    // the rounded sum is decimal-exact regardless of summation order, and
+    // the IEEE quotient of identical dividend/divisor is bit-identical on
+    // any engine. Deliberately NO outer round: /24 quotients of 2-d.p.
+    // sums land exactly on 4-d.p. halves, where engines' rounding
+    // implementations legitimately disagree by one ulp of the decimal.
+    def mean(v: String, w: org.apache.spark.sql.expressions.WindowSpec) =
+      round(sum(col(v)).over(w), 4) / count(col(v)).over(w)
     val featureCols = valueCols.flatMap { v =>
       Seq(
         lag(col(v), 1).over(byLoc).as(s"${v}_lag1h"),
         lag(col(v), 24).over(byLoc).as(s"${v}_lag24h"),
         (col(v) - lag(col(v), 1).over(byLoc)).as(s"${v}_delta1h"),
-        round(avg(col(v)).over(roll3), 4).as(s"${v}_mean3h"),
-        round(avg(col(v)).over(roll24), 4).as(s"${v}_mean24h"))
+        mean(v, roll3).as(s"${v}_mean3h"),
+        mean(v, roll24).as(s"${v}_mean24h"))
     }
     wide.select(
       Seq(col("latitude"), col("longitude"), col("ts_local"),

@@ -4,13 +4,23 @@ import graft.QueryDef
 import graft.operators.AsOf
 import org.apache.spark.sql.functions._
 
+import WxOracles._
+
 /** Weather-path probe queries (SURVEY.md §2.1–2.4, §3.4) over the payload
   * fixtures. These exercise the [REF]/[SEM] surface — block→wide→long
   * conversion, daily rollup, resampling, geocode/nearest-grid joins, the
-  * dual projection, and the as-of alignment join. No DuckDB oracle (the
-  * fixture JSON is not among the oracle's tables): the driver records
-  * rows-only checks here, and the golden equivalences live in ScalaTest
-  * (hourly→daily rollup ≡ the fixture's own daily block).
+  * dual projection, and the as-of alignment join.
+  *
+  * Every query carries a DuckDB oracle over the SAME fixture JSON
+  * (`read_json` + parallel unnest — [[WxOracles]]), so the whole weather
+  * surface is hash-checked by the driver's t2 gate, not just rows-counted.
+  * The golden equivalences (hourly→daily rollup ≡ the fixture's own daily
+  * block) additionally live in ScalaTest.
+  *
+  * Fixture facts the oracles encode: 'Prague' geocodes to exactly
+  * (50.08, 14.43) (places.json), which is also the nearest hourly block;
+  * the engine's injected `now` is 2024-07-03, so forecastDays=7 /
+  * pastDays=2 spans [2024-07-01, 2024-07-10).
   */
 object WeatherQueries {
 
@@ -20,39 +30,115 @@ object WeatherQueries {
 
   def defs: Map[String, QueryDef] = Map(
     // [SEM] A1–A7: native daily rollup from hourly, granularity ≥1440 path
-    "wx1_daily_rollup" -> QueryDef.noOracle { (s, _) =>
+    "wx1_daily_rollup" -> QueryDef.sql(
+      s"""WITH ${wideCte("hourly_7d.json")},
+         |keyed AS (SELECT *, CAST(ts_local AS DATE) AS date FROM wide
+         |          WHERE latitude = 50.08 AND longitude = 14.43),
+         |$rollupCtes
+         |SELECT a.latitude, a.longitude, a.date, d.weather_code,
+         |  a.temperature_2m_max, a.temperature_2m_min, a.apparent_temperature_max,
+         |  a.apparent_temperature_min, a.sunshine_duration, a.precipitation_sum,
+         |  a.rain_sum, a.snowfall_sum, a.precipitation_hours, a.uv_index_max
+         |FROM agg a LEFT JOIN dom d USING (latitude, longitude, date)
+         |WHERE a.date >= DATE '2024-07-01' AND a.date < DATE '2024-07-10'
+         |ORDER BY a.date""".stripMargin) { (s, _) =>
       engine(s).forecast(ForecastRequest(prague, granularity = 1440,
         forecastDays = Some(7), pastDays = Some(2)))
         .fold(e => sys.error(e), identity)
         .orderBy("date")
     },
 
-    // A9: 15-minute → hourly resample
-    "wx2_resample_hourly" -> QueryDef.noOracle { (s, _) =>
+    // A9: 15-minute → hourly resample. The probe rounds the averaged
+    // (intensive) variables to 4 d.p. — summation order differs across
+    // engines (oracle rule, CLAUDE.md).
+    "wx2_resample_hourly" -> QueryDef.sql {
+      val aggs = WeatherSchemas.hourlyVars.map { v =>
+        v.kind match {
+          case WeatherSchemas.Extensive => s"round(sum(${v.name}), 2) AS ${v.name}"
+          case WeatherSchemas.Coded => s"CAST(max(${v.name}) AS INTEGER) AS ${v.name}"
+          case _ => s"round(avg(${v.name}), 4) AS ${v.name}"
+        }
+      }.mkString(",\n  ")
+      s"""WITH ${wideCte("minutely15_2d.json", "wide15", "minutely_15")}
+         |SELECT latitude, longitude, date_trunc('hour', ts_local) AS ts_local,
+         |  $aggs
+         |FROM wide15
+         |GROUP BY latitude, longitude, date_trunc('hour', ts_local)
+         |ORDER BY ts_local""".stripMargin
+    } { (s, _) =>
       val wide = WeatherOps.toWide(
         WeatherOps.readBlocks(s, s"${WeatherEngine.defaultFixtureDir}/minutely15_2d.json",
           WeatherSchemas.GranMinutely15),
         WeatherSchemas.GranMinutely15)
-      WeatherOps.resample(wide, "1 hour").orderBy("ts_local")
+      val res = WeatherOps.resample(wide, "1 hour")
+      val rounded = WeatherSchemas.hourlyVars.filter(_.kind == WeatherSchemas.Intensive)
+        .map(_.name)
+        .foldLeft(res)((df, v) => df.withColumn(v, round(col(v), 4)))
+      rounded.orderBy("ts_local")
     },
 
-    // §1.3 long (tidy) form — the downstream-ML layout (README.md:18)
-    "wx3_long_form" -> QueryDef.noOracle { (s, _) =>
+    // §1.3 long (tidy) form — the downstream-ML layout (README.md:18).
+    // ts_utc is emitted as NTZ wall-clock (session TZ is pinned UTC, so
+    // the cast is the identity rendering of the UTC instant) — the oracle
+    // compares naive timestamps on both sides.
+    "wx3_long_form" -> QueryDef.sql {
+      val names = WeatherSchemas.defaultHourlyNames
+      val cases = names.map { v =>
+        val e = if (v == "weather_code") s"CAST($v AS DOUBLE)" else v
+        s"      WHEN '$v' THEN $e"
+      }.mkString("\n")
+      val lits = names.map(n => s"'$n'").mkString(", ")
+      s"""WITH ${wideCte("hourly_7d.json")}
+         |SELECT latitude, longitude, ts_local, ts_utc, u.variable,
+         |    CASE u.variable
+         |$cases END AS value
+         |FROM wide, (SELECT unnest([$lits]) AS variable) u
+         |ORDER BY latitude, ts_local, variable""".stripMargin
+    } { (s, _) =>
       val wide = WeatherOps.toWide(
         WeatherOps.readBlocks(s, s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json"))
-      WeatherOps.toLong(wide).orderBy("latitude", "ts_local", "variable")
+      WeatherOps.toLong(wide)
+        .withColumn("ts_utc", col("ts_utc").cast("timestamp_ntz"))
+        .orderBy("latitude", "ts_local", "variable")
     },
 
     // J1: geocode lookup join incl. missing + ambiguous names
-    "wx4_geocode_join" -> QueryDef.noOracle { (s, _) =>
+    "wx4_geocode_join" -> QueryDef.sql(
+      s"""WITH p AS (SELECT * FROM read_json('${WeatherEngine.defaultFixtureDir}/places.json',
+         |             format='newline_delimited',
+         |             columns={place:'VARCHAR', latitude:'DOUBLE', longitude:'DOUBLE'})),
+         |c AS (SELECT place, count(*) AS n, min(latitude) AS la, min(longitude) AS lo
+         |      FROM p GROUP BY place),
+         |r AS (SELECT unnest(['Prague','Brno','Atlantis','Springfield']) AS place)
+         |SELECT r.place, CAST(coalesce(c.n, 0) AS BIGINT) AS geocode_matches,
+         |  CASE WHEN c.n = 1 THEN c.la END AS resolved_latitude,
+         |  CASE WHEN c.n = 1 THEN c.lo END AS resolved_longitude
+         |FROM r LEFT JOIN c USING (place) ORDER BY place""".stripMargin) { (s, _) =>
       import s.implicits._
       val requests = Seq("Prague", "Brno", "Atlantis", "Springfield")
         .toDF("place")
       Geo.geocodeJoin(requests, engine(s).places).orderBy("place")
     },
 
-    // J4: nearest-grid-point theta join, bounding-box pruned
-    "wx5_nearest_grid" -> QueryDef.noOracle { (s, _) =>
+    // J4: nearest-grid-point theta join, bounding-box pruned. The oracle
+    // skips the bbox (a pure prune — the exact radial bound is part of
+    // the Spark join condition too) and ranks by the same
+    // (distance, g_lat, g_lon) order.
+    "wx5_nearest_grid" -> QueryDef.sql(
+      s"""WITH g AS (SELECT place, latitude AS g_lat, longitude AS g_lon
+         |           FROM read_json('${WeatherEngine.defaultFixtureDir}/places.json',
+         |             format='newline_delimited',
+         |             columns={place:'VARCHAR', latitude:'DOUBLE', longitude:'DOUBLE'})),
+         |q AS (SELECT unnest([50.0, 49.3, 49.9]) AS latitude,
+         |             unnest([14.5, 16.5, 18.0]) AS longitude),
+         |j AS (SELECT q.latitude, q.longitude, g.g_lat, g.g_lon, g.place,
+         |        ${hav("q.latitude", "q.longitude", "g.g_lat", "g.g_lon")} AS h
+         |      FROM q LEFT JOIN g
+         |        ON ${hav("q.latitude", "q.longitude", "g.g_lat", "g.g_lon")} <= 100.0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY latitude, longitude
+         |        ORDER BY h ASC NULLS LAST, g_lat, g_lon) AS rn FROM j)
+         |SELECT latitude, longitude, g_lat, g_lon, place, round(h, 3) AS grid_dist_km
+         |FROM r WHERE rn = 1 ORDER BY latitude""".stripMargin) { (s, _) =>
       import s.implicits._
       val queryPoints = Seq((50.0, 14.5), (49.3, 16.5), (49.9, 18.0))
         .toDF("latitude", "longitude")
@@ -62,7 +148,13 @@ object WeatherQueries {
     },
 
     // §2.5 flagship: rolling 3-hour mean temperature per location
-    "wx6_rolling_3h" -> QueryDef.noOracle { (s, _) =>
+    "wx6_rolling_3h" -> QueryDef.sql(
+      s"""WITH ${wideCte("hourly_7d.json")}
+         |SELECT latitude, longitude, ts_local, temperature_2m,
+         |  round(avg(temperature_2m) OVER (PARTITION BY latitude, longitude
+         |        ORDER BY ts_local ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+         |    AS temp_3h_mean
+         |FROM wide ORDER BY latitude, ts_local""".stripMargin) { (s, _) =>
       import org.apache.spark.sql.expressions.Window
       val wide = WeatherOps.toWide(
         WeatherOps.readBlocks(s, s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json"))
@@ -75,24 +167,54 @@ object WeatherQueries {
     },
 
     // get_history daily path over the 31-day archive block
-    "wx7_history_daily" -> QueryDef.noOracle { (s, _) =>
+    "wx7_history_daily" -> QueryDef.sql(
+      s"""WITH ${dailyWideCte("daily_31d.json", parseSun = true)}
+         |SELECT * FROM dwide
+         |WHERE latitude = 50.08 AND longitude = 14.43
+         |  AND date BETWEEN DATE '2024-05-05' AND DATE '2024-05-20'
+         |ORDER BY date""".stripMargin) { (s, _) =>
       engine(s).history(HistoryRequest(prague, "2024-05-05", "2024-05-20",
         granularity = 1440))
         .fold(e => sys.error(e), identity)
         .orderBy("date")
     },
 
-    // P2/J2: hourly series enriched with daily rollup values
-    "wx8_hourly_with_daily" -> QueryDef.noOracle { (s, _) =>
+    // P2/J2: hourly series enriched with daily rollup values (ts_utc as
+    // NTZ wall-clock — see wx3)
+    "wx8_hourly_with_daily" -> QueryDef.sql {
+      val hourlyCols = WeatherSchemas.defaultHourlyNames.map {
+        case "weather_code" => "  CAST(p.weather_code AS INTEGER) AS weather_code"
+        case v              => s"  p.$v"
+      }.mkString(",\n")
+      s"""WITH ${wideCte("hourly_7d.json")},
+         |prg AS (SELECT *, CAST(ts_local AS DATE) AS date FROM wide
+         |        WHERE latitude = 50.08 AND longitude = 14.43),
+         |agg AS (
+         |  SELECT latitude, longitude, date,
+         |    max(temperature_2m) AS temperature_2m_max,
+         |    min(temperature_2m) AS temperature_2m_min,
+         |    round(sum(precipitation), 2) AS precipitation_sum
+         |  FROM prg GROUP BY latitude, longitude, date)
+         |SELECT p.latitude, p.longitude, p.ts_local, p.ts_utc, p.date,
+         |$hourlyCols,
+         |  a.temperature_2m_max, a.temperature_2m_min, a.precipitation_sum
+         |FROM prg p LEFT JOIN agg a USING (latitude, longitude, date)
+         |ORDER BY p.ts_local""".stripMargin
+    } { (s, _) =>
       engine(s).hourlyWithDaily(ForecastRequest(prague,
         forecastDays = Some(7), pastDays = Some(2)))
         .fold(e => sys.error(e), identity)
+        .withColumn("ts_utc", col("ts_utc").cast("timestamp_ntz"))
         .orderBy("ts_local")
     },
 
     // S1/S2: DataSource V2 connector path — projection + ts-range pushdown
     // reach the scan (asserted in OpenMeteoSourceSpec via the plan text)
-    "wx10_connector_scan" -> QueryDef.noOracle { (s, _) =>
+    "wx10_connector_scan" -> QueryDef.sql(
+      s"""WITH ${wideCte("hourly_7d.json")}
+         |SELECT latitude, longitude, ts_local, temperature_2m, precipitation
+         |FROM wide WHERE ts_local >= TIMESTAMP '2024-07-02 00:00:00'
+         |ORDER BY latitude, ts_local""".stripMargin) { (s, _) =>
       s.read.format("openmeteo")
         .option("path", s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json")
         .load()
@@ -102,7 +224,13 @@ object WeatherQueries {
     },
 
     // Connector daily rollup: pushed scan feeding the native A1-A7 agg
-    "wx11_connector_rollup" -> QueryDef.noOracle { (s, _) =>
+    "wx11_connector_rollup" -> QueryDef.sql(
+      s"""WITH ${wideCte("hourly_7d.json")},
+         |keyed AS (SELECT *, CAST(ts_local AS DATE) AS date FROM wide),
+         |$rollupCtes
+         |SELECT a.*, d.weather_code
+         |FROM agg a LEFT JOIN dom d USING (latitude, longitude, date)
+         |ORDER BY a.latitude, a.date""".stripMargin) { (s, _) =>
       val wide = s.read.format("openmeteo")
         .option("path", s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json")
         .load()
@@ -111,7 +239,20 @@ object WeatherQueries {
 
     // ML feature prep (README.md:18): lags + rolling means + calendar +
     // next-hour target in one shuffle
-    "wx13_ml_features" -> QueryDef.noOracle { (s, _) =>
+    "wx13_ml_features" -> QueryDef.sql {
+      val blocks = Seq("temperature_2m", "precipitation", "pressure_msl",
+        "cloud_cover").map(featBlock).mkString(",\n")
+      s"""WITH ${wideCte("hourly_7d.json")}
+         |SELECT latitude, longitude, ts_local,
+         |  CAST(hour(ts_local) AS INTEGER) AS hour_of_day,
+         |  CAST(dayofweek(ts_local) + 1 AS INTEGER) AS day_of_week,
+         |  temperature_2m, precipitation, pressure_msl, cloud_cover,
+         |$blocks,
+         |  lead(temperature_2m, 1) OVER w AS target_next_1h
+         |FROM wide
+         |WINDOW w AS (PARTITION BY latitude, longitude ORDER BY ts_local)
+         |ORDER BY latitude, ts_local""".stripMargin
+    } { (s, _) =>
       val wide = WeatherOps.toWide(
         WeatherOps.readBlocks(s, s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json"))
       Features.hourlyFeatures(wide).orderBy("latitude", "ts_local")
@@ -120,7 +261,20 @@ object WeatherQueries {
     // forecast-vs-actuals accuracy (batch twin of the stream-stream
     // interval join): hourly forecasts ⋈ 15-min observations equi on
     // (location, hour) — per-day MAE/bias of the temperature forecast
-    "wx15_forecast_accuracy" -> QueryDef.noOracle { (s, _) =>
+    "wx15_forecast_accuracy" -> QueryDef.sql(
+      s"""WITH ${wideCte("hourly_7d.json")},
+         |${wideCte("minutely15_2d.json", "wide15", "minutely_15")},
+         |obs AS (SELECT latitude, longitude, date_trunc('hour', ts_local) AS hour,
+         |          temperature_2m AS observed_temp FROM wide15),
+         |fc AS (SELECT latitude, longitude, ts_local AS hour,
+         |         temperature_2m AS forecast_temp FROM wide)
+         |SELECT o.latitude, o.longitude, CAST(o.hour AS DATE) AS date,
+         |  round(avg(abs(o.observed_temp - f.forecast_temp)), 4) AS mae,
+         |  round(avg(o.observed_temp - f.forecast_temp), 4) AS bias,
+         |  count(*) AS n_obs
+         |FROM obs o JOIN fc f USING (latitude, longitude, hour)
+         |GROUP BY o.latitude, o.longitude, CAST(o.hour AS DATE)
+         |ORDER BY o.latitude, date""".stripMargin) { (s, _) =>
       val forecasts = WeatherOps.toWide(WeatherOps.readBlocks(s,
         s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json"))
         .select(col("latitude"), col("longitude"),
@@ -144,7 +298,25 @@ object WeatherQueries {
     },
 
     // gap filling: bounded linear interpolation of intensive variables
-    "wx14_interpolate" -> QueryDef.noOracle { (s, _) =>
+    "wx14_interpolate" -> QueryDef.sql(
+      s"""WITH ${wideCte("edge_dst_nulls.json", "ewide")},
+         |t0 AS (SELECT *, epoch(ts_utc) AS t FROM ewide),
+         |f AS (
+         |  SELECT latitude, longitude, ts_local, t,
+         |    temperature_2m, relative_humidity_2m, precipitation,
+         |${lastNext("temperature_2m")},
+         |${lastNext("relative_humidity_2m")}
+         |  FROM t0
+         |  WINDOW
+         |    wp AS (PARTITION BY latitude, longitude ORDER BY ts_local
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    wn AS (PARTITION BY latitude, longitude ORDER BY ts_local
+         |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         |SELECT latitude, longitude, ts_local,
+         |${interp("temperature_2m")},
+         |${interp("relative_humidity_2m")},
+         |  precipitation
+         |FROM f ORDER BY latitude, ts_local""".stripMargin) { (s, _) =>
       val wide = WeatherOps.toWide(WeatherOps.readBlocks(s,
         s"${WeatherEngine.defaultFixtureDir}/edge_dst_nulls.json"))
       WeatherOps.interpolateGaps(wide)
@@ -154,7 +326,12 @@ object WeatherQueries {
     },
 
     // §4 aggregate pushdown path: the source's pre-aggregated daily block
-    "wx12_connector_daily" -> QueryDef.noOracle { (s, _) =>
+    // (sunrise stays a raw string — the connector's passthrough contract)
+    "wx12_connector_daily" -> QueryDef.sql(
+      s"""WITH ${dailyWideCte("hourly_7d.json", parseSun = false)}
+         |SELECT latitude, longitude, date, temperature_2m_max, precipitation_sum,
+         |  weather_code, sunrise
+         |FROM dwide ORDER BY latitude, date""".stripMargin) { (s, _) =>
       s.read.format("openmeteo")
         .option("path", s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json")
         .option("granularity", "daily")
@@ -165,8 +342,19 @@ object WeatherQueries {
     },
 
     // J3 generic as-of: probe points 30 min past each hour joined to the
-    // latest at-or-earlier weather observation
-    "wx9_asof_weather" -> QueryDef.noOracle { (s, _) =>
+    // latest at-or-earlier weather observation. DuckDB's native ASOF JOIN
+    // is the oracle for the union+window single-shuffle plan.
+    "wx9_asof_weather" -> QueryDef.sql(
+      s"""WITH ${wideCte("hourly_7d.json")},
+         |probes AS (SELECT latitude, longitude,
+         |             ts_local + INTERVAL 30 MINUTE AS ts_local FROM wide)
+         |SELECT p.latitude, p.longitude, p.ts_local,
+         |  w.temperature_2m AS asof_temperature_2m,
+         |  w.precipitation AS asof_precipitation
+         |FROM probes p ASOF LEFT JOIN wide w
+         |  ON p.latitude = w.latitude AND p.longitude = w.longitude
+         | AND p.ts_local >= w.ts_local
+         |ORDER BY p.latitude, p.ts_local""".stripMargin) { (s, _) =>
       val wide = WeatherOps.toWide(
         WeatherOps.readBlocks(s, s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json"))
         .select("latitude", "longitude", "ts_local", "temperature_2m", "precipitation")

@@ -144,10 +144,12 @@ class WeatherOpsSpec extends AnyFunSuite {
     val prague = feats.filter(col("latitude") === 50.08).orderBy("ts_local").collect()
     assert(prague.head.isNullAt(prague.head.fieldIndex("temperature_2m_lag1h")))
     assert(prague.last.isNullAt(prague.last.fieldIndex("target_next_1h")))
-    // rolling mean at 3rd row equals mean of first three temps
+    // rolling mean at 3rd row = 4-d.p.-rounded running sum / count (the
+    // cross-engine-reproducible mean contract — see Features.hourlyFeatures)
     val t = prague.take(3).map(_.getAs[Double]("temperature_2m"))
-    assert(math.abs(prague(2).getAs[Double]("temperature_2m_mean3h")
-      - BigDecimal(t.sum / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    val expected = BigDecimal(t.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble / 3
+    assert(math.abs(prague(2).getAs[Double]("temperature_2m_mean3h") - expected) < 1e-12)
     // single shuffle: one Exchange hashpartitioning in the plan
     val plan = feats.queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
