@@ -1,0 +1,95 @@
+package graft.sources.openmeteo
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Geocoding through the [[Transport]] seam (S3 — the reference's
+  * Nominatim lookup, `server.py:96-119`), completing live/offline parity
+  * with the forecast/archive sources: the same retry, fail-fast, and
+  * rate-limit decorators govern geocode calls.
+  *
+  *  - offline: [[OfflineGeocodeTransport]] answers from the places
+  *    dimension file (the hermetic stand-in);
+  *  - live: [[HttpTransport]] pointed at a Nominatim-compatible endpoint
+  *    (`q=<name>&format=json&limit=2`), rate-limited to the reference's
+  *    ≥1.1 s/call (`AsyncRateLimiter`, `server.py:108`).
+  *
+  * [[Geocoder.lookup]] enforces `exactly_one` (`server.py:110`): zero or
+  * multiple matches are errors carrying the reference's diagnostics, not
+  * silent picks.
+  */
+final class OfflineGeocodeTransport(placesPath: String) extends Transport {
+  override def fetch(params: Map[String, String]): String = {
+    val q = params.getOrElse("q",
+      throw new FatalTransportException("geocode: 'q' param required"))
+    val file = new java.io.File(placesPath)
+    if (!file.exists())
+      throw new FatalTransportException(s"places file not found: $placesPath")
+    CallCounters.inc("geocode")
+    val mapper = new ObjectMapper()
+    val src = scala.io.Source.fromFile(file, "UTF-8")
+    val matches = try src.getLines().filter(_.nonEmpty)
+      .map(mapper.readTree)
+      .filter(n => n.get("place").asText().equalsIgnoreCase(q))
+      .map(n => s"""{"latitude":${n.get("latitude").asDouble()},""" +
+        s""""longitude":${n.get("longitude").asDouble()}}""")
+      .toSeq
+    finally src.close()
+    matches.mkString("[", ",", "]")
+  }
+}
+
+/** Resolve a free-text place to exactly one coordinate pair through any
+  * [[Transport]] (offline places file or live HTTP). Accepts both this
+  * engine's `latitude`/`longitude` keys and Nominatim's `lat`/`lon`
+  * string fields.
+  */
+final class Geocoder(transport: Transport) extends Serializable {
+  def lookup(place: String): Either[String, (Double, Double)] = {
+    val body =
+      try transport.fetch(Map("q" -> place, "format" -> "json", "limit" -> "2"))
+      catch {
+        case e: FatalTransportException =>
+          return Left(s"Geocoding failed for '$place': ${e.getMessage}")
+      }
+    val root = new ObjectMapper().readTree(body)
+    if (root == null || !root.isArray)
+      return Left(s"Geocoding failed for '$place': unexpected payload")
+    def coord(i: Int, a: String, b: String): Double = {
+      val n = root.get(i)
+      if (n.has(a)) n.get(a).asDouble() else n.get(b).asDouble()
+    }
+    root.size() match {
+      case 0 => Left(s"Could not find coordinates for place: '$place'")
+      case 1 => Right((coord(0, "latitude", "lat"), coord(0, "longitude", "lon")))
+      case n => Left(s"Ambiguous place '$place': $n matches")
+    }
+  }
+}
+
+object Geocoder {
+  /** Hermetic geocoder over the places dimension file, retry-wrapped like
+    * the live path (rate limit off by default — there is no quota to
+    * protect offline).
+    */
+  def offline(placesPath: String, maxRetries: Int = 3,
+      backoffBaseMs: Long = 1000L, rateLimitMs: Long = 0L): Geocoder =
+    build(new OfflineGeocodeTransport(placesPath), maxRetries, backoffBaseMs,
+      rateLimitMs)
+
+  /** Live geocoder against a Nominatim-compatible base URL; defaults
+    * mirror the reference (3 retries, 1 s backoff base, ≥1.1 s between
+    * calls, 15 s timeout — `server.py:106-108`).
+    */
+  def live(baseUrl: String, maxRetries: Int = 3, backoffBaseMs: Long = 1000L,
+      rateLimitMs: Long = 1100L, timeoutMs: Long = 15000L): Geocoder =
+    build(new HttpTransport(baseUrl, timeoutMs), maxRetries, backoffBaseMs,
+      rateLimitMs)
+
+  private def build(base: Transport, maxRetries: Int, backoffBaseMs: Long,
+      rateLimitMs: Long): Geocoder = {
+    val retried = new RetryingTransport(base, RetryPolicy(maxRetries, backoffBaseMs))
+    new Geocoder(
+      if (rateLimitMs > 0) new RateLimitedTransport(retried, rateLimitMs)
+      else retried)
+  }
+}

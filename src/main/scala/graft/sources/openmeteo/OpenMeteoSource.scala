@@ -59,7 +59,13 @@ final case class OpenMeteoOptions(path: String, granKey: String,
     variables: Seq[String], maxPartitions: Int,
     maxRetries: Int = 3, backoffBaseMs: Long = 1000L, rateLimitMs: Long = 0L,
     chaosFailFirst: Boolean = false, chunkDays: Int = 30,
-    httpBaseUrl: Option[String] = None)
+    httpBaseUrl: Option[String] = None,
+    locations: Seq[(Double, Double)] = Seq.empty) {
+  /** Live planning: partitions derive from the explicit locations list
+    * (one remote unit per location × chunk) — no local manifest at all.
+    */
+  def liveMode: Boolean = httpBaseUrl.isDefined && locations.nonEmpty
+}
 
 object OpenMeteoOptions {
   def apply(o: CaseInsensitiveStringMap): OpenMeteoOptions = {
@@ -72,6 +78,14 @@ object OpenMeteoOptions {
       .getOrElse(if (gran == WeatherSchemas.GranDaily)
         WeatherSchemas.defaultDailyNames
       else WeatherSchemas.defaultHourlyNames)
+    // live location list: "lat,lon;lat,lon;…" (the locations×chunk
+    // manifest a live deployment plans from — VERDICT r2 item 5)
+    val locs = Option(o.get("locations")).map(_.split(";").toSeq
+      .map(_.trim).filter(_.nonEmpty).map { pair =>
+        val xs = pair.split(",").map(_.trim.toDouble)
+        require(xs.length == 2, s"bad location '$pair' (want lat,lon)")
+        (xs(0), xs(1))
+      }).getOrElse(Seq.empty)
     OpenMeteoOptions(
       Option(o.get("path")).getOrElse(
         s"${graft.weather.WeatherEngine.defaultFixtureDir}/hourly_7d.json"),
@@ -81,7 +95,8 @@ object OpenMeteoOptions {
       rateLimitMs = o.getLong("rateLimitMs", 0L),
       chaosFailFirst = o.getBoolean("chaosFailFirst", false),
       chunkDays = o.getInt("chunkDays", 30),
-      httpBaseUrl = Option(o.get("httpBaseUrl")))
+      httpBaseUrl = Option(o.get("httpBaseUrl")),
+      locations = locs)
   }
 }
 
@@ -218,16 +233,18 @@ class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
     * correctness never depends on chunking).
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    // Partition planning derives from the LOCAL block list even in
-    // httpBaseUrl mode (each line = one remote unit): a live deployment
-    // would plan from its locations×chunk manifest instead. Fail with a
-    // clear message rather than a bare FileNotFoundException.
-    val file = new java.io.File(opts.path)
-    require(file.exists(),
-      s"openmeteo: block manifest not found at ${opts.path} — the 'path' " +
-        "option is required for partition planning (also in httpBaseUrl mode)")
-    val src = scala.io.Source.fromFile(file, "UTF-8")
-    val n = try src.getLines().count(_.nonEmpty) finally src.close()
+    // Live mode (httpBaseUrl + locations): the partition count is the
+    // explicit location list — zero local reads, the deployment shape.
+    // Offline mode: each non-empty fixture line is one block unit; fail
+    // with a clear message rather than a bare FileNotFoundException.
+    val n = if (opts.liveMode) opts.locations.size else {
+      val file = new java.io.File(opts.path)
+      require(file.exists(),
+        s"openmeteo: block manifest not found at ${opts.path} — pass " +
+          "either 'path' (offline) or 'locations' with 'httpBaseUrl' (live)")
+      val src = scala.io.Source.fromFile(file, "UTF-8")
+      try src.getLines().count(_.nonEmpty) finally src.close()
+    }
     val chunkMicros = opts.chunkDays.toLong * 24L * 3600L * 1000000L
     val chunks: Seq[(Option[Long], Option[Long])] = (lo, hi) match {
       case (Some(l), Some(h)) if opts.chunkDays > 0 && h - l > chunkMicros &&
@@ -311,9 +328,31 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
     else retried
   }
 
+  /** One remote request per block unit. Offline: the fixture line index.
+    * Live: the reference's own param shape (`server.py:206-258`) —
+    * coordinates, the requested variable list under the granularity key,
+    * and the pushed time window as start/end dates.
+    */
+  private def fetchParams(blockIdx: Int): Map[String, String] =
+    if (opts.liveMode) {
+      val (plat, plon) = opts.locations(blockIdx)
+      val catalog = if (opts.granKey == WeatherSchemas.GranDaily)
+        WeatherSchemas.dailyByName else WeatherSchemas.hourlyByName
+      val vars = schema.fieldNames.filter(catalog.contains)
+      val dates = if (opts.granKey == WeatherSchemas.GranDaily) Map.empty[String, String]
+      else Map(
+        "start_date" -> lo.map(m => DateTimeUtils.microsToLocalDateTime(m)
+          .toLocalDate.toString),
+        "end_date" -> hi.map(m => DateTimeUtils.microsToLocalDateTime(m - 1L)
+          .toLocalDate.toString)
+      ).collect { case (k, Some(v)) => k -> v }
+      Map("latitude" -> plat.toString, "longitude" -> plon.toString,
+        opts.granKey -> vars.mkString(",")) ++ dates
+    } else Map("block" -> blockIdx.toString)
+
   private def loadBlock(blockIdx: Int): Unit = {
     fetches += 1
-    val line = transport.fetch(Map("block" -> blockIdx.toString))
+    val line = transport.fetch(fetchParams(blockIdx))
     val root = new ObjectMapper().readTree(line)
     lat = root.get("latitude").asDouble()
     lon = root.get("longitude").asDouble()

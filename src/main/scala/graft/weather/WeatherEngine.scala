@@ -36,20 +36,19 @@ class WeatherEngine(
     .schema("place string, latitude double, longitude double")
     .json(placesPath)
 
-  /** Driver-side single-name geocode, mirroring the reference's one
-    * lookup per request with `exactly_one=True` (`server.py:96-119`).
-    * The dimension is tiny (a places table), so a filtered collect is one
-    * tiny local job — never a per-row UDF.
+  /** Driver-side single-name geocode with `exactly_one=True` semantics
+    * (`server.py:96-119`), routed through the connector's [[
+    * graft.sources.openmeteo.Geocoder]] seam: the offline transport
+    * answers from the places file here; a live deployment swaps in
+    * `Geocoder.live(nominatimUrl)` and inherits the same retry/fail-fast/
+    * rate-limit policies. Never a per-row UDF — one lookup per request,
+    * exactly like the reference.
     */
-  def geocode(place: String): Either[String, (Double, Double)] = {
-    val rows = places.filter(lower(col("place")) === place.toLowerCase)
-      .select("latitude", "longitude").collect()
-    rows.length match {
-      case 0 => Left(s"Could not find coordinates for place: '$place'")
-      case 1 => Right((rows(0).getDouble(0), rows(0).getDouble(1)))
-      case n => Left(s"Ambiguous place '$place': $n matches")
-    }
-  }
+  private lazy val geocoder =
+    graft.sources.openmeteo.Geocoder.offline(placesPath, backoffBaseMs = 1L)
+
+  def geocode(place: String): Either[String, (Double, Double)] =
+    geocoder.lookup(place)
 
   private def resolve(loc: Location): Either[String, (Double, Double)] =
     loc.place match {

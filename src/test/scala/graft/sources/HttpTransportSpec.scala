@@ -87,4 +87,61 @@ class HttpTransportSpec extends AnyFunSuite {
       assert(offline.exceptAll(viaHttp).count() === 0)
     }
   }
+
+  test("live-mode planning: locations option plans partitions with ZERO local reads") {
+    val spark = graft.TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val fixture = s"${graft.TestSpark.fixtures}/hourly_7d.json"
+    val lines = scala.io.Source.fromFile(fixture, "UTF-8").getLines()
+      .filter(_.nonEmpty).toVector
+    val served = new AtomicInteger(0)
+    withServer { ex =>
+      // live unit: ?latitude=…&longitude=…&hourly=…&start_date=…; serve
+      // the block whose latitude matches (the remote IS the manifest)
+      val q = ex.getRequestURI.getQuery.split("&")
+        .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      assert(q.contains("hourly") && q.contains("start_date"),
+        s"live params missing: $q")
+      served.incrementAndGet()
+      lines.find(l => OfflineTransport.extractNumber(l, "latitude").toString ==
+          q("latitude"))
+        .map((200, _)).getOrElse((404, "no such location"))
+    } { url =>
+      val live = spark.read.format("openmeteo")
+        .option("path", "/nonexistent/never-read.json") // MUST not be touched
+        .option("httpBaseUrl", url)
+        .option("locations", "50.08,14.43;49.19,16.61")
+        .load()
+        .filter(col("ts_local") >= org.apache.spark.sql.functions.lit("2024-07-02 00:00:00")
+          .cast("timestamp_ntz"))
+      val offline = spark.read.format("openmeteo").option("path", fixture).load()
+        .filter(col("ts_local") >= org.apache.spark.sql.functions.lit("2024-07-02 00:00:00")
+          .cast("timestamp_ntz"))
+      assert(live.count() === 2 * 6 * 24)
+      assert(live.exceptAll(offline).count() === 0)
+      assert(offline.exceptAll(live).count() === 0)
+      assert(served.get() >= 2, "each location must be fetched live")
+    }
+  }
+
+  test("Geocoder: offline exactly-one semantics + live lookup through the seam") {
+    val places = s"${graft.TestSpark.fixtures}/places.json"
+    val g = Geocoder.offline(places, backoffBaseMs = 1L)
+    assert(g.lookup("Prague") === Right((50.08, 14.43)))
+    assert(g.lookup("prague") === Right((50.08, 14.43))) // case-insensitive
+    assert(g.lookup("Atlantis").left.exists(_.contains("Could not find")))
+    assert(g.lookup("Springfield").left.exists(_.contains("Ambiguous")))
+    // live path: Nominatim-shaped JSON (lat/lon strings), with one
+    // transient failure first — the retry decorator must absorb it
+    val calls = new AtomicInteger(0)
+    withServer { ex =>
+      assert(ex.getRequestURI.getQuery.contains("q=Brno"))
+      if (calls.incrementAndGet() == 1) (503, "busy")
+      else (200, """[{"lat":"49.19","lon":"16.61"}]""")
+    } { url =>
+      val live = Geocoder.live(url, backoffBaseMs = 1L, rateLimitMs = 0L)
+      assert(live.lookup("Brno") === Right((49.19, 16.61)))
+      assert(calls.get() === 2)
+    }
+  }
 }
