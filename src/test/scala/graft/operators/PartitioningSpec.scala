@@ -50,6 +50,40 @@ class PartitioningSpec extends AnyFunSuite {
       s"probe-list filter not pruning partitions:\n$plan")
   }
 
+  test("Z-order (morton) layout prunes 2-D box scans via row-group stats") {
+    import spark.implicits._
+    // 200k deterministic pseudo-random geo points
+    val pts = spark.range(200000).select(
+      (pmod(xxhash64(col("id"), lit(1)), lit(180000)) / 1000.0 - 90.0).as("lat"),
+      (pmod(xxhash64(col("id"), lit(2)), lit(360000)) / 1000.0 - 180.0).as("lon"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val rDir = java.nio.file.Files.createTempDirectory("graft_random").toString
+    // Z-ordered layout: range-partition + sort by the morton key → every
+    // file/row-group gets a compact lat AND lon bounding box
+    pts.withColumn("z", graft.weather.Geo.mortonCode(col("lat"), col("lon")))
+      .repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .drop("z").write.mode("overwrite").parquet(zDir)
+    // control: same data, hash-scattered layout (every file spans the globe)
+    pts.repartition(16).write.mode("overwrite").parquet(rDir)
+
+    def scannedRows(dir: String): (Long, Long) = {
+      val q = spark.read.parquet(dir)
+        .filter(col("lat").between(10, 20) && col("lon").between(10, 20))
+      val res = q.collect().length.toLong
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .get
+      (scan.metrics("numOutputRows").value, res)
+    }
+    val (zScanned, zRows) = scannedRows(zDir)
+    val (rScanned, rRows) = scannedRows(rDir)
+    assert(zRows === rRows && zRows > 0, "both layouts must return the same rows")
+    // the Z-ordered layout must let parquet min/max stats skip most row
+    // groups; the scattered layout cannot skip any
+    assert(zScanned < rScanned / 4,
+      s"no layout pruning: z-ordered scanned $zScanned vs random $rScanned")
+  }
+
   test("AQE splits skewed join partitions at runtime") {
     import spark.implicits._
     // no manual repartition: AQE only rewrites ENSURE_REQUIREMENTS shuffles
