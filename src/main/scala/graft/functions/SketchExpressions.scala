@@ -49,6 +49,15 @@ object Sketches {
     GraftBridge.toColumn(NgramJaccardExpr(
       GraftBridge.toExpression(wordsA), GraftBridge.toExpression(wordsB), shingleSize))
 
+  /** Column form of [[shingleHashes]]: the distinct shingle-hash array of
+    * a word array — the posting unit for similarity-join indexing
+    * (8 B/shingle over the wire vs ~30 B shingle strings; collisions only
+    * ever ADD candidates, which the exact verify then rejects).
+    */
+  def shingleHashArray(words: Column, shingleSize: Int): Column =
+    GraftBridge.toColumn(ShingleHashesExpr(
+      GraftBridge.toExpression(words), shingleSize))
+
   /** Distinct rolling shingle hashes of a word array: each word hashed
     * once, `n` consecutive word hashes combined with a polynomial mix —
     * no shingle strings ever materialize.
@@ -177,6 +186,23 @@ case class SimHashTextExpr(child: Expression)
   * rolling shingle hashes (hash-set intersection — no string shingles, no
   * interpreted array_intersect).
   */
+/** Distinct shingle-hash array of a word array (see
+  * [[Sketches.shingleHashes]]) — one imperative pass, no shingle strings.
+  */
+case class ShingleHashesExpr(child: Expression, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Sketches.shingleHashes(input.asInstanceOf[ArrayData], shingleSize))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class NgramJaccardExpr(left: Expression, right: Expression, shingleSize: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with CodegenFallback {

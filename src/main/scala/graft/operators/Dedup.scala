@@ -185,27 +185,40 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val sh = docs.select(col(idCol).as("id"),
-        array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("g"))
+    // Postings are 8-byte shingle HASHES, never strings (hash collisions
+    // only add candidates — the exact verify rejects them), produced by
+    // one imperative pass per document (ShingleHashesExpr).
+    val words = docs.select(col(idCol).as("id"),
+      TextFunctions.words(col(textCol)).as("w"))
+    val sh = words.select(col("id"),
+        graft.functions.Sketches.shingleHashArray(col("w"), n).as("g"))
       .withColumn("sz", size(col("g")))
       .filter(col("sz") > 0)
     val postings = sh.select(col("id"), col("sz"), explode(col("g")).as("t"))
     val docFreq = postings.groupBy("t").agg(count(lit(1)).as("df"))
-    // prefix length |S| − ⌈t·|S|⌉ + 1 under the global (df, shingle) order
+    // prefix length |S| − ⌈t·|S|⌉ + 1 under the global (df, hash) order
     val ranked = postings.join(docFreq, "t")
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("t"))))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select("t", "id")
-    val cands = ranked.select(col("t"), col("id").as("id_a"))
-      .join(ranked.select(col("t"), col("id").as("id_b")), Seq("t"))
-      .filter(col("id_a") < col("id_b"))
+      .select("t", "id", "sz")
+    // candidate equi join on the prefix hash + the length-ratio prune:
+    // J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t (J ≤ min/max of the two sizes)
+    val cands = ranked.select(col("t"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(ranked.select(col("t"), col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("t"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_b") >= ceil(col("sz_a") * threshold) &&
+        col("sz_b") * threshold <= col("sz_a"))
       .select("id_a", "id_b")
       .distinct()
+    // exact verify on the candidate set only — the fused imperative
+    // jaccard (NgramJaccardExpr), not interpreted array_intersect HOFs
+    // (measured 20× on this operator at sf0.1)
     cands
-      .join(sh.select(col("id").as("id_a"), col("g").as("g_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("g").as("g_b")), "id_b")
-      .withColumn("j", jaccard(col("g_a"), col("g_b")))
+      .join(words.select(col("id").as("id_a"), col("w").as("w_a")), "id_a")
+      .join(words.select(col("id").as("id_b"), col("w").as("w_b")), "id_b")
+      .withColumn("j", graft.functions.Sketches.ngramJaccard(col("w_a"), col("w_b"), n))
       .filter(col("j") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }
@@ -333,6 +346,19 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val comp = clusters(
       verifiedNearDups(docs, threshold, idCol = idCol, textCol = textCol))
+    docs.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+  }
+
+  /** [[nearDupClusters]] over the EXACT pair list ([[exactJaccardPairs]])
+    * instead of LSH candidates: deterministic across engines, so the full
+    * pipeline (shingle → exact similarity join → connected components) is
+    * oracle-checkable end-to-end (DuckDB recursive CTE — the d7 probe).
+    */
+  def nearDupClustersExact(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val comp = clusters(
+      exactJaccardPairs(docs, threshold, n, idCol = idCol, textCol = textCol))
     docs.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
   }

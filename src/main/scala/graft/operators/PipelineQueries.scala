@@ -283,10 +283,43 @@ object PipelineQueries {
       Similarity.topKCosine(dq, queryId = 0L, k = 20)
     },
 
-    "d7_neardup_clusters" -> QueryDef.noOracle { (s, d) =>
-      // cluster_id IS the minimum member id (clusters() invariant), so it
-      // doubles as the representative — no extra min aggregation
-      Dedup.nearDupClusters(Tables.documents(s, d), threshold = 0.3)
+    // near-dup clustering, oracle-checked END-TO-END: exact similarity
+    // join (prefix filtering) → iterative connected components, equal to
+    // DuckDB's quadratic join + recursive-CTE closure. cluster_id IS the
+    // minimum member id (clusters() invariant), so it doubles as the
+    // representative.
+    "d7_neardup_clusters" -> QueryDef.sql(
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END) AS g
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                      x -> x <> '') AS ws
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.g) > 0 AND len(b.g) > 0
+        |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(id, lab) AS (
+        |    SELECT a, a FROM edges
+        |    UNION
+        |    SELECT e.a, r.lab FROM edges e JOIN r ON e.b = r.id)
+        |  SELECT id, min(lab) AS cluster_id FROM r GROUP BY id)
+        |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+        |  CAST(count(*) AS BIGINT) AS cluster_size,
+        |  CAST(cluster_id AS BIGINT) AS representative
+        |FROM reach GROUP BY cluster_id HAVING count(*) > 1
+        |ORDER BY cluster_size DESC, cluster_id""".stripMargin) { (s, d) =>
+      Dedup.nearDupClustersExact(Tables.documents(s, d), threshold = 0.3)
         .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
         .filter(col("cluster_size") > 1)
         .withColumn("representative", col("cluster_id"))
