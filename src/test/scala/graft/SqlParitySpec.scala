@@ -24,7 +24,8 @@ class SqlParitySpec extends AnyFunSuite {
     "q16_supplier_cnt", "q18_large_orders", "q19_disjunctive",
     "q22_idle_customers", "u5_grouping_sets", "w8_ntile", "w9_range_frame",
     "j9_band_join", "o2_limit_offset", "q17_small_quantity",
-    "q21_waiting_supplier")
+    "q21_waiting_supplier", "q9_product_profit", "q12_late_shipments",
+    "q15_top_supplier", "q20_heavy_suppliers")
 
   private def registerViews(): Unit =
     Tables.names.foreach { t =>
