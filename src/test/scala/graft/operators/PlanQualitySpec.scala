@@ -62,4 +62,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("o1_topk").contains("TakeOrderedAndProject"))
     assert(plan("o2_limit_offset").contains("TakeOrderedAndProject"))
   }
+
+  test("q9 5-way join broadcasts every dimension; name filter pushed to part scan") {
+    val p = plan("q9_product_profit")
+    // part/supplier/nation are dims: all joins against them broadcast —
+    // the only shuffle-worthy relations are the two facts
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"dimensions not broadcast:\n$p")
+    assert(p.contains("StringContains(p_name,red)"),
+      s"p_name filter not pushed to the scan:\n$p")
+  }
+
+  test("q20 nested EXISTS chain plans as stacked left-semi joins, no nested loop") {
+    val p = plan("q20_heavy_suppliers")
+    assert("LeftSemi".r.findAllIn(p).length >= 3, s"semi-join chain missing:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"EXISTS degraded to a nested loop:\n$p")
+  }
+
+  test("q15 argmax scalar subquery broadcasts the 1-row max, never resorts") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("BroadcastHashJoin"), s"max-revenue row not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"scalar compare became a product:\n$p")
+  }
 }
