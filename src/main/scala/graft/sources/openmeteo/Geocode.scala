@@ -45,10 +45,13 @@ final class OfflineGeocodeTransport(placesPath: String) extends Transport {
   */
 final class Geocoder(transport: Transport) extends Serializable {
   def lookup(place: String): Either[String, (Double, Double)] = {
+    // ANY transport failure — fatal or retries-exhausted — resolves to
+    // the error envelope, matching the reference's catch-all around the
+    // geocode call (`server.py:116-119` → error response, never a crash)
     val body =
       try transport.fetch(Map("q" -> place, "format" -> "json", "limit" -> "2"))
       catch {
-        case e: FatalTransportException =>
+        case scala.util.control.NonFatal(e) =>
           return Left(s"Geocoding failed for '$place': ${e.getMessage}")
       }
     val root = new ObjectMapper().readTree(body)
