@@ -212,13 +212,14 @@ object Dedup {
         col("sz_b") * threshold <= col("sz_a"))
       .select("id_a", "id_b")
       .distinct()
-    // exact verify on the candidate set only — the fused imperative
-    // jaccard (NgramJaccardExpr), not interpreted array_intersect HOFs
-    // (measured 20× on this operator at sf0.1)
+    // exact verify on the candidate set only, as a two-pointer merge over
+    // the precomputed SORTED hash arrays (ShingleHashesExpr's contract) —
+    // no per-pair hashing, no interpreted array_intersect HOFs (each was
+    // measured a further ~5× / ~20× slower on this operator at sf0.1)
     cands
-      .join(words.select(col("id").as("id_a"), col("w").as("w_a")), "id_a")
-      .join(words.select(col("id").as("id_b"), col("w").as("w_b")), "id_b")
-      .withColumn("j", graft.functions.Sketches.ngramJaccard(col("w_a"), col("w_b"), n))
+      .join(sh.select(col("id").as("id_a"), col("g").as("g_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("g").as("g_b")), "id_b")
+      .withColumn("j", graft.functions.Sketches.sortedJaccard(col("g_a"), col("g_b")))
       .filter(col("j") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }
