@@ -201,15 +201,24 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("t"))))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select("t", "id", "sz")
-    // candidate equi join on the prefix hash + the length-ratio prune:
-    // J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t (J ≤ min/max of the two sizes)
-    val cands = ranked.select(col("t"), col("id").as("id_a"), col("sz").as("sz_a"))
-      .join(ranked.select(col("t"), col("id").as("id_b"), col("sz").as("sz_b")),
-        Seq("t"))
+      .select("t", "id", "sz", "rn")
+    // candidate equi join on the prefix hash, pruned BEFORE the distinct:
+    //  - length-ratio filter: J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t
+    //  - positional filter (Xiao et al., "Efficient Similarity Joins for
+    //    Near Duplicate Detection", WWW'08): a shared prefix token at
+    //    positions (i, j) bounds the overlap by min(|A|−i, |B|−j)+1,
+    //    which must reach the Jaccard overlap minimum t/(1+t)·(|A|+|B|).
+    //    True pairs always pass at their first shared token, so keeping
+    //    any-passing pairs is lossless.
+    val minOverlap = ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)))
+    val cands = ranked.select(col("t"), col("id").as("id_a"),
+        col("sz").as("sz_a"), col("rn").as("rn_a"))
+      .join(ranked.select(col("t"), col("id").as("id_b"),
+        col("sz").as("sz_b"), col("rn").as("rn_b")), Seq("t"))
       .filter(col("id_a") < col("id_b") &&
         col("sz_b") >= ceil(col("sz_a") * threshold) &&
-        col("sz_b") * threshold <= col("sz_a"))
+        col("sz_b") * threshold <= col("sz_a") &&
+        least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) + 1 >= minOverlap)
       .select("id_a", "id_b")
       .distinct()
     // exact verify on the candidate set only, as a two-pointer merge over
