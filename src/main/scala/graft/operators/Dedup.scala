@@ -31,6 +31,31 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Derive the LSH band count from the target Jaccard threshold instead
+    * of hand-tuning: with `numHashes = b·r`, a pair at similarity s
+    * collides in ≥1 band with probability 1 − (1 − s^r)^b, an S-curve
+    * whose inflection sits at ≈ (1/b)^(1/r) (Leskovec et al., "Mining of
+    * Massive Datasets" ch. 3). Chooses the divisor pair whose inflection
+    * is closest to — but not above — `threshold · margin`, so near-dups
+    * at the threshold are caught with high probability while cheaper
+    * (fewer-band) configurations are preferred. At corpus scale this is
+    * the knob that trades candidate volume against recall; deriving it
+    * from τ removes the static-parameter limit.
+    */
+  def recommendedBands(numHashes: Int, threshold: Double,
+      margin: Double = 0.9): Int = {
+    require(numHashes > 0 && threshold > 0 && threshold <= 1)
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    val target = threshold * margin
+    val below = divisors.map { b =>
+      val r = numHashes / b
+      b -> math.pow(1.0 / b, 1.0 / r) // S-curve inflection
+    }.filter(_._2 <= target)
+    // fewest bands whose inflection still sits under the target; if none
+    // qualifies (tiny numHashes, low τ), fall back to the most sensitive
+    if (below.nonEmpty) below.maxBy(_._2)._1 else divisors.max
+  }
+
   /** Per-document digest used for exact dedup: md5 of the raw text. */
   def withDigest(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("digest", md5(col(textCol)))

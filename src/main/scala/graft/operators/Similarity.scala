@@ -149,6 +149,19 @@ object Similarity {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
+  /** Derive the IVF list count from the corpus size instead of
+    * hand-tuning: query cost ≈ nProbe·N/nLists scan + nLists centroid
+    * ranks, minimized around nLists ≈ √N (the standard IVF-Flat sizing
+    * guideline), clamped to a sane floor and rounded to a power of two
+    * for stable partitioning.
+    */
+  def recommendedLists(corpusSize: Long, floor: Int = 16): Int = {
+    require(corpusSize > 0)
+    val ideal = math.sqrt(corpusSize.toDouble)
+    val pow2 = math.pow(2, math.round(math.log(ideal) / math.log(2)).toDouble)
+    math.max(floor, pow2.toInt)
+  }
+
   /** Train the IVF coarse quantizer: seeded KMeans (Spark MLlib) over the
     * embedding column. Deterministic for a fixed seed. The centroid table
     * is tiny (nCentroids × dim doubles) and returned driver-side — at

@@ -183,6 +183,22 @@ class DedupSpec extends AnyFunSuite {
     assert(naive.nonEmpty, "slice should contain at least one near-dup pair")
   }
 
+  test("recommendedBands tracks the S-curve inflection") {
+    // textbook case: 64 hashes, τ=0.5 → b=16, r=4 gives inflection exactly
+    // (1/16)^(1/4) = 0.5
+    assert(Dedup.recommendedBands(64, 0.5, margin = 1.0) === 16)
+    // the default recall margin moves one step more sensitive
+    assert(Dedup.recommendedBands(64, 0.5) === 32)
+    // lower thresholds need more bands (more sensitive hashing)
+    val b30 = Dedup.recommendedBands(64, 0.3)
+    val b70 = Dedup.recommendedBands(64, 0.7)
+    assert(b30 >= b70)
+    assert(64 % b30 === 0 && 64 % b70 === 0)
+    // IVF sizing: √N rounded to a power of two, floored
+    assert(Similarity.recommendedLists(1000000) === 1024)
+    assert(Similarity.recommendedLists(100) === 16)
+  }
+
   test("hash-gate sampler: deterministic, strata outside rates dropped") {
     val df = graft.Tables.documents(spark, TestSpark.sfDir)
     val s1 = Scale.hashStratifiedSample(df, "lang", Map("en" -> 0.5, "de" -> 0.2))
