@@ -1,0 +1,136 @@
+package graft.sources.openmeteo
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+
+import graft.weather.WeatherSchemas
+
+/** Aggregate-pushdown scan (SURVEY.md §4 "aggregate pushdown" — the
+  * reference asks the source for pre-computed daily rollups instead of
+  * fetching hourly rows, `server.py:219-223`): a global MIN/MAX over an
+  * hourly variable is answered from the payload's sibling DAILY block
+  * (max of per-day maxes), reading two orders of magnitude fewer values
+  * and shipping ONE row per scan instead of the full series.
+  *
+  * Pushed only when exactness is provable: no grouping, every aggregate
+  * maps to a daily counterpart (min/max — sums are excluded because the
+  * source's daily sums are rounded), and any pushed time bounds sit on
+  * local-day boundaries. Everything else bails to the native path — the
+  * golden equivalence pushed ≡ native is asserted in
+  * OpenMeteoSourceSpec.
+  *
+  * One input partition: the result is a single combined row (complete
+  * pushdown contract).
+  */
+final case class PushedAgg(kind: String, dailyCol: String)
+
+class OpenMeteoAggScan(opts: OpenMeteoOptions, aggs: Seq[PushedAgg],
+    loMicros: Option[Long], hiMicros: Option[Long])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(aggs.zipWithIndex.map { case (a, i) =>
+      StructField(s"${a.kind}_${a.dailyCol}_$i", DoubleType, nullable = true)
+    })
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"openmeteo AGG gran=daily PushedAggregates: " +
+      s"[${aggs.map(a => s"${a.kind}(${a.dailyCol})").mkString(", ")}] " +
+      s"PushedTimeRange: [${loMicros.getOrElse("-inf")}, ${hiMicros.getOrElse("+inf")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = if (opts.liveMode) opts.locations.size else {
+      val file = new java.io.File(opts.path)
+      require(file.exists(), s"openmeteo: block manifest not found at ${opts.path}")
+      val src = scala.io.Source.fromFile(file, "UTF-8")
+      try src.getLines().count(_.nonEmpty) finally src.close()
+    }
+    // ONE partition over all blocks: complete pushdown returns one row
+    Array(OpenMeteoPartition((0 until n).toArray, loMicros, hiMicros))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    OpenMeteoAggReaderFactory(opts, aggs)
+}
+
+final case class OpenMeteoAggReaderFactory(opts: OpenMeteoOptions,
+    aggs: Seq[PushedAgg]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[OpenMeteoPartition]
+    new OpenMeteoAggReader(opts, aggs, part.blockIndices, part.lo, part.hi)
+  }
+}
+
+/** Combines the per-day pre-aggregates of every block into one row. */
+class OpenMeteoAggReader(opts: OpenMeteoOptions, aggs: Seq[PushedAgg],
+    blockIndices: Array[Int], lo: Option[Long], hi: Option[Long])
+    extends PartitionReader[InternalRow] {
+
+  // local-day bounds derived from the (day-aligned, validated at push
+  // time) NTZ micro bounds
+  private val loDay = lo.map(_ / OpenMeteoAggReader.DayMicros)
+  private val hiDay = hi.map(_ / OpenMeteoAggReader.DayMicros)
+
+  private var done = false
+  private val acc = Array.fill[java.lang.Double](aggs.size)(null)
+
+  private lazy val transport: Transport = {
+    val base: Transport = opts.httpBaseUrl match {
+      case Some(url) => new HttpTransport(url)
+      case None => new LineOfflineTransport(opts.path, blockIndices, opts.chaosFailFirst)
+    }
+    new RetryingTransport(base, RetryPolicy(opts.maxRetries, opts.backoffBaseMs))
+  }
+
+  private def fetchParams(blockIdx: Int): Map[String, String] =
+    if (opts.liveMode) {
+      val (plat, plon) = opts.locations(blockIdx)
+      Map("latitude" -> plat.toString, "longitude" -> plon.toString,
+        WeatherSchemas.GranDaily -> aggs.map(_.dailyCol).distinct.mkString(","))
+    } else Map("block" -> blockIdx.toString)
+
+  private def combine(): Unit = {
+    val mapper = new ObjectMapper()
+    blockIndices.foreach { idx =>
+      val root = mapper.readTree(transport.fetch(fetchParams(idx)))
+      val daily = root.get(WeatherSchemas.GranDaily)
+      if (daily != null && !daily.isNull && daily.get("time") != null) {
+        val times = daily.get("time")
+        (0 until times.size()).foreach { i =>
+          val day = java.time.LocalDate.parse(times.get(i).asText()).toEpochDay
+          if (loDay.forall(day >= _) && hiDay.forall(day < _)) {
+            aggs.zipWithIndex.foreach { case (a, k) =>
+              val arr = daily.get(a.dailyCol)
+              if (arr != null && i < arr.size() && !arr.get(i).isNull) {
+                val v = arr.get(i).asDouble()
+                acc(k) =
+                  if (acc(k) == null) v
+                  else if (a.kind == "MIN") math.min(acc(k), v)
+                  else math.max(acc(k), v)
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  override def next(): Boolean =
+    if (done) false
+    else { combine(); done = true; true }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(acc.map(v =>
+      if (v == null) null else java.lang.Double.valueOf(v.doubleValue()): Any))
+
+  override def close(): Unit = ()
+}
+
+object OpenMeteoAggReader {
+  val DayMicros: Long = 24L * 3600L * 1000000L
+}

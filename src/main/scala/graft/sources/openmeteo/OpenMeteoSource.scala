@@ -139,13 +139,15 @@ object OpenMeteoTable {
 
 class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = OpenMeteoTable.wideSchema(opts)
   private var pushed: Array[Filter] = Array.empty
   private var tsLoMicros: Option[Long] = None
   private var tsHiMicros: Option[Long] = None // EXCLUSIVE upper micro bound
   private var limit: Option[Int] = None
+  private var pushedAggs: Seq[PushedAgg] = Seq.empty
 
   /** LIMIT reaches the scan: each partition stops fetching blocks once it
     * has emitted `limit` rows (partial pushdown — Spark still applies the
@@ -197,8 +199,65 @@ class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  // ---- §4 aggregate pushdown: MIN/MAX answered from the daily block ----
+  // (the reference's "ask for the daily pre-aggregate" move,
+  // `server.py:219-223`). Pushed ONLY when exact: a global (no grouping)
+  // MIN/MAX whose hourly variable has a daily counterpart, with any
+  // pushed time bounds on local-day boundaries. Sums are never pushed —
+  // the source's daily sums are rounded.
+  private val dailyCounterpart: Map[(String, String), String] = Map(
+    ("MAX", "temperature_2m") -> "temperature_2m_max",
+    ("MIN", "temperature_2m") -> "temperature_2m_min",
+    ("MAX", "apparent_temperature") -> "apparent_temperature_max",
+    ("MIN", "apparent_temperature") -> "apparent_temperature_min",
+    ("MAX", "uv_index") -> "uv_index_max")
+
+  private def asPushedAgg(
+      f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Option[PushedAgg] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
+    val kindCol = f match {
+      case m: Min => Some(("MIN", m.column))
+      case m: Max => Some(("MAX", m.column))
+      case _      => None
+    }
+    kindCol.flatMap {
+      case (kind,
+          ref: org.apache.spark.sql.connector.expressions.NamedReference)
+          if ref.fieldNames.length == 1 =>
+        dailyCounterpart.get((kind, ref.fieldNames.head))
+          .map(PushedAgg(kind, _))
+      case _ => None
+    }
+  }
+
+  private def dayAligned: Boolean = {
+    val day = OpenMeteoAggReader.DayMicros
+    tsLoMicros.forall(_ % day == 0) && tsHiMicros.forall(_ % day == 0)
+  }
+
+  private def canPushAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    opts.granKey == WeatherSchemas.GranHourly &&
+      agg.groupByExpressions.isEmpty && dayAligned &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(asPushedAgg(_).isDefined)
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canPushAgg(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canPushAgg(agg) && {
+      pushedAggs = agg.aggregateExpressions.toSeq.map(asPushedAgg(_).get)
+      true
+    }
+
   override def build(): Scan =
-    new OpenMeteoScan(opts, requiredSchema, pushed, tsLoMicros, tsHiMicros, limit)
+    if (pushedAggs.nonEmpty)
+      new OpenMeteoAggScan(opts, pushedAggs, tsLoMicros, tsHiMicros)
+    else
+      new OpenMeteoScan(opts, requiredSchema, pushed, tsLoMicros, tsHiMicros, limit)
 }
 
 class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,

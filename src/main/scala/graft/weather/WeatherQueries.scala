@@ -341,6 +341,23 @@ object WeatherQueries {
         .orderBy("latitude", "date")
     },
 
+    // §4 aggregate pushdown: a global MIN/MAX through the connector is
+    // answered from the source's DAILY pre-aggregates (PushedAggregates
+    // in the plan, asserted in OpenMeteoSourceSpec); the oracle computes
+    // the same values natively from the hourly arrays — so this row IS
+    // the pushed ≡ native equivalence, driver-checked.
+    "wx16_connector_agg" -> QueryDef.sql(
+      s"""WITH ${wideCte("hourly_7d.json")}
+         |SELECT max(temperature_2m) AS t_max, min(temperature_2m) AS t_min,
+         |  max(uv_index) AS uv_max
+         |FROM wide""".stripMargin) { (s, _) =>
+      s.read.format("openmeteo")
+        .option("path", s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json")
+        .load()
+        .agg(max("temperature_2m").as("t_max"), min("temperature_2m").as("t_min"),
+          max("uv_index").as("uv_max"))
+    },
+
     // J3 generic as-of: probe points 30 min past each hour joined to the
     // latest at-or-earlier weather observation. DuckDB's native ASOF JOIN
     // is the oracle for the union+window single-shuffle plan.

@@ -193,4 +193,53 @@ class OpenMeteoSourceSpec extends AnyFunSuite {
     // inclusive bound is the tighter one: hours 00:00..05:00 on 2 days’ worth
     assert(df.count() === 2 * (24 + 6))
   }
+
+  test("global MIN/MAX push to the daily block; pushed ≡ native (golden)") {
+    val agg = read().agg(
+      max("temperature_2m").as("tmax"), min("temperature_2m").as("tmin"),
+      max("uv_index").as("uvmax"))
+    val row = agg.collect()(0)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [MAX(temperature_2m_max), " +
+      "MIN(temperature_2m_min), MAX(uv_index_max)]"),
+      s"aggregates not pushed:\n$plan")
+    // golden equivalence: the pushed (daily-block) answer must equal the
+    // native hourly-row aggregation — SURVEY §4's pushed ≡ native test
+    val native = graft.weather.WeatherOps.toWide(
+      graft.weather.WeatherOps.readBlocks(spark, fixture))
+      .agg(max("temperature_2m"), min("temperature_2m"), max("uv_index"))
+      .collect()(0)
+    assert(row.getDouble(0) === native.getDouble(0))
+    assert(row.getDouble(1) === native.getDouble(1))
+    assert(row.getDouble(2) === native.getDouble(2))
+  }
+
+  test("agg pushdown respects day-aligned pushed bounds and bails otherwise") {
+    // day-aligned range: pushed, and only the in-range days aggregate
+    val aligned = read()
+      .filter(col("ts_local") >= lit("2024-07-02 00:00:00").cast("timestamp_ntz") &&
+        col("ts_local") < lit("2024-07-04 00:00:00").cast("timestamp_ntz"))
+      .agg(max("temperature_2m").as("tmax"))
+    val alignedRow = aligned.collect()(0)
+    assert(aligned.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "day-aligned range should push the aggregate")
+    val nativeRange = graft.weather.WeatherOps.toWide(
+      graft.weather.WeatherOps.readBlocks(spark, fixture))
+      .filter(col("ts_local") >= lit("2024-07-02 00:00:00").cast("timestamp_ntz") &&
+        col("ts_local") < lit("2024-07-04 00:00:00").cast("timestamp_ntz"))
+      .agg(max("temperature_2m")).collect()(0)
+    assert(alignedRow.getDouble(0) === nativeRange.getDouble(0))
+
+    // mid-day bound: NOT pushed (daily pre-aggregates can't answer it),
+    // result comes from the native hourly path
+    val unaligned = read()
+      .filter(col("ts_local") >= lit("2024-07-02 06:00:00").cast("timestamp_ntz"))
+      .agg(max("temperature_2m").as("tmax"))
+    assert(!unaligned.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "mid-day bound must fall back to the native aggregation")
+    // grouped aggregation: never pushed
+    val grouped = read().groupBy("latitude").agg(max("temperature_2m"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(grouped.count() === 2)
+  }
 }
