@@ -222,10 +222,18 @@ object Dedup {
     val postings = sh.select(col("id"), col("sz"), explode(col("g")).as("t"))
     val docFreq = postings.groupBy("t").agg(count(lit(1)).as("df"))
     // prefix length |S| − ⌈t·|S|⌉ + 1 under the global (df, hash) order
+    // FP-safety for every derived integer bound: thresholds like 0.4
+    // overshoot their rational value in IEEE double (0.4/1.4 > 2/7), so a
+    // bare ceil() can land one ABOVE the exact bound and silently drop a
+    // pair sitting exactly at τ (found by exact-rational audit: |A|=5,
+    // |B|=2, B⊆A has J = 2/5 = 0.4 but ceil(7·fp(2/7)) = 3 > 2). Every
+    // ceil subtracts Eps first: a bound can then only err DOWNWARD —
+    // admitting a few extra candidates, never losing a true pair.
+    val Eps = 1e-6
     val ranked = postings.join(docFreq, "t")
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("t"))))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - Eps) + 1)
       .select("t", "id", "sz", "rn")
     // candidate equi join on the prefix hash, pruned BEFORE the distinct:
     //  - length-ratio filter: J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t
@@ -235,14 +243,15 @@ object Dedup {
     //    which must reach the Jaccard overlap minimum t/(1+t)·(|A|+|B|).
     //    True pairs always pass at their first shared token, so keeping
     //    any-passing pairs is lossless.
-    val minOverlap = ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)))
+    val minOverlap =
+      ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - Eps)
     val cands = ranked.select(col("t"), col("id").as("id_a"),
         col("sz").as("sz_a"), col("rn").as("rn_a"))
       .join(ranked.select(col("t"), col("id").as("id_b"),
         col("sz").as("sz_b"), col("rn").as("rn_b")), Seq("t"))
       .filter(col("id_a") < col("id_b") &&
-        col("sz_b") >= ceil(col("sz_a") * threshold) &&
-        col("sz_b") * threshold <= col("sz_a") &&
+        col("sz_b") >= ceil(col("sz_a") * threshold - Eps) &&
+        col("sz_b") * threshold <= col("sz_a") + Eps &&
         least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) + 1 >= minOverlap)
       .select("id_a", "id_b")
       .distinct()

@@ -45,26 +45,35 @@ final class OfflineGeocodeTransport(placesPath: String) extends Transport {
   */
 final class Geocoder(transport: Transport) extends Serializable {
   def lookup(place: String): Either[String, (Double, Double)] = {
-    // ANY transport failure — fatal or retries-exhausted — resolves to
-    // the error envelope, matching the reference's catch-all around the
-    // geocode call (`server.py:116-119` → error response, never a crash)
-    val body =
-      try transport.fetch(Map("q" -> place, "format" -> "json", "limit" -> "2"))
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          return Left(s"Geocoding failed for '$place': ${e.getMessage}")
+    // ANY failure — fatal transport, retries-exhausted, OR a malformed
+    // 200 body (HTML error page, missing fields) — resolves to the error
+    // envelope, matching the reference's catch-all around the geocode
+    // call (`server.py:116-119` → error response, never a crash).
+    try {
+      val body = transport.fetch(
+        Map("q" -> place, "format" -> "json", "limit" -> "2"))
+      val root = new ObjectMapper().readTree(body)
+      if (root == null || !root.isArray)
+        return Left(s"Geocoding failed for '$place': unexpected payload")
+      def coord(i: Int, a: String, b: String): Option[Double] = {
+        val n = root.get(i)
+        if (n.hasNonNull(a)) Some(n.get(a).asDouble())
+        else if (n.hasNonNull(b)) Some(n.get(b).asDouble())
+        else None
       }
-    val root = new ObjectMapper().readTree(body)
-    if (root == null || !root.isArray)
-      return Left(s"Geocoding failed for '$place': unexpected payload")
-    def coord(i: Int, a: String, b: String): Double = {
-      val n = root.get(i)
-      if (n.has(a)) n.get(a).asDouble() else n.get(b).asDouble()
-    }
-    root.size() match {
-      case 0 => Left(s"Could not find coordinates for place: '$place'")
-      case 1 => Right((coord(0, "latitude", "lat"), coord(0, "longitude", "lon")))
-      case n => Left(s"Ambiguous place '$place': $n matches")
+      root.size() match {
+        case 0 => Left(s"Could not find coordinates for place: '$place'")
+        case 1 =>
+          (coord(0, "latitude", "lat"), coord(0, "longitude", "lon")) match {
+            case (Some(la), Some(lo)) => Right((la, lo))
+            case _ =>
+              Left(s"Geocoding failed for '$place': match lacks coordinates")
+          }
+        case n => Left(s"Ambiguous place '$place': $n matches")
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"Geocoding failed for '$place': ${e.getMessage}")
     }
   }
 }

@@ -43,16 +43,10 @@ class OpenMeteoAggScan(opts: OpenMeteoOptions, aggs: Seq[PushedAgg],
       s"[${aggs.map(a => s"${a.kind}(${a.dailyCol})").mkString(", ")}] " +
       s"PushedTimeRange: [${loMicros.getOrElse("-inf")}, ${hiMicros.getOrElse("+inf")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = if (opts.liveMode) opts.locations.size else {
-      val file = new java.io.File(opts.path)
-      require(file.exists(), s"openmeteo: block manifest not found at ${opts.path}")
-      val src = scala.io.Source.fromFile(file, "UTF-8")
-      try src.getLines().count(_.nonEmpty) finally src.close()
-    }
+  override def planInputPartitions(): Array[InputPartition] =
     // ONE partition over all blocks: complete pushdown returns one row
-    Array(OpenMeteoPartition((0 until n).toArray, loMicros, hiMicros))
-  }
+    Array(OpenMeteoPartition((0 until opts.blockUnitCount).toArray,
+      loMicros, hiMicros))
 
   override def createReaderFactory(): PartitionReaderFactory =
     OpenMeteoAggReaderFactory(opts, aggs)
@@ -79,19 +73,31 @@ class OpenMeteoAggReader(opts: OpenMeteoOptions, aggs: Seq[PushedAgg],
   private var done = false
   private val acc = Array.fill[java.lang.Double](aggs.size)(null)
 
+  // same decorator stack as the row scan (CLAUDE.md: policies stay on
+  // the scan path) — retry ALWAYS, rate limit when configured
   private lazy val transport: Transport = {
     val base: Transport = opts.httpBaseUrl match {
       case Some(url) => new HttpTransport(url)
       case None => new LineOfflineTransport(opts.path, blockIndices, opts.chaosFailFirst)
     }
-    new RetryingTransport(base, RetryPolicy(opts.maxRetries, opts.backoffBaseMs))
+    val retried =
+      new RetryingTransport(base, RetryPolicy(opts.maxRetries, opts.backoffBaseMs))
+    if (opts.rateLimitMs > 0) new RateLimitedTransport(retried, opts.rateLimitMs)
+    else retried
   }
 
   private def fetchParams(blockIdx: Int): Map[String, String] =
     if (opts.liveMode) {
       val (plat, plon) = opts.locations(blockIdx)
+      // the pushed (day-aligned) window must reach the remote too — a
+      // server default window would silently truncate the aggregate
+      val dates = Map(
+        "start_date" -> loDay.map(d => java.time.LocalDate.ofEpochDay(d).toString),
+        "end_date" -> hiDay.map(d => java.time.LocalDate.ofEpochDay(d - 1).toString)
+      ).collect { case (k, Some(v)) => k -> v }
       Map("latitude" -> plat.toString, "longitude" -> plon.toString,
-        WeatherSchemas.GranDaily -> aggs.map(_.dailyCol).distinct.mkString(","))
+        WeatherSchemas.GranDaily -> aggs.map(_.dailyCol).distinct.mkString(",")) ++
+        dates
     } else Map("block" -> blockIdx.toString)
 
   private def combine(): Unit = {

@@ -65,6 +65,22 @@ final case class OpenMeteoOptions(path: String, granKey: String,
     * (one remote unit per location × chunk) — no local manifest at all.
     */
   def liveMode: Boolean = httpBaseUrl.isDefined && locations.nonEmpty
+
+  /** Number of block units to plan over — the locations list in live
+    * mode, otherwise one unit per non-empty fixture line (shared by the
+    * row scan and the aggregate scan; fails with a clear message rather
+    * than a bare FileNotFoundException).
+    */
+  def blockUnitCount: Int =
+    if (liveMode) locations.size
+    else {
+      val file = new java.io.File(path)
+      require(file.exists(),
+        s"openmeteo: block manifest not found at $path — pass either " +
+          "'path' (offline) or 'locations' with 'httpBaseUrl' (live)")
+      val src = scala.io.Source.fromFile(file, "UTF-8")
+      try src.getLines().count(_.nonEmpty) finally src.close()
+    }
 }
 
 object OpenMeteoOptions {
@@ -294,16 +310,8 @@ class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     // Live mode (httpBaseUrl + locations): the partition count is the
     // explicit location list — zero local reads, the deployment shape.
-    // Offline mode: each non-empty fixture line is one block unit; fail
-    // with a clear message rather than a bare FileNotFoundException.
-    val n = if (opts.liveMode) opts.locations.size else {
-      val file = new java.io.File(opts.path)
-      require(file.exists(),
-        s"openmeteo: block manifest not found at ${opts.path} — pass " +
-          "either 'path' (offline) or 'locations' with 'httpBaseUrl' (live)")
-      val src = scala.io.Source.fromFile(file, "UTF-8")
-      try src.getLines().count(_.nonEmpty) finally src.close()
-    }
+    // Offline mode: each non-empty fixture line is one block unit.
+    val n = opts.blockUnitCount
     val chunkMicros = opts.chunkDays.toLong * 24L * 3600L * 1000000L
     val chunks: Seq[(Option[Long], Option[Long])] = (lo, hi) match {
       case (Some(l), Some(h)) if opts.chunkDays > 0 && h - l > chunkMicros &&

@@ -183,6 +183,22 @@ class DedupSpec extends AnyFunSuite {
     assert(naive.nonEmpty, "slice should contain at least one near-dup pair")
   }
 
+  test("exactJaccardPairs keeps pairs sitting EXACTLY at the threshold") {
+    import spark.implicits._
+    // |A| = 5 distinct shingles, |B| = 2, B ⊆ A → J = 2/5 = 0.4 exactly.
+    // fp(0.4/1.4) > 2/7, so an un-epsiloned ceil((5+2)·q) = 3 > 2 would
+    // drop this pair via the positional filter (exact-rational audit).
+    val a = "alpha beta gamma delta echo foxtrot golf" // 5 3-gram shingles
+    val b = "alpha beta gamma delta"                   // first 2 shingles
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.exactJaccardPairs(docs, threshold = 0.4).collect()
+    assert(pairs.length === 1, "the J = τ boundary pair must survive")
+    assert(pairs(0).getDouble(2) === 0.4)
+    // and 0.8 (overshoots at size-sums divisible by 9 ⇒ audit class)
+    val none = Dedup.exactJaccardPairs(docs, threshold = 0.5).collect()
+    assert(none.isEmpty, "0.4 < 0.5 must not pass a higher threshold")
+  }
+
   test("recommendedBands tracks the S-curve inflection") {
     // textbook case: 64 hashes, τ=0.5 → b=16, r=4 gives inflection exactly
     // (1/16)^(1/4) = 0.5
