@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through RAW (no "[info] " prefix):
+// the bench driver json-parses the last stdout lines of `sbt runMain
+// graft.Bench`, and sbt's default LoggedOutput prefix made the wire line
+// unparseable four rounds running (BENCH_r0{1..4}.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and suppress sbt's own trailing "[success] Total time" line so the
+// bench wire JSON is the literal last stdout line of the process.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -25,7 +25,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: benign localCheckpoint/MapPartitionsRDD WARNs land
+    // on stderr AFTER the wire line in the driver's tail capture and break
+    // its JSON parse (this failed four rounds running at WARN).
+    spark.sparkContext.setLogLevel("ERROR")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -70,7 +73,11 @@ object Bench {
       val w = new java.io.PrintWriter(outFile)
       try w.println(fullLine) finally w.close()
     } catch { case _: Exception => }
-    println(wire)
+    // The wire line must be the very LAST output: stop Spark first so its
+    // shutdown logging cannot trail the JSON in the driver's tail capture,
+    // then print and flush.
     spark.stop()
+    println(wire)
+    System.out.flush()
   }
 }
