@@ -18,6 +18,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * silent picks.
   */
 final class OfflineGeocodeTransport(placesPath: String) extends Transport {
+  // Per-instance, not per-fetch: mapper construction is expensive and
+  // this sits on the scan path. @transient — Transport is Serializable
+  // but ObjectMapper is not; the lazy val rebuilds after deserialization.
+  @transient private lazy val mapper = new ObjectMapper()
   override def fetch(params: Map[String, String]): String = {
     val q = params.getOrElse("q",
       throw new FatalTransportException("geocode: 'q' param required"))
@@ -25,7 +29,6 @@ final class OfflineGeocodeTransport(placesPath: String) extends Transport {
     if (!file.exists())
       throw new FatalTransportException(s"places file not found: $placesPath")
     CallCounters.inc("geocode")
-    val mapper = new ObjectMapper()
     val src = scala.io.Source.fromFile(file, "UTF-8")
     val matches = try src.getLines().filter(_.nonEmpty)
       .map(mapper.readTree)
@@ -44,6 +47,7 @@ final class OfflineGeocodeTransport(placesPath: String) extends Transport {
   * string fields.
   */
 final class Geocoder(transport: Transport) extends Serializable {
+  @transient private lazy val mapper = new ObjectMapper()
   def lookup(place: String): Either[String, (Double, Double)] = {
     // ANY failure — fatal transport, retries-exhausted, OR a malformed
     // 200 body (HTML error page, missing fields) — resolves to the error
@@ -52,7 +56,7 @@ final class Geocoder(transport: Transport) extends Serializable {
     try {
       val body = transport.fetch(
         Map("q" -> place, "format" -> "json", "limit" -> "2"))
-      val root = new ObjectMapper().readTree(body)
+      val root = mapper.readTree(body)
       if (root == null || !root.isArray)
         return Left(s"Geocoding failed for '$place': unexpected payload")
       def coord(i: Int, a: String, b: String): Option[Double] = {

@@ -378,6 +378,9 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
   private var lon: Double = _
   private var offsetSec: Long = _
   private var varArrays: Map[String, JsonNode] = Map.empty
+  // One mapper per reader, not per block: ObjectMapper construction is
+  // expensive and loadBlock sits on the scan hot path.
+  private lazy val mapper = new ObjectMapper()
   private var fetches = 0L
 
   private lazy val transport: Transport = {
@@ -420,7 +423,7 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
   private def loadBlock(blockIdx: Int): Unit = {
     fetches += 1
     val line = transport.fetch(fetchParams(blockIdx))
-    val root = new ObjectMapper().readTree(line)
+    val root = mapper.readTree(line)
     lat = root.get("latitude").asDouble()
     lon = root.get("longitude").asDouble()
     offsetSec = root.get("utc_offset_seconds").asLong()
