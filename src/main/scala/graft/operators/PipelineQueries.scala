@@ -256,6 +256,19 @@ object PipelineQueries {
       Similarity.topKCosineApprox(Tables.embeddings(s, d), queryId = 0L, k = 20)
     },
 
+    // the named scale path for s2: multi-table sign-LSH candidates +
+    // exact cosine verify. Output ⊆ the s2 exact pairs by construction
+    // (the verify is exact); the LSH stage only bounds recall, so there
+    // is no deterministic SQL twin — recall vs exact is golden-tested in
+    // SimilarityAsOfSpec against the S-curve bound recommendedTables
+    // inverts.
+    "s6_embed_neardup_bucketed" -> QueryDef.noOracle { (s, d) =>
+      Similarity.nearDupPairsBucketed(Tables.embeddings(s, d),
+        threshold = 0.25, nBits = 2,
+        nTables = Similarity.recommendedTables(0.25, targetRecall = 0.9, nBits = 2),
+        idCap = Some(200L))
+    },
+
     "s4_ivf_topk" -> QueryDef.noOracle { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val centroids = Similarity.ivfCentroids(emb, nCentroids = 16)

@@ -87,6 +87,65 @@ object Similarity {
     embeddings.withColumn("bucket",
       lshBucket(asDouble(col("embedding")), hyperplanes(nBits, dim)))
 
+  /** Number of independent LSH tables needed to catch a pair at cosine ≥
+    * `threshold` with probability ≥ `targetRecall`, given `nBits` planes
+    * per table: per-plane collision p₁ = 1 − θ/π (Charikar), per-table
+    * p₁^nBits, tables chained as 1 − (1 − p)^T ≥ R. The [[Dedup.recommendedBands]]
+    * analogue for the angular-LSH family — derives the recall/cost knob
+    * from τ instead of hand-tuning.
+    */
+  def recommendedTables(threshold: Double, targetRecall: Double = 0.95,
+      nBits: Int = 8): Int = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall in (0,1)")
+    val p1 = 1.0 - math.acos(threshold) / math.Pi
+    val pTable = math.pow(p1, nBits)
+    math.max(1, math.ceil(math.log(1.0 - targetRecall) /
+      math.log(1.0 - pTable)).toInt)
+  }
+
+  /** All pairs with TRUE cosine ≥ `threshold`, found through multi-table
+    * sign-LSH blocking — the named scale path next to the quadratic
+    * [[nearDupPairs]] oracle. Shape mirrors [[Dedup.minhashNearDups]]:
+    *
+    *  1. each vector posts (table, bucket) keys — `nTables` independent
+    *     hyperplane sets, buckets from [[lshBucket]];
+    *  2. candidates = equi self-join on (table, bucket), id pairs ONLY
+    *     through the cross-table `distinct` (8 B ids, never vectors — the
+    *     distinct's shuffle bytes are the scarce resource at 100 TB);
+    *  3. exact verify: vectors re-attach via two narrow joins and the
+    *     true cosine filters the survivors, so every returned pair is
+    *     exact — the LSH stage only bounds RECALL (≥ the S-curve bound
+    *     [[recommendedTables]] inverts), never precision.
+    *
+    * Per-table candidate volume is Σ_buckets |bucket|²/2: more bits →
+    * smaller buckets → fewer candidates but lower per-table recall, which
+    * more tables buy back. Never an n² cross join.
+    */
+  def nearDupPairsBucketed(embeddings: DataFrame, threshold: Double,
+      nBits: Int = 8, nTables: Int = 8, dim: Int = 64, seed: Long = 42L,
+      idCap: Option[Long] = None): DataFrame = {
+    val base = idCap.fold(embeddings)(c => embeddings.filter(col("vec_id") < c))
+    val e = base.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val buckets = array((0 until nTables).map(t =>
+      lshBucket(col("v"), hyperplanes(nBits, dim, seed + t))): _*)
+    val posted = e.select(col("vec_id"), posexplode(buckets))
+      .toDF("vec_id", "t", "bkt")
+    val a = posted.select(col("t"), col("bkt"), col("vec_id").as("id_a"))
+    val b = posted.select(col("t"), col("bkt"), col("vec_id").as("id_b"))
+    val cands = a.join(b, Seq("t", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Approximate top-k: exact search restricted to the query vector's LSH
     * bucket and its Hamming-1 neighbor buckets (multi-probe).
     */
@@ -162,16 +221,39 @@ object Similarity {
     math.max(floor, pow2.toInt)
   }
 
-  /** Train the IVF coarse quantizer: seeded KMeans (Spark MLlib) over the
-    * embedding column. Deterministic for a fixed seed. The centroid table
-    * is tiny (nCentroids × dim doubles) and returned driver-side — at
-    * cluster scale it is trained on a sample and broadcast as literals.
+  /** Bounded, seeded sample the coarse quantizer trains on. A coarse
+    * quantizer needs O(pointsPerCentroid × nCentroids) points, not the
+    * corpus: at 100 TB a full-corpus KMeans is a driver-coordinated
+    * multi-pass over everything, while the centroid quality plateaus a
+    * few hundred points per centroid in (the faiss training guideline).
+    * Below the target size the input passes through untouched, so
+    * small-SF results are unchanged. Bernoulli sampling is scan-local
+    * (no shuffle) and deterministic for a fixed seed + partitioning.
+    */
+  def ivfFitSample(embeddings: DataFrame, nCentroids: Int,
+      pointsPerCentroid: Int = 256, seed: Long = 42L): DataFrame = {
+    require(nCentroids > 0 && pointsPerCentroid > 0)
+    val target = nCentroids.toLong * pointsPerCentroid
+    val n = embeddings.count()
+    if (n <= target) embeddings
+    else {
+      // mild over-sample so Bernoulli variance still lands ≥ target
+      val fraction = math.min(1.0, target.toDouble * 1.05 / n)
+      embeddings.sample(withReplacement = false, fraction, seed)
+    }
+  }
+
+  /** Train the IVF coarse quantizer: seeded KMeans (Spark MLlib) over a
+    * bounded [[ivfFitSample]] of the embedding column (full corpus only
+    * when it is already smaller than the sample target). Deterministic
+    * for a fixed seed. The centroid table is tiny (nCentroids × dim
+    * doubles) and returned driver-side to be embedded as plan literals.
     */
   def ivfCentroids(embeddings: DataFrame, nCentroids: Int = 16,
-      seed: Long = 42L): Array[Array[Double]] = {
+      seed: Long = 42L, pointsPerCentroid: Int = 256): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feats = embeddings
+    val feats = ivfFitSample(embeddings, nCentroids, pointsPerCentroid, seed)
       .select(array_to_vector(asDouble(col("embedding"))).as("features"))
     val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
       .fit(feats)

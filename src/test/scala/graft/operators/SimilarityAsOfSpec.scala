@@ -76,6 +76,67 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     assert(dq.schema("q").dataType.simpleString === "array<tinyint>")
   }
 
+  test("bucketed near-dup pairs: exact precision, recall ≥ the S-curve bound") {
+    // The synthetic embeddings have no high-sim pairs (max ≈ 0.45), so
+    // plant them: a perturbed copy of each vector at vec_id + 10000. The
+    // shared tiny delta keeps cos(original, copy) ≈ 0.99+ while cross
+    // sims stay low — exact pairs at τ=0.9 are exactly the planted ones.
+    val base = Tables.embeddings(spark, TestSpark.sfDir)
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+    val planted = base.select((col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => (x + (i % 3 - 1) * lit(0.01f)).cast("float")).as("embedding"))
+    val corpus = base.unionByName(planted)
+
+    val tau = 0.9
+    val exact = Similarity.nearDupPairs(corpus, idCap = 20000L, threshold = tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 150, s"planting failed: only ${exact.size} exact pairs")
+
+    val nBits = 8
+    val nTables = Similarity.recommendedTables(tau, targetRecall = 0.95, nBits)
+    val bucketed = Similarity.nearDupPairsBucketed(corpus, tau, nBits, nTables)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // precision is exact by construction: the verify stage recomputes the
+    // true cosine, so the bucketed result must be a subset of exact
+    assert((bucketed -- exact).isEmpty,
+      s"bucketed returned non-pairs: ${(bucketed -- exact).take(5)}")
+    // recall ≥ the recommendedTables design point (0.95 at the τ=0.9
+    // boundary; planted sims sit near 0.99 where the bound is tighter)
+    val recall = (bucketed & exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"bucketed recall $recall below S-curve bound 0.95")
+  }
+
+  test("recommendedTables inverts the S-curve sensibly") {
+    // higher recall target or lower threshold ⇒ more tables
+    val t1 = Similarity.recommendedTables(0.9, 0.95, nBits = 8)
+    assert(t1 >= 2 && t1 <= 32, s"unexpected table count $t1")
+    assert(Similarity.recommendedTables(0.9, 0.99, 8) >= t1)
+    assert(Similarity.recommendedTables(0.8, 0.95, 8) >= t1)
+    assert(Similarity.recommendedTables(0.9, 0.95, 12) >= t1)
+  }
+
+  test("IVF coarse quantizer trains on a bounded, deterministic sample") {
+    // synthetic 20k-row corpus (deterministic expressions, no RNG)
+    val big = spark.range(20000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        i => cos(col("id") * 7 + i).cast("float")).as("embedding"))
+    val target = 4L * 100
+    val fit = Similarity.ivfFitSample(big, nCentroids = 4, pointsPerCentroid = 100)
+    val n = fit.count()
+    assert(n < 20000, "sample did not shrink the fit input")
+    assert(n <= 2 * target, s"fit sample $n far above target $target")
+    assert(n >= target / 2, s"fit sample $n too small to train on")
+    // deterministic for a fixed seed
+    val again = Similarity.ivfFitSample(big, 4, pointsPerCentroid = 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(fit.select("vec_id").collect().map(_.getLong(0)).toSet === again)
+    // small corpora pass through untouched — sf-level results unchanged
+    val small = big.limit(300)
+    assert(Similarity.ivfFitSample(small, 4, pointsPerCentroid = 100).count() === 300)
+  }
+
   test("as-of carries the latest build ROW whole — null fields stay null") {
     val spark2 = spark
     import spark2.implicits._
