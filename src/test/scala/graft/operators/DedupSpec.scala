@@ -215,6 +215,44 @@ class DedupSpec extends AnyFunSuite {
     assert(Similarity.recommendedLists(100) === 16)
   }
 
+  test("d3/d5 recall vs the exact d9 pairs meets the S-curve prediction (sf0.01)") {
+    // d3 (MinHash LSH) and d5 (verified near-dup) have no SQL ground
+    // truth, but d9 (exactJaccardPairs, oracle-green vs DuckDB's
+    // quadratic join) IS their ground truth at the shared τ. Gate the
+    // sketches on measured recall ≥ the S-curve-predicted catch rate for
+    // the probes' geometry: 64 hashes in 16 bands of r=4 ⇒ per-pair
+    // p(j) = 1 − (1 − j⁴)¹⁶ (cf. recommendedBands, which inverts the
+    // same curve to pick the band count).
+    val sf01 = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, sf01)
+    val exact = Dedup.exactJaccardPairs(docs, threshold = 0.4)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "no exact ground-truth pairs at sf0.01")
+
+    def pCatch(j: Double): Double = 1.0 - math.pow(1.0 - math.pow(j, 4), 16)
+    val predicted = exact.values.map(pCatch).sum / exact.size
+    // 2σ binomial slack + 5 pp for the est-jaccard post-filter noise
+    val sigma = math.sqrt(
+      exact.values.map(j => pCatch(j) * (1 - pCatch(j))).sum) / exact.size
+    val bound = predicted - 2 * sigma - 0.05
+
+    val d3 = Dedup.minhashNearDups(docs, threshold = 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d3Recall = exact.keys.count(d3.contains).toDouble / exact.size
+    assert(d3Recall >= bound, s"d3 recall $d3Recall below predicted $bound")
+
+    val d5 = Dedup.verifiedNearDups(docs, threshold = 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d5Recall = exact.keys.count(d5.contains).toDouble / exact.size
+    assert(d5Recall >= bound, s"d5 recall $d5Recall below predicted $bound")
+    // d5's verify recomputes the same exact metric d9 uses, so every d5
+    // pair must appear in the exact set (precision 1.0)
+    assert((d5 -- exact.keySet).isEmpty, "d5 returned a pair d9 refutes")
+  }
+
   test("hash-gate sampler: deterministic, strata outside rates dropped") {
     val df = graft.Tables.documents(spark, TestSpark.sfDir)
     val s1 = Scale.hashStratifiedSample(df, "lang", Map("en" -> 0.5, "de" -> 0.2))
