@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Relational3.defs ++ operators.Relational4.defs ++
       operators.Relational5.defs ++
       PipelineQueries.defs ++
-      WeatherQueries.defs ++ operators.Multimodal.defs
+      WeatherQueries.defs ++ operators.Multimodal.defs ++
+      streaming.StreamingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → filter → partial/final hash agg → sort.
