@@ -27,42 +27,72 @@ import graft.weather.WeatherSchemas
   */
 final case class PushedAgg(kind: String, dailyCol: String)
 
+/** `groupCols` ⊆ {latitude, longitude} selects the GROUPED variant:
+  * per-location MIN/MAX rows (the multi-location fleet query). Grouped
+  * pushdown is PARTIAL — Spark keeps the final merge aggregate — so
+  * partitions may split or repeat a location freely and the scan
+  * parallelism survives; the global (no grouping) variant stays a
+  * complete pushdown returning exactly one row.
+  */
 class OpenMeteoAggScan(opts: OpenMeteoOptions, aggs: Seq[PushedAgg],
-    loMicros: Option[Long], hiMicros: Option[Long])
+    loMicros: Option[Long], hiMicros: Option[Long],
+    groupCols: Seq[String] = Seq.empty)
     extends Scan with Batch {
 
   override def readSchema(): StructType =
-    StructType(aggs.zipWithIndex.map { case (a, i) =>
-      StructField(s"${a.kind}_${a.dailyCol}_$i", DoubleType, nullable = true)
-    })
+    StructType(groupCols.map(c =>
+      StructField(c, DoubleType, nullable = false)) ++
+      aggs.zipWithIndex.map { case (a, i) =>
+        StructField(s"${a.kind}_${a.dailyCol}_$i", DoubleType, nullable = true)
+      })
 
   override def toBatch: Batch = this
 
   override def description(): String =
     s"openmeteo AGG gran=daily PushedAggregates: " +
       s"[${aggs.map(a => s"${a.kind}(${a.dailyCol})").mkString(", ")}] " +
+      (if (groupCols.nonEmpty) s"PushedGroupBy: [${groupCols.mkString(", ")}] "
+       else "") +
       s"PushedTimeRange: [${loMicros.getOrElse("-inf")}, ${hiMicros.getOrElse("+inf")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    // ONE partition over all blocks: complete pushdown returns one row
-    Array(OpenMeteoPartition((0 until opts.blockUnitCount).toArray,
-      loMicros, hiMicros))
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(opts.blockUnitCount, 1)
+    if (groupCols.isEmpty)
+      // ONE partition over all blocks: complete pushdown returns one row
+      Array(OpenMeteoPartition((0 until opts.blockUnitCount).toArray,
+        loMicros, hiMicros))
+    else {
+      // partial pushdown merges on top: stride the blocks like the row
+      // scan so a 10k-location fleet aggregates in parallel
+      val parts = math.min(n, math.max(opts.maxPartitions, 1))
+      (0 until parts).map(p =>
+        OpenMeteoPartition((p until opts.blockUnitCount by parts).toArray,
+          loMicros, hiMicros): InputPartition).toArray
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    OpenMeteoAggReaderFactory(opts, aggs)
+    OpenMeteoAggReaderFactory(opts, aggs, groupCols)
 }
 
 final case class OpenMeteoAggReaderFactory(opts: OpenMeteoOptions,
-    aggs: Seq[PushedAgg]) extends PartitionReaderFactory {
+    aggs: Seq[PushedAgg], groupCols: Seq[String] = Seq.empty)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[OpenMeteoPartition]
-    new OpenMeteoAggReader(opts, aggs, part.blockIndices, part.lo, part.hi)
+    new OpenMeteoAggReader(opts, aggs, part.blockIndices, part.lo, part.hi,
+      groupCols)
   }
 }
 
-/** Combines the per-day pre-aggregates of every block into one row. */
+/** Combines the per-day pre-aggregates of every block: one row total
+  * (global complete pushdown, emitted even when empty) or one row per
+  * distinct group key seen in this partition's blocks (grouped partial
+  * pushdown — Spark's final aggregate merges across partitions).
+  */
 class OpenMeteoAggReader(opts: OpenMeteoOptions, aggs: Seq[PushedAgg],
-    blockIndices: Array[Int], lo: Option[Long], hi: Option[Long])
+    blockIndices: Array[Int], lo: Option[Long], hi: Option[Long],
+    groupCols: Seq[String] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
   // local-day bounds derived from the (day-aligned, validated at push
@@ -71,7 +101,11 @@ class OpenMeteoAggReader(opts: OpenMeteoOptions, aggs: Seq[PushedAgg],
   private val hiDay = hi.map(_ / OpenMeteoAggReader.DayMicros)
 
   private var done = false
-  private val acc = Array.fill[java.lang.Double](aggs.size)(null)
+  // group key (empty Seq = the global row) -> per-agg accumulator
+  private val groups =
+    scala.collection.mutable.LinkedHashMap[Seq[Double], Array[java.lang.Double]]()
+  private var rowIter: Iterator[(Seq[Double], Array[java.lang.Double])] = Iterator.empty
+  private var current: (Seq[Double], Array[java.lang.Double]) = _
 
   // same decorator stack as the row scan (CLAUDE.md: policies stay on
   // the scan path) — retry ALWAYS, rate limit when configured
@@ -104,6 +138,11 @@ class OpenMeteoAggReader(opts: OpenMeteoOptions, aggs: Seq[PushedAgg],
     val mapper = new ObjectMapper()
     blockIndices.foreach { idx =>
       val root = mapper.readTree(transport.fetch(fetchParams(idx)))
+      // group key from the payload's own coordinates — blocks repeating a
+      // location accumulate into one group within this partition
+      val key: Seq[Double] = groupCols.map(c => root.get(c).asDouble())
+      val acc = groups.getOrElseUpdate(key,
+        Array.fill[java.lang.Double](aggs.size)(null))
       val daily = root.get(WeatherSchemas.GranDaily)
       if (daily != null && !daily.isNull && daily.get("time") != null) {
         val times = daily.get("time")
@@ -126,13 +165,29 @@ class OpenMeteoAggReader(opts: OpenMeteoOptions, aggs: Seq[PushedAgg],
     }
   }
 
-  override def next(): Boolean =
-    if (done) false
-    else { combine(); done = true; true }
+  override def next(): Boolean = {
+    if (!done) {
+      combine()
+      done = true
+      rowIter =
+        if (groupCols.isEmpty)
+          // complete-pushdown contract: exactly one (possibly all-null) row
+          Iterator((Seq.empty[Double],
+            groups.getOrElse(Seq.empty, Array.fill[java.lang.Double](aggs.size)(null))))
+        else groups.iterator
+    }
+    val has = rowIter.hasNext
+    if (has) current = rowIter.next()
+    has
+  }
 
-  override def get(): InternalRow =
-    new GenericInternalRow(acc.map(v =>
-      if (v == null) null else java.lang.Double.valueOf(v.doubleValue()): Any))
+  override def get(): InternalRow = {
+    val (key, acc) = current
+    new GenericInternalRow(
+      key.map(v => java.lang.Double.valueOf(v): Any).toArray ++
+        acc.map(v =>
+          if (v == null) null else java.lang.Double.valueOf(v.doubleValue()): Any))
+  }
 
   override def close(): Unit = ()
 }

@@ -164,6 +164,7 @@ class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
   private var tsHiMicros: Option[Long] = None // EXCLUSIVE upper micro bound
   private var limit: Option[Int] = None
   private var pushedAggs: Seq[PushedAgg] = Seq.empty
+  private var pushedGroupCols: Seq[String] = Seq.empty
 
   /** LIMIT reaches the scan: each partition stops fetching blocks once it
     * has emitted `limit` rows (partial pushdown — Spark still applies the
@@ -251,27 +252,53 @@ class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
     tsLoMicros.forall(_ % day == 0) && tsHiMicros.forall(_ % day == 0)
   }
 
+  /** Grouping the source can answer: plain references to the location
+    * coordinates (each block/payload carries its own latitude/longitude,
+    * so per-location daily pre-aggregates are exact). Returned in the
+    * query's grouping order; None = not pushable.
+    */
+  private def groupColsOf(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Seq[String]] = {
+    val names = agg.groupByExpressions.toSeq.map {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
+    if (names.nonEmpty && names.forall(_.isDefined)) {
+      val ns = names.map(_.get)
+      if (ns.distinct == ns && ns.toSet.subsetOf(Set("latitude", "longitude")))
+        Some(ns)
+      else None
+    } else None
+  }
+
   private def canPushAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    opts.granKey == WeatherSchemas.GranHourly &&
-      agg.groupByExpressions.isEmpty && dayAligned &&
+    opts.granKey == WeatherSchemas.GranHourly && dayAligned &&
+      (agg.groupByExpressions.isEmpty || groupColsOf(agg).isDefined) &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(asPushedAgg(_).isDefined)
 
+  /** Complete only for the GLOBAL aggregate (one row, one partition).
+    * Grouped pushdown stays PARTIAL: Spark keeps the final merge, so the
+    * scan may stay parallel and split/repeat locations across partitions.
+    */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    canPushAgg(agg)
+    agg.groupByExpressions.isEmpty && canPushAgg(agg)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     canPushAgg(agg) && {
       pushedAggs = agg.aggregateExpressions.toSeq.map(asPushedAgg(_).get)
+      pushedGroupCols = groupColsOf(agg).getOrElse(Seq.empty)
       true
     }
 
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
-      new OpenMeteoAggScan(opts, pushedAggs, tsLoMicros, tsHiMicros)
+      new OpenMeteoAggScan(opts, pushedAggs, tsLoMicros, tsHiMicros,
+        pushedGroupCols)
     else
       new OpenMeteoScan(opts, requiredSchema, pushed, tsLoMicros, tsHiMicros, limit)
 }

@@ -358,6 +358,26 @@ object WeatherQueries {
           max("uv_index").as("uv_max"))
     },
 
+    // §4 GROUPED aggregate pushdown — the multi-location fleet query:
+    // per-(latitude, longitude) MIN/MAX answered from each location's
+    // daily pre-aggregates (PushedGroupBy in the plan, partial pushdown —
+    // Spark's merge agg stays on top so partitions may split locations).
+    // Oracle computes the same per-location values from the hourly arrays:
+    // grouped pushed ≡ native, driver-checked over 2 locations.
+    "wx17_connector_agg_grouped" -> QueryDef.sql(
+      s"""WITH ${wideCte("hourly_7d.json")}
+         |SELECT latitude, longitude,
+         |  max(temperature_2m) AS t_max, min(temperature_2m) AS t_min
+         |FROM wide GROUP BY latitude, longitude
+         |ORDER BY latitude, longitude""".stripMargin) { (s, _) =>
+      s.read.format("openmeteo")
+        .option("path", s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json")
+        .load()
+        .groupBy("latitude", "longitude")
+        .agg(max("temperature_2m").as("t_max"), min("temperature_2m").as("t_min"))
+        .orderBy("latitude", "longitude")
+    },
+
     // J3 generic as-of: probe points 30 min past each hour joined to the
     // latest at-or-earlier weather observation. DuckDB's native ASOF JOIN
     // is the oracle for the union+window single-shuffle plan.

@@ -237,9 +237,42 @@ class OpenMeteoSourceSpec extends AnyFunSuite {
       .agg(max("temperature_2m").as("tmax"))
     assert(!unaligned.queryExecution.executedPlan.toString.contains("PushedAggregates"),
       "mid-day bound must fall back to the native aggregation")
-    // grouped aggregation: never pushed
-    val grouped = read().groupBy("latitude").agg(max("temperature_2m"))
-    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"))
-    assert(grouped.count() === 2)
+    // grouping the source can't answer (a non-coordinate column): no push
+    val byTs = read().groupBy("ts_local").agg(max("temperature_2m"))
+    assert(!byTs.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+  }
+
+  test("GROUPED agg pushdown: per-location MIN/MAX from the daily block, pushed ≡ native") {
+    val grouped = read().groupBy("latitude", "longitude")
+      .agg(max("temperature_2m").as("tmax"), min("temperature_2m").as("tmin"))
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [MAX(temperature_2m_max), " +
+      "MIN(temperature_2m_min)]"), s"grouped aggregates not pushed:\n$plan")
+    assert(plan.contains("PushedGroupBy: [latitude, longitude]"),
+      s"grouping not pushed:\n$plan")
+    // PARTIAL pushdown: Spark's final merge aggregate must stay on top
+    // (partitions may split/repeat locations at fleet scale)
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"grouped pushdown must keep the final merge agg:\n$plan")
+
+    val pushedRows = grouped.collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val native = graft.weather.WeatherOps.toWide(
+      graft.weather.WeatherOps.readBlocks(spark, fixture))
+      .groupBy("latitude", "longitude")
+      .agg(max("temperature_2m"), min("temperature_2m"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(pushedRows === native, "grouped pushed ≡ native equivalence broken")
+    assert(pushedRows.size === 2, "expected one row per fixture location")
+
+    // grouping order follows the query, not the schema
+    val flipped = read().groupBy("longitude", "latitude")
+      .agg(max("temperature_2m").as("tmax"))
+    assert(flipped.queryExecution.executedPlan.toString
+      .contains("PushedGroupBy: [longitude, latitude]"))
+    assert(flipped.collect().length === 2)
   }
 }
