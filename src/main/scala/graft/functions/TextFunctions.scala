@@ -87,6 +87,17 @@ object TextFunctions {
     round((lenScore + stopScore + punctScore + wlScore) / 4.0, 6)
   }
 
+  /** Fraction of word n-grams that are repeats of an earlier n-gram in
+    * the same document (Gopher's "duplicate n-gram fraction" repetition
+    * signal, Rae et al. 2021 §A1.1): 1 − distinct/total, 0 for empty.
+    * In-row native expressions — no shuffle, scan-local at any scale.
+    */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val g = wordShingles(text, n)
+    when(size(g) === 0, lit(0.0)).otherwise(
+      (size(g) - size(array_distinct(g))).cast("double") / size(g))
+  }
+
   /** Content fingerprint: md5 of case/whitespace-normalized text. Exact-dup
     * key that survives trivial reformatting.
     */

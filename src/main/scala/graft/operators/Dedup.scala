@@ -294,6 +294,39 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least one word `n`-gram with the eval/benchmark set — the standard
+    * train-set hygiene pass before training (GPT-3's 13-gram collision
+    * rule, Brown et al. 2020 §C, here with the n as a knob). Output is
+    * the full corpus id list with a `contaminated` flag.
+    *
+    * Two-phase so document text never rides the big shuffle:
+    *  1. candidates via an 8-byte `xxhash64(shingle)` semi join — the
+    *     eval hash set is tiny (benchmarks are small by definition) and
+    *     broadcasts; hash collisions only ADD candidates;
+    *  2. the exact string semi join re-runs on the candidate documents
+    *     only, so false positives from phase 1 are rejected and the
+    *     flag is exact.
+    */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val evalSh = evalDocs.select(explode(array_distinct(
+      TextFunctions.wordShingles(col(textCol), n))).as("g")).distinct()
+    val corpusSh = corpus.select(col(idCol), explode(array_distinct(
+      TextFunctions.wordShingles(col(textCol), n))).as("g"))
+    val evalHashes = evalSh.select(xxhash64(col("g")).as("h")).distinct()
+    val candIds = corpusSh.select(col(idCol), xxhash64(col("g")).as("h"))
+      .join(broadcast(evalHashes), Seq("h"), "left_semi")
+      .select(idCol).distinct()
+    val confirmed = corpusSh.join(candIds, idCol)
+      .join(evalSh, Seq("g"), "left_semi")
+      .select(idCol).distinct()
+    corpus.select(col(idCol))
+      .join(confirmed.withColumn("contaminated", lit(true)), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
   /** Connected components over a near-dup pair list → (id, cluster_id)
     * with cluster_id = the smallest member id (the canonical
     * representative, as in "keep lowest id per cluster" dedup policy).

@@ -198,6 +198,110 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate
+    // 3-gram fraction (in-row expression, scan-local) and top-bigram
+    // fraction (explode → count → max/sum — distributed, partial-agg'd).
+    // Both are bounded ratios → round 6 d.p. (CLAUDE.md oracle rules);
+    // dividend/divisor are identical integers in both engines, so the
+    // quotients are bit-identical.
+    "t10_gopher_repetition" -> QueryDef.sql(
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |g3 AS (
+        |  SELECT doc_id, CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+        |    WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(len(w) - 2),
+        |           i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')) END AS g
+        |  FROM ws),
+        |d3 AS (
+        |  SELECT doc_id, CASE WHEN len(g) = 0 THEN 0.0
+        |    ELSE CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g) END AS dup3
+        |  FROM g3),
+        |g2 AS (
+        |  SELECT doc_id, CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+        |    WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(len(w) - 1),
+        |           i -> array_to_string(list_slice(w, i + 1, i + 2), ' ')) END AS g
+        |  FROM ws),
+        |x2 AS (SELECT doc_id, unnest(g) AS t FROM g2),
+        |c2 AS (SELECT doc_id, t, count(*) AS cnt FROM x2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, max(cnt) AS topc, sum(cnt) AS tot FROM c2 GROUP BY 1)
+        |SELECT d3.doc_id, round(d3.dup3, 6) AS dup3_frac,
+        |  round(coalesce(CAST(t2.topc AS DOUBLE) / t2.tot, 0.0), 6) AS top2_frac
+        |FROM d3 LEFT JOIN t2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val top = docs.select(col("doc_id"),
+          explode(TextFunctions.wordShingles(col("text"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max("cnt").as("topc"), sum("cnt").as("tot"))
+      docs.select(col("doc_id"),
+          TextFunctions.dupNgramFrac(col("text"), 3).as("dup3"))
+        .join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), round(col("dup3"), 6).as("dup3_frac"),
+          round(coalesce(col("topc").cast("double") / col("tot"), lit(0.0)), 6)
+            .as("top2_frac"))
+        .orderBy("doc_id")
+    },
+
+    // C4/Gopher RULE-based keep/drop filter (Raffel et al. 2020 §2.1;
+    // Rae et al. 2021 §A1.1) — the boolean cousin of t5's soft score:
+    // word-count bounds, mean-word-length bounds, stopword presence,
+    // repetition cap. Every rule is a deterministic expression mirrored
+    // exactly in DuckDB (identical dividends/divisors ⇒ identical
+    // comparisons even at rule boundaries).
+    "t11_c4_quality_filter" -> QueryDef.sql(
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |g3 AS (
+        |  SELECT doc_id, CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+        |    WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(len(w) - 2),
+        |           i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')) END AS g
+        |  FROM ws),
+        |m AS (
+        |  SELECT ws.doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CASE WHEN len(w) = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+        |    END AS mwl,
+        |    CASE WHEN len(w) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(w, x -> list_contains(
+        |        ['the','a','an','and','or','of','to','in','is','it',
+        |         'for','on','with','as','at','by','from','that','this'], x)))
+        |        AS DOUBLE) / len(w) END AS stop_ratio,
+        |    CASE WHEN len(g) = 0 THEN 0.0
+        |      ELSE CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)
+        |    END AS dup3
+        |  FROM ws JOIN g3 USING (doc_id))
+        |SELECT doc_id, n_words,
+        |  n_words >= 10 AND n_words <= 100000 AS r_len,
+        |  mwl >= 2.0 AND mwl <= 12.0 AS r_wordlen,
+        |  stop_ratio >= 0.02 AS r_stopword,
+        |  dup3 < 0.5 AS r_repetition,
+        |  (n_words >= 10 AND n_words <= 100000) AND (mwl >= 2.0 AND mwl <= 12.0)
+        |    AND stop_ratio >= 0.02 AND dup3 < 0.5 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nWords = size(TextFunctions.words(col("text"))).cast("long")
+      val mwl = TextFunctions.meanWordLen(col("text"))
+      val stop = TextFunctions.stopwordRatio(col("text"))
+      val dup3 = TextFunctions.dupNgramFrac(col("text"), 3)
+      Tables.documents(s, d)
+        .select(col("doc_id"), nWords.as("n_words"),
+          (nWords >= 10 && nWords <= 100000).as("r_len"),
+          (mwl >= 2.0 && mwl <= 12.0).as("r_wordlen"),
+          (stop >= 0.02).as("r_stopword"),
+          (dup3 < 0.5).as("r_repetition"))
+        .withColumn("keep",
+          col("r_len") && col("r_wordlen") && col("r_stopword") && col("r_repetition"))
+        .orderBy("doc_id")
+    },
+
     // ---- dedup ------------------------------------------------------------
     "d1_dedup_exact" -> QueryDef.sql(
       """SELECT count(*) AS n_total, count(DISTINCT text) AS n_unique
@@ -364,6 +468,41 @@ object PipelineQueries {
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.exactJaccardPairs(Tables.documents(s, d), threshold = 0.4)
         .orderBy("id_a", "id_b")
+    },
+
+    // benchmark decontamination (GPT-3's n-gram collision rule): corpus =
+    // doc_id % 7 != 0, eval set = the rest; a corpus doc is contaminated
+    // iff it shares ≥1 distinct word 8-gram with any eval doc. The Spark
+    // side is the two-phase hash-candidates + exact-string-verify join
+    // (Dedup.decontaminate); the oracle computes the same flag by a plain
+    // string-shingle intersection — result equality IS the FP-rejection
+    // proof for the hashed phase.
+    "d10_decontaminate" -> QueryDef.sql(
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(range(len(w) - 7),
+        |                i -> array_to_string(list_slice(w, i + 1, i + 8), ' ')) END) AS g
+        |  FROM ws),
+        |ev AS (SELECT DISTINCT unnest(g) AS t FROM sh WHERE doc_id % 7 = 0),
+        |hits AS (
+        |  SELECT DISTINCT p.doc_id
+        |  FROM (SELECT doc_id, unnest(g) AS t FROM sh WHERE doc_id % 7 <> 0) p
+        |  JOIN ev USING (t))
+        |SELECT s.doc_id, s.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+        |FROM sh s WHERE s.doc_id % 7 <> 0
+        |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0), n = 8)
+        .orderBy("doc_id")
     },
 
     // fuzzy vocabulary matching, oracle-checked: the banded equi-join +

@@ -215,6 +215,22 @@ class DedupSpec extends AnyFunSuite {
     assert(Similarity.recommendedLists(100) === 16)
   }
 
+  test("decontaminate flags exactly the corpus docs sharing an n-gram with eval") {
+    val spark2 = spark
+    import spark2.implicits._
+    val eval = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then alpha beta gamma delta and more"), // shares the 4-gram
+      (2L, "alpha beta gamma NOPE delta"),                       // breaks the window
+      (3L, "completely unrelated content here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, eval, n = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false))
+    // every corpus doc appears exactly once; eval docs never do
+    assert(got.size === 3 && !got.contains(100L))
+  }
+
   test("d3/d5 recall vs the exact d9 pairs meets the S-curve prediction (sf0.01)") {
     // d3 (MinHash LSH) and d5 (verified near-dup) have no SQL ground
     // truth, but d9 (exactJaccardPairs, oracle-green vs DuckDB's
