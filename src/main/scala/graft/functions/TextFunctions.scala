@@ -98,6 +98,17 @@ object TextFunctions {
       (size(g) - size(array_distinct(g))).cast("double") / size(g))
   }
 
+  /** PII scrub pass (training-data hygiene): mask email addresses and
+    * phone-number-shaped digit runs with typed placeholder tokens. Both
+    * patterns stay in the RE2-compatible subset so the DuckDB oracle can
+    * run the identical regexes; Spark's regexp_replace is all-occurrence
+    * by default (DuckDB needs the 'g' flag). Scan-local, codegen'd.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+      "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>")
+
   /** Content fingerprint: md5 of case/whitespace-normalized text. Exact-dup
     * key that survives trivial reformatting.
     */

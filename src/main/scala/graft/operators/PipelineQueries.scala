@@ -302,6 +302,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // PII scrub pass: the synthetic docs carry no PII, so each doc is
+    // AUGMENTED with a deterministic id-derived email + phone before
+    // redaction — both engines build the identical augmented string and
+    // run the identical RE2-subset regexes, so the masked output (and
+    // the proof that masking actually fired) hash-matches.
+    "t12_pii_redact" -> QueryDef.sql(
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+        |      '@example.com or +1-555-01' || CAST(doc_id % 100 AS VARCHAR),
+        |    '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val aug = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-01"), (col("doc_id") % 100).cast("string"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.redactPii(aug).as("redacted"))
+        .orderBy("doc_id")
+    },
+
     // ---- dedup ------------------------------------------------------------
     "d1_dedup_exact" -> QueryDef.sql(
       """SELECT count(*) AS n_total, count(DISTINCT text) AS n_unique

@@ -85,4 +85,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"max-revenue row not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"scalar compare became a product:\n$p")
   }
+
+  test("d10 decontamination: eval hashes broadcast, no nested loop anywhere") {
+    // AQE hides the final shapes pre-execution — run it first (CLAUDE.md)
+    val df = SparkEntry.queries("d10_decontaminate")(spark, d)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval hash set should broadcast for the candidate semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"decontamination must stay equi-join-only:\n$p")
+  }
+
+  test("t10 repetition: top-bigram agg is partial/final, dup-frac stays in-row") {
+    val df = SparkEntry.queries("t10_gopher_repetition")(spark, d)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    // two-level (partial -> final) hash aggregation for the bigram counts
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"bigram counting should hash-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected product:\n$p")
+  }
 }
