@@ -294,6 +294,22 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Incremental exact dedup: the rows of `batch` whose content digest
+    * has never been seen in `history` — the per-ingest hygiene pass of a
+    * continuously-fed corpus. Left-anti join on the 16-byte md5 digest:
+    * history collapses to its DISTINCT digest set first (16 B/row,
+    * map-side combined), so neither side ever shuffles document text.
+    * Intra-batch duplicates are [[exact]]'s job — compose the two for a
+    * full ingest step.
+    */
+  def incrementalNew(batch: DataFrame, history: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val histDigests = withDigest(history, textCol).select("digest").distinct()
+    withDigest(batch, textCol)
+      .join(histDigests, Seq("digest"), "left_anti")
+      .drop("digest")
+  }
+
   /** Benchmark decontamination: flag every corpus document sharing at
     * least one word `n`-gram with the eval/benchmark set — the standard
     * train-set hygiene pass before training (GPT-3's 13-gram collision

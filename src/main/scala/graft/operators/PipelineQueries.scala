@@ -526,6 +526,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // incremental ingest dedup: docs arriving as the "new batch"
+    // (doc_id ≥ 400) survive only if their content digest is unseen in
+    // the history (doc_id < 400) — digest anti join, text never shuffles
+    "d11_incremental_dedup" -> QueryDef.sql(
+      """SELECT n.doc_id FROM documents n
+        |WHERE n.doc_id >= 400 AND NOT EXISTS (
+        |  SELECT 1 FROM documents o
+        |  WHERE o.doc_id < 400 AND md5(o.text) = md5(n.text))
+        |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNew(
+          docs.filter(col("doc_id") >= 400),
+          docs.filter(col("doc_id") < 400))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // fuzzy vocabulary matching, oracle-checked: the banded equi-join +
     // levenshtein verify must equal DuckDB's quadratic filter exactly
     "d8_fuzzy_match" -> QueryDef.sql(
