@@ -326,15 +326,24 @@ object Dedup {
     */
   def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val evalSh = evalDocs.select(explode(array_distinct(
-      TextFunctions.wordShingles(col(textCol), n))).as("g")).distinct()
-    val corpusSh = corpus.select(col(idCol), explode(array_distinct(
-      TextFunctions.wordShingles(col(textCol), n))).as("g"))
-    val evalHashes = evalSh.select(xxhash64(col("g")).as("h")).distinct()
-    val candIds = corpusSh.select(col(idCol), xxhash64(col("g")).as("h"))
+    // phase 1 candidates: 8-byte shingle hashes from the IMPERATIVE
+    // kernel (ShingleHashesExpr — the string-shingle HOF costs ~10-100×
+    // in interpreted lambdas and its strings would ride the explode);
+    // shingleHashes' partial-shingle rule matches wordShingles', so the
+    // hash phase can only over-approximate via collisions, never miss.
+    val hashes = Sketches.shingleHashArray(
+      TextFunctions.words(col(textCol)), n)
+    val evalHashes = evalDocs.select(explode(hashes).as("h")).distinct()
+    val candIds = corpus.select(col(idCol), explode(hashes).as("h"))
       .join(broadcast(evalHashes), Seq("h"), "left_semi")
       .select(idCol).distinct()
-    val confirmed = corpusSh.join(candIds, idCol)
+    // phase 2 exact verify: shingle STRINGS materialize only for the
+    // candidate docs and the (small) eval set
+    val evalSh = evalDocs.select(explode(array_distinct(
+      TextFunctions.wordShingles(col(textCol), n))).as("g")).distinct()
+    val confirmed = corpus.join(candIds, idCol)
+      .select(col(idCol), explode(array_distinct(
+        TextFunctions.wordShingles(col(textCol), n))).as("g"))
       .join(evalSh, Seq("g"), "left_semi")
       .select(idCol).distinct()
     corpus.select(col(idCol))

@@ -233,17 +233,15 @@ object PipelineQueries {
         |  round(coalesce(CAST(t2.topc AS DOUBLE) / t2.tot, 0.0), 6) AS top2_frac
         |FROM d3 LEFT JOIN t2 USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val top = docs.select(col("doc_id"),
-          explode(TextFunctions.wordShingles(col("text"), 2)).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
-        .groupBy("doc_id").agg(max("cnt").as("topc"), sum("cnt").as("tot"))
-      docs.select(col("doc_id"),
-          TextFunctions.dupNgramFrac(col("text"), 3).as("dup3"))
-        .join(top, Seq("doc_id"), "left")
-        .select(col("doc_id"), round(col("dup3"), 6).as("dup3_frac"),
-          round(coalesce(col("topc").cast("double") / col("tot"), lit(0.0)), 6)
-            .as("top2_frac"))
+      // fused RepetitionStats kernel, NOT the HOF/explode formulation:
+      // the HOF path measured 38.8 s at sf0.1 vs sub-second fused (the
+      // t9 lesson re-learned); both signals come out of ONE in-row pass.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.RepetitionStats.repetitionStats(col("text")).as("st"))
+        .select(col("doc_id"),
+          round(col("st.dup3_frac"), 6).as("dup3_frac"),
+          round(col("st.top2_frac"), 6).as("top2_frac"))
         .orderBy("doc_id")
     },
 
@@ -287,16 +285,17 @@ object PipelineQueries {
         |  (n_words >= 10 AND n_words <= 100000) AND (mwl >= 2.0 AND mwl <= 12.0)
         |    AND stop_ratio >= 0.02 AND dup3 < 0.5 AS keep
         |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val nWords = size(TextFunctions.words(col("text"))).cast("long")
-      val mwl = TextFunctions.meanWordLen(col("text"))
-      val stop = TextFunctions.stopwordRatio(col("text"))
-      val dup3 = TextFunctions.dupNgramFrac(col("text"), 3)
+      // every rule input from the single fused pass (identical
+      // dividends/divisors to the HOF twins ⇒ exact rule boundaries)
       Tables.documents(s, d)
-        .select(col("doc_id"), nWords.as("n_words"),
-          (nWords >= 10 && nWords <= 100000).as("r_len"),
-          (mwl >= 2.0 && mwl <= 12.0).as("r_wordlen"),
-          (stop >= 0.02).as("r_stopword"),
-          (dup3 < 0.5).as("r_repetition"))
+        .select(col("doc_id"),
+          graft.functions.RepetitionStats.repetitionStats(col("text")).as("st"))
+        .select(col("doc_id"), col("st.n_words").as("n_words"),
+          (col("st.n_words") >= 10 && col("st.n_words") <= 100000).as("r_len"),
+          (col("st.mean_word_len") >= 2.0 && col("st.mean_word_len") <= 12.0)
+            .as("r_wordlen"),
+          (col("st.stop_ratio") >= 0.02).as("r_stopword"),
+          (col("st.dup3_frac") < 0.5).as("r_repetition"))
         .withColumn("keep",
           col("r_len") && col("r_wordlen") && col("r_stopword") && col("r_repetition"))
         .orderBy("doc_id")

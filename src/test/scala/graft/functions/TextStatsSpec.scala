@@ -43,6 +43,33 @@ class TextStatsSpec extends AnyFunSuite {
     assert(edge(3).getString(1) === "en")
   }
 
+  test("fused RepetitionStats matches the HOF twins on real documents + edges") {
+    val spark2 = spark
+    import spark2.implicits._
+    val real = Tables.documents(spark, TestSpark.sfDir).select("doc_id", "text")
+    val edges = Seq((9001L, ""), (9002L, "   "), (9003L, "one"),
+      (9004L, "one two"), (9005L, "a b a b a b"), (9006L, "x x x x x"))
+      .toDF("doc_id", "text")
+    val hofTop2 = real.unionByName(edges)
+      .select(col("doc_id"), explode(TextFunctions.wordShingles(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg((max("cnt").cast("double") / sum("cnt")).as("top2_hof"))
+    val joined = real.unionByName(edges)
+      .select(col("doc_id"),
+        RepetitionStats.repetitionStats(col("text")).as("st"),
+        TextFunctions.dupNgramFrac(col("text"), 3).as("dup3_hof"),
+        size(TextFunctions.words(col("text"))).cast("long").as("n_words_hof"),
+        TextFunctions.meanWordLen(col("text")).as("mwl_hof"),
+        TextFunctions.stopwordRatio(col("text")).as("stop_hof"))
+      .join(hofTop2, Seq("doc_id"), "left")
+      .withColumn("top2_hof", coalesce(col("top2_hof"), lit(0.0)))
+    assert(joined.filter(col("st.n_words") =!= col("n_words_hof")).count() === 0)
+    assert(joined.filter(col("st.mean_word_len") =!= col("mwl_hof")).count() === 0)
+    assert(joined.filter(col("st.stop_ratio") =!= col("stop_hof")).count() === 0)
+    assert(joined.filter(col("st.dup3_frac") =!= col("dup3_hof")).count() === 0)
+    assert(joined.filter(col("st.top2_frac") =!= col("top2_hof")).count() === 0)
+  }
+
   test("custom expressions are SQL-callable after registration") {
     GraftFunctions.register(spark)
     Tables.documents(spark, TestSpark.sfDir).limit(50)

@@ -97,13 +97,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"decontamination must stay equi-join-only:\n$p")
   }
 
-  test("t10 repetition: top-bigram agg is partial/final, dup-frac stays in-row") {
+  test("t10 repetition: both signals come from ONE in-row pass, no aggregation") {
     val df = SparkEntry.queries("t10_gopher_repetition")(spark, d)
     df.write.mode("overwrite").format("noop").save()
     val p = df.queryExecution.executedPlan.toString
-    // two-level (partial -> final) hash aggregation for the bigram counts
-    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
-      s"bigram counting should hash-aggregate:\n$p")
-    assert(!p.contains("CartesianProduct"), s"unexpected product:\n$p")
+    assert(p.contains("repetition_stats"), s"fused kernel missing from plan:\n$p")
+    // scan-local: no groupBy shuffle, no join — the only exchange is the
+    // final ORDER BY's range partitioning
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      s"repetition signals must not aggregate:\n$p")
+    assert(!p.contains("Join"), s"repetition signals must not join:\n$p")
   }
 }
