@@ -40,7 +40,9 @@ object GraftFunctions {
     "simhash64_text" -> checked("simhash64_text", 1)(es => SimHashTextExpr(es.head)),
     "ngram_jaccard" -> checked("ngram_jaccard", 3)(es =>
       NgramJaccardExpr(es.head, es(1), intLit(es(2), "ngram_jaccard", "shingleSize"))),
-    "text_stats" -> checked("text_stats", 1)(es => TextStatsExpr(es.head)))
+    "text_stats" -> checked("text_stats", 1)(es => TextStatsExpr(es.head)),
+    "repetition_stats" -> checked("repetition_stats", 1)(es =>
+      RepetitionStatsExpr(es.head)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

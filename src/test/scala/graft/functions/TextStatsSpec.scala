@@ -78,11 +78,14 @@ class TextStatsSpec extends AnyFunSuite {
       """SELECT doc_id, simhash64_text(text) AS sh,
         |  text_stats(text).lang_pred AS lang,
         |  ngram_jaccard(split(lower(text), '[^a-z0-9]+'),
-        |                split(lower(text), '[^a-z0-9]+'), 3) AS self_j
+        |                split(lower(text), '[^a-z0-9]+'), 3) AS self_j,
+        |  repetition_stats(text).dup3_frac AS dup3
         |FROM docs_sql ORDER BY doc_id""".stripMargin).collect()
     assert(viaSql.length === 50)
     assert(viaSql.forall(r => math.abs(r.getDouble(3) - 1.0) < 1e-9),
       "self-jaccard must be 1")
+    assert(viaSql.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0),
+      "dup3_frac must be a bounded ratio")
     val viaApi = Tables.documents(spark, TestSpark.sfDir).limit(50)
       .select(graft.functions.Sketches.simhash64Text(col("text")))
       .collect().map(_.getLong(0))
