@@ -83,13 +83,25 @@ object StreamingQueries {
         .option("timestampFormat", tsFmt).json(dropDir)
         .as[WeatherStreams.Revision]
       val sinkName = s"graft_st1_sink_${runSeq.incrementAndGet()}"
-      val q = WeatherStreams.latestRevisions(stream)
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("update")
-        .option("checkpointLocation", ckDir)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // The stateful operator allocates one state-store instance per
+      // shuffle partition at checkpoint creation; at probe scale 32 of
+      // them are pure task/HDFS-state overhead. Pin the STREAM's state
+      // partitioning to 8 (a per-checkpoint property, restored after
+      // start so batch queries keep the session default). At cluster
+      // scale this knob goes UP with key cardinality instead.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = WeatherStreams.latestRevisions(stream)
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("update")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        // restore only after termination: micro-batch planning reads the
+        // conf asynchronously after start(), so an earlier restore races
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
 
       val w = Window.partitionBy("latitude", "longitude", "ts_valid")
         .orderBy(col("issued_at").desc)
