@@ -86,6 +86,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"scalar compare became a product:\n$p")
   }
 
+  test("s6 bucketed near-dup: equi joins only, never an n² product") {
+    val df = SparkEntry.queries("s6_embed_neardup_bucketed")(spark, d)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LSH blocking must keep the pairs join equi-only:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"candidate generation should be a hash/merge join:\n$p")
+  }
+
   test("d10 decontamination: eval hashes broadcast, no nested loop anywhere") {
     // AQE hides the final shapes pre-execution — run it first (CLAUDE.md)
     val df = SparkEntry.queries("d10_decontaminate")(spark, d)
