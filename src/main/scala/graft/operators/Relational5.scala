@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Fourth relational batch: the remaining classic TPC-H query shapes
   * adapted to the driver's schema (no `partsupp` table and no
-  * `l_shipmode`/`l_receiptdate` columns exist, so Q9/Q12/Q15/Q20 keep
-  * their PLAN shapes — multi-way join + year agg, conditional-count by
-  * category, argmax-by-scalar-subquery, nested semi-join chain — over
-  * the columns that do). All oracle-checked.
+  * `l_shipmode`/`l_receiptdate` columns exist, so Q9/Q11/Q12/Q15/Q20
+  * keep their PLAN shapes — multi-way join + year agg, group-HAVING vs
+  * a broadcast scalar subquery, conditional-count by category,
+  * argmax-by-scalar-subquery, nested semi-join chain — over the columns
+  * that do). All oracle-checked. With q11 every TPC-H query 1-22 has a
+  * shape-faithful adaptation in the probe set.
   */
 object Relational5 {
 
@@ -87,6 +89,40 @@ object Relational5 {
         .join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
+    },
+
+    // ---- TPC-H Q11 shape: group-by HAVING vs a global scalar subquery ----
+    // (no partsupp: "stock value" = shipped value per part for one
+    // nation's suppliers, kept when above a fraction of that nation's
+    // total). The threshold is a 1-row aggregate broadcast into the
+    // HAVING — same plan family as q7/q15, but gating GROUPS not rows.
+    "q11_important_stock" -> QueryDef.sql(
+      """SELECT l_partkey AS partkey,
+        |  round(sum(l_extendedprice * l_quantity), 2) AS value
+        |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE n_name = 'NATION_3'
+        |GROUP BY l_partkey
+        |HAVING sum(l_extendedprice * l_quantity) > (
+        |  SELECT 0.001 * sum(l_extendedprice * l_quantity)
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE n_name = 'NATION_3')
+        |ORDER BY value DESC, partkey""".stripMargin) { (s, d) =>
+      def nationLines = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d)
+          .join(Tables.nation(s, d).filter(col("n_name") === "NATION_3"),
+            col("n_nationkey") === col("s_nationkey"), "left_semi"),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+      val perPart = nationLines
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(col("l_extendedprice") * col("l_quantity")).as("raw_value"))
+      val threshold = nationLines
+        .agg((sum(col("l_extendedprice") * col("l_quantity")) * 0.001).as("thr"))
+      perPart.crossJoin(broadcast(threshold))
+        .filter(col("raw_value") > col("thr"))
+        .select(col("partkey"), round(col("raw_value"), 2).as("value"))
+        .orderBy(col("value").desc, col("partkey"))
     },
 
     // ---- TPC-H Q20 shape: nested semi-join chain ----
