@@ -110,8 +110,9 @@ object PipelineQueries {
 
     // ---- training-data assembly -------------------------------------------
     // Sequence packing: assign documents to fixed-token-budget packs by
-    // running-sum binning within each shard (source). The shard key keeps
-    // the window partitioned — a global cumsum would serialize at scale.
+    // running-sum binning within each shard (source). The per-source
+    // cumsum runs as a two-phase distributed prefix sum (see packTokens)
+    // — the oracle's serial window is semantically identical.
     "t6_sequence_packing" -> QueryDef.sql(
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -20,14 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
-  /** Skew-tolerant inner equi-join. The probe (large, skewed) side gets a
-    * random-but-deterministic salt in [0, saltFactor); the build side is
-    * exploded once per salt value. Result is exactly the plain join's
-    * (verified by SkewSpec); cost trades `saltFactor`× build-side
-    * replication for even task sizing on the probe side.
+  /** Skew-tolerant equi-join (`inner` or `left_outer`). The probe (large,
+    * skewed) side gets a random-but-deterministic salt in [0, saltFactor);
+    * the build side is exploded once per salt value. Result is exactly the
+    * plain join's (verified by ScaleSpec); cost trades `saltFactor`×
+    * build-side replication for even task sizing on the probe side.
+    *
+    * `left_outer` (probe side preserved — the common skewed
+    * fact-enrichment shape) is safe under salting because every probe row
+    * carries exactly ONE salt value and the build side carries ALL salt
+    * values per key: an unmatched probe row null-pads exactly once.
+    * Right/full outer are rejected — a build-preserving join would emit
+    * one unmatched row PER REPLICA (saltFactor× duplicates).
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
-      saltFactor: Int = 8): DataFrame = {
+      saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace("outer", "").stripSuffix("_")
+    require(jt == "inner" || jt == "left",
+      s"saltedJoin supports inner and left_outer, not '$joinType' " +
+        "(build-preserving joins would duplicate unmatched build replicas)")
     // Salt must be DETERMINISTIC per row content: a nondeterministic salt
     // (rand / monotonically_increasing_id) changes on stage retry and
     // loses or duplicates rows across reducers (the SPARK-23207 class of
@@ -38,7 +49,7 @@ object Scale {
       pmod(xxhash64(probe.columns.map(col): _*), lit(saltFactor)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    salted.join(replicated, Seq(key, "__salt"), jt).drop("__salt")
   }
 
   /** Write a DataFrame bucketed + sorted by `key` into the session
@@ -55,24 +66,81 @@ object Scale {
 
   /** Token-budget pack assignment (ONE definition — the t6 probe and the
     * shard writer share it): running-sum binning of `tokenCount(text)`
-    * within each `shardKeyCol` group, ordered by `idCol`. The cumulative
-    * sum windows per group, never globally — a global cumsum serializes
-    * at scale. Null/absent text counts as 0 tokens so every document
-    * lands in a real pack (a null pack_id would silently route rows to
-    * the Hive default partition at write time).
+    * within each `shardKeyCol` group, ordered by `idCol`. Null/absent
+    * text counts as 0 tokens so every document lands in a real pack (a
+    * null pack_id would silently route rows to the Hive default
+    * partition at write time).
+    *
+    * The per-source cumulative sum is a TWO-PHASE DISTRIBUTED PREFIX SUM,
+    * never a single per-source window (a `Window.partitionBy(source)`
+    * cumsum is one task per source value — with a handful of sources at
+    * 100 TB that is a single task sorting billions of rows):
+    *  1. each source's numeric id range is cut into `numSlices`
+    *     contiguous id slices (bounds from a cheap (source, id)-only
+    *     scan; the slice of a row is a pure monotonic function of its
+    *     id, so the result is deterministic and independent of
+    *     partitioning — no `spark_partition_id`, whose range-sampled
+    *     boundaries change across plan re-instantiations);
+    *  2. a slice-local cumsum windows per (source, slice) — parallelism
+    *     is `numSlices` tasks per source;
+    *  3. per-slice subtotals (map-side-combined aggregate, tiny result)
+    *     turn into exclusive per-slice offsets via a window over the
+    *     slice axis (≤ numSlices × #sources rows, driver-scale), which
+    *     broadcast-join back: global cumsum = slice offset + local cum.
+    * Skewed id densities skew slice sizes but never correctness: offsets
+    * are computed from actual slice subtotals. `idCol` must be numeric
+    * (the slice cut is arithmetic on the id).
     */
   def packTokens(docs: DataFrame, tokensPerShard: Int = 512,
       textCol: String = "text", idCol: String = "doc_id",
-      shardKeyCol: String = "source"): DataFrame = {
+      shardKeyCol: String = "source", numSlices: Int = 0): DataFrame =
+    packTokensSliced(docs, tokensPerShard, textCol, idCol, shardKeyCol,
+      numSlices).drop("__slice")
+
+  /** [[packTokens]] with the internal slice id retained — package-private
+    * so ScaleSpec can assert the prefix sum really fans out (>1 slice for
+    * a dominant source) without re-deriving the slicing.
+    */
+  private[graft] def packTokensSliced(docs: DataFrame, tokensPerShard: Int,
+      textCol: String, idCol: String, shardKeyCol: String,
+      numSlices: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(shardKeyCol).orderBy(idCol)
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    val slices =
+      if (numSlices > 0) numSlices
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val withTok = docs.withColumn("n_tokens",
+      coalesce(graft.functions.TextFunctions.tokenCount(col(textCol)), lit(0L)))
+    // phase 1a: per-source id bounds — reads only (source, id), prunes text
+    val bounds = docs.groupBy(col(shardKeyCol))
+      .agg(min(col(idCol)).as("__pk_lo"), max(col(idCol)).as("__pk_hi"))
+    // monotonic id → slice cut (double arithmetic: overflow-safe for any
+    // long ids; monotonic non-decreasing ⇒ slices are contiguous id runs)
+    val sliceOf = least(lit(slices - 1), greatest(lit(0), floor(
+      (col(idCol).cast("double") - col("__pk_lo").cast("double")) /
+        (col("__pk_hi").cast("double") - col("__pk_lo").cast("double") + 1.0) *
+        slices))).cast("int")
+    val sliced = withTok.join(broadcast(bounds), Seq(shardKeyCol))
+      .withColumn("__slice", sliceOf).drop("__pk_lo", "__pk_hi")
+    // phase 1b: slice-local cumsum — one task per (source, slice)
+    val wLocal = Window.partitionBy(col(shardKeyCol), col("__slice"))
+      .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("n_tokens",
-        coalesce(graft.functions.TextFunctions.tokenCount(col(textCol)), lit(0L)))
+    val localCum = sliced.withColumn("__cum", sum(col("n_tokens")).over(wLocal))
+    // phase 2: slice subtotals (computed pre-window: partial agg on the
+    // scan, no big shuffle) → exclusive offsets over the tiny slice axis
+    val wOff = Window.partitionBy(col(shardKeyCol)).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy(col(shardKeyCol), col("__slice"))
+      .agg(sum(col("n_tokens")).as("__sub"))
+      .withColumn("__off", coalesce(sum(col("__sub")).over(wOff), lit(0L)))
+      .select(col(shardKeyCol), col("__slice"), col("__off"))
+    // phase 3: global cumsum = slice offset + local cum → pack id
+    localCum.join(broadcast(offsets), Seq(shardKeyCol, "__slice"))
       .withColumn("pack_id",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / tokensPerShard)
+        floor((col("__off") + col("__cum") - col("n_tokens")) / tokensPerShard)
           .cast("long"))
+      .drop("__cum", "__off")
   }
 
   /** Deterministic stratified sampler (training-mix control): keep a row

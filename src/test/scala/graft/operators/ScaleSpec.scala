@@ -22,6 +22,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("salted left-outer join preserves unmatched probe rows exactly once") {
+    import spark.implicits._
+    // hot key 1L dominates; keys 60..100 have NO build match
+    val probe = (Seq.fill(5000)(1L) ++ (2L to 100L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val build = (1L to 59L).map(k => (k, s"dim_$k")).toDF("k", "name")
+
+    val plain = probe.join(build, Seq("k"), "left_outer")
+    val salted = Scale.saltedJoin(probe, build, "k", saltFactor = 8,
+      joinType = "left_outer")
+
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+    // build-preserving shapes must be rejected, not silently wrong
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(probe, build, "k", joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(probe, build, "k", joinType = "full")
+    }
+  }
+
   test("bucketed tables join without any Exchange") {
     import spark.implicits._
     val facts = (1L to 1000L).map(k => (k % 50, k.toDouble)).toDF("k", "v")
@@ -57,6 +80,43 @@ class ScaleSpec extends AnyFunSuite {
       case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
       case _ =>
     }
+  }
+
+  test("packTokens: distributed prefix sum fans out a dominant source and matches the serial cumsum") {
+    import spark.implicits._
+    // skewed fixture: 'web' carries 95% of the rows, two tail sources
+    val docs = ((1L to 1900L).map(i => (i, "web", s"doc $i word" * (i % 7).toInt)) ++
+      (1901L to 1960L).map(i => (i, "books", s"tome $i text")) ++
+      (1961L to 2000L).map(i => (i, "code", s"fn $i()")))
+      .toDF("doc_id", "source", "text")
+    val sliced = Scale.packTokensSliced(docs, tokensPerShard = 64,
+      textCol = "text", idCol = "doc_id", shardKeyCol = "source", numSlices = 8)
+    // the scale gate: the dominant source's cumsum spans many slices —
+    // i.e. many parallel tasks, never one per-source serial window
+    val webSlices = sliced.filter(col("source") === "web")
+      .select("__slice").distinct().count()
+    assert(webSlices > 1, s"dominant source collapsed to $webSlices slice(s)")
+    // the big window partitions by (source, slice), not source alone
+    val planStr = sliced.queryExecution.executedPlan.toString()
+    assert(planStr.contains("__slice"), s"no slice key in plan:\n$planStr")
+    // correctness: identical pack assignment to the reference serial
+    // cumsum (single window per source)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val serial = docs.withColumn("n_tokens",
+        coalesce(graft.functions.TextFunctions.tokenCount(col("text")), lit(0L)))
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 64).cast("long"))
+      .select("doc_id", "source", "n_tokens", "pack_id")
+    val dist = Scale.packTokens(docs, tokensPerShard = 64)
+      .select("doc_id", "source", "n_tokens", "pack_id")
+    assert(dist.exceptAll(serial).count() === 0)
+    assert(serial.exceptAll(dist).count() === 0)
+    // slicing-independence: a different slice count gives the same packs
+    val dist2 = Scale.packTokens(docs, tokensPerShard = 64, numSlices = 3)
+      .select("doc_id", "source", "n_tokens", "pack_id")
+    assert(dist2.exceptAll(serial).count() === 0)
   }
 
   test("training-shard writer: token-budgeted, partition-per-shard, deterministic") {
