@@ -269,29 +269,67 @@ object Dedup {
 
   /** Fuzzy string matching: all distinct-value pairs within Levenshtein
     * distance `maxDist` (vocabulary-level fuzzy dedup — titles, names,
-    * URLs). Blocking is LOSSLESS and EQUI: |len(a)−len(b)| ≤ maxDist is
-    * implied by dist ≤ maxDist, so side A explodes into its 2·maxDist+1
-    * length buckets and joins side B on B's exact length — a plain
-    * shuffle hash join, never an n² nested loop; each surviving pair is
-    * produced exactly once (B's bucket is unique per pair). The exact
-    * `levenshtein` verify runs only inside the banded candidates. At
-    * larger vocabularies, add the positional q-gram count filter
-    * (Gravano et al., VLDB'01) as a second equi-blocking stage before
-    * the verify.
+    * URLs). Two LOSSLESS equi blocking stages feed the exact
+    * `levenshtein` verify:
+    *  1. length bands — |len(a)−len(b)| ≤ maxDist is implied by
+    *     dist ≤ maxDist, so side A explodes into its 2·maxDist+1 length
+    *     buckets and joins side B on B's exact length (a plain shuffle
+    *     hash join, never an n² nested loop; each pair produced once);
+    *  2. the positional q-gram count filter (Gravano et al., VLDB'01):
+    *     an edit operation destroys at most `q` of a string's positional
+    *     q-grams and shifts surviving ones by at most `maxDist`, so
+    *     dist ≤ k requires ≥ len(a)−q+1−q·k of a's grams to find a
+    *     same-content match in b within position distance k. Pairs below
+    *     the threshold are dropped BEFORE the verify — this is what
+    *     collapses same-length vocabularies (stage 1 can't split them).
+    *     Strings too short for a positive threshold (len < q·(k+1))
+    *     bypass stage 2, keeping the blocking lossless.
     */
   def editDistancePairs(values: DataFrame, strCol: String,
-      maxDist: Int = 2): DataFrame = {
+      maxDist: Int = 2, qGram: Int = 2): DataFrame =
+    editDistanceCandidates(values, strCol, maxDist, qGram)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+
+  /** The candidate pairs [[editDistancePairs]] verifies — package-private
+    * so DedupSpec can assert the q-gram stage's prune ratio directly.
+    * `qGram <= 0` disables stage 2 (the spec's unpruned reference).
+    */
+  private[graft] def editDistanceCandidates(values: DataFrame, strCol: String,
+      maxDist: Int, qGram: Int): DataFrame = {
     val v = values.select(col(strCol).cast("string").as("name")).distinct()
     val a = v.select(col("name").as("name_a"))
       .withColumn("bucket", explode(sequence(
         length(col("name_a")) - maxDist, length(col("name_a")) + maxDist)))
     val b = v.select(col("name").as("name_b"),
       length(col("name_b")).as("bucket"))
-    a.join(b, Seq("bucket"))
+    val cands = a.join(b, Seq("bucket"))
       .filter(col("name_a") < col("name_b"))
-      .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+      .select("name_a", "name_b")
+    if (qGram <= 0) return cands
+    // threshold len(a)−q+1−q·k ≥ 1 ⟺ len(a) ≥ q·(k+1); shorter strings
+    // keep all their stage-1 pairs. A long name_a's partner always has
+    // len(b) ≥ q·(k+1)−k ≥ q (stage 1 bounds the gap), so its grams exist.
+    val minLen = qGram * (maxDist + 1)
+    val short = cands.filter(length(col("name_a")) < minLen)
+    val long = cands.filter(length(col("name_a")) >= minLen)
+    val gramArr = transform(sequence(lit(0), length(col("name")) - qGram),
+      i => col("name").substr(i + lit(1), lit(qGram)))
+    val grams = v.filter(length(col("name")) >= qGram)
+      .select(col("name"), posexplode(gramArr)).toDF("name", "pos", "g")
+    val pruned = long
+      .join(grams.select(col("name").as("name_a"), col("pos").as("pa"),
+        col("g")), Seq("name_a"))
+      .join(grams.select(col("name").as("name_b"), col("pos").as("pb"),
+        col("g")), Seq("name_b", "g"))
+      .filter(abs(col("pa") - col("pb")) <= maxDist)
+      .groupBy("name_a", "name_b")
+      .agg(countDistinct(col("pa")).as("__m"))
+      .filter(col("__m") >=
+        length(col("name_a")) - qGram + 1 - qGram * maxDist)
+      .select("name_a", "name_b")
+    short.unionByName(pruned)
   }
 
   /** Incremental exact dedup: the rows of `batch` whose content digest

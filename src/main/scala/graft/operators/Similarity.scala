@@ -226,21 +226,23 @@ object Similarity {
     * corpus: at 100 TB a full-corpus KMeans is a driver-coordinated
     * multi-pass over everything, while the centroid quality plateaus a
     * few hundred points per centroid in (the faiss training guideline).
-    * Below the target size the input passes through untouched, so
-    * small-SF results are unchanged. Bernoulli sampling is scan-local
-    * (no shuffle) and deterministic for a fixed seed + partitioning.
+    *
+    * Sampling is a seeded hash-order top-`target`: order by
+    * `xxhash64(seed, embedding)` and limit. The planner runs it as
+    * TakeOrderedAndProject — per-partition top-k heaps in a SINGLE scan,
+    * no `count()` pre-pass over the corpus (the previous design paid a
+    * full extra pass just to pick a Bernoulli fraction) and no full sort
+    * shuffle. Exactly `min(N, target)` rows, a uniform-in-hash subset,
+    * deterministic as a pure function of content + seed (partitioning-
+    * independent). Corpora at or under the target pass through complete,
+    * so small-SF results are unchanged. This method is fully lazy —
+    * SimilarityAsOfSpec gates that constructing the plan launches no job.
     */
   def ivfFitSample(embeddings: DataFrame, nCentroids: Int,
       pointsPerCentroid: Int = 256, seed: Long = 42L): DataFrame = {
     require(nCentroids > 0 && pointsPerCentroid > 0)
-    val target = nCentroids.toLong * pointsPerCentroid
-    val n = embeddings.count()
-    if (n <= target) embeddings
-    else {
-      // mild over-sample so Bernoulli variance still lands ≥ target
-      val fraction = math.min(1.0, target.toDouble * 1.05 / n)
-      embeddings.sample(withReplacement = false, fraction, seed)
-    }
+    val target = math.toIntExact(nCentroids.toLong * pointsPerCentroid)
+    embeddings.orderBy(xxhash64(lit(seed), col("embedding")).asc).limit(target)
   }
 
   /** Train the IVF coarse quantizer: seeded KMeans (Spark MLlib) over a

@@ -72,6 +72,33 @@ class DedupSpec extends AnyFunSuite {
       s"fuzzy join degraded to a nested loop:\n$plan")
   }
 
+  test("editDistancePairs: positional q-gram filter prunes same-length vocab losslessly") {
+    import scala.util.hashing.MurmurHash3
+    // 200 diverse length-12 hex strings — length banding alone can't
+    // split them (every pair shares a bucket) — plus 20 injected
+    // one-substitution variants (the true near-duplicates)
+    val strs = (0 until 200).map(i =>
+      f"${MurmurHash3.stringHash(s"w$i") & 0xffffffffL}%012x")
+    val variants = strs.zipWithIndex.collect { case (s, i) if i % 10 == 0 =>
+      s.updated(3, if (s(3) == 'a') 'b' else 'a') }
+    val vocab = (strs ++ variants).toDF("title")
+    val unpruned = Dedup.editDistanceCandidates(vocab, "title", 2, 0).count()
+    val pruned = Dedup.editDistanceCandidates(vocab, "title", 2, 2).count()
+    assert(pruned * 10 <= unpruned,
+      s"q-gram count filter barely pruned: $pruned of $unpruned candidates")
+    // lossless: identical final pairs to the brute-force quadratic
+    val v = vocab.select(col("title").cast("string").as("name")).distinct()
+    val brute = v.select(col("name").as("name_a"))
+      .crossJoin(v.select(col("name").as("name_b")))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 2)
+    val got = Dedup.editDistancePairs(vocab, "title", maxDist = 2)
+    assert(got.count() >= 20, "injected variants not found")
+    assert(got.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(got).count() === 0)
+  }
+
   test("clusters: connected components resolve to the minimum member id") {
     // components: {1,2,3,4} via a chain, {10,11}, and 20-20 has no edges
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))

@@ -135,6 +135,27 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     // small corpora pass through untouched — sf-level results unchanged
     val small = big.limit(300)
     assert(Similarity.ivfFitSample(small, 4, pointsPerCentroid = 100).count() === 300)
+    // the sample is a single TakeOrdered pass — no full sort shuffle
+    val plan = fit.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fit sample is not a top-k single pass:\n$plan")
+  }
+
+  test("ivfFitSample launches no job of its own (no corpus count pre-pass)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // poison input: ANY job touching the data throws — so an eager
+    // count()/sample inside ivfFitSample would fail the construction
+    val poison = spark.createDataFrame(
+      spark.sparkContext.parallelize(1 to 8).map { i =>
+        if (i >= 0) throw new RuntimeException("ivfFitSample ran an eager job")
+        Row(0L, Seq(0.0f))
+      }, schema)
+    val fit = Similarity.ivfFitSample(poison, 4, 100) // must not touch data
+    // only a downstream action evaluates the corpus
+    intercept[org.apache.spark.SparkException] { fit.count() }
   }
 
   test("as-of carries the latest build ROW whole — null fields stay null") {
