@@ -4,7 +4,7 @@ import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicLong
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -15,13 +15,53 @@ import org.apache.spark.sql.streaming.Trigger
   * stateful operator → sink) behind a deterministic batch replay so the
   * DuckDB oracle can check the outcome: the stream input derives from the
   * `events` table, the file-drop is replayed with `Trigger.AvailableNow`,
-  * and the upsert winner per key is unique by construction (revisions are
-  * pre-deduplicated per (key, issued_at), so max-`issued_at` has no ties
-  * and the outcome is independent of micro-batch boundaries).
+  * and each probe's outcome is micro-batch-boundary independent by
+  * construction (see the per-probe notes).
+  *
+  * Replay hygiene: drop + checkpoint directories are deleted as soon as
+  * the run terminates (the memory/file sink no longer needs them), so
+  * repeated Verify/Bench invocations leave no /tmp garbage; file-sink
+  * output directories the returned DataFrame still reads from are removed
+  * by a JVM shutdown hook instead.
   */
 object StreamingQueries {
 
   private val runSeq = new AtomicLong(0)
+
+  /** default JSON timestampFormat is millisecond-precision; the events
+    * timestamps carry microseconds, so spell the format out on BOTH sides
+    * of a drop or the replay silently truncates issue times
+    */
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  private def tempDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def deleteQuietly(dir: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val cs = f.listFiles()
+      if (cs != null) cs.foreach(rec)
+      f.delete(): Unit
+    }
+    try rec(new java.io.File(dir)) catch { case _: Exception => () }
+  }
+
+  private def deleteOnExit(dir: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteQuietly(dir)))
+
+  /** The stateful operators allocate one state-store instance per shuffle
+    * partition at checkpoint creation; at probe scale 32 of them are pure
+    * task/HDFS-state overhead. Pin the STREAM's state partitioning to 8
+    * for the replay (a per-checkpoint property, restored only after
+    * termination: micro-batch planning reads the conf asynchronously
+    * after start(), so an earlier restore races). At cluster scale this
+    * knob goes UP with key cardinality instead.
+    */
+  private def withStateShuffle[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try { s.conf.set("spark.sql.shuffle.partitions", "8"); body }
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 
   /** The deterministic revision feed: events replayed as forecast
     * revisions. latitude buckets the users, the valid hour is the event
@@ -38,6 +78,22 @@ object StreamingQueries {
       .agg(max("value").as("temperature_2m"))
       .withColumn("precipitation", lit(0.0))
 
+  /** The oracle twin of [[revisionFeed]] (DuckDB dialect). */
+  private val RevCte =
+    """rev AS (
+      |  SELECT CAST(user_id % 3 AS DOUBLE) AS latitude, 10.0 AS longitude,
+      |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts_valid,
+      |         CAST(ts AS TIMESTAMP) AS issued_at,
+      |         max(value) AS temperature_2m
+      |  FROM events GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private val RevEnc = org.apache.spark.sql.Encoders.product[WeatherStreams.Revision]
+  private val ObsEnc = org.apache.spark.sql.Encoders.product[WeatherStreams.Observation]
+
+  private def revisionStream(s: SparkSession, dropDir: String) =
+    s.readStream.schema(RevEnc.schema).option("timestampFormat", TsFmt)
+      .json(dropDir).as[WeatherStreams.Revision](RevEnc)
+
   def defs: Map[String, QueryDef] = Map(
     // Revision upsert through the live stream path: write the feed to a
     // drop directory, run readStream → latestRevisions
@@ -48,12 +104,7 @@ object StreamingQueries {
     // max-issued_at revision regardless of batching — which is exactly
     // what the oracle computes relationally.
     "st1_stream_upsert" -> QueryDef.sql(
-      """WITH rev AS (
-        |  SELECT CAST(user_id % 3 AS DOUBLE) AS latitude, 10.0 AS longitude,
-        |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts_valid,
-        |         CAST(ts AS TIMESTAMP) AS issued_at,
-        |         max(value) AS temperature_2m
-        |  FROM events GROUP BY 1, 2, 3, 4),
+      s"""WITH $RevCte,
         |ranked AS (
         |  SELECT *, row_number() OVER (
         |      PARTITION BY latitude, longitude, ts_valid
@@ -64,44 +115,25 @@ object StreamingQueries {
         |FROM ranked WHERE rn = 1
         |ORDER BY latitude, longitude, ts_valid""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      import s.implicits._
       val feed = revisionFeed(Tables.events(s, d))
 
-      val dropDir = Files.createTempDirectory("graft_st1_drop").toString
-      val ckDir = Files.createTempDirectory("graft_st1_ck").toString
+      val dropDir = tempDir("graft_st1_drop")
+      val ckDir = tempDir("graft_st1_ck")
       // several files so the drop directory looks like a real feed (all
       // are still one AvailableNow batch; the outcome is batch-agnostic)
-      // default JSON timestampFormat is millisecond-precision; the events
-      // timestamps carry microseconds, so spell the format out on BOTH
-      // sides of the drop or the replay silently truncates issue times
-      val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
       feed.repartition(4).write.mode("overwrite")
-        .option("timestampFormat", tsFmt).json(dropDir)
+        .option("timestampFormat", TsFmt).json(dropDir)
 
-      val schema = implicitly[org.apache.spark.sql.Encoder[WeatherStreams.Revision]].schema
-      val stream = s.readStream.schema(schema)
-        .option("timestampFormat", tsFmt).json(dropDir)
-        .as[WeatherStreams.Revision]
       val sinkName = s"graft_st1_sink_${runSeq.incrementAndGet()}"
-      // The stateful operator allocates one state-store instance per
-      // shuffle partition at checkpoint creation; at probe scale 32 of
-      // them are pure task/HDFS-state overhead. Pin the STREAM's state
-      // partitioning to 8 (a per-checkpoint property, restored after
-      // start so batch queries keep the session default). At cluster
-      // scale this knob goes UP with key cardinality instead.
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = WeatherStreams.latestRevisions(stream)
+      try withStateShuffle(s) {
+        val q = WeatherStreams.latestRevisions(revisionStream(s, dropDir))
           .writeStream.format("memory").queryName(sinkName)
           .outputMode("update")
           .option("checkpointLocation", ckDir)
           .trigger(Trigger.AvailableNow())
           .start()
-        // restore only after termination: micro-batch planning reads the
-        // conf asynchronously after start(), so an earlier restore races
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      } finally { deleteQuietly(dropDir); deleteQuietly(ckDir) }
 
       val w = Window.partitionBy("latitude", "longitude", "ts_valid")
         .orderBy(col("issued_at").desc)
@@ -111,5 +143,196 @@ object StreamingQueries {
         .select(col("latitude"), col("longitude"), col("ts_valid"),
           col("issued_at"), round(col("temperature_2m"), 2).as("temperature"))
         .orderBy("latitude", "longitude", "ts_valid")
+    },
+
+    // Stream-stream interval join through the live path: the forecast
+    // revision feed joins an observation feed (one observation per
+    // (latitude, hour), 30 min into the hour) on location + the valid-hour
+    // interval (WeatherStreams.forecastVsObserved). An inner stream-stream
+    // join emits every matching pair exactly once in append mode, and the
+    // whole drop is one AvailableNow batch (watermarks never pass data
+    // mid-replay), so the emitted set is batch-boundary independent — the
+    // oracle computes the identical interval join relationally.
+    "st2_stream_interval_join" -> QueryDef.sql(
+      s"""WITH $RevCte,
+        |obs AS (
+        |  SELECT CAST(user_id % 3 AS DOUBLE) AS latitude, 10.0 AS longitude,
+        |         date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |           + INTERVAL 30 MINUTE AS obs_ts,
+        |         max(value) AS observed_temp
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT o.latitude, o.longitude, r.ts_valid, r.issued_at, o.obs_ts,
+        |       round(r.temperature_2m, 2) AS forecast_temp,
+        |       round(o.observed_temp, 2) AS observed_temp,
+        |       round(o.observed_temp - r.temperature_2m, 4) AS error
+        |FROM obs o JOIN rev r
+        |  ON o.latitude = r.latitude AND o.longitude = r.longitude
+        | AND o.obs_ts >= r.ts_valid
+        | AND o.obs_ts < r.ts_valid + INTERVAL 1 HOUR
+        |ORDER BY o.latitude, r.ts_valid, r.issued_at""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val feed = revisionFeed(ev)
+      val obsFeed = ev.groupBy(
+          (col("user_id") % 3).cast("double").as("latitude"),
+          lit(10.0).as("longitude"),
+          (date_trunc("hour", col("ts")) +
+            expr("INTERVAL 30 MINUTES")).as("obs_ts"))
+        .agg(max("value").as("observed_temp"))
+
+      val fDrop = tempDir("graft_st2_fdrop")
+      val oDrop = tempDir("graft_st2_odrop")
+      val ckDir = tempDir("graft_st2_ck")
+      feed.repartition(4).write.mode("overwrite")
+        .option("timestampFormat", TsFmt).json(fDrop)
+      obsFeed.repartition(2).write.mode("overwrite")
+        .option("timestampFormat", TsFmt).json(oDrop)
+
+      val sinkName = s"graft_st2_sink_${runSeq.incrementAndGet()}"
+      try withStateShuffle(s) {
+        val obsStream = s.readStream.schema(ObsEnc.schema)
+          .option("timestampFormat", TsFmt).json(oDrop)
+          .as[WeatherStreams.Observation](ObsEnc)
+        val q = WeatherStreams
+          .forecastVsObserved(revisionStream(s, fDrop), obsStream)
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        deleteQuietly(fDrop); deleteQuietly(oDrop); deleteQuietly(ckDir)
+      }
+
+      s.table(sinkName)
+        .select(col("latitude"), col("longitude"), col("ts_valid"),
+          col("issued_at"), col("obs_ts"),
+          round(col("forecast_temp"), 2).as("forecast_temp"),
+          round(col("observed_temp"), 2).as("observed_temp"), col("error"))
+        .orderBy("latitude", "ts_valid", "issued_at")
+    },
+
+    // Watermark late-data drop through the live path: run 1 ingests the
+    // on-time feed through dedupRevisions (dropDuplicatesWithinWatermark,
+    // file sink), which commits watermark = max(issued_at) − 2 h to the
+    // checkpoint; run 2 RESTARTS from the same checkpoint on a late
+    // re-feed (every issue time shifted +1 minute — all new dedup keys)
+    // and the engine itself drops the rows below the recovered watermark.
+    // Both runs are single AvailableNow batches, and the watermark is a
+    // pure function of the feed (Spark tracks event-time stats in
+    // MILLISECONDS, hence the oracle's epoch_ms truncation), so the
+    // keep-set is deterministic: on-time rows ∪ late rows at-or-above the
+    // watermark — which the oracle computes relationally.
+    "st3_stream_late_drop" -> QueryDef.sql(
+      s"""WITH $RevCte,
+        |late AS (
+        |  SELECT latitude, longitude, ts_valid,
+        |         issued_at + INTERVAL 1 MINUTE AS issued_at, temperature_2m
+        |  FROM rev),
+        |wm AS (
+        |  SELECT make_timestamp(epoch_ms(max(issued_at)) * 1000)
+        |           - INTERVAL 2 HOUR AS w
+        |  FROM rev)
+        |SELECT latitude, longitude, ts_valid, issued_at,
+        |       round(temperature_2m, 2) AS temperature
+        |FROM (SELECT * FROM rev
+        |      UNION
+        |      SELECT * FROM late
+        |      WHERE issued_at >= (SELECT w FROM wm))
+        |ORDER BY latitude, longitude, ts_valid, issued_at""".stripMargin) { (s, d) =>
+      val feed = revisionFeed(Tables.events(s, d))
+      val lateFeed = feed
+        .withColumn("issued_at",
+          col("issued_at") + expr("INTERVAL 1 MINUTE"))
+
+      val dropDir = tempDir("graft_st3_drop")
+      val ckDir = tempDir("graft_st3_ck")
+      val outDir = tempDir("graft_st3_out")
+      deleteOnExit(outDir) // the returned DataFrame reads it lazily
+
+      def replay(): Unit = withStateShuffle(s) {
+        val q = WeatherStreams.dedupRevisions(revisionStream(s, dropDir))
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckDir)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      try {
+        feed.repartition(4).write.mode("overwrite")
+          .option("timestampFormat", TsFmt).json(dropDir)
+        replay() // run 1: commits watermark to the checkpoint
+        lateFeed.repartition(4).write.mode("append")
+          .option("timestampFormat", TsFmt).json(dropDir)
+        replay() // run 2: recovered watermark drops the too-late rows
+      } finally { deleteQuietly(dropDir); deleteQuietly(ckDir) }
+
+      s.read.parquet(outDir)
+        .select(col("latitude"), col("longitude"), col("ts_valid"),
+          col("issued_at"), round(col("temperature_2m"), 2).as("temperature"))
+        .orderBy("latitude", "longitude", "ts_valid", "issued_at")
+    },
+
+    // Streaming twin of d11 (incremental ingest dedup): the "new batch"
+    // documents (doc_id ≥ 400) arrive as a stream, deduplicate in-stream
+    // by content digest (dropDuplicatesWithinWatermark — one batch, so
+    // every duplicate is within the watermark window), then each
+    // micro-batch anti-joins the static history (doc_id < 400) via
+    // Dedup.incrementalNew inside foreachBatch — the canonical
+    // ingest-hygiene composition. Output is digest-granular (which
+    // arrival the stream keeps per digest is batch-order dependent; the
+    // digest set is not), so the oracle is the relational DISTINCT +
+    // NOT EXISTS.
+    "st4_stream_incremental_dedup" -> QueryDef.sql(
+      """SELECT DISTINCT md5(n.text) AS digest FROM documents n
+        |WHERE n.doc_id >= 400 AND NOT EXISTS (
+        |  SELECT 1 FROM documents o
+        |  WHERE o.doc_id < 400 AND md5(o.text) = md5(n.text))
+        |ORDER BY digest""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val history = docs.filter(col("doc_id") < 400)
+      // fabricated ingest time: a fixed epoch base + doc_id seconds (the
+      // watermark axis for the within-watermark dedup)
+      val feed = docs.filter(col("doc_id") >= 400)
+        .withColumn("ingest_ts",
+          timestamp_seconds(lit(1704067200L) + col("doc_id")))
+        .select("doc_id", "text", "ingest_ts")
+
+      val dropDir = tempDir("graft_st4_drop")
+      val ckDir = tempDir("graft_st4_ck")
+      val outDir = tempDir("graft_st4_out")
+      deleteOnExit(outDir)
+      feed.repartition(4).write.mode("overwrite")
+        .option("timestampFormat", TsFmt).json(dropDir)
+
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ingest_ts",
+          org.apache.spark.sql.types.TimestampType)))
+      try withStateShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("timestampFormat", TsFmt).json(dropDir)
+          .withColumn("digest", md5(col("text")))
+          .withWatermark("ingest_ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("digest")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.operators.Dedup.incrementalNew(batch.drop("digest"), history)
+              .select(md5(col("text")).as("digest"))
+              .write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckDir)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally { deleteQuietly(dropDir); deleteQuietly(ckDir) }
+
+      s.read.parquet(outDir).select("digest").orderBy("digest")
     })
 }
