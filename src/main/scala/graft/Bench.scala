@@ -34,9 +34,15 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Per-query wall-clock offsets (seconds since bench start) ride along
+    // in BENCH_FULL.json: a concurrent-load window on the box then shows
+    // up as a contiguous TIME BAND of inflated queries instead of a
+    // mystery per-query regression (the r5 forensics problem).
+    val benchT0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(name.startsWith) }
       .map { case (name, fn) =>
+        val at = (System.nanoTime() - benchT0) / 1e9
         val t = try {
           def once(): Unit =
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -48,22 +54,24 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
         }
-        name -> t
+        (name, t, at)
       }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val full = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val startedAt = results.map { case (k, _, at) => "\"" + k + "\":" + fmt(at) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // The driver parses the LAST stdout line as JSON from a bounded tail
     // capture — the printed line must stay well under ~1.5 kB. Print the
     // headline subset (every FAILED query first — a crash must never be
     // invisible on the wire — then the slowest) and write the complete
-    // per-query map to a file.
+    // per-query map (+ wall-clock start offsets) to a file.
     val (failed, ok) = results.partition(_._2 < 0)
     val headline = (failed ++ ok.sortBy(-_._2)).take(24)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}"""
+      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"started_at":$startedAt,"sf":"$sfDir"}"""
     val wire = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$headline,"sf":"$sfDir"}"""
     // BENCH_FULL.json is the canonical full-map artifact (BASELINE.md):
     // a SPARK_GRAFT_BENCH_ONLY-filtered run must never clobber it — those
@@ -75,8 +83,9 @@ object Bench {
     } catch { case _: Exception => }
     // The wire line must be the very LAST output: stop Spark first so its
     // shutdown logging cannot trail the JSON in the driver's tail capture,
-    // then print and flush.
-    spark.stop()
+    // then print and flush. stop() is best-effort — a shutdown race must
+    // never cost the wire line after all queries completed.
+    try spark.stop() catch { case _: Throwable => }
     println(wire)
     System.out.flush()
   }

@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.DateType
+import org.apache.spark.sql.types.{DateType, TimestampNTZType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.openmeteo.{OpenMeteoTable, OpenMeteoOptions}
@@ -25,8 +25,14 @@ import graft.weather.WeatherSchemas
   * (rule leaves the plan untouched) whenever:
   *  - any aggregate expression is not in the recognized catalog
   *    (`avg`, `sum` without the canonical rounding, filters, DISTINCT …)
-  *  - a Filter sits between the Aggregate and the scan (a pushed ts range
-  *    does not translate 1:1 to a date range)
+  *  - a Filter sits between the Aggregate and the scan whose predicate is
+  *    not DAY-ALIGNED. Day-aligned conjuncts DO rewrite — a comparison on
+  *    `to_date(ts_local)` against a date literal, or `ts_local >= / <` a
+  *    midnight timestamp — because selecting whole days of hourly rows
+  *    commutes with the per-day rollup; they are translated onto the
+  *    daily relation's `date` column, where the source's date-range
+  *    pushdown (S2) picks them up. Any other predicate (mid-day ts
+  *    bound, non-time column) still bails.
   *  - grouping is not exactly the (lat, lon, day) key
   *
   * Registered via [[graft.GraftExtensions]] (injectOptimizerRule), so any
@@ -58,24 +64,31 @@ object DailyRollupPushdown extends Rule[LogicalPlan] {
 
   private def rewrite(agg: Aggregate, groupingExprs: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
-    // Accept the relation directly or under a pure attribute/alias Project
-    // (CollapseProject usually inlines it, but don't depend on batch order).
-    val (relationOpt, substitutions) = child match {
-      case r: DataSourceV2Relation => (Some(r), Map.empty[ExprId, Expression])
-      case Project(projectList, r: DataSourceV2Relation)
-          if projectList.forall {
-            case _: AttributeReference => true
-            case Alias(_, _) => true
-            case _ => false
-          } =>
-        val subs = projectList.collect {
-          case a @ Alias(e, _) => a.exprId -> e
-        }.toMap
-        (Some(r), subs)
-      case _ => (None, Map.empty[ExprId, Expression])
-    }
-    val hourlyOpts: OpenMeteoOptions = relationOpt.map(_.table) match {
-      case Some(t: OpenMeteoTable)
+    // Accept the relation directly, under pure attribute/alias Projects
+    // (CollapseProject usually inlines them, but don't depend on batch
+    // order), and/or under at most one Filter — whose predicate must then
+    // prove day-aligned below.
+    def peel(p: LogicalPlan, subs: Map[ExprId, Expression],
+        cond: Option[Expression])
+        : Option[(DataSourceV2Relation, Map[ExprId, Expression], Option[Expression])] =
+      p match {
+        case r: DataSourceV2Relation => Some((r, subs, cond))
+        case Project(projectList, ch)
+            if projectList.forall {
+              case _: AttributeReference => true
+              case Alias(_, _) => true
+              case _ => false
+            } =>
+          peel(ch, subs ++ projectList.collect {
+            case a @ Alias(e, _) => a.exprId -> e
+          }, cond)
+        case Filter(c, ch) if cond.isEmpty => peel(ch, subs, Some(c))
+        case _ => None
+      }
+    val (relation, substitutions, filterCond) =
+      peel(child, Map.empty, None).getOrElse(return None)
+    val hourlyOpts: OpenMeteoOptions = relation.table match {
+      case t: OpenMeteoTable
           if t.opts.granKey == WeatherSchemas.GranHourly => t.opts
       case _ => return None
     }
@@ -103,6 +116,56 @@ object DailyRollupPushdown extends Rule[LogicalPlan] {
       groupingExprs.exists(isAttr(_, "longitude")) &&
       groupingExprs.exists(isDayOf)
     if (!groupingOk) return None
+
+    // An intermediate Filter rewrites only when EVERY conjunct is
+    // day-aligned on ts_local — whole-day selection commutes with the
+    // per-day rollup. Each recognized conjunct becomes a builder applied
+    // to the daily relation's `date` attribute.
+    val MicrosPerDay = 86400000000L
+    def isTsLocal(e: Expression): Boolean = isAttr(e, "ts_local")
+    // midnight NTZ literal → its DateType literal (whole-day boundary)
+    def midnightDay(e: Expression): Option[Literal] = e match {
+      case Literal(micros: Long, TimestampNTZType)
+          if micros % MicrosPerDay == 0 =>
+        Some(Literal((micros / MicrosPerDay).toInt, DateType))
+      case _ => None
+    }
+    def dayConjunct(c: Expression): Option[Attribute => Expression] = c match {
+      // to_date(ts_local) cmp date-literal: already day-granular
+      case cmp: BinaryComparison if isDayOf(cmp.left) =>
+        cmp.right match {
+          case d @ Literal(_, DateType) =>
+            Some(a => cmp.withNewChildren(Seq(a, d)))
+          case _ => None
+        }
+      case cmp: BinaryComparison if isDayOf(cmp.right) =>
+        cmp.left match {
+          case d @ Literal(_, DateType) =>
+            Some(a => cmp.withNewChildren(Seq(d, a)))
+          case _ => None
+        }
+      // raw ts_local bounds: only >= / < at exact midnight select whole
+      // days (>, <=, = at midnight split a day — bail)
+      case GreaterThanOrEqual(t, l) if isTsLocal(t) =>
+        midnightDay(inline(l)).map(d => a => GreaterThanOrEqual(a, d))
+      case LessThan(t, l) if isTsLocal(t) =>
+        midnightDay(inline(l)).map(d => a => LessThan(a, d))
+      case LessThanOrEqual(l, t) if isTsLocal(t) =>
+        midnightDay(inline(l)).map(d => a => LessThanOrEqual(d, a))
+      case GreaterThan(l, t) if isTsLocal(t) =>
+        midnightDay(inline(l)).map(d => a => GreaterThan(d, a))
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val dayFilterBuilders: Seq[Attribute => Expression] =
+      filterCond.map(c => conjuncts(inline(c)).map(dayConjunct)) match {
+        case None => Seq.empty
+        case Some(bs) if bs.forall(_.isDefined) => bs.flatten
+        case _ => return None // some conjunct is not day-aligned
+      }
 
     // Map every output expression to a column of the daily scan; any
     // unrecognized expression aborts the whole rewrite.
@@ -206,6 +269,14 @@ object DailyRollupPushdown extends Rule[LogicalPlan] {
       case (ne, VarT(v)) => aliased(v, ne)
     }
     if (projectList.exists(_.isEmpty)) None
-    else Some(Project(projectList.flatten, dailyRelation))
+    else {
+      val scan: LogicalPlan = dayFilterBuilders match {
+        case Seq() => dailyRelation
+        case bs =>
+          val dateAttr = dailyAttr("date").getOrElse(return None)
+          Filter(bs.map(_(dateAttr)).reduce(And), dailyRelation)
+      }
+      Some(Project(projectList.flatten, scan))
+    }
   }
 }

@@ -139,8 +139,17 @@ class OpenMeteoAggReader(opts: OpenMeteoOptions, aggs: Seq[PushedAgg],
     blockIndices.foreach { idx =>
       val root = mapper.readTree(transport.fetch(fetchParams(idx)))
       // group key from the payload's own coordinates — blocks repeating a
-      // location accumulate into one group within this partition
-      val key: Seq[Double] = groupCols.map(c => root.get(c).asDouble())
+      // location accumulate into one group within this partition. A
+      // payload lacking a pushed group column is a malformed response:
+      // fail with the block + column named, not an opaque NPE.
+      val key: Seq[Double] = groupCols.map { c =>
+        val node = root.get(c)
+        if (node == null || node.isNull)
+          throw new IllegalStateException(
+            s"openmeteo aggregate payload for block $idx has no '$c' field; " +
+              "cannot form the pushed group key (malformed source response)")
+        node.asDouble()
+      }
       val acc = groups.getOrElseUpdate(key,
         Array.fill[java.lang.Double](aggs.size)(null))
       val daily = root.get(WeatherSchemas.GranDaily)

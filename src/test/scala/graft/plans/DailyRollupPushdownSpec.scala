@@ -100,7 +100,7 @@ class DailyRollupPushdownSpec extends AnyFunSuite {
     assert(scanGrans(df) === Seq(WeatherSchemas.GranHourly))
   }
 
-  test("intermediate filter bails out (ts range does not map to a date range)") {
+  test("intermediate filter bails out (mid-day ts bound does not map to a date range)") {
     val df = hourly()
       .filter(col("ts_local") >=
         lit("2024-07-02 06:00:00").cast("timestamp_ntz"))
@@ -108,6 +108,43 @@ class DailyRollupPushdownSpec extends AnyFunSuite {
         to_date(col("ts_local")).as("date"))
       .agg(max("temperature_2m").as("temperature_2m_max"))
     assert(scanGrans(df) === Seq(WeatherSchemas.GranHourly))
+  }
+
+  test("day-aligned to_date filter pushes down with the rollup (bail-in)") {
+    def shaped(df: DataFrame) = df
+      .filter(to_date(col("ts_local")) >= lit(java.sql.Date.valueOf("2024-07-02")) &&
+        to_date(col("ts_local")) <= lit(java.sql.Date.valueOf("2024-07-04")))
+      .groupBy(col("latitude"), col("longitude"),
+        to_date(col("ts_local")).as("date"))
+      .agg(max("temperature_2m").as("temperature_2m_max"),
+        round(sum("precipitation"), 2).as("precipitation_sum"))
+    val pushed = shaped(hourly())
+    assert(scanGrans(pushed) === Seq(WeatherSchemas.GranDaily),
+      s"day-aligned filter did not rewrite:\n${pushed.queryExecution.optimizedPlan}")
+    val native = shaped(
+      WeatherOps.toWide(WeatherOps.readBlocks(spark, fixture)))
+      .orderBy("latitude", "date").collect()
+    val got = pushed.orderBy("latitude", "date").collect()
+    assert(got.length === 6) // 2 locations × 3 whole days
+    assert(got.map(_.toString).toSeq === native.map(_.toString).toSeq)
+  }
+
+  test("midnight ts_local range filter pushes down with the rollup (bail-in)") {
+    def shaped(df: DataFrame) = df
+      .filter(col("ts_local") >= lit("2024-07-03 00:00:00").cast("timestamp_ntz") &&
+        col("ts_local") < lit("2024-07-05 00:00:00").cast("timestamp_ntz"))
+      .groupBy(col("latitude"), col("longitude"),
+        to_date(col("ts_local")).as("date"))
+      .agg(min("temperature_2m").as("temperature_2m_min"))
+    val pushed = shaped(hourly())
+    assert(scanGrans(pushed) === Seq(WeatherSchemas.GranDaily),
+      s"midnight range did not rewrite:\n${pushed.queryExecution.optimizedPlan}")
+    val native = shaped(
+      WeatherOps.toWide(WeatherOps.readBlocks(spark, fixture)))
+      .orderBy("latitude", "date").collect()
+    val got = pushed.orderBy("latitude", "date").collect()
+    assert(got.length === 4) // 2 locations × 2 whole days
+    assert(got.map(_.toString).toSeq === native.map(_.toString).toSeq)
   }
 
   test("non-day grouping bails out") {
