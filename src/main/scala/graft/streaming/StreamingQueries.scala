@@ -334,5 +334,120 @@ object StreamingQueries {
       } finally { deleteQuietly(dropDir); deleteQuietly(ckDir) }
 
       s.read.parquet(outDir).select("digest").orderBy("digest")
+    },
+
+    // foreachBatch upsert merge through the live path: each micro-batch
+    // of revisions merges into a keyed parquet table via
+    // WeatherStreams.mergeBatch (max-issued_at per key — the idempotent-
+    // writer pattern for exactly-once upsert sinks). mergeBatch is
+    // associative and idempotent in the revision order, so the final
+    // table is the global argmax per key REGARDLESS of micro-batch
+    // boundaries — the same relational oracle as st1, reached through
+    // the sink-side merge instead of operator state.
+    "st5_stream_merge_upsert" -> QueryDef.sql(
+      s"""WITH $RevCte,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY latitude, longitude, ts_valid
+        |      ORDER BY issued_at DESC) AS rn
+        |  FROM rev)
+        |SELECT latitude, longitude, ts_valid, issued_at,
+        |       round(temperature_2m, 2) AS temperature
+        |FROM ranked WHERE rn = 1
+        |ORDER BY latitude, longitude, ts_valid""".stripMargin) { (s, d) =>
+      val feed = revisionFeed(Tables.events(s, d))
+
+      val dropDir = tempDir("graft_st5_drop")
+      val ckDir = tempDir("graft_st5_ck")
+      val tableDir = tempDir("graft_st5_table")
+      deleteOnExit(tableDir)
+      feed.repartition(4).write.mode("overwrite")
+        .option("timestampFormat", TsFmt).json(dropDir)
+
+      // the merged "table" lives as one parquet dir per merge generation;
+      // each batch reads the previous generation, merges, writes the next
+      // (overwriting the dir being read would corrupt it mid-job)
+      try withStateShuffle(s) {
+        val q = revisionStream(s, dropDir)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[WeatherStreams.Revision],
+              batchId: Long) =>
+            val prev = new java.io.File(s"$tableDir/gen=${batchId - 1}")
+            val existing =
+              if (prev.isDirectory) s.read.parquet(prev.toString)
+              else batch.toDF().limit(0)
+            WeatherStreams.mergeBatch(existing, batch.toDF())
+              .write.mode("overwrite").parquet(s"$tableDir/gen=$batchId")
+          }
+          .option("checkpointLocation", ckDir)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally { deleteQuietly(dropDir); deleteQuietly(ckDir) }
+
+      val lastGen = new java.io.File(tableDir).listFiles()
+        .filter(_.getName.startsWith("gen="))
+        .map(_.getName.stripPrefix("gen=").toLong).max
+      s.read.parquet(s"$tableDir/gen=$lastGen")
+        .select(col("latitude"), col("longitude"), col("ts_valid"),
+          col("issued_at"), round(col("temperature_2m"), 2).as("temperature"))
+        .orderBy("latitude", "longitude", "ts_valid")
+    },
+
+    // Watermarked tumbling-window aggregation through the live path:
+    // WeatherStreams.windowedMeans over 2-hour windows of valid time, in
+    // Update mode to a memory sink — one AvailableNow batch emits each
+    // window's aggregate exactly once (final, since all data is in the
+    // batch). The oracle buckets ts_valid into the same epoch-aligned
+    // 2-hour windows relationally. Only order-insensitive outputs are
+    // compared (count, 2-d.p.-rounded sum); a raw avg would flip hashes
+    // on summation order.
+    "st6_stream_windowed_agg" -> QueryDef.sql(
+      """WITH rev AS (
+        |  SELECT CAST(user_id % 3 AS DOUBLE) AS latitude, 10.0 AS longitude,
+        |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts_valid,
+        |         CAST(ts AS TIMESTAMP) AS issued_at,
+        |         max(value) AS temperature_2m,
+        |         abs(min(value)) AS precipitation
+        |  FROM events GROUP BY 1, 2, 3, 4)
+        |SELECT latitude, longitude,
+        |       make_timestamp((epoch(ts_valid)::BIGINT // 7200) * 7200 * 1000000) AS ts,
+        |       round(sum(precipitation), 2) AS precip_sum,
+        |       CAST(count(*) AS BIGINT) AS n_obs
+        |FROM rev GROUP BY 1, 2, 3
+        |ORDER BY latitude, longitude, ts""".stripMargin) { (s, d) =>
+      // same revision feed, but with a non-trivial precipitation axis so
+      // the windowed sum has signal (the upsert feed pins it to 0.0)
+      val feed = Tables.events(s, d).groupBy(
+          (col("user_id") % 3).cast("double").as("latitude"),
+          lit(10.0).as("longitude"),
+          date_trunc("hour", col("ts")).as("ts_valid"),
+          col("ts").as("issued_at"))
+        .agg(max("value").as("temperature_2m"),
+          abs(min("value")).as("precipitation"))
+
+      val dropDir = tempDir("graft_st6_drop")
+      val ckDir = tempDir("graft_st6_ck")
+      feed.repartition(4).write.mode("overwrite")
+        .option("timestampFormat", TsFmt).json(dropDir)
+
+      val sinkName = s"graft_st6_sink_${runSeq.incrementAndGet()}"
+      try withStateShuffle(s) {
+        val q = WeatherStreams
+          .windowedMeans(revisionStream(s, dropDir), win = "2 hours",
+            watermark = "4 hours")
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("update")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally { deleteQuietly(dropDir); deleteQuietly(ckDir) }
+
+      s.table(sinkName)
+        .select(col("latitude"), col("longitude"), col("ts"),
+          round(col("precip_sum"), 2).as("precip_sum"), col("n_obs"))
+        .orderBy("latitude", "longitude", "ts")
     })
 }
