@@ -323,6 +323,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Token-window chunking: long documents split into ≤64-token pieces
+    // (the context-window precursor to packing) — scan-local slice +
+    // explode, whitespace-normalized reconstruction on both engines.
+    "t13_chunking" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |                x -> x <> '') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(CAST(ceil(len(ws) / 64.0) AS BIGINT))) AS chunk_idx
+        |  FROM t WHERE len(ws) > 0)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(ws[chunk_idx*64+1 : chunk_idx*64+64], ' ') AS chunk_text,
+        |  CAST(least(len(ws) - chunk_idx*64, 64) AS BIGINT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Scale.chunkDocuments(Tables.documents(s, d), maxTokens = 64)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // ---- dedup ------------------------------------------------------------
     "d1_dedup_exact" -> QueryDef.sql(
       """SELECT count(*) AS n_total, count(DISTINCT text) AS n_unique

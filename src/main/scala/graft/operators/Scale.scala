@@ -143,6 +143,34 @@ object Scale {
       .drop("__cum", "__off")
   }
 
+  /** Split documents into ≤ `maxTokens` whitespace-token chunks — the
+    * long-document precursor to context-window training (a 100k-token
+    * document must become k bounded pieces BEFORE packing/shuffling, or
+    * one row dominates its task). One row per (doc, chunk index);
+    * `chunk_text` re-joins the token slice with single spaces (whitespace
+    * is normalized by construction — the tokenization already erased it)
+    * and `n_chunk_tokens` carries the slice size. Documents with no
+    * tokens yield no chunks. Scan-local: split + explode + slice, no
+    * shuffle, codegen built-ins only.
+    */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int = 512,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val toks = when(trim(col(textCol)) === "", array())
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    docs
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        ceil(size(col("__toks")) / lit(maxTokens.toDouble)).cast("long") - 1)))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"),
+          (col("chunk_idx") * maxTokens + 1).cast("int"), lit(maxTokens)))
+          .as("chunk_text"),
+        least(size(col("__toks")) - col("chunk_idx") * maxTokens,
+          lit(maxTokens.toLong)).cast("long").as("n_chunk_tokens"))
+  }
+
   /** Deterministic stratified sampler (training-mix control): keep a row
     * iff an md5-derived hash of its id falls under the stratum's rate —
     * `h(id) mod 1000 < rate·1000`. Unlike `df.stat.sampleBy` (engine-RNG

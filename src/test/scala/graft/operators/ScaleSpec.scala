@@ -119,6 +119,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(dist2.exceptAll(serial).count() === 0)
   }
 
+  test("chunkDocuments: bounded token slices, exact reconstruction, empty docs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens → chunks of 4,4,2
+      (2L, "  x   y  "),           // messy whitespace → 2 tokens, 1 chunk
+      (3L, "   "),                 // no tokens → no chunks
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val got = Scale.chunkDocuments(docs, maxTokens = 4)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, "a b c d", 4L), (1L, 1L, "e f g h", 4L), (1L, 2L, "i j", 2L),
+      (2L, 0L, "x y", 2L),
+      (4L, 0L, "solo", 1L)))
+    // scan-local: no exchange in the plan
+    val plan = Scale.chunkDocuments(docs, maxTokens = 4)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
+  }
+
   test("training-shard writer: token-budgeted, partition-per-shard, deterministic") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
