@@ -295,6 +295,14 @@ object Dedup {
   /** The candidate pairs [[editDistancePairs]] verifies — package-private
     * so DedupSpec can assert the q-gram stage's prune ratio directly.
     * `qGram <= 0` disables stage 2 (the spec's unpruned reference).
+    *
+    * Scale note: stage 2 FILTERS the stage-1 pair list (pairs × ~|s|
+    * gram rows through two equi joins). If a vocabulary's length
+    * distribution ever makes stage 1 itself quadratic-sized, invert the
+    * phases: GENERATE candidates from (gram, ⌊pos/(k+1)⌋±1, length-band)
+    * postings — same Gravano bounds, but the pair list never
+    * materializes. Not needed at current vocabulary shapes (the sf0.1
+    * part vocabulary verifies in 0.4 s).
     */
   private[graft] def editDistanceCandidates(values: DataFrame, strCol: String,
       maxDist: Int, qGram: Int): DataFrame = {

@@ -109,17 +109,25 @@ object Scale {
     val slices =
       if (numSlices > 0) numSlices
       else docs.sparkSession.sessionState.conf.numShufflePartitions
-    val withTok = docs.withColumn("n_tokens",
-      coalesce(graft.functions.TextFunctions.tokenCount(col(textCol)), lit(0L)))
+    // an existing n_tokens column wins (custom tokenizer budgets, and at
+    // 100 TB a precomputed count spares the subtotal pass a second read
+    // of the text column); otherwise derive it from the text
+    val withTok =
+      if (docs.columns.contains("n_tokens")) docs
+      else docs.withColumn("n_tokens",
+        coalesce(graft.functions.TextFunctions.tokenCount(col(textCol)), lit(0L)))
     // phase 1a: per-source id bounds — reads only (source, id), prunes text
     val bounds = docs.groupBy(col(shardKeyCol))
       .agg(min(col(idCol)).as("__pk_lo"), max(col(idCol)).as("__pk_hi"))
     // monotonic id → slice cut (double arithmetic: overflow-safe for any
-    // long ids; monotonic non-decreasing ⇒ slices are contiguous id runs)
-    val sliceOf = least(lit(slices - 1), greatest(lit(0), floor(
+    // long ids; monotonic non-decreasing ⇒ slices are contiguous id runs).
+    // Null ids pin to slice 0: a null __slice would silently DROP the row
+    // at the offsets equi join (null ≠ null), and slice 0 matches the
+    // serial window's nulls-first order.
+    val sliceOf = coalesce(least(lit(slices - 1), greatest(lit(0), floor(
       (col(idCol).cast("double") - col("__pk_lo").cast("double")) /
         (col("__pk_hi").cast("double") - col("__pk_lo").cast("double") + 1.0) *
-        slices))).cast("int")
+        slices))).cast("int"), lit(0))
     val sliced = withTok.join(broadcast(bounds), Seq(shardKeyCol))
       .withColumn("__slice", sliceOf).drop("__pk_lo", "__pk_hi")
     // phase 1b: slice-local cumsum — one task per (source, slice)

@@ -117,6 +117,13 @@ class ScaleSpec extends AnyFunSuite {
     val dist2 = Scale.packTokens(docs, tokensPerShard = 64, numSlices = 3)
       .select("doc_id", "source", "n_tokens", "pack_id")
     assert(dist2.exceptAll(serial).count() === 0)
+    // null ids must not be dropped (a null slice key would vanish at the
+    // offsets equi join) — they pin to slice 0
+    val withNull = docs.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "web", "null id doc"))
+        .toDF("doc_id", "source", "text"))
+    assert(Scale.packTokens(withNull, tokensPerShard = 64).count()
+      === docs.count() + 1)
   }
 
   test("chunkDocuments: bounded token slices, exact reconstruction, empty docs dropped") {
