@@ -148,6 +148,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
   }
 
+  test("chunkDocuments invariants on randomized docs: lossless, budgeted, complete") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 40).map { i =>
+      val n = rnd.nextInt(30)
+      (i.toLong, (1 to n).map(j => s"w${rnd.nextInt(99)}_$j").mkString(
+        if (rnd.nextBoolean()) " " else "  \t "))
+    }.toDF("doc_id", "text")
+    val maxTok = 7
+    val chunks = Scale.chunkDocuments(docs, maxTokens = maxTok)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val expected = docs.collect().map(r => (r.getLong(0),
+      r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSeq)).toMap
+    expected.foreach { case (id, toks) =>
+      val cs = chunks.getOrElse(id, Array.empty).sortBy(_._2)
+      if (toks.isEmpty) assert(cs.isEmpty, s"doc $id: chunks for empty doc")
+      else {
+        // lossless reconstruction in order, exact token accounting
+        assert(cs.flatMap(_._3.split(" ")).toSeq === toks, s"doc $id text")
+        assert(cs.map(_._4).sum === toks.size, s"doc $id token count")
+        // every chunk within budget; all but the last exactly full
+        assert(cs.forall(_._4 <= maxTok), s"doc $id over budget")
+        assert(cs.dropRight(1).forall(_._4 === maxTok), s"doc $id ragged")
+        assert(cs.map(_._2).toSeq === cs.indices.map(_.toLong), s"doc $id idx gap")
+      }
+    }
+  }
+
   test("training-shard writer: token-budgeted, partition-per-shard, deterministic") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
