@@ -118,4 +118,37 @@ class PlanQualitySpec extends AnyFunSuite {
       s"repetition signals must not aggregate:\n$p")
     assert(!p.contains("Join"), s"repetition signals must not join:\n$p")
   }
+
+  test("t6 packTokens: one big shuffle keyed by (source, slice); small joins broadcast") {
+    val df = Scale.packTokens(graft.Tables.documents(spark, d))
+    df.write.mode("overwrite").format("noop").save() // AQE: final plan
+    val p = df.queryExecution.executedPlan.toString
+    // the DOCUMENT-ROW cumsum window (the one ordered by doc_id) must
+    // partition by the slice key, never source alone — source-alone is
+    // the serial one-task-per-source shape this plan exists to avoid.
+    // (The tiny offsets window partitions by source and orders by
+    // __slice; side-table aggregates exchange on source — both are
+    // ≤ slices × sources rows and intentionally exempt.)
+    val docWindows = "windowspecdefinition\\([^)]*doc_id[^)]*\\)".r
+      .findAllIn(p).toSeq
+    assert(docWindows.nonEmpty, s"cumsum window missing:\n$p")
+    assert(docWindows.forall(_.contains("__slice")),
+      s"doc-row cumsum window not slice-partitioned: $docWindows\n$p")
+    // document rows shuffle exactly once, on the (source, slice) hash
+    // exchange; bounds + offsets attach via broadcast joins
+    assert(p.contains("BroadcastHashJoin"), s"small joins not broadcast:\n$p")
+    assert("Exchange hashpartitioning\\([^)]*__slice".r.findAllIn(p).nonEmpty,
+      s"(source, slice) exchange missing:\n$p")
+  }
+
+  test("t13 chunking is scan-local: explode + slice with no exchange before the sort") {
+    val df = SparkEntry.queries("t13_chunking")(spark, d)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), s"chunk explode missing:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle (only the ORDER BY ranges):\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"chunking must stay a scan-local map:\n$p")
+  }
 }
