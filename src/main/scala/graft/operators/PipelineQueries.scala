@@ -341,6 +341,7 @@ object PipelineQueries {
         |  CAST(least(len(ws) - chunk_idx*64, 64) AS BIGINT) AS n_chunk_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
       Scale.chunkDocuments(Tables.documents(s, d), maxTokens = 64)
+        .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
         .orderBy("doc_id", "chunk_idx")
     },
 

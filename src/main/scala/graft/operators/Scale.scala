@@ -158,8 +158,11 @@ object Scale {
     * `chunk_text` re-joins the token slice with single spaces (whitespace
     * is normalized by construction — the tokenization already erased it)
     * and `n_chunk_tokens` carries the slice size. Documents with no
-    * tokens yield no chunks. Scan-local: split + explode + slice, no
-    * shuffle, codegen built-ins only.
+    * tokens yield no chunks. Every non-text column rides along (source,
+    * language, quality scores — so chunk→pack composes without a
+    * re-join); the original text column is replaced by the chunk.
+    * Scan-local: split + explode + slice, no shuffle, codegen built-ins
+    * only.
     */
   def chunkDocuments(docs: DataFrame, maxTokens: Int = 512,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -171,12 +174,13 @@ object Scale {
       .filter(size(col("__toks")) > 0)
       .withColumn("chunk_idx", explode(sequence(lit(0L),
         ceil(size(col("__toks")) / lit(maxTokens.toDouble)).cast("long") - 1)))
-      .select(col(idCol), col("chunk_idx"),
+      .withColumn("chunk_text",
         concat_ws(" ", slice(col("__toks"),
-          (col("chunk_idx") * maxTokens + 1).cast("int"), lit(maxTokens)))
-          .as("chunk_text"),
+          (col("chunk_idx") * maxTokens + 1).cast("int"), lit(maxTokens))))
+      .withColumn("n_chunk_tokens",
         least(size(col("__toks")) - col("chunk_idx") * maxTokens,
-          lit(maxTokens.toLong)).cast("long").as("n_chunk_tokens"))
+          lit(maxTokens.toLong)).cast("long"))
+      .drop("__toks", textCol)
   }
 
   /** Deterministic stratified sampler (training-mix control): keep a row

@@ -135,6 +135,7 @@ class ScaleSpec extends AnyFunSuite {
       (4L, "solo")
     ).toDF("doc_id", "text")
     val got = Scale.chunkDocuments(docs, maxTokens = 4)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
       .orderBy("doc_id", "chunk_idx")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
@@ -158,6 +159,7 @@ class ScaleSpec extends AnyFunSuite {
     }.toDF("doc_id", "text")
     val maxTok = 7
     val chunks = Scale.chunkDocuments(docs, maxTokens = maxTok)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
       .orderBy("doc_id", "chunk_idx").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
       .groupBy(_._1)
@@ -176,6 +178,23 @@ class ScaleSpec extends AnyFunSuite {
         assert(cs.map(_._2).toSeq === cs.indices.map(_.toLong), s"doc $id idx gap")
       }
     }
+  }
+
+  test("chunk → pack composition: long docs become bounded chunks in budgeted packs") {
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+    // metadata columns survive chunking, so packing keys on them directly
+    val chunks = Scale.chunkDocuments(docs, maxTokens = 64)
+      .withColumn("cid", col("doc_id") * 10000 + col("chunk_idx"))
+    val packed = Scale.packTokens(chunks, tokensPerShard = 512,
+      textCol = "chunk_text", idCol = "cid", shardKeyCol = "source")
+    // chunking preserved every token (n_tokens recomputed from chunk_text
+    // must equal the slice accounting) …
+    assert(packed.filter(col("n_tokens") =!= col("n_chunk_tokens")).count() === 0)
+    // … and every (source, pack) respects the budget modulo one chunk
+    val over = packed.groupBy("source", "pack_id")
+      .agg(sum("n_tokens").as("tok"), max("n_tokens").as("mx"))
+      .filter(col("tok") > lit(512) + col("mx"))
+    assert(over.count() === 0, "pack over budget in composed pipeline")
   }
 
   test("training-shard writer: token-budgeted, partition-per-shard, deterministic") {
