@@ -111,13 +111,20 @@ object Scale {
       else docs.sparkSession.sessionState.conf.numShufflePartitions
     // an existing n_tokens column wins (custom tokenizer budgets, and at
     // 100 TB a precomputed count spares the subtotal pass a second read
-    // of the text column); otherwise derive it from the text
+    // of the text column); otherwise derive it from the text. Nulls
+    // coalesce to 0 either way — a null count would null the pack_id and
+    // silently route the row to the Hive default partition at write time
     val withTok =
-      if (docs.columns.contains("n_tokens")) docs
+      if (docs.columns.contains("n_tokens"))
+        docs.withColumn("n_tokens",
+          coalesce(col("n_tokens").cast("long"), lit(0L)))
       else docs.withColumn("n_tokens",
         coalesce(graft.functions.TextFunctions.tokenCount(col(textCol)), lit(0L)))
-    // phase 1a: per-source id bounds — reads only (source, id), prunes text
-    val bounds = docs.groupBy(col(shardKeyCol))
+    // phase 1a: per-source id bounds — reads only (source, id), prunes
+    // text. The key is re-aliased and joined NULL-SAFELY below: a plain
+    // Seq(shardKeyCol) equi join would silently DROP null-source rows
+    // (null ≠ null), which the replaced per-source window had kept.
+    val bounds = docs.groupBy(col(shardKeyCol).as("__pk_k"))
       .agg(min(col(idCol)).as("__pk_lo"), max(col(idCol)).as("__pk_hi"))
     // monotonic id → slice cut (double arithmetic: overflow-safe for any
     // long ids; monotonic non-decreasing ⇒ slices are contiguous id runs).
@@ -128,27 +135,33 @@ object Scale {
       (col(idCol).cast("double") - col("__pk_lo").cast("double")) /
         (col("__pk_hi").cast("double") - col("__pk_lo").cast("double") + 1.0) *
         slices))).cast("int"), lit(0))
-    val sliced = withTok.join(broadcast(bounds), Seq(shardKeyCol))
-      .withColumn("__slice", sliceOf).drop("__pk_lo", "__pk_hi")
+    val sliced = withTok.join(broadcast(bounds),
+        col(shardKeyCol) <=> col("__pk_k"))
+      .withColumn("__slice", sliceOf)
+      .drop("__pk_k", "__pk_lo", "__pk_hi")
     // phase 1b: slice-local cumsum — one task per (source, slice)
     val wLocal = Window.partitionBy(col(shardKeyCol), col("__slice"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val localCum = sliced.withColumn("__cum", sum(col("n_tokens")).over(wLocal))
     // phase 2: slice subtotals (computed pre-window: partial agg on the
-    // scan, no big shuffle) → exclusive offsets over the tiny slice axis
-    val wOff = Window.partitionBy(col(shardKeyCol)).orderBy(col("__slice"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sliced.groupBy(col(shardKeyCol), col("__slice"))
+    // scan, no big shuffle) → exclusive offsets over the tiny slice axis.
+    // The offsets window partitions by the RAW key (null group is fine
+    // inside a window); only the join back needs the null-safe key
+    val offsets = sliced.groupBy(col(shardKeyCol).as("__of_k"),
+        col("__slice").as("__of_s"))
       .agg(sum(col("n_tokens")).as("__sub"))
-      .withColumn("__off", coalesce(sum(col("__sub")).over(wOff), lit(0L)))
-      .select(col(shardKeyCol), col("__slice"), col("__off"))
+      .withColumn("__off", coalesce(sum(col("__sub")).over(
+        Window.partitionBy(col("__of_k")).orderBy(col("__of_s"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__of_k"), col("__of_s"), col("__off"))
     // phase 3: global cumsum = slice offset + local cum → pack id
-    localCum.join(broadcast(offsets), Seq(shardKeyCol, "__slice"))
+    localCum.join(broadcast(offsets),
+        col(shardKeyCol) <=> col("__of_k") && col("__slice") === col("__of_s"))
       .withColumn("pack_id",
         floor((col("__off") + col("__cum") - col("n_tokens")) / tokensPerShard)
           .cast("long"))
-      .drop("__cum", "__off")
+      .drop("__of_k", "__of_s", "__cum", "__off")
   }
 
   /** Split documents into ≤ `maxTokens` whitespace-token chunks — the
@@ -165,10 +178,14 @@ object Scale {
     * only.
     */
   def chunkDocuments(docs: DataFrame, maxTokens: Int = 512,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text"): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
-    val toks = when(trim(col(textCol)) === "", array())
-      .otherwise(split(trim(col(textCol)), "\\s+"))
+    // regexp-trim, not trim(): trim strips only 0x20, so a text ending in
+    // \n or \t would leave a trailing empty string in the split (limit
+    // -1 keeps it) — a phantom token the DuckDB oracle's list_filter
+    // correctly drops
+    val clean = regexp_replace(col(textCol), "^\\s+|\\s+$", "")
+    val toks = when(clean === "", array()).otherwise(split(clean, "\\s+"))
     docs
       .withColumn("__toks", toks)
       .filter(size(col("__toks")) > 0)

@@ -236,13 +236,27 @@ object StreamingQueries {
     // pure function of the feed (Spark tracks event-time stats in
     // MILLISECONDS, hence the oracle's epoch_ms truncation), so the
     // keep-set is deterministic: on-time rows ∪ late rows at-or-above the
-    // watermark — which the oracle computes relationally.
+    // watermark — which the oracle computes relationally. Late rows whose
+    // SHIFTED key collides with an on-time key are excluded from the
+    // late feed (anti join, mirrored by the oracle's NOT EXISTS): such a
+    // pair would carry a different temperature under an identical dedup
+    // key, where the engine's keep-or-drop depends on run-1 state
+    // retention but the oracle's row-level UNION keeps both — and the
+    // 4-column ORDER BY would not be total over the tie. No such pair
+    // exists in the current test data; the guard makes the contract
+    // data-independent.
     "st3_stream_late_drop" -> QueryDef.sql(
       s"""WITH $RevCte,
         |late AS (
-        |  SELECT latitude, longitude, ts_valid,
-        |         issued_at + INTERVAL 1 MINUTE AS issued_at, temperature_2m
-        |  FROM rev),
+        |  SELECT l.latitude, l.longitude, l.ts_valid,
+        |         l.issued_at + INTERVAL 1 MINUTE AS issued_at,
+        |         l.temperature_2m
+        |  FROM rev l
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM rev r
+        |    WHERE r.latitude = l.latitude AND r.longitude = l.longitude
+        |      AND r.ts_valid = l.ts_valid
+        |      AND r.issued_at = l.issued_at + INTERVAL 1 MINUTE)),
         |wm AS (
         |  SELECT make_timestamp(epoch_ms(max(issued_at)) * 1000)
         |           - INTERVAL 2 HOUR AS w
@@ -258,6 +272,9 @@ object StreamingQueries {
       val lateFeed = feed
         .withColumn("issued_at",
           col("issued_at") + expr("INTERVAL 1 MINUTE"))
+        .join(feed.select(col("latitude"), col("longitude"), col("ts_valid"),
+            col("issued_at")),
+          Seq("latitude", "longitude", "ts_valid", "issued_at"), "left_anti")
 
       val dropDir = tempDir("graft_st3_drop")
       val ckDir = tempDir("graft_st3_ck")

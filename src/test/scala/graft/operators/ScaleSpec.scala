@@ -118,12 +118,22 @@ class ScaleSpec extends AnyFunSuite {
       .select("doc_id", "source", "n_tokens", "pack_id")
     assert(dist2.exceptAll(serial).count() === 0)
     // null ids must not be dropped (a null slice key would vanish at the
-    // offsets equi join) — they pin to slice 0
+    // offsets equi join) — they pin to slice 0; null SOURCES must not be
+    // dropped either (the bounds/offsets joins are null-safe), and null
+    // precomputed n_tokens coalesce to 0 instead of nulling the pack
     val withNull = docs.unionByName(
-      Seq((null.asInstanceOf[java.lang.Long], "web", "null id doc"))
+      Seq((null.asInstanceOf[java.lang.Long], "web", "null id doc"),
+        (java.lang.Long.valueOf(9999L), null.asInstanceOf[String],
+          "null source doc"))
         .toDF("doc_id", "source", "text"))
-    assert(Scale.packTokens(withNull, tokensPerShard = 64).count()
-      === docs.count() + 1)
+    val packedNull = Scale.packTokens(withNull, tokensPerShard = 64)
+    assert(packedNull.count() === docs.count() + 2)
+    assert(packedNull.filter(col("pack_id").isNull).count() === 0)
+    val preTok = withNull.withColumn("n_tokens",
+      when(col("doc_id") === 9999L, null).otherwise(lit(3L)))
+    val packedPre = Scale.packTokens(preTok, tokensPerShard = 64)
+    assert(packedPre.count() === docs.count() + 2)
+    assert(packedPre.filter(col("pack_id").isNull).count() === 0)
   }
 
   test("chunkDocuments: bounded token slices, exact reconstruction, empty docs dropped") {
