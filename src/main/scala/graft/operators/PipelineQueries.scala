@@ -345,6 +345,25 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Deterministic epoch shuffle: the reorder position each document
+    // takes in training epoch 1 — an md5 key both engines compute
+    // identically (no RNG). The probe ranks the operator's output with a
+    // window (oracle formulation); the operator itself stays
+    // range-partitioned + locally sorted.
+    "t14_epoch_shuffle" -> QueryDef.sql(
+      """SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#ep1'), 1, 15) AS UBIGINT),
+        |             doc_id) AS BIGINT) AS pos
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Scale.epochShuffled(Tables.documents(s, d), epoch = 1)
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("__shuffle_key"), col("doc_id"))).cast("long"))
+        .select("doc_id", "pos")
+        .orderBy("doc_id")
+    },
+
     // ---- dedup ------------------------------------------------------------
     "d1_dedup_exact" -> QueryDef.sql(
       """SELECT count(*) AS n_total, count(DISTINCT text) AS n_unique

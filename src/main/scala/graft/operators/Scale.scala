@@ -200,6 +200,32 @@ object Scale {
       .drop("__toks", textCol)
   }
 
+  /** Deterministic epoch shuffle (training-data reorder): every epoch
+    * permutes the corpus by an md5-derived sort key — a pure function of
+    * (id, epoch), so the permutation is reproducible across runs,
+    * engines (DuckDB computes the identical key — the t14 oracle),
+    * retries, and partitionings, with NO engine RNG state. The scale
+    * path is range-repartition + partition-local sort on the key (the
+    * standard write-sorted layout); a global row_number would serialize
+    * and is only ever used by the probe's oracle formulation. The key
+    * column `__shuffle_key` is retained so a writer can range-partition
+    * files by it.
+    */
+  def epochShuffled(df: DataFrame, epoch: Int, idCol: String = "doc_id",
+      numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // 15 hex chars = 60 bits: fits a signed long, matches DuckDB's
+    // ('0x'||…)::UBIGINT on the same prefix
+    val key = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(s"#ep$epoch"))), 1, 15),
+      16, 10).cast("long")
+    df.withColumn("__shuffle_key", key)
+      .repartitionByRange(parts, col("__shuffle_key"), col(idCol))
+      .sortWithinPartitions(col("__shuffle_key"), col(idCol))
+  }
+
   /** Deterministic stratified sampler (training-mix control): keep a row
     * iff an md5-derived hash of its id falls under the stratum's rate —
     * `h(id) mod 1000 < rate·1000`. Unlike `df.stat.sampleBy` (engine-RNG

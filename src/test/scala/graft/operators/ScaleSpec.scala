@@ -207,6 +207,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(over.count() === 0, "pack over budget in composed pipeline")
   }
 
+  test("epochShuffled: reproducible per epoch, different across epochs, range-sorted") {
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+    def order(ep: Int): Seq[Long] = Scale.epochShuffled(docs, ep, numPartitions = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val e1a = order(1)
+    assert(e1a === order(1), "same epoch must reproduce the same order")
+    assert(e1a !== order(2), "different epochs must permute differently")
+    assert(e1a.sorted === docs.select("doc_id").collect().map(_.getLong(0))
+      .toSeq.sorted, "shuffle must be a permutation, not a resample")
+    // scale path: range exchange + local sort, never a single global sort
+    val plan = Scale.epochShuffled(docs, 1, numPartitions = 4)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("rangepartitioning"), s"no range exchange:\n$plan")
+    // sortWithinPartitions prints as a non-global Sort (global=false)
+    assert("Sort \\[__shuffle_key[^\\]]*\\], false,".r.findAllIn(plan).nonEmpty,
+      s"partition-local sort missing:\n$plan")
+    assert("Sort \\[__shuffle_key[^\\]]*\\], true,".r.findAllIn(plan).isEmpty,
+      s"global sort would serialize the shuffle at scale:\n$plan")
+  }
+
   test("training-shard writer: token-budgeted, partition-per-shard, deterministic") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
