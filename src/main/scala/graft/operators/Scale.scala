@@ -253,6 +253,40 @@ object Scale {
       .drop("__thr")
   }
 
+  /** One-call training-corpus assembly — the end-to-end LLM-data
+    * pipeline, composed from this library's individually oracle-tested
+    * operators: deterministic stratified sampling (mix control) → exact
+    * content dedup → token-window chunking of long documents →
+    * token-budget packing (distributed prefix sum) → reproducible
+    * shard write (one parquet directory per (shardKey, pack)).
+    *
+    * Chunk ids pack as `id·2²⁰ + chunk_idx` (a document may span up to
+    * ~10⁶ chunks before ids collide — at the default budgets that is a
+    * multi-billion-token single document), and the chunker's exact
+    * `n_chunk_tokens` feeds packing via the precomputed-count path, so
+    * chunk text is never re-tokenized. Every stage is scan-local or
+    * equi-join/bucketed — nothing here degrades at corpus scale.
+    */
+  def writeTrainingMix(docs: DataFrame, outDir: String,
+      rates: Map[String, Double], strataCol: String = "lang",
+      maxTokens: Int = 2048, tokensPerShard: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text",
+      shardKeyCol: String = "source", seed: Long = 42L): Unit = {
+    val sampled = hashStratifiedSample(docs, strataCol, rates, idCol, seed)
+    val deduped = Dedup.exact(sampled, idCol, textCol)
+    val chunks = chunkDocuments(deduped, maxTokens, textCol)
+      .withColumn("__cid",
+        col(idCol) * lit(1048576L) + col("chunk_idx"))
+      .withColumnRenamed("n_chunk_tokens", "n_tokens")
+    packTokens(chunks, tokensPerShard, textCol = "chunk_text",
+        idCol = "__cid", shardKeyCol = shardKeyCol)
+      .repartition(col(shardKeyCol), col("pack_id"))
+      .sortWithinPartitions(col(shardKeyCol), col("pack_id"), col("__cid"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(shardKeyCol, "pack_id")
+      .parquet(outDir)
+  }
+
   /** Materialize a training corpus as token-budgeted shards via
     * [[packTokens]], written `partitionBy(shardKey, pack_id)` — every
     * (source, pack) directory is one reproducible training shard a

@@ -227,6 +227,30 @@ class ScaleSpec extends AnyFunSuite {
       s"global sort would serialize the shuffle at scale:\n$plan")
   }
 
+  test("writeTrainingMix: sample → dedup → chunk → pack → shards, end-to-end") {
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+    val rates = Map("en" -> 1.0, "de" -> 1.0, "fr" -> 0.5,
+      "es" -> 0.5, "zh" -> 0.5)
+    val out = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    Scale.writeTrainingMix(docs, out, rates, maxTokens = 64,
+      tokensPerShard = 256)
+    val back = spark.read.parquet(out)
+    // row accounting: every sampled+deduped doc's chunks, nothing else
+    val expected = Scale.chunkDocuments(
+      Dedup.exact(Scale.hashStratifiedSample(docs, "lang", rates)),
+      maxTokens = 64)
+    assert(back.count() === expected.count())
+    assert(back.count() > 0)
+    // budget: every (source, pack) within tokensPerShard + one chunk
+    val over = back.groupBy("source", "pack_id")
+      .agg(sum("n_tokens").as("tok"), max("n_tokens").as("mx"))
+      .filter(col("tok") > lit(256) + col("mx"))
+    assert(over.count() === 0, "mix shard over budget")
+    // layout: directory-per-(source, pack)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("source=")))
+  }
+
   test("training-shard writer: token-budgeted, partition-per-shard, deterministic") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
