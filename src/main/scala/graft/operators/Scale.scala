@@ -262,9 +262,15 @@ object Scale {
     *
     * Chunk ids pack as `id·2²⁰ + chunk_idx` (a document may span up to
     * ~10⁶ chunks before ids collide — at the default budgets that is a
-    * multi-billion-token single document), and the chunker's exact
-    * `n_chunk_tokens` feeds packing via the precomputed-count path, so
-    * chunk text is never re-tokenized. Every stage is scan-local or
+    * multi-billion-token single document); ids outside [0, 2⁴³) would
+    * silently wrap the packed id, so they raise instead. The chunker's
+    * exact `n_chunk_tokens` feeds packing via the precomputed-count
+    * path, so chunk text is never re-tokenized, and the chunk set is
+    * persisted across packTokens' bounds/cumsum/offsets branches (the
+    * heavy dedup+chunk stages would otherwise re-execute per branch).
+    * Rows with a NULL `idCol` are not supported here: the sampler's
+    * hash gate and the dedup join key both require ids ([[packTokens]]
+    * alone tolerates null ids). Every stage is scan-local or
     * equi-join/bucketed — nothing here degrades at corpus scale.
     */
   def writeTrainingMix(docs: DataFrame, outDir: String,
@@ -274,17 +280,31 @@ object Scale {
       shardKeyCol: String = "source", seed: Long = 42L): Unit = {
     val sampled = hashStratifiedSample(docs, strataCol, rates, idCol, seed)
     val deduped = Dedup.exact(sampled, idCol, textCol)
-    val chunks = chunkDocuments(deduped, maxTokens, textCol)
-      .withColumn("__cid",
+    val maxSafeId = (Long.MaxValue >> 20) - 1
+    val cid = when(col(idCol).between(0L, maxSafeId),
         col(idCol) * lit(1048576L) + col("chunk_idx"))
-      .withColumnRenamed("n_chunk_tokens", "n_tokens")
-    packTokens(chunks, tokensPerShard, textCol = "chunk_text",
-        idCol = "__cid", shardKeyCol = shardKeyCol)
-      .repartition(col(shardKeyCol), col("pack_id"))
-      .sortWithinPartitions(col(shardKeyCol), col("pack_id"), col("__cid"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy(shardKeyCol, "pack_id")
-      .parquet(outDir)
+      .otherwise(raise_error(concat(
+        lit(s"writeTrainingMix: $idCol out of packable range [0, 2^43): "),
+        col(idCol).cast("string"))).cast("long"))
+    val chunks = chunkDocuments(deduped, maxTokens, textCol)
+      .drop("n_tokens") // doc-level count, stale for chunks — the rename
+      .withColumnRenamed("n_chunk_tokens", "n_tokens") // must be unambiguous
+      .withColumn("__cid", cid)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      packTokens(chunks, tokensPerShard, textCol = "chunk_text",
+          idCol = "__cid", shardKeyCol = shardKeyCol)
+        .repartition(col(shardKeyCol), col("pack_id"))
+        // (doc_id, chunk_idx) orders identically to __cid (monotone
+        // packing) — sort on the real columns and keep the synthetic id
+        // out of the persisted schema
+        .sortWithinPartitions(col(shardKeyCol), col("pack_id"),
+          col(idCol), col("chunk_idx"))
+        .drop("__cid")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(shardKeyCol, "pack_id")
+        .parquet(outDir)
+    } finally { chunks.unpersist(); () }
   }
 
   /** Materialize a training corpus as token-budgeted shards via

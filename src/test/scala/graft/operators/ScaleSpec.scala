@@ -216,9 +216,11 @@ class ScaleSpec extends AnyFunSuite {
     assert(e1a !== order(2), "different epochs must permute differently")
     assert(e1a.sorted === docs.select("doc_id").collect().map(_.getLong(0))
       .toSeq.sorted, "shuffle must be a permutation, not a resample")
-    // scale path: range exchange + local sort, never a single global sort
-    val plan = Scale.epochShuffled(docs, 1, numPartitions = 4)
-      .queryExecution.executedPlan.toString()
+    // scale path: range exchange + local sort, never a single global
+    // sort — asserted on the FINAL adaptive plan (run first; AQE rule)
+    val shuffled = Scale.epochShuffled(docs, 1, numPartitions = 4)
+    shuffled.write.mode("overwrite").format("noop").save()
+    val plan = shuffled.queryExecution.executedPlan.toString()
     assert(plan.contains("rangepartitioning"), s"no range exchange:\n$plan")
     // sortWithinPartitions prints as a non-global Sort (global=false)
     assert("Sort \\[__shuffle_key[^\\]]*\\], false,".r.findAllIn(plan).nonEmpty,
@@ -246,9 +248,26 @@ class ScaleSpec extends AnyFunSuite {
       .agg(sum("n_tokens").as("tok"), max("n_tokens").as("mx"))
       .filter(col("tok") > lit(256) + col("mx"))
     assert(over.count() === 0, "mix shard over budget")
-    // layout: directory-per-(source, pack)
+    // layout: directory-per-(source, pack); no internal columns leaked
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
     assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("source=")))
+    assert(!back.columns.exists(_.startsWith("__")),
+      s"internal column leaked into shards: ${back.columns.mkString(",")}")
+    // a precomputed doc-level n_tokens column must not collide with the
+    // chunk-level rename (the ambiguous-reference regression)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_mix2").toString
+    Scale.writeTrainingMix(docs.withColumn("n_tokens", lit(5L)), out2, rates,
+      maxTokens = 64, tokensPerShard = 256)
+    assert(spark.read.parquet(out2).count() === back.count())
+    // ids that would wrap the packed chunk id raise instead of corrupting
+    import spark.implicits._
+    val bigId = Seq((1L << 50, "web", "en", "some text here"))
+      .toDF("doc_id", "source", "lang", "text")
+    intercept[Exception] {
+      Scale.writeTrainingMix(bigId, java.nio.file.Files
+        .createTempDirectory("graft_mix3").toString,
+        Map("en" -> 1.0), maxTokens = 64, tokensPerShard = 256)
+    }
   }
 
   test("training-shard writer: token-budgeted, partition-per-shard, deterministic") {
