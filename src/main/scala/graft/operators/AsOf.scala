@@ -66,7 +66,7 @@ object AsOf {
     val filled = unioned.withColumn("__asof_row",
       last(col("__asof_row"), ignoreNulls = true).over(w))
     filled.filter(col("__asof_tag") === 1)
-      .select(probeCols.map(col) ++
+      .select(probeCols.toIndexedSeq.map(col) ++
         carry.map(c => col(s"__asof_row.$c").as(s"asof_$c")): _*)
   }
 

@@ -46,7 +46,7 @@ object Scale {
     // differ — identical full-duplicate rows co-locate, which is correct
     // if not load-balanced.
     val salted = probe.withColumn("__salt",
-      pmod(xxhash64(probe.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(probe.columns.toIndexedSeq.map(col): _*), lit(saltFactor)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt"), jt).drop("__salt")

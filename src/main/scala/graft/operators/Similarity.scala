@@ -75,7 +75,7 @@ object Similarity {
     */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
-      val plane = array(p.map(lit(_)): _*)
+      val plane = array(p.toIndexedSeq.map(lit(_)): _*)
       acc.bitwiseOR(shiftleft(when(dot(v, plane) > 0, 1L).otherwise(0L), i))
     }
 
@@ -193,7 +193,7 @@ object Similarity {
 
   /** Squared L2 distance between a vector column and a literal centroid. */
   private def l2sq(v: Column, c: Array[Double]): Column =
-    aggregate(zip_with(v, array(c.map(lit(_)): _*),
+    aggregate(zip_with(v, array(c.toIndexedSeq.map(lit(_)): _*),
       (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
   /** Index of the nearest centroid (L2), evaluated in-row — no UDF, no
@@ -204,7 +204,7 @@ object Similarity {
     * possible for bit-identical distances — resolve to the lowest index.
     */
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = array(centroids.map(c => l2sq(v, c)): _*)
+    val dists = array(centroids.toIndexedSeq.map(c => l2sq(v, c)): _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
@@ -291,10 +291,10 @@ object Similarity {
       c.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
     val probeLists = centroids.zipWithIndex.sortBy { case (c, _) => dist(c) }
       .take(nProbe).map(_._2)
-    val qLit = array(qArr.map(lit(_)): _*)
+    val qLit = array(qArr.toIndexedSeq.map(lit(_)): _*)
     ivfAssign(embeddings, centroids)
       .filter(col("vec_id") =!= queryId &&
-        col("centroid_id").isin(probeLists.map(Int.box): _*))
+        col("centroid_id").isin(probeLists.toIndexedSeq.map(Int.box): _*))
       .select(col("vec_id"),
         round(cosine(asDouble(col("embedding")), qLit), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
