@@ -21,4 +21,21 @@ object TestSpark {
 
   val sfDir = "/root/testdata/sf0.001"
   val fixtures = "/root/repo/fixtures/weather"
+
+  /** Temp dir deleted at JVM exit — test suites must not regrow /tmp
+    * garbage on every run (same hygiene contract as the streaming
+    * probes' replay dirs).
+    */
+  def tempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rec(f: java.io.File): Unit = {
+        val cs = f.listFiles()
+        if (cs != null) cs.foreach(rec)
+        f.delete(): Unit
+      }
+      try rec(dir.toFile) catch { case _: Exception => () }
+    }))
+    dir.toString
+  }
 }

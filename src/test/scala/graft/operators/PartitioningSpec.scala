@@ -12,7 +12,7 @@ class PartitioningSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("partitionBy write → day filter prunes partitions at the scan") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val dir = graft.TestSpark.tempDir("graft_part")
     Tables.events(spark, TestSpark.sfDir)
       .withColumn("day", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("day").parquet(dir)
@@ -31,7 +31,7 @@ class PartitioningSpec extends AnyFunSuite {
   test("IVF index written partitionBy(centroid_id) prunes probe lists at the scan") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val centroids = Similarity.ivfCentroids(emb, nCentroids = 8)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val dir = graft.TestSpark.tempDir("graft_ivf")
     Similarity.ivfAssign(emb, centroids)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
 
@@ -56,8 +56,8 @@ class PartitioningSpec extends AnyFunSuite {
     val pts = spark.range(200000).select(
       (pmod(xxhash64(col("id"), lit(1)), lit(180000)) / 1000.0 - 90.0).as("lat"),
       (pmod(xxhash64(col("id"), lit(2)), lit(360000)) / 1000.0 - 180.0).as("lon"))
-    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
-    val rDir = java.nio.file.Files.createTempDirectory("graft_random").toString
+    val zDir = graft.TestSpark.tempDir("graft_zorder")
+    val rDir = graft.TestSpark.tempDir("graft_random")
     // Z-ordered layout: range-partition + sort by the morton key → every
     // file/row-group gets a compact lat AND lon bounding box
     pts.withColumn("z", graft.weather.Geo.mortonCode(col("lat"), col("lon")))

@@ -233,7 +233,7 @@ class ScaleSpec extends AnyFunSuite {
     val docs = graft.Tables.documents(spark, graft.TestSpark.sfDir)
     val rates = Map("en" -> 1.0, "de" -> 1.0, "fr" -> 0.5,
       "es" -> 0.5, "zh" -> 0.5)
-    val out = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    val out = graft.TestSpark.tempDir("graft_mix")
     Scale.writeTrainingMix(docs, out, rates, maxTokens = 64,
       tokensPerShard = 256)
     val back = spark.read.parquet(out)
@@ -255,7 +255,7 @@ class ScaleSpec extends AnyFunSuite {
       s"internal column leaked into shards: ${back.columns.mkString(",")}")
     // a precomputed doc-level n_tokens column must not collide with the
     // chunk-level rename (the ambiguous-reference regression)
-    val out2 = java.nio.file.Files.createTempDirectory("graft_mix2").toString
+    val out2 = graft.TestSpark.tempDir("graft_mix2")
     Scale.writeTrainingMix(docs.withColumn("n_tokens", lit(5L)), out2, rates,
       maxTokens = 64, tokensPerShard = 256)
     assert(spark.read.parquet(out2).count() === back.count())
@@ -264,15 +264,14 @@ class ScaleSpec extends AnyFunSuite {
     val bigId = Seq((1L << 50, "web", "en", "some text here"))
       .toDF("doc_id", "source", "lang", "text")
     intercept[Exception] {
-      Scale.writeTrainingMix(bigId, java.nio.file.Files
-        .createTempDirectory("graft_mix3").toString,
+      Scale.writeTrainingMix(bigId, graft.TestSpark.tempDir("graft_mix3"),
         Map("en" -> 1.0), maxTokens = 64, tokensPerShard = 256)
     }
   }
 
   test("training-shard writer: token-budgeted, partition-per-shard, deterministic") {
     import org.apache.spark.sql.functions._
-    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val out = graft.TestSpark.tempDir("graft_shards")
     val docs = graft.Tables.documents(spark, graft.TestSpark.sfDir)
     Scale.writeTrainingShards(docs, out, tokensPerShard = 512)
     val back = spark.read.parquet(out)
@@ -289,7 +288,7 @@ class ScaleSpec extends AnyFunSuite {
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
     assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("source=")))
     // deterministic: second write produces identical shard assignment
-    val out2 = java.nio.file.Files.createTempDirectory("graft_shards2").toString
+    val out2 = graft.TestSpark.tempDir("graft_shards2")
     Scale.writeTrainingShards(docs, out2, tokensPerShard = 512)
     val a = back.select("doc_id", "pack_id").orderBy("doc_id").collect().toSeq
     val b = spark.read.parquet(out2).select("doc_id", "pack_id")

@@ -51,7 +51,7 @@ class GeoSpec extends AnyFunSuite {
     val pts = (for { la <- -80 to 80 by 4; lo <- -170 to 170 by 4 }
       yield (la.toDouble, lo.toDouble)).toDF("latitude", "longitude")
     // write range-partitioned by the Z-order key: 16 files
-    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val dir = graft.TestSpark.tempDir("graft_zorder")
     pts.withColumn("z", Geo.mortonCode(col("latitude"), col("longitude")))
       .repartitionByRange(16, col("z"))
       .write.mode("overwrite").parquet(dir)
