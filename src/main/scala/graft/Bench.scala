@@ -85,7 +85,7 @@ object Bench {
     // shutdown logging cannot trail the JSON in the driver's tail capture,
     // then print and flush. stop() is best-effort — a shutdown race must
     // never cost the wire line after all queries completed.
-    try spark.stop() catch { case _: Throwable => }
+    try spark.stop() catch { case scala.util.control.NonFatal(_) => }
     println(wire)
     System.out.flush()
   }

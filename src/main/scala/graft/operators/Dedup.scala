@@ -398,6 +398,43 @@ object Dedup {
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 
+  /** Duplicated-span statistics (the signal behind exact SUBSTRING dedup,
+    * Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    * Better": repeated ≥n-token spans, not whole-document copies, are
+    * what survives document-level dedup). Every position-indexed word
+    * `n`-gram window of every document is counted corpus-wide; a window
+    * is duplicated iff its content occurs at ≥2 positions anywhere in
+    * the corpus (other documents or a repeat within its own). Returns
+    * one row per non-empty document:
+    * (idCol, n_windows, n_dup_windows, dup_frac) — dup_frac is the
+    * UNROUNDED quotient of the two counts (bit-identical cross-engine).
+    *
+    * Plan shape (chosen for corpus scale): windows leave the scan as
+    * 16-byte md5 digests — gram text never rides a shuffle — then ONE
+    * exchange on the digest feeds `count(*) over (partition by digest)`
+    * (cheaper than a count-aggregate + re-join, which shuffles the same
+    * rows twice), and a final per-document aggregation rolls the flags
+    * up. md5 rather than a 64-bit hash because corpus-wide counting has
+    * no downstream exact verify to reject collisions — at 10¹² windows a
+    * 64-bit key would already bias counts, a 128-bit key does not.
+    */
+  def dupSpanStats(docs: DataFrame, n: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("__g"))
+      .select(col(idCol), md5(col("__g")).as("__h"))
+    grams
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy("__h")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        sum(when(col("__cnt") >= 2, 1L).otherwise(0L)).cast("long")
+          .as("n_dup_windows"))
+      .withColumn("dup_frac",
+        col("n_dup_windows").cast("double") / col("n_windows"))
+  }
+
   /** Connected components over a near-dup pair list → (id, cluster_id)
     * with cluster_id = the smallest member id (the canonical
     * representative, as in "keep lowest id per cluster" dedup policy).

@@ -364,6 +364,79 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Per-document TF-IDF distinctive terms (Sparck Jones 1972), top-3
+    // by tf·(N/df) — ratio idf, not log idf, so every score is a
+    // quotient of integer-derived operands and bit-identical in DuckDB
+    // (log idf is the same ranking through a monotone transform;
+    // Relevance.tfIdfTopTerms(logScores = true) opts in).
+    "t15_tfidf" -> QueryDef.sql(
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                       x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |d AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |        CAST(tf * n AS DOUBLE) / df AS score FROM d, n),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, score
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+      Relevance.tfIdfTopTerms(Tables.documents(s, d), k = 3)
+        .orderBy("doc_id", "term")
+    },
+
+    // Okapi BM25 (Robertson et al., TREC-3) against a fixed query-term
+    // set, one row per (doc, matched term): per-term rows keep float
+    // summation order out of the contract, and every arithmetic step is
+    // parenthesized identically in the oracle, so the scores hash-match
+    // unrounded (ratio idf; see Relevance's determinism note).
+    "t16_bm25" -> QueryDef.sql(
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> x <> '') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+        |       WHERE term IN ('data', 'table', 'row', 'spark')
+        |       GROUP BY 1, 2, 3),
+        |d AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+        |st AS (SELECT count(*) AS n, sum(len(ws)) AS sumdl FROM w)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, CAST(dl AS BIGINT) AS dl,
+        |  ((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) *
+        |    ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |     (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE *
+        |        (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n))))) AS score
+        |FROM d, st ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+      Relevance.bm25PerTerm(Tables.documents(s, d),
+          Seq("data", "table", "row", "spark"))
+        .orderBy("doc_id", "term")
+    },
+
+    // Temperature-based source rebalancing (Conneau & Lample 2019 mix
+    // rule, α = 0.5): keep-rate per source = √(count/count_max), applied
+    // through the md5 permille gate. floor(√ratio·1000) is bit-identical
+    // cross-engine (correctly-rounded sqrt), so DuckDB derives the SAME
+    // thresholds from the data and computes the identical sample.
+    "t17_temperature_mix" -> QueryDef.sql(
+      """WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+        |m AS (SELECT max(c) AS cmax FROM c),
+        |thr AS (SELECT source,
+        |          floor(sqrt(CAST(c AS DOUBLE) / cmax) * 1000) AS thr
+        |        FROM c, m)
+        |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+        |WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '#42'), 1, 8) AS UBIGINT) % 1000 < thr
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Scale.temperatureSample(Tables.documents(s, d), "source")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // ---- dedup ------------------------------------------------------------
     "d1_dedup_exact" -> QueryDef.sql(
       """SELECT count(*) AS n_total, count(DISTINCT text) AS n_unique
@@ -564,6 +637,34 @@ object PipelineQueries {
       Dedup.decontaminate(
           docs.filter(col("doc_id") % 7 =!= 0),
           docs.filter(col("doc_id") % 7 === 0), n = 8)
+        .orderBy("doc_id")
+    },
+
+    // Duplicated-span statistics (Lee et al. 2021 exact-substring-dedup
+    // signal): fraction of each document's position-indexed word 8-gram
+    // windows whose content occurs at ≥2 positions corpus-wide. The
+    // oracle counts the same windows relationally (window content is the
+    // partition key — Spark's md5 keying changes bytes on the wire, not
+    // counts); dup_frac is the unrounded quotient of identical integers.
+    "d12_dup_spans" -> QueryDef.sql(
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+        |    WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(len(w) - 7),
+        |           i -> array_to_string(list_slice(w, i + 1, i + 8), ' ')) END AS g
+        |  FROM ws),
+        |x AS (SELECT doc_id, unnest(g) AS t FROM g),
+        |c AS (SELECT doc_id, count(*) OVER (PARTITION BY t) AS cnt FROM x)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.dupSpanStats(Tables.documents(s, d), n = 8)
         .orderBy("doc_id")
     },
 

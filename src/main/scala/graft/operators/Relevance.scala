@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-relevance scoring for training-data curation (SURVEY.md §2.10
+  * family): TF-IDF distinctive terms and BM25 query relevance. Both are
+  * standard published IR statistics (Sparck Jones 1972; Robertson et al.,
+  * TREC-3 Okapi BM25) computed as declarative Spark plans.
+  *
+  * Scale notes:
+  *  - Term frequencies come from explode → partial/final hash agg on
+  *    (doc, term) — map-side combine absorbs within-document repeats, so
+  *    the shuffle carries one row per distinct (doc, term).
+  *  - Document frequency reuses the tf table through a window over the
+  *    term (one shuffle on term; tf rows are distinct per (doc, term), so
+  *    `count(*) over (partition by term)` IS the document frequency) —
+  *    no separate df aggregate + re-join pass over the corpus.
+  *  - Corpus-level scalars (N, avg doc length) are one tiny aggregate
+  *    broadcast into the scoring projection — never a driver collect.
+  *  - Scores are emitted as UNROUNDED quotients of integer-derived
+  *    operands (the CLAUDE.md determinism rule): idf is the RATIO form
+  *    (N/df; BM25's (N−df+0.5)/(df+0.5)), not the log form, so a DuckDB
+  *    oracle computing the identical expression tree is bit-identical.
+  *    Log-idf differs only by a monotone transform — rankings are
+  *    unchanged — and `logScores = true` opts into it where cross-engine
+  *    hashing is not required.
+  */
+object Relevance {
+
+  /** One row per distinct (doc, term): `tf` occurrences of `term` in the
+    * document's normalized word stream ([[TextFunctions.words]]).
+    */
+  def termFrequencies(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(TextFunctions.words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-`k` most distinctive terms per document by tf·idf with
+    * idf = N/df (ratio form — see the object note; pass
+    * `logScores = true` for ln(N/df) when cross-engine bit-equality is
+    * not needed). Ties break to the alphabetically first term. Returns
+    * (idCol, term, tf, df, score), `k` rows per non-empty document.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text", logScores: Boolean = false): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = termFrequencies(docs, idCol, textCol)
+    val df = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val rawScore = (col("tf") * col("__n")).cast("double") / col("df")
+    val score = if (logScores) col("tf") * log(col("__n").cast("double") / col("df"))
+                else rawScore
+    val rn = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term").asc)
+    df.join(broadcast(n))
+      .withColumn("score", score)
+      .withColumn("__rn", row_number().over(rn))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("term"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), col("score"))
+  }
+
+  /** Per-(document, query-term) Okapi BM25 contribution:
+    * idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), with the
+    * ratio idf (N − df + 0.5)/(df + 0.5). One output row per query term
+    * the document contains — per-term rows rather than a summed total,
+    * so no float-summation order enters the contract (a caller wanting
+    * the total sums a handful of rows; rankings per term are complete).
+    *
+    * The query-term `isin` filter evaluates in the same stage as the
+    * explode (scan-local, before any exchange), so only query-term
+    * tokens ever reach the tf shuffle — at corpus scale the shuffled
+    * volume is proportional to query hits, not corpus size.
+    */
+  def bm25PerTerm(docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    // doc length on the FULL word stream (BM25's dl), before the filter
+    val withDl = docs.select(col(idCol),
+      TextFunctions.words(col(textCol)).as("__ws"))
+      .select(col(idCol), size(col("__ws")).cast("long").as("dl"),
+        explode_outer(col("__ws")).as("term"))
+    val tf = withDl
+      .filter(col("term").isin(terms.map(x => x: Any): _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    // N counts ALL docs; avgdl averages ALL doc lengths (docs without any
+    // query term still shape the stats). sum/count emitted separately so
+    // avgdl is the one bit-identical quotient (no engine AVG involved).
+    val stats = docs.select(TextFunctions.words(col(textCol)).as("__ws"))
+      .agg(count(lit(1)).as("__n"),
+        sum(size(col("__ws")).cast("long")).as("__sumdl"))
+    // parenthesization mirrored EXACTLY by the oracle SQL: every
+    // intermediate is a deterministic IEEE op over identical inputs
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    val idf = (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl))
+    val score = idf * ((col("tf") * lit(k1 + 1.0)).cast("double") / denom)
+    df.join(broadcast(stats))
+      .withColumn("score", score)
+      .select(col(idCol), col("term"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), col("dl"), col("score"))
+  }
+}

@@ -241,9 +241,64 @@ object Scale {
       seed: Long = 42L): DataFrame = {
     require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
       "rates must be in [0, 1]")
-    // permille thresholds as a literal map: rate resolution 1/1000
-    val thresholds = map(rates.toSeq.flatMap { case (k, v) =>
-      Seq(lit(k), lit(math.round(v * 1000).toInt))
+    // permille thresholds: rate resolution 1/1000
+    permilleGate(df, strataCol,
+      rates.map { case (k, v) => k -> math.round(v * 1000).toInt },
+      idCol, seed)
+  }
+
+  /** Temperature-based source rebalancing (the multilingual-mix rule of
+    * Conneau & Lample 2019 / Devlin et al.'s mBERT: sample stratum s
+    * with probability ∝ count(s)^α, α = 1/T < 1 flattening the head):
+    * per-stratum keep-rates (count_s / count_max)^α, so the largest
+    * stratum keeps everything and smaller strata are boosted RELATIVELY
+    * by the sub-linear exponent. Returns permille thresholds for the
+    * [[hashStratifiedSample]] gate.
+    *
+    * The per-stratum count table is mix-control metadata — strata are
+    * sources/languages, a handful of rows by definition — so collecting
+    * it to the driver is the justified pattern (same as IVF probe-list
+    * ranking). Thresholds use floor(√ratio·1000) at the default α = 0.5:
+    * √ is IEEE-correctly-rounded in every engine, so a DuckDB oracle
+    * reproduces the thresholds bit-exactly (the t17 probe); other α go
+    * through `math.pow`, which is deterministic for the Spark result
+    * (thresholds are literals once computed) but only ulp-close for a
+    * cross-engine twin.
+    */
+  def temperatureThresholds(df: DataFrame, strataCol: String,
+      alpha: Double = 0.5): Map[String, Int] = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__c"))
+      .collect() // mix-control metadata: |strata| rows
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no strata to rebalance")
+    val cmax = counts.values.max
+    counts.map { case (k, c) =>
+      val ratio = c.toDouble / cmax
+      val rate = if (alpha == 0.5) math.sqrt(ratio) else math.pow(ratio, alpha)
+      k -> math.floor(rate * 1000).toInt
+    }
+  }
+
+  /** [[temperatureThresholds]] composed with the md5 permille gate —
+    * one call from raw corpus to temperature-rebalanced sample. The gate
+    * itself stays a scan-local filter (no shuffle, no RNG).
+    */
+  def temperatureSample(df: DataFrame, strataCol: String,
+      alpha: Double = 0.5, idCol: String = "doc_id",
+      seed: Long = 42L): DataFrame =
+    permilleGate(df, strataCol, temperatureThresholds(df, strataCol, alpha),
+      idCol, seed)
+
+  /** The shared md5 permille sampling gate: keep a row iff
+    * `h(id) mod 1000 < threshold(stratum)`. Strata without a threshold
+    * drop. Scan-local filter; portable (DuckDB computes the identical
+    * gate — CLAUDE.md determinism recipes).
+    */
+  private def permilleGate(df: DataFrame, strataCol: String,
+      permille: Map[String, Int], idCol: String, seed: Long): DataFrame = {
+    val thresholds = map(permille.toSeq.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v))
     }: _*)
     val gate = conv(substring(
         md5(concat(col(idCol).cast("string"), lit("#" + seed))), 1, 8),
@@ -281,11 +336,14 @@ object Scale {
     val sampled = hashStratifiedSample(docs, strataCol, rates, idCol, seed)
     val deduped = Dedup.exact(sampled, idCol, textCol)
     val maxSafeId = (Long.MaxValue >> 20) - 1
-    val cid = when(col(idCol).between(0L, maxSafeId),
+    val cid = when(col(idCol).between(0L, maxSafeId) &&
+        col("chunk_idx").between(0L, 1048575L),
         col(idCol) * lit(1048576L) + col("chunk_idx"))
       .otherwise(raise_error(concat(
-        lit(s"writeTrainingMix: $idCol out of packable range [0, 2^43): "),
-        col(idCol).cast("string"))).cast("long"))
+        lit(s"writeTrainingMix: ($idCol, chunk_idx) outside packable " +
+          "range [0, 2^43) x [0, 2^20): "),
+        col(idCol).cast("string"), lit("/"),
+        col("chunk_idx").cast("string"))).cast("long"))
     val chunks = chunkDocuments(deduped, maxTokens, textCol)
       .drop("n_tokens") // doc-level count, stale for chunks — the rename
       .withColumnRenamed("n_chunk_tokens", "n_tokens") // must be unambiguous

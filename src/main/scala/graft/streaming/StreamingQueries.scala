@@ -363,7 +363,13 @@ object StreamingQueries {
         q.awaitTermination()
       } finally deleteQuietly(ckDir)
 
-      s.read.parquet(outDir).select("digest").orderBy("digest")
+      // terminal distinct: the oracle is SELECT DISTINCT, and in-stream
+      // dropDuplicatesWithinWatermark only guarantees uniqueness within
+      // one watermark window — if the replay ever split into multiple
+      // micro-batches (e.g. maxFilesPerTrigger on the session) a digest
+      // recurring >10 min apart would be emitted twice. The distinct
+      // makes the contract batch-count independent.
+      s.read.parquet(outDir).select("digest").distinct().orderBy("digest")
     },
 
     // foreachBatch upsert merge through the live path: each micro-batch
@@ -415,9 +421,14 @@ object StreamingQueries {
         q.awaitTermination()
       } finally deleteQuietly(ckDir)
 
-      val lastGen = new java.io.File(tableDir).listFiles()
+      // gen ids are contiguous from 0 only for a fresh checkpoint (which
+      // this probe creates); fold instead of .max so an empty feed fails
+      // with a diagnosis, not an opaque empty.max UnsupportedOperation
+      val gens = new java.io.File(tableDir).listFiles()
         .filter(_.getName.startsWith("gen="))
-        .map(_.getName.stripPrefix("gen=").toLong).max
+        .map(_.getName.stripPrefix("gen=").toLong)
+      val lastGen = gens.sorted.lastOption.getOrElse(
+        sys.error(s"st5: replay committed no batches (empty feed in $dropDir)"))
       s.read.parquet(s"$tableDir/gen=$lastGen")
         .select(col("latitude"), col("longitude"), col("ts_valid"),
           col("issued_at"), round(col("temperature_2m"), 2).as("temperature"))
