@@ -42,7 +42,13 @@ object GraftFunctions {
       NgramJaccardExpr(es.head, es(1), intLit(es(2), "ngram_jaccard", "shingleSize"))),
     "text_stats" -> checked("text_stats", 1)(es => TextStatsExpr(es.head)),
     "repetition_stats" -> checked("repetition_stats", 1)(es =>
-      RepetitionStatsExpr(es.head)))
+      RepetitionStatsExpr(es.head)),
+    "shingle_hashes" -> checked("shingle_hashes", 2)(es =>
+      ShingleHashesExpr(es.head, intLit(es(1), "shingle_hashes", "shingleSize"))),
+    "sorted_jaccard" -> checked("sorted_jaccard", 2)(es =>
+      SortedLongJaccardExpr(es.head, es(1))),
+    "sorted_overlap" -> checked("sorted_overlap", 2)(es =>
+      SortedLongOverlapExpr(es.head, es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

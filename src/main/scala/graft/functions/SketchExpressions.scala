@@ -63,6 +63,14 @@ object Sketches {
     GraftBridge.toColumn(SortedLongJaccardExpr(
       GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
 
+  /** Intersection size of two sorted long arrays (see
+    * [[SortedLongOverlapExpr]]) — the overlap numerator for containment /
+    * overlap-coefficient verifies.
+    */
+  def sortedOverlap(a: Column, b: Column): Column =
+    GraftBridge.toColumn(SortedLongOverlapExpr(
+      GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+
   /** Distinct rolling shingle hashes of a word array: each word hashed
     * once, `n` consecutive word hashes combined with a polynomial mix —
     * no shingle strings ever materialize.
@@ -239,6 +247,36 @@ case class SortedLongJaccardExpr(left: Expression, right: Expression)
       else j += 1
     }
     inter.toDouble / (na + nb - inter)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Intersection COUNT of two sorted long arrays — the same two-pointer
+  * merge as [[SortedLongJaccardExpr]] but returning the raw overlap, for
+  * asymmetric measures (containment, overlap coefficient) whose
+  * denominator is not the union.
+  */
+case class SortedLongOverlapExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_overlap"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val xb = b.asInstanceOf[ArrayData]
+    val (na, nb) = (xa.numElements(), xb.numElements())
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val va = xa.getLong(i); val vb = xb.getLong(j)
+      if (va == vb) { inter += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    inter
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,

@@ -398,6 +398,73 @@ object Dedup {
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 
+  /** EXACT overlap-coefficient pairs: all (id_a < id_b) with
+    * |A∩B| / min(|A|, |B|) ≥ `threshold` over distinct word n-gram
+    * shingle sets — the CONTAINMENT cousin of [[exactJaccardPairs]].
+    * Jaccard misses a short document embedded in a long one (the union
+    * dilutes it); the overlap coefficient is the standard measure for
+    * quote/boilerplate containment in corpus curation. Returns
+    * (id_a, id_b, overlap, containment) with containment the UNROUNDED
+    * quotient of integers (bit-identical cross-engine).
+    *
+    * 100% recall by construction:
+    *  - a qualifying pair shares ≥ ⌈τ·min(|A|,|B|)⌉ shingles, so the
+    *    SMALLER set's (df, hash)-ordered prefix of length
+    *    |S| − ⌈τ·|S|⌉ + 1 must hit some shingle of the larger set;
+    *  - hence candidates = prefix(smaller) ⋈ ALL shingles of the other
+    *    side, restricted to partners of (size, id)-lexicographically
+    *    greater rank so each unordered pair forms exactly once. Unlike
+    *    the Jaccard join there is NO length-ratio prune — containment
+    *    has no size bound by design (a 10-token quote inside a 10k-token
+    *    page qualifies), which is also why the full-postings side must
+    *    be indexed, not just prefixes.
+    *  - the fused sorted-merge verify ([[graft.functions.Sketches
+    *    .sortedOverlap]]) then computes the exact overlap; hash
+    *    collisions only ever ADD candidates. Eps guards every derived
+    *    ceil bound (the d9 FP lesson).
+    */
+  def overlapPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val Eps = 1e-6
+    val words = docs.select(col(idCol).as("id"),
+      TextFunctions.words(col(textCol)).as("w"))
+    val sh = words.select(col("id"),
+        graft.functions.Sketches.shingleHashArray(col("w"), n).as("g"))
+      .withColumn("sz", size(col("g")))
+      .filter(col("sz") > 0)
+    val postings = sh.select(col("id"), col("sz"), explode(col("g")).as("t"))
+    val docFreq = postings.groupBy("t").agg(count(lit(1)).as("df"))
+    // rarest-first prefix of the prospective SMALLER side
+    val prefix = postings.join(docFreq, "t")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("t"))))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - Eps) + 1)
+      .select("t", "id", "sz")
+    val cands = prefix.select(col("t"), col("id").as("id_s"), col("sz").as("sz_s"))
+      .join(postings.select(col("t"), col("id").as("id_l"), col("sz").as("sz_l")),
+        Seq("t"))
+      // partner strictly greater in (size, id) order: every unordered
+      // pair is generated exactly once, via its smaller side's prefix
+      .filter(col("sz_l") > col("sz_s") ||
+        (col("sz_l") === col("sz_s") && col("id_l") > col("id_s")))
+      .select(least(col("id_s"), col("id_l")).as("id_a"),
+        greatest(col("id_s"), col("id_l")).as("id_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("id").as("id_a"), col("g").as("g_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("g").as("g_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("overlap",
+        graft.functions.Sketches.sortedOverlap(col("g_a"), col("g_b")))
+      .withColumn("containment",
+        col("overlap").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("overlap"), col("containment"))
+  }
+
   /** Duplicated-span statistics (the signal behind exact SUBSTRING dedup,
     * Lee et al. 2021 "Deduplicating Training Data Makes Language Models
     * Better": repeated ≥n-token spans, not whole-document copies, are

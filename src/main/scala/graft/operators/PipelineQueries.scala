@@ -437,6 +437,79 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Deterministic fixed-size holdout per language (frozen eval sets):
+    // the 20 lowest md5-ranked docs per lang. The operator runs the
+    // salted two-stage top-k (no single-task strata); the oracle is the
+    // direct window formulation — identical result by construction.
+    "t18_fixed_holdout" -> QueryDef.sql(
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#ho42'), 1, 15) AS UBIGINT),
+        |             doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Scale.fixedHoldout(Tables.documents(s, d), "lang", nPerStratum = 20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Deterministic train/val/test assignment: split is a pure function
+    // of (doc_id, seed) through the md5 permille gate — leak-free across
+    // runs, engine-portable, and scan-local (no shuffle, no RNG).
+    "t19_split_assign" -> QueryDef.sql(
+      """SELECT doc_id,
+        |  CASE WHEN g < 980 THEN 'train' WHEN g < 990 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8) AS UBIGINT) % 1000 AS g
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Scale.assignSplit(Tables.documents(s, d))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    },
+
+    // Quality-ranked curation: keep the top-3 docs per source by the t5
+    // composite quality score (ties to the lowest doc_id). Runs the
+    // salted two-stage top-k; the oracle recomputes the same quality
+    // formula (already hash-proven by t5) and ranks directly.
+    "t20_best_per_source" -> QueryDef.sql(
+      """WITH base AS (
+        |  SELECT doc_id, source, length(text) AS len,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> x <> '') AS ws,
+        |    len(regexp_extract_all(text, '[.,!?;:''"()\[\]{}-]')) AS punct
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id, source, len,
+        |    CASE WHEN len(ws) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(ws, x -> list_contains(
+        |           ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], x))) AS DOUBLE) / len(ws) END AS stop_ratio,
+        |    CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / len END AS punct_ratio,
+        |    CASE WHEN len(ws) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) END AS mean_wl
+        |  FROM base),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    round((least(len / 500.0, 1.0) + least(stop_ratio * 4.0, 1.0)
+        |         + CASE WHEN punct_ratio > 0.3 THEN 0.0 ELSE 1.0 - punct_ratio END
+        |         + CASE WHEN mean_wl < 2.0 OR mean_wl > 12.0 THEN 0.2 ELSE 1.0 END) / 4.0, 6) AS quality
+        |  FROM stats)
+        |SELECT doc_id, source, quality FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id) AS rn FROM q)
+        |WHERE rn <= 3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextStats.textStats(col("text"))
+            .getField("quality").as("quality"))
+      Scale.topKPerGroup(scored, "source",
+          Seq(col("quality").desc, col("doc_id")), k = 3,
+          saltOn = col("doc_id"))
+        .select("doc_id", "source", "quality")
+        .orderBy("doc_id")
+    },
+
     // ---- dedup ------------------------------------------------------------
     "d1_dedup_exact" -> QueryDef.sql(
       """SELECT count(*) AS n_total, count(DISTINCT text) AS n_unique
@@ -666,6 +739,35 @@ object PipelineQueries {
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       Dedup.dupSpanStats(Tables.documents(s, d), n = 8)
         .orderBy("doc_id")
+    },
+
+    // EXACT overlap-coefficient (containment) pairs: |∩|/min ≥ 0.5 over
+    // word 3-gram shingle sets — the quote/boilerplate-containment
+    // measure Jaccard dilutes. The prefix-filtered join must equal
+    // DuckDB's quadratic formulation exactly; containment is the
+    // unrounded integer quotient (bit-identical cross-engine).
+    "d13_containment_pairs" -> QueryDef.sql(
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END) AS g
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                      x -> x <> '') AS ws
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS overlap,
+        |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |    / least(len(a.g), len(b.g)) AS containment
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(a.g) > 0 AND len(b.g) > 0
+        |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |      / least(len(a.g), len(b.g)) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.overlapPairs(Tables.documents(s, d), threshold = 0.5)
+        .orderBy("id_a", "id_b")
     },
 
     // incremental ingest dedup: docs arriving as the "new batch"

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Scale utilities (SURVEY.md §4 "Partitioning & shuffle"): explicit skew
@@ -289,6 +289,91 @@ object Scale {
       seed: Long = 42L): DataFrame =
     permilleGate(df, strataCol, temperatureThresholds(df, strataCol, alpha),
       idCol, seed)
+
+  /** Exact top-`k` rows per group under a TOTAL per-group ordering,
+    * WITHOUT serializing each group into one task. The naive
+    * `row_number over (partition by group)` runs every group as a single
+    * sorted task — at corpus scale a dominant group (one source, one
+    * language) is billions of rows. Two-stage salted formulation instead:
+    *
+    *  1. stage 1 pre-prunes top-k within (group, salt) — `saltBuckets`
+    *     parallel tasks per group, each a bounded partial sort. The
+    *     global per-group top-k is contained in the union of per-bucket
+    *     top-ks, so this stage is lossless for ANY row→salt assignment;
+    *  2. stage 2 re-ranks the ≤ saltBuckets·k survivors per group — now
+    *     provably tiny — and keeps the true top-k.
+    *
+    * `ordering` must be total within a group (append the id column) or
+    * boundary ties make the result nondeterministic. `saltOn` must be a
+    * DETERMINISTIC row function (the id column is the natural choice):
+    * stage 1's shuffle partitioning derives from it, and a
+    * nondeterministic salt would re-bucket rows on task retry —
+    * Spark's recompute-on-retry model corrupts nondeterministic
+    * shuffles silently.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, ordering: Seq[Column],
+      k: Int, saltOn: Column, saltBuckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val buckets =
+      if (saltBuckets > 0) saltBuckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(saltOn), lit(buckets.toLong)))
+    val local = Window.partitionBy(col(groupCol), col("__salt"))
+      .orderBy(ordering: _*)
+    val global = Window.partitionBy(col(groupCol)).orderBy(ordering: _*)
+    salted
+      .withColumn("__rn", row_number().over(local))
+      .filter(col("__rn") <= k)
+      .withColumn("__rn", row_number().over(global))
+      .filter(col("__rn") <= k)
+      .drop("__salt", "__rn")
+  }
+
+  /** Deterministic fixed-size holdout per stratum (frozen eval sets,
+    * human-review samples): the `nPerStratum` rows whose md5-derived key
+    * ranks lowest within the stratum — a pure function of (id, seed), so
+    * the holdout is stable across runs, engines, and corpus repartitions,
+    * and only CHANGES when ids enter or leave the stratum. Selection runs
+    * through [[topKPerGroup]] (salted two-stage), so a billion-row
+    * stratum never serializes into one task.
+    */
+  def fixedHoldout(df: DataFrame, strataCol: String, nPerStratum: Int,
+      idCol: String = "doc_id", seed: Long = 42L): DataFrame = {
+    val key = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(s"#ho$seed"))), 1, 15),
+      16, 10).cast("long")
+    topKPerGroup(df.withColumn("__hk", key), strataCol,
+      Seq(col("__hk"), col(idCol)), nPerStratum, saltOn = col(idCol))
+      .drop("__hk")
+  }
+
+  /** Deterministic train/val/test assignment: each row's split is a pure
+    * function of (id, seed) via the md5 permille gate — reproducible,
+    * engine-portable, stable under retries, and leak-free (a document
+    * can never migrate between splits across runs of the same seed).
+    * `splits` maps ordered split names to permille widths summing to
+    * 1000. Scan-local projection — no shuffle, no RNG.
+    */
+  def assignSplit(df: DataFrame,
+      splits: Seq[(String, Int)] =
+        Seq("train" -> 980, "val" -> 10, "test" -> 10),
+      idCol: String = "doc_id", seed: Long = 42L): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000,
+      "split permilles must sum to 1000")
+    val gate = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit("#" + seed))), 1, 8),
+      16, 10).cast("long") % 1000
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val cases = splits.init.zip(cum.init).foldLeft(None: Option[Column]) {
+      case (acc, ((name, _), bound)) =>
+        val c = gate < bound
+        Some(acc.fold(when(c, name))(_.when(c, name)))
+    }
+    val split = cases.fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    df.withColumn("split", split)
+  }
 
   /** The shared md5 permille sampling gate: keep a row iff
     * `h(id) mod 1000 < threshold(stratum)`. Strata without a threshold

@@ -210,6 +210,52 @@ class DedupSpec extends AnyFunSuite {
     assert(naive.nonEmpty, "slice should contain at least one near-dup pair")
   }
 
+  test("overlapPairs equals the naive quadratic overlap join (100% recall)") {
+    val corpus = graft.Tables.documents(spark, TestSpark.sfDir)
+      .filter(col("doc_id") < 120)
+    val tau = 0.45
+    val fast = Dedup.overlapPairs(corpus, threshold = tau)
+      .orderBy("id_a", "id_b").collect()
+    val sh = corpus.select(col("doc_id"),
+      array_distinct(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("g"))
+      .filter(size(col("g")) > 0)
+    val naive = sh.select(col("doc_id").as("id_a"), col("g").as("g_a"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("g").as("g_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("overlap",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
+      .withColumn("containment",
+        col("overlap").cast("double") / least(size(col("g_a")), size(col("g_b"))))
+      .filter(col("containment") >= tau)
+      .select("id_a", "id_b", "overlap", "containment")
+      .orderBy("id_a", "id_b").collect()
+    assert(fast.map(_.toString).toSeq === naive.map(_.toString).toSeq)
+    assert(naive.nonEmpty, "slice should contain at least one containment pair")
+  }
+
+  test("overlapPairs keeps the exact-threshold boundary and finds short-in-long") {
+    import spark.implicits._
+    // B's 2 shingles share exactly 1 with A → containment 1/2 = 0.5
+    val a = "w1 w2 w3 z1 z2 z3 z4"
+    val b = "w1 w2 w3 w4"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val atTau = Dedup.overlapPairs(docs, threshold = 0.5).collect()
+    assert(atTau.length === 1 && atTau(0).getDouble(3) === 0.5)
+    assert(Dedup.overlapPairs(docs, threshold = 0.6).collect().isEmpty)
+
+    // a short quote verbatim inside a long page: containment 1.0 while
+    // Jaccard is diluted below any useful threshold — the operator's
+    // reason to exist
+    val page = ((1 to 24).map(i => s"p$i") ++ Seq("q1", "q2", "q3", "q4", "q5"))
+      .mkString(" ")
+    val quote = "q1 q2 q3 q4 q5"
+    val d2 = Seq((1L, page), (2L, quote)).toDF("doc_id", "text")
+    val cont = Dedup.overlapPairs(d2, threshold = 0.9).collect()
+    assert(cont.length === 1 && cont(0).getDouble(3) === 1.0)
+    assert(Dedup.exactJaccardPairs(d2, threshold = 0.4).collect().isEmpty,
+      "Jaccard must miss the contained quote (that is the gap overlapPairs fills)")
+  }
+
   test("exactJaccardPairs keeps pairs sitting EXACTLY at the threshold") {
     import spark.implicits._
     // |A| = 5 distinct shingles, |B| = 2, B ⊆ A → J = 2/5 = 0.4 exactly.

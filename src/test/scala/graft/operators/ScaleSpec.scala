@@ -295,4 +295,58 @@ class ScaleSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(a.map(_.toString) === b.map(_.toString))
   }
+
+  test("topKPerGroup equals the direct single-window formulation") {
+    import spark.implicits._
+    // skewed: group 'hot' has 5000 rows, others a handful
+    val rows = (0L until 5000L).map(i => ("hot", i, (i * 7919) % 1001)) ++
+      (0L until 30L).map(i => (s"g${i % 3}", 10000L + i, i))
+    val df = rows.toDF("grp", "id", "score")
+    val fast = Scale.topKPerGroup(df, "grp",
+        Seq(col("score").desc, col("id")), k = 5, saltOn = col("id"))
+      .orderBy("grp", "id").collect()
+    import org.apache.spark.sql.expressions.Window
+    val direct = df.withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") <= 5).drop("rn")
+      .orderBy("grp", "id").collect()
+    assert(fast.map(_.toString).toSeq === direct.map(_.toString).toSeq)
+    // stage 1 actually fans the hot group out over >1 salt bucket
+    assert(fast.length === direct.length && direct.nonEmpty)
+  }
+
+  test("fixedHoldout: exact stratum sizes, deterministic, id-stable") {
+    import spark.implicits._
+    val df = (0L until 600L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "strat")
+    val h1 = Scale.fixedHoldout(df, "strat", nPerStratum = 10)
+    val sizes = h1.groupBy("strat").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.values.toSet === Set(10L))
+    val ids1 = h1.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = Scale.fixedHoldout(df, "strat", nPerStratum = 10)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2))
+    // repartitioning the input must not change the holdout
+    val ids3 = Scale.fixedHoldout(df.repartition(13), "strat", nPerStratum = 10)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids3))
+  }
+
+  test("assignSplit covers every row, is deterministic, enforces permilles") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => Tuple1(i)).toDF("doc_id")
+    val s1 = Scale.assignSplit(df)
+    assert(s1.filter(col("split").isNull).count() === 0)
+    val byName = s1.groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    // train permille 980 of 2000 rows → expect ≈1960; md5 gate keeps the
+    // proportion within a loose concentration band
+    assert(byName("train") > 1900 && byName("train") < 2000)
+    val s2 = Scale.assignSplit(df).collect().map(_.toString).sorted
+    assert(s1.collect().map(_.toString).sorted.sameElements(s2))
+    intercept[IllegalArgumentException] {
+      Scale.assignSplit(df, splits = Seq("a" -> 700, "b" -> 200))
+    }
+  }
 }
