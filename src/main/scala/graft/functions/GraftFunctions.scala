@@ -48,7 +48,9 @@ object GraftFunctions {
     "sorted_jaccard" -> checked("sorted_jaccard", 2)(es =>
       SortedLongJaccardExpr(es.head, es(1))),
     "sorted_overlap" -> checked("sorted_overlap", 2)(es =>
-      SortedLongOverlapExpr(es.head, es(1))))
+      SortedLongOverlapExpr(es.head, es(1))),
+    "window_digests" -> checked("window_digests", 2)(es =>
+      WindowDigestsExpr(es.head, intLit(es(1), "window_digests", "n"))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

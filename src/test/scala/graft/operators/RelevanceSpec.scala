@@ -102,9 +102,9 @@ class RelevanceSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     // exactly the digest window exchange + the per-doc agg exchange
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 2, p)
-    // the projection under the first exchange carries the md5 digest,
-    // not the gram string (16 B/window on the wire)
-    assert(p.contains("md5("), p)
+    // the projection under the first exchange carries the fused 16-byte
+    // window digest, not the gram string
+    assert(p.contains("window_digests("), p)
   }
 
   test("tfIdf/bm25 plans: corpus scalars broadcast; aggregation is hash-based") {
