@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -80,6 +80,37 @@ final case class OpenMeteoOptions(path: String, granKey: String,
           "'path' (offline) or 'locations' with 'httpBaseUrl' (live)")
       val src = scala.io.Source.fromFile(file, "UTF-8")
       try src.getLines().count(_.nonEmpty) finally src.close()
+    }
+
+  /** Planner-side (latitude, longitude) per block unit, when knowable
+    * WITHOUT a remote fetch: the explicit locations list in live mode,
+    * or a light regex extraction over the offline manifest lines (the
+    * planner already reads the file to count blocks). `None` — and
+    * runtime pruning disables — if any line hides its coordinates;
+    * pruning must never guess.
+    */
+  def blockCoordinates: Option[IndexedSeq[(Double, Double)]] =
+    if (liveMode) Some(locations.toIndexedSeq)
+    else {
+      val file = new java.io.File(path)
+      if (!file.exists()) None
+      else {
+        val latR = """"latitude"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+        val lonR = """"longitude"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+        val src = scala.io.Source.fromFile(file, "UTF-8")
+        try {
+          val coords = src.getLines().filter(_.nonEmpty).map { line =>
+            for {
+              la <- latR.findFirstMatchIn(line).map(_.group(1).toDouble)
+              lo <- lonR.findFirstMatchIn(line).map(_.group(1).toDouble)
+            } yield (la, lo)
+          }.toIndexedSeq
+          if (coords.nonEmpty && coords.forall(_.isDefined))
+            Some(coords.map(_.get))
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally src.close()
+      }
     }
 }
 
@@ -306,10 +337,51 @@ class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
 class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
     pushed: Array[Filter], lo: Option[Long], hi: Option[Long],
     limit: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  // Runtime (DPP-style) coordinate pruning: a join against a small
+  // location dimension hands the scan the dim side's key set at
+  // execution start; blocks at other coordinates are never fetched. For
+  // a quota-limited remote source this converts a join's selectivity
+  // directly into FEWER HTTP CALLS — the V2 analogue of partition
+  // pruning on a lake table (same contract as Iceberg's
+  // SparkBatchQueryScan). Pruning is advisory by API contract: the
+  // join's own predicate still applies post-scan, so ignoring an
+  // uninterpretable filter is always safe, while APPLYING one requires
+  // the planner-side block coordinates to be definitively known.
+  private var runtimeLat: Option[Set[Double]] = None
+  private var runtimeLon: Option[Set[Double]] = None
+
+  // only columns that SURVIVED pruning: Spark resolves these against the
+  // scan's output, so advertising a pruned-away coordinate throws at
+  // planning (found when a projection dropped longitude)
+  override def filterAttributes(): Array[NamedReference] =
+    schema.fieldNames.filter(n => n == "latitude" || n == "longitude")
+      .map(Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    def numSet(vs: Array[Any]): Option[Set[Double]] = {
+      val ds = vs.collect { case n: java.lang.Number => n.doubleValue() }
+      if (ds.length == vs.length) Some(ds.toSet) else None // null/odd → no prune
+    }
+    def merge(cur: Option[Set[Double]], add: Option[Set[Double]]) =
+      (cur, add) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case _ => cur.orElse(add)
+      }
+    filters.foreach {
+      case In("latitude", vs) => runtimeLat = merge(runtimeLat, numSet(vs))
+      case EqualTo("latitude", v: java.lang.Number) =>
+        runtimeLat = merge(runtimeLat, Some(Set(v.doubleValue())))
+      case In("longitude", vs) => runtimeLon = merge(runtimeLon, numSet(vs))
+      case EqualTo("longitude", v: java.lang.Number) =>
+        runtimeLon = merge(runtimeLon, Some(Set(v.doubleValue())))
+      case _ => () // advisory: unrecognized runtime filters never prune
+    }
+  }
 
   override def description(): String = {
     val catalog = if (opts.granKey == WeatherSchemas.GranDaily)
@@ -338,7 +410,21 @@ class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
     // Live mode (httpBaseUrl + locations): the partition count is the
     // explicit location list — zero local reads, the deployment shape.
     // Offline mode: each non-empty fixture line is one block unit.
-    val n = opts.blockUnitCount
+    val total = opts.blockUnitCount
+    // runtime coordinate pruning (see filter()): keep only blocks whose
+    // planner-known coordinates survive the delivered key sets
+    val blocks: Array[Int] =
+      if (runtimeLat.isEmpty && runtimeLon.isEmpty) (0 until total).toArray
+      else opts.blockCoordinates match {
+        case Some(cs) if cs.length == total =>
+          (0 until total).filter { i =>
+            runtimeLat.forall(_.contains(cs(i)._1)) &&
+              runtimeLon.forall(_.contains(cs(i)._2))
+          }.toArray
+        case _ => (0 until total).toArray // coordinates not knowable → no prune
+      }
+    val n = blocks.length
+    if (n == 0) return Array.empty
     val chunkMicros = opts.chunkDays.toLong * 24L * 3600L * 1000000L
     val chunks: Seq[(Option[Long], Option[Long])] = (lo, hi) match {
       case (Some(l), Some(h)) if opts.chunkDays > 0 && h - l > chunkMicros &&
@@ -352,7 +438,8 @@ class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
     (for {
       p <- 0 until parts
       (cLo, cHi) <- chunks
-    } yield OpenMeteoPartition((p until n by parts).toArray, cLo, cHi): InputPartition)
+    } yield OpenMeteoPartition((p until n by parts).map(blocks).toArray,
+      cLo, cHi): InputPartition)
       .toArray
   }
 

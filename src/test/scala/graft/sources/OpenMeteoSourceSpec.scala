@@ -275,4 +275,55 @@ class OpenMeteoSourceSpec extends AnyFunSuite {
       .contains("PushedGroupBy: [longitude, latitude]"))
     assert(flipped.collect().length === 2)
   }
+
+  test("runtime coordinate filtering prunes block partitions before any fetch") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val opts = OpenMeteoOptions(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", fixture)))
+    // both fixture coordinates are knowable planner-side
+    assert(opts.blockCoordinates ===
+      Some(IndexedSeq((50.08, 14.43), (49.19, 16.61))))
+
+    def blockSet(scan: OpenMeteoScan): Set[Int] =
+      scan.planInputPartitions()
+        .flatMap(_.asInstanceOf[OpenMeteoPartition].blockIndices).toSet
+
+    val schema = OpenMeteoTable.wideSchema(opts)
+    val s1 = new OpenMeteoScan(opts, schema, Array.empty, None, None)
+    assert(blockSet(s1) === Set(0, 1))
+    s1.filter(Array[org.apache.spark.sql.sources.Filter](In("latitude", Array(java.lang.Double.valueOf(50.08)))))
+    assert(blockSet(s1) === Set(0), "runtime In must drop the other block")
+
+    val s2 = new OpenMeteoScan(opts, schema, Array.empty, None, None)
+    s2.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("longitude", java.lang.Double.valueOf(16.61))))
+    assert(blockSet(s2) === Set(1))
+
+    // no coordinate matches → zero partitions, zero fetches
+    val s3 = new OpenMeteoScan(opts, schema, Array.empty, None, None)
+    s3.filter(Array[org.apache.spark.sql.sources.Filter](In("latitude", Array(java.lang.Double.valueOf(-1.0)))))
+    assert(s3.planInputPartitions().isEmpty)
+
+    // an uninterpretable value set must NOT prune (advisory contract)
+    val s4 = new OpenMeteoScan(opts, schema, Array.empty, None, None)
+    s4.filter(Array[org.apache.spark.sql.sources.Filter](In("latitude", Array[Any](null))))
+    assert(blockSet(s4) === Set(0, 1))
+  }
+
+  test("join against a location dim delivers a runtime filter end-to-end") {
+    import spark.implicits._
+    val dim = Seq((50.08, "prague")).toDF("latitude", "city")
+    val joined = read().join(broadcast(dim), Seq("latitude"))
+      .select("latitude", "city", "ts_local", "temperature_2m")
+    val rows = joined.collect()
+    assert(rows.length === 7 * 24, "one fixture location matches the dim")
+    assert(rows.forall(_.getDouble(0) == 50.08))
+    joined.queryExecution.executedPlan // force final plan under AQE
+    val plan = joined.queryExecution.executedPlan.toString
+    // the scan must surface latitude/longitude as runtime-filterable;
+    // whether Spark injects DPP here depends on its cost heuristics, so
+    // the correctness assertion above is the gate and the plan marker is
+    // informational
+    assert(plan.contains("BatchScan") || plan.contains("openmeteo"), plan)
+  }
 }
