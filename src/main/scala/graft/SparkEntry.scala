@@ -17,7 +17,7 @@ object SparkEntry {
     Relational.defs ++ operators.Relational2.defs ++
       operators.Relational3.defs ++ operators.Relational4.defs ++
       operators.Relational5.defs ++
-      PipelineQueries.defs ++
+      PipelineQueries.defs ++ operators.CorpusQueries.defs ++
       WeatherQueries.defs ++ operators.Multimodal.defs ++
       streaming.StreamingQueries.defs
 

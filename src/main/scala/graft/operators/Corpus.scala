@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene and data-selection operators for LLM training-data
+  * pipelines (SURVEY.md §2.10 family): line-level boilerplate dedup
+  * (CCNet, Wenzek et al. 2020; RefinedWeb, Penedo et al. 2023), unigram
+  * language-model scoring (the CCNet quality signal reduced to an
+  * order-0 model), corpus n-gram statistics, and DSIR importance
+  * weighting (Xie et al., NeurIPS 2023).
+  *
+  * Determinism contract (the CLAUDE.md oracle rules): every probability
+  * is an exact IEEE quotient of integer-derived operands, every float
+  * sum is rounded before it enters the output contract, and hashed
+  * features use the md5-hex-prefix gate that DuckDB computes
+  * bit-identically.
+  *
+  * Scale notes:
+  *  - [[lineDedup]] aggregates on 16-byte md5 line digests — line text
+  *    is carried only on the (doc, pos, line) stream it already lives
+  *    on, and the duplicated-digest side of the join is output-sized
+  *    (boilerplate lines only), typically broadcastable.
+  *  - [[unigramLogProb]] reuses the per-(doc, term) tf table for the
+  *    corpus frequency via a window over the term (the Relevance.df
+  *    trick) — no second corpus pass; corpus totals are one tiny
+  *    broadcast aggregate.
+  *  - [[dsirWeights]] hashes terms into a fixed bucket space at the
+  *    scan, so the bucket-statistics table is O(buckets) regardless of
+  *    corpus size and joins back by broadcast.
+  */
+object Corpus {
+
+  /** Line-level corpus dedup: drop every line whose exact text appears
+    * in ≥ `minDocs` distinct documents (boilerplate: headers, footers,
+    * cookie banners), and reconstruct each document from its surviving
+    * lines in original order. Blank lines are never counted as
+    * boilerplate and always survive. Returns
+    * (idCol, n_lines, n_removed, clean_text) — one row per input
+    * document, `clean_text` empty when every line was boilerplate.
+    */
+  def lineDedup(docs: DataFrame, minDocs: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("__h", md5(col("line")))
+    // Duplicated-line digest list: output-sized (only lines that repeat
+    // across documents), joined back by its 16-byte key. countDistinct
+    // ships (digest, id) — never the line text.
+    val dup = lines.filter(trim(col("line")) =!= "")
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"), lit(true).as("__dup"))
+    lines.join(dup, Seq("__h"), "left")
+      .withColumn("__is_dup", coalesce(col("__dup"), lit(false)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__is_dup"), 1L).otherwise(0L)).as("n_removed"),
+        concat_ws("\n",
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"), col("__is_dup").as("d"), col("line")))),
+              s => !s.getField("d")),
+            s => s.getField("line"))).as("clean_text"))
+  }
+
+  /** Per-document negative log-likelihood under the corpus unigram
+    * model — the CCNet perplexity quality signal with an order-0 LM
+    * (lower = blander/more typical, higher = rare-token-heavy).
+    * Documents with no words are absent (no tokens to score). Returns
+    * (idCol, n_tokens, nll, avg_nll): `nll` = Σ −ln(cf/total) over
+    * tokens rounded to 2 d.p.; `avg_nll` is the UNROUNDED quotient of
+    * that rounded sum by the integer token count, so both engines
+    * divide identical operands (CLAUDE.md division rule).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // corpus frequency via a window over the tf table (rows are distinct
+    // per (doc, term), so sum(tf) over term IS the corpus count) — no
+    // second pass over the corpus
+    val cf = tf.withColumn("cf", sum(col("tf")).over(Window.partitionBy("term")))
+    val tot = tf.agg(sum(col("tf")).as("__total"))
+    val nll = col("tf").cast("double") *
+      -log(col("cf").cast("double") / col("__total").cast("double"))
+    cf.join(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        round(sum(nll), 2).as("nll"))
+      .withColumn("avg_nll", col("nll") / col("n_tokens"))
+  }
+
+  /** Corpus-level top-`k` word `n`-grams by occurrence count (tie →
+    * lexicographically first n-gram). Partial aggregation absorbs
+    * within-partition repeats before the shuffle; the top-k is a
+    * TakeOrdered, no global sort.
+    */
+  def topNgrams(docs: DataFrame, n: Int, k: Int,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be positive")
+    docs.select(explode(TextFunctions.wordShingles(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+  }
+
+  /** k-nearest-neighbor label vote over the embedding table: for every
+    * vector with vec_id < `idCap`, the majority label among its `k`
+    * nearest neighbors (cosine, rounded 6 d.p. before ranking; ties →
+    * lower neighbor id; vote ties → lower label). The idCap-bounded
+    * cross join is the CORRECTNESS oracle shape (the s2 pattern); the
+    * scale path replaces the pair generator with the sign-LSH buckets of
+    * [[Similarity.nearDupPairsBucketed]] and keeps this vote stage
+    * unchanged. Returns (vec_id, label, pred_label, votes).
+    */
+  def knnClassify(embeddings: DataFrame, k: Int, idCap: Long): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val e = embeddings.filter(col("vec_id") < idCap)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        Similarity.asDouble(col("embedding")).as("v"))
+    val q = e.select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+    val nb = e.select(col("vec_id").as("nid"), col("label").as("nlabel"), col("v").as("nv"))
+    val rn = row_number().over(
+      Window.partitionBy("qid").orderBy(col("sim").desc, col("nid")))
+    val top = q.join(nb, col("qid") =!= col("nid"))
+      .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
+        round(Similarity.cosine(col("qv"), col("nv")), 6).as("sim"))
+      .withColumn("__rn", rn)
+      .filter(col("__rn") <= k)
+    val vr = row_number().over(
+      Window.partitionBy("qid").orderBy(col("votes").desc, col("nlabel")))
+    top.groupBy(col("qid"), col("qlabel"), col("nlabel"))
+      .agg(count(lit(1)).cast("long").as("votes"))
+      .withColumn("__vr", vr)
+      .filter(col("__vr") === 1)
+      .select(col("qid").as("vec_id"), col("qlabel").as("label"),
+        col("nlabel").as("pred_label"), col("votes"))
+  }
+
+  /** Hard-negative mining for contrastive embedding training: for each
+    * query vector (vec_id < `queryCap`), the `k` most-similar vectors
+    * carrying a DIFFERENT label (cosine rounded 6 d.p.; ties → lower
+    * candidate id). The query set broadcasts against one corpus scan —
+    * no shuffle proportional to the corpus; the per-query top-k is a
+    * window over queryCap × k-bounded rows (two-stage
+    * [[Scale.topKPerGroup]] is the drop-in for huge query sets).
+    * Returns (qid, qlabel, neg_id, neg_label, sim).
+    */
+  def hardNegatives(embeddings: DataFrame, queryCap: Long, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val all = embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        Similarity.asDouble(col("embedding")).as("v"))
+    val q = broadcast(all.filter(col("vec_id") < queryCap)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv")))
+    val rn = row_number().over(
+      Window.partitionBy("qid").orderBy(col("sim").desc, col("neg_id")))
+    all.join(q, col("label") =!= col("qlabel"))
+      .select(col("qid"), col("qlabel"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"),
+        round(Similarity.cosine(col("v"), col("qv")), 6).as("sim"))
+      .withColumn("__rn", rn)
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col("qlabel"), col("neg_id"), col("neg_label"), col("sim"))
+  }
+
+  /** DSIR importance log-weight (Xie et al., NeurIPS 2023 §3): score
+    * every document by Σ_tokens ln(p_target(b)/p_raw(b)) where b is the
+    * token's hashed feature bucket, p_target is the add-one-smoothed
+    * bucket distribution of the `targetSource` slice and p_raw of the
+    * rest. High weight = raw documents that look like the target domain
+    * (the DSIR resampling criterion). Buckets use the md5-hex-prefix
+    * hash (engine-portable); probabilities are exact IEEE quotients of
+    * integer counts; the per-document sum is rounded to 2 d.p. Returns
+    * (idCol, source, n_tokens, dsir_logw); token-less documents are
+    * absent.
+    */
+  def dsirWeights(docs: DataFrame, targetSource: String, buckets: Int = 64,
+      idCol: String = "doc_id", sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(buckets >= 2, "buckets must be at least 2")
+    val bucket = conv(substring(md5(col("term")), 1, 8), 16, 10)
+      .cast("long") % buckets
+    val tf = docs
+      .select(col(idCol), col(sourceCol),
+        explode(TextFunctions.words(col(textCol))).as("term"))
+      .withColumn("b", bucket)
+      .groupBy(col(idCol), col(sourceCol), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    // bucket statistics derived from the tf table (not a second corpus
+    // pass): O(buckets) rows, broadcast back
+    val bstats = tf.groupBy(col("b"))
+      .agg(sum(when(col(sourceCol) === targetSource, col("tf")).otherwise(0L)).as("tcnt"),
+        sum(when(col(sourceCol) =!= targetSource, col("tf")).otherwise(0L)).as("rcnt"))
+    val tot = bstats.agg(sum(col("tcnt")).as("ttot"), sum(col("rcnt")).as("rtot"))
+    val logRatio =
+      log((col("tcnt") + lit(1)).cast("double") / (col("ttot") + lit(buckets)).cast("double")) -
+      log((col("rcnt") + lit(1)).cast("double") / (col("rtot") + lit(buckets)).cast("double"))
+    tf.join(broadcast(bstats), Seq("b"))
+      .join(broadcast(tot))
+      .groupBy(col(idCol), col(sourceCol))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        // + 0.0 normalizes IEEE −0.0 (a tiny negative sum rounded to
+        // zero) so both engines emit +0.0
+        (round(sum(col("tf").cast("double") * logRatio), 2) + lit(0.0)).as("dsir_logw"))
+  }
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Probe queries for the [[Corpus]] operators (driver contract — one
+  * `queries` entry + DuckDB oracle twin per operator).
+  *
+  * The corpus tables carry single-line texts, so the line-dedup probe
+  * first derives a deterministic multi-line corpus: the normalized word
+  * stream re-joined in groups of 6 with '\n' — both engines build the
+  * byte-identical string, and the aligned 6-word lines genuinely repeat
+  * across documents (measured ~10% duplicated-line instances at
+  * sf0.01). The OPERATOR is delimiter-agnostic and is exercised on a
+  * real multi-line fixture in CorpusSpec.
+  */
+object CorpusQueries {
+
+  /** Shared word-split (mirrors TextFunctions.words). */
+  private val sqlWords =
+    "list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'), x -> x <> '')"
+
+  def defs: Map[String, QueryDef] = Map(
+    "t21_unigram_logprob" -> QueryDef.sql(
+      s"""WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($sqlWords) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |cf AS (SELECT doc_id, tf, sum(tf) OVER (PARTITION BY term) AS cf FROM tf),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(sum(tf * -ln(CAST(cf AS DOUBLE) / total)), 2) AS nll,
+        |  round(sum(tf * -ln(CAST(cf AS DOUBLE) / total)), 2)
+        |    / CAST(sum(tf) AS BIGINT) AS avg_nll
+        |FROM cf, tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Corpus.unigramLogProb(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    "t22_line_dedup" -> QueryDef.sql(
+      s"""WITH ws AS (
+        |  SELECT doc_id, $sqlWords AS ws FROM documents),
+        |lined AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |      range(CAST(ceil(len(ws) / 6.0) AS BIGINT)),
+        |      i -> array_to_string(ws[i*6+1:i*6+6], ' ')), chr(10)) AS text
+        |  FROM ws),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM lined),
+        |dup AS (
+        |  SELECT line FROM lines WHERE trim(line) <> ''
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(d.line) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+        |             FILTER (WHERE d.line IS NULL), '') AS clean_text
+        |FROM lines l LEFT JOIN dup d ON l.line = d.line
+        |GROUP BY l.doc_id
+        |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
+      val ws = TextFunctions.words(col("text"))
+      val lined = when(size(ws) === 0, lit("")).otherwise(
+        concat_ws("\n", transform(
+          sequence(lit(0L), ceil(size(ws).cast("double") / 6.0).cast("long") - 1),
+          i => concat_ws(" ", slice(ws, (i * 6 + 1).cast("int"), lit(6))))))
+      Corpus.lineDedup(
+          Tables.documents(s, d).select(col("doc_id"), lined.as("text")),
+          minDocs = 2)
+        .orderBy("doc_id")
+    },
+
+    "t23_top_bigrams" -> QueryDef.sql(
+      s"""WITH sh AS (
+        |  SELECT CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+        |              WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+        |              ELSE list_transform(range(len(ws) - 1),
+        |                     i -> ws[i+1] || ' ' || ws[i+2]) END AS g
+        |  FROM (SELECT $sqlWords AS ws FROM documents))
+        |SELECT u.ngram AS ngram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(g) AS ngram FROM sh) u
+        |GROUP BY u.ngram
+        |ORDER BY cnt DESC, ngram
+        |LIMIT 50""".stripMargin) { (s, d) =>
+      Corpus.topNgrams(Tables.documents(s, d), n = 2, k = 50)
+    },
+
+    "s8_knn_classify" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 150),
+        |top AS (
+        |  SELECT q.vec_id AS qid, q.label AS qlabel, n.label AS nlabel,
+        |         round(list_cosine_similarity(q.v, n.v), 6) AS sim,
+        |         n.vec_id AS nid
+        |  FROM e q JOIN e n ON q.vec_id <> n.vec_id
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY q.vec_id ORDER BY sim DESC, n.vec_id) <= 5),
+        |votes AS (
+        |  SELECT qid, qlabel, nlabel, count(*) AS votes
+        |  FROM top GROUP BY qid, qlabel, nlabel)
+        |SELECT qid AS vec_id, qlabel AS label, nlabel AS pred_label,
+        |       CAST(votes AS BIGINT) AS votes
+        |FROM votes
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY qid ORDER BY votes DESC, nlabel) = 1
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Corpus.knnClassify(Tables.embeddings(s, d), k = 5, idCap = 150L)
+        .orderBy("vec_id")
+    },
+
+    "s9_hard_negatives" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT q.vec_id AS qid, q.label AS qlabel, n.vec_id AS neg_id,
+        |       n.label AS neg_label, round(list_cosine_similarity(n.v, q.v), 6) AS sim
+        |FROM e q JOIN e n ON n.label <> q.label
+        |WHERE q.vec_id < 10
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY q.vec_id ORDER BY sim DESC, n.vec_id) <= 5
+        |ORDER BY qid, sim DESC, neg_id""".stripMargin) { (s, d) =>
+      Corpus.hardNegatives(Tables.embeddings(s, d), queryCap = 10L, k = 5)
+        .orderBy(col("qid"), col("sim").desc, col("neg_id"))
+    },
+
+    "t24_dsir_weights" -> QueryDef.sql(
+      s"""WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5(term), 1, 8))::UBIGINT % 64 AS BIGINT) AS b
+        |  FROM (SELECT doc_id, source, unnest($sqlWords) AS term FROM documents)),
+        |tf AS (SELECT doc_id, source, b, count(*) AS tf
+        |       FROM toks GROUP BY doc_id, source, b),
+        |bstats AS (
+        |  SELECT b,
+        |    sum(CASE WHEN source = 'src0' THEN tf ELSE 0 END) AS tcnt,
+        |    sum(CASE WHEN source <> 'src0' THEN tf ELSE 0 END) AS rcnt
+        |  FROM tf GROUP BY b),
+        |tot AS (SELECT sum(tcnt) AS ttot, sum(rcnt) AS rtot FROM bstats)
+        |SELECT tf.doc_id, tf.source, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |  round(sum(CAST(tf.tf AS DOUBLE) * (
+        |      ln(CAST(tcnt + 1 AS DOUBLE) / CAST(ttot + 64 AS DOUBLE))
+        |    - ln(CAST(rcnt + 1 AS DOUBLE) / CAST(rtot + 64 AS DOUBLE)))), 2)
+        |    + 0.0::DOUBLE AS dsir_logw
+        |FROM tf JOIN bstats USING (b), tot
+        |GROUP BY tf.doc_id, tf.source
+        |ORDER BY tf.doc_id""".stripMargin) { (s, d) =>
+      Corpus.dsirWeights(Tables.documents(s, d), targetSource = "src0", buckets = 64)
+        .orderBy("doc_id")
+    }
+  )
+}

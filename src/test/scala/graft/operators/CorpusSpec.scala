@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- lineDedup ----------------------------------------------------------
+
+  private lazy val linedDocs = Seq(
+    (0L, "COOKIE BANNER\nunique first body line\n\nshared footer text"),
+    (1L, "COOKIE BANNER\nanother distinct sentence here\nshared footer text"),
+    (2L, "COOKIE BANNER\nshared footer text"),
+    (3L, "totally original document on one line"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  test("lineDedup removes cross-document boilerplate, keeps order and blanks") {
+    val out = Corpus.lineDedup(linedDocs, minDocs = 2).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // doc 0: banner + footer removed, blank line and unique line kept, order intact
+    assert(byId(0L).getAs[String]("clean_text") === "unique first body line\n")
+    assert(byId(0L).getAs[Long]("n_lines") === 4L)
+    assert(byId(0L).getAs[Long]("n_removed") === 2L)
+    // doc 2: everything was boilerplate → empty reconstruction
+    assert(byId(2L).getAs[String]("clean_text") === "")
+    assert(byId(2L).getAs[Long]("n_removed") === 2L)
+    // doc 3: untouched single-line document
+    assert(byId(3L).getAs[String]("clean_text") === "totally original document on one line")
+    assert(byId(3L).getAs[Long]("n_removed") === 0L)
+    // doc 4: empty text = one blank line, never counted as boilerplate
+    assert(byId(4L).getAs[Long]("n_lines") === 1L)
+    assert(byId(4L).getAs[Long]("n_removed") === 0L)
+  }
+
+  test("lineDedup minDocs threshold: a 3-doc line survives minDocs = 4") {
+    val out = Corpus.lineDedup(linedDocs, minDocs = 4).orderBy("doc_id").collect()
+    // banner appears in 3 docs < 4 → kept everywhere now
+    assert(out.forall(r =>
+      r.getAs[String]("clean_text").contains("COOKIE BANNER") || r.getLong(0) >= 3L))
+  }
+
+  // ---- unigramLogProb -----------------------------------------------------
+
+  test("unigramLogProb matches the hand-computed order-0 model") {
+    val docs = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    val out = Corpus.unigramLogProb(docs).orderBy("doc_id").collect()
+    // corpus: a=3, b=1, c=1, total=5
+    val expected0 = 2 * -math.log(3.0 / 5) + -math.log(1.0 / 5)
+    val expected1 = -math.log(3.0 / 5) + -math.log(1.0 / 5)
+    assert(out(0).getAs[Long]("n_tokens") === 3L)
+    assert(math.abs(out(0).getAs[Double]("nll") - expected0) < 0.005 + 1e-9)
+    assert(out(1).getAs[Long]("n_tokens") === 2L)
+    assert(math.abs(out(1).getAs[Double]("nll") - expected1) < 0.005 + 1e-9)
+    // rare-token-heavy doc scores higher per token than the common-token doc
+    assert(out(1).getAs[Double]("avg_nll") > out(0).getAs[Double]("avg_nll"))
+  }
+
+  test("unigramLogProb omits token-less documents") {
+    val docs = Seq((0L, "real words"), (1L, "  "), (2L, "...")).toDF("doc_id", "text")
+    assert(Corpus.unigramLogProb(docs).select("doc_id").as[Long].collect().toSeq === Seq(0L))
+  }
+
+  // ---- topNgrams ----------------------------------------------------------
+
+  test("topNgrams counts bigrams with deterministic tie-break") {
+    val docs = Seq(
+      (0L, "x y x y z"),     // bigrams: "x y" ×2, "y x", "y z"
+      (1L, "x y q")          // "x y", "y q"
+    ).toDF("doc_id", "text")
+    val out = Corpus.topNgrams(docs, n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out(0) === ("x y", 3L))
+    // the three singleton bigrams tie at 1 → lexicographic order decides
+    assert(out(1) === ("y q", 1L))
+    assert(out(2) === ("y x", 1L))
+  }
+
+  // ---- knnClassify / hardNegatives ---------------------------------------
+
+  private def vec(xs: Double*) = xs.map(_.toFloat).toArray
+
+  private lazy val labeled = Seq(
+    (0L, vec(1, 0, 0), 7),
+    (1L, vec(0.9, 0.1, 0), 7),
+    (2L, vec(0.8, 0.2, 0), 7),
+    (3L, vec(0, 1, 0), 8),
+    (4L, vec(0.1, 0.9, 0), 8),
+    (5L, vec(0.6, 0.4, 0), 8)   // label-8 vector leaning toward the 7 cluster
+  ).toDF("vec_id", "embedding", "label")
+
+  test("knnClassify votes the local majority label") {
+    val out = Corpus.knnClassify(labeled, k = 3, idCap = 6L)
+      .orderBy("vec_id").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("label"), r.getAs[Long]("pred_label"))).toMap
+    // vec 0's three nearest are 1, 2 (label 7) and 5 → majority 7
+    assert(out(0L) === (7L, 7L))
+    // vec 3's nearest are 4 (8), 5 (8), then a 7 → majority 8
+    assert(out(3L) === (8L, 8L))
+    // the leaner vec 5 sits among label-7 vectors → misclassified as 7
+    assert(out(5L) === (8L, 7L))
+    assert(out.size === 6)
+  }
+
+  test("hardNegatives returns only different-label candidates, nearest first") {
+    val out = Corpus.hardNegatives(labeled, queryCap = 1L, k = 2).collect()
+    assert(out.forall(r => r.getAs[Long]("neg_label") !== r.getAs[Long]("qlabel")))
+    // for query 0 (label 7) the hardest negative is the leaner vec 5
+    assert(out.map(_.getAs[Long]("neg_id")).head === 5L)
+    assert(out.length === 2)
+    val sims = out.map(_.getAs[Double]("sim"))
+    assert(sims.sorted.reverse.toSeq === sims.toSeq)
+  }
+
+  // ---- dsirWeights --------------------------------------------------------
+
+  test("dsirWeights scores target-like raw docs above target-unlike ones") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta alpha beta", "tgt"),
+      (1L, "alpha beta gamma alpha beta delta", "tgt"),
+      (2L, "alpha beta gamma delta epsilon", "raw"),   // target-like raw
+      (3L, "zeta eta theta iota kappa", "raw")          // target-unlike raw
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.dsirWeights(docs, targetSource = "tgt", buckets = 16)
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_logw")).toMap
+    assert(out(2L) > out(3L),
+      s"target-like raw doc should outscore target-unlike: ${out(2L)} vs ${out(3L)}")
+    assert(out.size === 4)
+  }
+
+  test("dsirWeights is deterministic across repartitioning") {
+    val docs = Seq(
+      (0L, "alpha beta gamma", "tgt"),
+      (1L, "alpha delta zeta", "raw"),
+      (2L, "beta beta gamma", "raw")
+    ).toDF("doc_id", "text", "source")
+    val a = Corpus.dsirWeights(docs, "tgt").orderBy("doc_id").collect().toSeq
+    val b = Corpus.dsirWeights(docs.repartition(7), "tgt").orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+}
