@@ -173,6 +173,61 @@ object Corpus {
       .select(col("qid"), col("qlabel"), col("neg_id"), col("neg_label"), col("sim"))
   }
 
+  /** Per-source corpus report (the Dolma/RefinedWeb-style dataset
+    * datasheet row): document and token counts, quality mass from the
+    * fused [[graft.functions.TextStats]] pass, low-quality counts and
+    * predicted-language spread. One corpus scan + one agg on the source
+    * key; quality enters as the 6 d.p.-rounded per-doc value (the
+    * cross-engine-stable form), its sum rounded 2 d.p., and every
+    * average is the identical-operand quotient (CLAUDE.md rule).
+    * Returns (sourceCol, n_docs, n_tokens, quality_sum,
+    * low_quality_docs, n_langs, avg_quality, avg_tokens).
+    */
+  def sourceReport(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(sourceCol),
+        graft.functions.TextStats.textStats(col(textCol)).as("st"))
+      .select(col(sourceCol), col("st.n_words").as("n_words"),
+        round(col("st.quality"), 6).as("q"), col("st.lang_pred").as("lang_pred"))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_tokens"),
+        round(sum(col("q")), 2).as("quality_sum"),
+        sum(when(col("q") < 0.5, 1L).otherwise(0L)).as("low_quality_docs"),
+        countDistinct(col("lang_pred")).cast("long").as("n_langs"))
+      .withColumn("avg_quality", col("quality_sum") / col("n_docs"))
+      .withColumn("avg_tokens", col("n_tokens").cast("double") / col("n_docs"))
+
+  /** Cross-source n-gram contamination matrix: for every source pair,
+    * how many distinct word `n`-grams they share, with the overlap
+    * coefficient |A∩B| / min(|A|,|B|) (the containment-style measure —
+    * a high value flags a source substantially contained in another).
+    * The join key is the shingle itself here (oracle contract); the
+    * production variant ships 8-byte shingle hashes (the d9 lesson —
+    * collisions only inflate candidates, and a count-only diagnostic
+    * tolerates the ~2⁻³² inflation). Shuffles are equi joins on the
+    * shingle plus an agg on the (src, src) pair key — no quadratic
+    * stage; per-shingle fan-out is bounded by sources².
+    */
+  def shingleOverlapMatrix(docs: DataFrame, n: Int = 3,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(sourceCol).as("src"),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
+      .distinct()
+    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("src").as("src_a"), col("g"))
+    val b = sh.select(col("src").as("src_b"), col("g"))
+    a.join(b, Seq("g")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast("long").as("shared_ngrams"))
+      .join(broadcast(sizes.select(col("src").as("src_a"), col("sz").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("sz").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_ngrams"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        (col("shared_ngrams").cast("double") / least(col("n_a"), col("n_b"))).as("overlap_coef"))
+  }
+
   /** DSIR importance log-weight (Xie et al., NeurIPS 2023 §3): score
     * every document by Σ_tokens ln(p_target(b)/p_raw(b)) where b is the
     * token's hashed feature bucket, p_target is the add-one-smoothed

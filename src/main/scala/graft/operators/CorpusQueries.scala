@@ -129,6 +129,76 @@ object CorpusQueries {
         .orderBy(col("qid"), col("sim").desc, col("neg_id"))
     },
 
+    // quality formula CTEs mirror t5_quality_lang (TextStats.compute)
+    "t25_source_report" -> QueryDef.sql(
+      s"""WITH base AS (
+        |  SELECT source, length(text) AS len, $sqlWords AS ws,
+        |    len(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{}-]')) AS punct
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, CAST(len(ws) AS BIGINT) AS n_words,
+        |    round((least(len / 500.0, 1.0)
+        |      + least((CASE WHEN len(ws) = 0 THEN 0.0
+        |          ELSE CAST(len(list_filter(ws, x -> list_contains(
+        |            ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], x))) AS DOUBLE) / len(ws) END) * 4.0, 1.0)
+        |      + CASE WHEN (CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / len END) > 0.3 THEN 0.0
+        |             ELSE 1.0 - (CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / len END) END
+        |      + CASE WHEN (CASE WHEN len(ws) = 0 THEN 0.0
+        |            ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) END) < 2.0
+        |          OR (CASE WHEN len(ws) = 0 THEN 0.0
+        |            ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) END) > 12.0
+        |          THEN 0.2 ELSE 1.0 END) / 4.0, 6) AS q,
+        |    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu'], x))) AS de,
+        |    len(list_filter(ws, x -> list_contains(['the','and','is','of','to','in','that','it','with'], x))) AS en,
+        |    len(list_filter(ws, x -> list_contains(['el','la','los','las','es','de','que','y','en'], x))) AS es,
+        |    len(list_filter(ws, x -> list_contains(['le','la','les','est','et','des','une','que','dans'], x))) AS fr,
+        |    len(list_filter(ws, x -> list_contains(['de','shi','le','bu','wo','zai','you','ren','ta'], x))) AS zh
+        |  FROM base),
+        |stats AS (
+        |  SELECT source, n_words, q,
+        |    CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+        |         WHEN de = greatest(de, en, es, fr, zh) THEN 'de'
+        |         WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
+        |         WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
+        |         WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
+        |         ELSE 'zh' END AS lang_pred
+        |  FROM st)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        |  round(sum(q), 2) AS quality_sum,
+        |  CAST(count(*) FILTER (WHERE q < 0.5) AS BIGINT) AS low_quality_docs,
+        |  CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs,
+        |  round(sum(q), 2) / CAST(count(*) AS BIGINT) AS avg_quality,
+        |  CAST(sum(n_words) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM stats
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      Corpus.sourceReport(Tables.documents(s, d)).orderBy("source")
+    },
+
+    "t26_source_overlap" -> QueryDef.sql(
+      s"""WITH sh AS (
+        |  SELECT DISTINCT source AS src, g FROM (
+        |    SELECT source, unnest(
+        |      CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+        |           WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |           ELSE list_transform(range(len(ws) - 2),
+        |                  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END) AS g
+        |    FROM (SELECT source, $sqlWords AS ws FROM documents))),
+        |sizes AS (SELECT src, count(*) AS sz FROM sh GROUP BY src)
+        |SELECT a.src AS src_a, b.src AS src_b,
+        |  CAST(count(*) AS BIGINT) AS shared_ngrams,
+        |  CAST(sa.sz AS BIGINT) AS n_a, CAST(sb.sz AS BIGINT) AS n_b,
+        |  CAST(count(*) AS DOUBLE) / least(sa.sz, sb.sz) AS overlap_coef
+        |FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src
+        |JOIN sizes sa ON sa.src = a.src
+        |JOIN sizes sb ON sb.src = b.src
+        |GROUP BY a.src, b.src, sa.sz, sb.sz
+        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      Corpus.shingleOverlapMatrix(Tables.documents(s, d), n = 3)
+        .orderBy("src_a", "src_b")
+    },
+
     "t24_dsir_weights" -> QueryDef.sql(
       s"""WITH toks AS (
         |  SELECT doc_id, source,

@@ -116,6 +116,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(sims.sorted.reverse.toSeq === sims.toSeq)
   }
 
+  // ---- sourceReport / shingleOverlapMatrix --------------------------------
+
+  test("sourceReport aggregates docs, tokens, and quality per source") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", "web"),
+      (1L, "!!! ??? ... ,,, ;;; ::: !!! ??? ... ,,,", "web"),   // punct-heavy → low quality
+      (2L, "a plain and simple sentence that reads fine", "books")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.sourceReport(docs).orderBy("source").collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("web").getAs[Long]("n_docs") === 2L)
+    assert(out("web").getAs[Long]("low_quality_docs") === 1L)
+    assert(out("books").getAs[Long]("n_docs") === 1L)
+    assert(out("books").getAs[Long]("low_quality_docs") === 0L)
+    assert(out("web").getAs[Long]("n_tokens") === 10L)
+    assert(out("books").getAs[Double]("avg_quality") >
+      out("web").getAs[Double]("avg_quality"))
+  }
+
+  test("shingleOverlapMatrix counts shared distinct n-grams with containment") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "s1"),    // 3-grams: ab g, b g d
+      (1L, "alpha beta gamma epsilon", "s2"),  // shares "alpha beta gamma"
+      (2L, "zeta eta theta iota", "s3")        // shares nothing
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.shingleOverlapMatrix(docs, n = 3).collect()
+    assert(out.length === 1) // only (s1, s2) share anything
+    val r = out.head
+    assert(r.getAs[String]("src_a") === "s1" && r.getAs[String]("src_b") === "s2")
+    assert(r.getAs[Long]("shared_ngrams") === 1L)
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Double]("overlap_coef") === 0.5)
+  }
+
   // ---- dsirWeights --------------------------------------------------------
 
   test("dsirWeights scores target-like raw docs above target-unlike ones") {
