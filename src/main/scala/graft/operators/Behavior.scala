@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral-analytics operators over the event stream: ordered funnel
+  * conversion and weekly retention cohorts — the two classic
+  * product-analytics shapes (each step/cohort is a filter + keyed min
+  * aggregation; no sessionization state needed).
+  *
+  * Scale notes: every stage is an equi join + hash agg on the user key,
+  * so successive stages reuse the same hash partitioning (Catalyst
+  * collapses the exchanges); event text/props never enter the shuffles —
+  * only (user, ts) pairs. Week arithmetic is integer division of
+  * microsecond epochs (exact in both engines, no FP floor hazard).
+  */
+object Behavior {
+
+  /** Ordered funnel: users whose FIRST occurrence of each step strictly
+    * follows their qualifying occurrence of the previous step (step i is
+    * counted at the earliest event of type `steps(i)` after the step
+    * i−1 time). Returns one row per step: (step_idx, step, users) —
+    * monotonically non-increasing by construction.
+    */
+  def funnel(events: DataFrame, steps: Seq[String], userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val stepTimes = steps.zipWithIndex.drop(1).foldLeft(
+      events.filter(col(typeCol) === steps.head)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))) {
+      case (wide, (step, i)) =>
+        val next = events.filter(col(typeCol) === step)
+          .select(col(userCol), col(tsCol))
+          .join(wide.select(col(userCol), col(s"t$i")), Seq(userCol))
+          .filter(col(tsCol) > col(s"t$i"))
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t${i + 1}"))
+        wide.join(next, Seq(userCol), "left")
+    }
+    val counts = stepTimes.agg(
+      count(col("t1")).as("c1"),
+      steps.indices.drop(1).map(i => count(col(s"t${i + 1}")).as(s"c${i + 1}")): _*)
+    val stages = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(step).as("step"),
+        col(s"c${i + 1}").as("users"))
+    }
+    counts.select(explode(array(stages: _*)).as("s"))
+      .select(col("s.step_idx").cast("int").as("step_idx"),
+        col("s.step").as("step"), col("s.users").cast("long").as("users"))
+  }
+
+  /** Weekly retention cohorts: users grouped by the ISO week of their
+    * first event; for every (cohort_week, week_offset) the count of
+    * cohort users active that week. week_offset is the integer division
+    * of the microsecond gap since the user's first event by one week —
+    * exact integer arithmetic, identical across engines. Returns
+    * (cohort_week DATE, week_offset, users).
+    */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val first = events.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t0"))
+    events.select(col(userCol), col(tsCol))
+      .join(first, Seq(userCol))
+      .select(col(userCol),
+        to_date(date_trunc("week", col("__t0"))).as("cohort_week"), {
+          // integer floor-division without FP: (d − d mod w) / w is an
+          // exact multiple, so the double quotient is exact
+          val d = unix_micros(col(tsCol)) - unix_micros(col("__t0"))
+          val w = lit(604800000000L)
+          ((d - pmod(d, w)) / w).cast("long").as("week_offset")
+        })
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).cast("long").as("users"))
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+    "e1_funnel" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND e.ts > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND e.ts > t2 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS step_idx, 'view' AS step,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM s1) AS users
+        |  UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3))
+        |ORDER BY step_idx""".stripMargin) { (s, d) =>
+      funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
+        .orderBy("step_idx")
+    },
+
+    "e2_retention" -> QueryDef.sql(
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (SELECT user_id, min(ts) AS t0 FROM e GROUP BY user_id)
+        |SELECT CAST(date_trunc('week', t0) AS DATE) AS cohort_week,
+        |  (epoch_us(e.ts) - epoch_us(t0)) // 604800000000 AS week_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+      retentionCohorts(Tables.events(s, d))
+        .orderBy("cohort_week", "week_offset")
+    }
+  )
+}

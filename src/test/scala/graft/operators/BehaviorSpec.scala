@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.TestSpark
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+class BehaviorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel requires strict step ordering per user") {
+    val events = Seq(
+      // user 1 completes view → click → purchase in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // user 2 clicked BEFORE viewing; the later click finishes step 2
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 11:00:00")),
+      // user 3 purchased before clicking → never reaches step 3
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "purchase", ts("2024-01-01 10:30:00")),
+      (3L, "click", ts("2024-01-01 11:00:00")),
+      // user 4 never viewed
+      (4L, "click", ts("2024-01-01 10:00:00")),
+      (4L, "purchase", ts("2024-01-01 11:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Behavior.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, "view", 3L), (2, "click", 3L), (3, "purchase", 1L)))
+  }
+
+  test("funnel step times use the first qualifying event, not the first ever") {
+    // user 5: view at 10:00, purchase at 10:30 follows the 10:20 click
+    // (the 09:00 click precedes the view and must not qualify)
+    val events = Seq(
+      (5L, "click", ts("2024-01-01 09:00:00")),
+      (5L, "view", ts("2024-01-01 10:00:00")),
+      (5L, "click", ts("2024-01-01 10:20:00")),
+      (5L, "purchase", ts("2024-01-01 10:30:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Behavior.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect().map(_.getLong(2))
+    assert(out.toSeq === Seq(1L, 1L, 1L))
+  }
+
+  test("retentionCohorts buckets activity by exact week offsets") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00")),            // Monday: cohort 2024-01-01
+      (1L, ts("2024-01-07 23:59:59")),            // 6d23h later → offset 0
+      (1L, ts("2024-01-08 00:00:00")),            // exactly 7d → offset 1
+      (2L, ts("2024-01-03 12:00:00")),            // same cohort week
+      (2L, ts("2024-01-18 12:00:00"))             // 15d → offset 2
+    ).toDF("user_id", "ts")
+    val out = Behavior.retentionCohorts(events)
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 2L, 1L)))
+  }
+}
