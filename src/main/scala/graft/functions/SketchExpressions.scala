@@ -45,6 +45,13 @@ object Sketches {
   def simhash64Text(text: Column): Column =
     GraftBridge.toColumn(SimHashTextExpr(GraftBridge.toExpression(text)))
 
+  /** Fused word-shingle strings straight from the text column (see
+    * [[WordShinglesExpr]]) — drop-in for
+    * `TextFunctions.wordShingles(text, n)` on hot paths.
+    */
+  def wordShinglesText(text: Column, n: Int): Column =
+    GraftBridge.toColumn(WordShinglesExpr(GraftBridge.toExpression(text), n))
+
   def ngramJaccard(wordsA: Column, wordsB: Column, shingleSize: Int): Column =
     GraftBridge.toColumn(NgramJaccardExpr(
       GraftBridge.toExpression(wordsA), GraftBridge.toExpression(wordsB), shingleSize))
@@ -156,6 +163,73 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int, shingleSize: 
   * `SimHash64Expr(TextFunctions.words(text))` (parity-tested); avoids
   * materializing the word array entirely.
   */
+/** Word n-gram shingle STRINGS fused into one pass — tokenize (the
+  * SimHashTextExpr rule: full-string Locale.ROOT lowercase, ascii-alnum
+  * runs ≡ `words(text)`) then join each n-window once. For operators
+  * whose CONTRACT is exact shingle strings (corpus n-gram counts,
+  * source-overlap keys) the 8-byte-hash kernel doesn't apply, and the
+  * HOF formulation ([[graft.functions.TextFunctions.wordShingles]]:
+  * transform + slice + concat_ws) pays per-window interpreted array
+  * allocations — the t9/t10/d12 lesson. Rule matches wordShingles
+  * exactly: empty → [], 0 < |words| < n → one joined partial shingle;
+  * property-tested equal in GraftProperties.
+  */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase(java.util.Locale.ROOT)
+    val len = text.length
+    val words = new java.util.ArrayList[String](32)
+    var i = 0
+    var start = -1
+    while (i <= len) {
+      val alnum = i < len && {
+        val c = text.charAt(i)
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      }
+      if (alnum) { if (start < 0) start = i }
+      else if (start >= 0) { words.add(text.substring(start, i)); start = -1 }
+      i += 1
+    }
+    val m = words.size
+    val sb = new java.lang.StringBuilder(64)
+    if (m == 0) new GenericArrayData(Array.empty[Any])
+    else if (m < n) {
+      var k = 0
+      while (k < m) {
+        if (k > 0) sb.append(' ')
+        sb.append(words.get(k))
+        k += 1
+      }
+      new GenericArrayData(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+    } else {
+      val out = new Array[Any](m - n + 1)
+      var w = 0
+      while (w <= m - n) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(words.get(w + k))
+          k += 1
+        }
+        out(w) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        w += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHashTextExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
 

@@ -106,7 +106,8 @@ object Corpus {
   def topNgrams(docs: DataFrame, n: Int, k: Int,
       textCol: String = "text"): DataFrame = {
     require(n >= 1 && k >= 1, "n and k must be positive")
-    docs.select(explode(TextFunctions.wordShingles(col(textCol), n)).as("ngram"))
+    docs.select(explode(
+        graft.functions.Sketches.wordShinglesText(col(textCol), n)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).cast("long").as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
@@ -212,15 +213,27 @@ object Corpus {
     */
   def shingleOverlapMatrix(docs: DataFrame, n: Int = 3,
       sourceCol: String = "source", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(sourceCol).as("src"),
-        explode(TextFunctions.wordShingles(col(textCol), n)).as("g"))
-      .distinct()
-    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("src").as("src_a"), col("g"))
-    val b = sh.select(col("src").as("src_b"), col("g"))
-    a.join(b, Seq("g")).filter(col("src_a") < col("src_b"))
-      .groupBy(col("src_a"), col("src_b"))
+    // One shuffle on the shingle collects its source set (partial
+    // ObjectHashAggregate merges within-partition repeats first); the
+    // pair expansion is in-row over the sorted set (≤ sources² structs
+    // per shingle — bounded by the source-count, not the corpus), so a
+    // distinct + string-keyed self-join (which would ship every shingle
+    // through TWO exchanges and a join) never materializes.
+    val srcSets = docs.select(col(sourceCol).as("src"),
+        explode(graft.functions.Sketches.wordShinglesText(col(textCol), n)).as("g"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_set(col("src"))).as("ss"))
+    val pairs = flatten(transform(sequence(lit(0), size(col("ss")) - 2),
+      i => transform(sequence(i + 1, size(col("ss")) - 1),
+        j => struct(element_at(col("ss"), i + 1).as("src_a"),
+          element_at(col("ss"), j + 1).as("src_b")))))
+    val shared = srcSets.filter(size(col("ss")) >= 2)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).cast("long").as("shared_ngrams"))
+    val sizes = srcSets.select(explode(col("ss")).as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    shared
       .join(broadcast(sizes.select(col("src").as("src_a"), col("sz").as("n_a"))), Seq("src_a"))
       .join(broadcast(sizes.select(col("src").as("src_b"), col("sz").as("n_b"))), Seq("src_b"))
       .select(col("src_a"), col("src_b"), col("shared_ngrams"),

@@ -38,6 +38,21 @@ object GraftProperties extends Properties("graft") {
       ws.isEmpty || (a & b).isEmpty
     }
 
+  property("WordShinglesExpr: fused strings = sliding-window construction") =
+    forAll(words, Gen.chooseNum(1, 5)) { (ws, n) =>
+      import graft.functions.WordShinglesExpr
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val text = ws.mkString("  ") + "\t"  // messy separators
+      val out = WordShinglesExpr(Literal(text), n).nullSafeEval(
+          UTF8String.fromString(text)).asInstanceOf[GenericArrayData]
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString)
+      val expected =
+        if (ws.isEmpty) Seq.empty[String]
+        else if (ws.size < n) Seq(ws.mkString(" "))
+        else ws.sliding(n).map(_.mkString(" ")).toSeq
+      out.toSeq == expected
+    }
+
   property("TextStats: quality in [0,1], words counted, lang from the profile set") =
     forAll(Gen.listOfN(30, word)) { ws =>
       val text = ws.mkString(" ")

@@ -150,6 +150,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(r.getAs[Double]("overlap_coef") === 0.5)
   }
 
+  test("fused word shingles equal the HOF formulation on messy inputs") {
+    import graft.functions.{Sketches, TextFunctions}
+    val texts = Seq("", "   ", "one", "Quick brown-FOX!! jumps,über 42 dogs",
+      "a b c d e f", "tabs\tand\nnewlines  mixed", "ünïcode sépàrators slice",
+      "1 2 3", "trailing space ", " leading")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val mismatches = texts.select(
+          Sketches.wordShinglesText(col("text"), n).as("fused"),
+          TextFunctions.wordShingles(col("text"), n).as("hof"))
+        .filter(not(col("fused") === col("hof")))
+        .count()
+      assert(mismatches === 0L, s"fused != HOF at n=$n")
+    }
+  }
+
   // ---- dsirWeights --------------------------------------------------------
 
   test("dsirWeights scores target-like raw docs above target-unlike ones") {
