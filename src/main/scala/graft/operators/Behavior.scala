@@ -73,6 +73,30 @@ object Behavior {
       .agg(countDistinct(col(userCol)).cast("long").as("users"))
   }
 
+  /** Session transition matrix (first-order Markov counts): for every
+    * consecutive event pair of a user within `maxGapMinutes` — the same
+    * gap rule as the a17 sessionizer, so a "transition" never crosses a
+    * session boundary — the global count of (from_type → to_type). One
+    * window over the user key (payload is just type + timestamp; the
+    * props column never enters the shuffle), then a tiny hash agg on the
+    * type pair: at 100 TB the shuffle is one pass of (user, type, ts)
+    * and the result is |types|² rows.
+    */
+  def eventTransitions(events: DataFrame, maxGapMinutes: Int = 30,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events.select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("__next_type", lead(col(typeCol), 1).over(w))
+      .withColumn("__gap_us",
+        unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol)))
+      .filter(col("__next_type").isNotNull &&
+        col("__gap_us") <= maxGapMinutes * 60000000L)
+      .groupBy(col(typeCol).as("from_type"), col("__next_type").as("to_type"))
+      .agg(count(lit(1)).cast("long").as("transitions"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "e1_funnel" -> QueryDef.sql(
       """WITH e AS (
@@ -91,6 +115,25 @@ object Behavior {
         |ORDER BY step_idx""".stripMargin) { (s, d) =>
       funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
         .orderBy("step_idx")
+    },
+
+    "e3_event_transitions" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |n AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER w AS next_type,
+        |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  CAST(count(*) AS BIGINT) AS transitions
+        |FROM n
+        |WHERE next_type IS NOT NULL AND gap_us <= 1800000000
+        |GROUP BY 1, 2
+        |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+      eventTransitions(Tables.events(s, d), maxGapMinutes = 30)
+        .orderBy("from_type", "to_type")
     },
 
     "e2_retention" -> QueryDef.sql(

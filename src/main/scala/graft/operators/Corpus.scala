@@ -252,6 +252,71 @@ object Corpus {
     * (idCol, source, n_tokens, dsir_logw); token-less documents are
     * absent.
     */
+  /** Multinomial naive-Bayes corpus-quality classifier (the GPT-3 §A /
+    * LLaMA-style setup: positive class = a curated target corpus,
+    * negative = everything else), trained and applied in one relational
+    * program:
+    *  1. deterministic train/held-out split via the md5 permille gate on
+    *     the doc id (leak-free, engine-portable, scan-local — the same
+    *     gate as [[Scale.assignSplit]]);
+    *  2. fit on the train split: per-term positive/negative token-
+    *     instance counts with add-one smoothing over the retained
+    *     vocabulary (`minDf` prunes the long tail — at corpus scale this
+    *     bounds the weight table, and a hashed-feature fallback is
+    *     [[dsirWeights]]);
+    *  3. score the held-out split: per-token log-likelihood-ratio sum,
+    *     unseen terms smoothed to the add-one floor
+    *     ln(ntot+V) − ln(ptot+V).
+    *
+    * One wide shuffle total: token instances partial-aggregate to one
+    * row per (doc, partition) before the doc-key exchange; the weight
+    * table joins by broadcast when it fits (AQE decides), and text never
+    * shuffles. Returns (idCol, sourceCol, n_tokens, nb_logodds,
+    * pred_target) for held-out docs with ≥1 token — the actual source
+    * rides along so precision/recall of the classifier is one
+    * aggregation away.
+    */
+  def nbClassifierScore(docs: DataFrame, targetSource: String,
+      trainPermille: Int = 700, minDf: Int = 1, seed: Long = 42L,
+      idCol: String = "doc_id", sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(trainPermille > 0 && trainPermille < 1000,
+      "trainPermille must leave both splits non-empty")
+    val gate = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit("#" + seed))), 1, 8),
+      16, 10).cast("long") % 1000
+    val toks = docs
+      .select(col(idCol), col(sourceCol),
+        explode(TextFunctions.words(col(textCol))).as("term"))
+      .withColumn("__train", gate < trainPermille)
+    val vocab = toks.filter(col("__train"))
+      .groupBy(col("term"))
+      .agg(
+        sum(when(col(sourceCol) === targetSource, 1L).otherwise(0L)).as("pcnt"),
+        sum(when(col(sourceCol) =!= targetSource, 1L).otherwise(0L)).as("ncnt"))
+      .filter(col("pcnt") + col("ncnt") >= minDf)
+    val tot = vocab.agg(sum(col("pcnt")).as("ptot"), sum(col("ncnt")).as("ntot"),
+      count(lit(1)).as("vsize"))
+    // per-instance log-likelihood ratio; null stats (term unseen in
+    // train or pruned) coalesce to the add-one floor
+    val seenW =
+      log((col("pcnt") + lit(1)).cast("double") /
+          (col("ptot") + col("vsize")).cast("double")) -
+      log((col("ncnt") + lit(1)).cast("double") /
+          (col("ntot") + col("vsize")).cast("double"))
+    val floorW =
+      log((col("ntot") + col("vsize")).cast("double")) -
+      log((col("ptot") + col("vsize")).cast("double"))
+    val score = round(sum(coalesce(seenW, floorW)), 2) + lit(0.0)
+    toks.filter(!col("__train"))
+      .join(vocab, Seq("term"), "left")
+      .join(broadcast(tot))
+      .groupBy(col(idCol), col(sourceCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        score.as("nb_logodds"),
+        (score > 0).as("pred_target"))
+  }
+
   def dsirWeights(docs: DataFrame, targetSource: String, buckets: Int = 64,
       idCol: String = "doc_id", sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {

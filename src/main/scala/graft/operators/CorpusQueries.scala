@@ -199,6 +199,40 @@ object CorpusQueries {
         .orderBy("src_a", "src_b")
     },
 
+    // NB quality classifier: deterministic split (t19 gate), train-side
+    // per-term smoothed log-odds, held-out per-instance scoring. The
+    // decision reuses the ROUNDED score so both columns flip together if
+    // a rounding boundary is ever straddled (never observed at probe SF)
+    "t27_nb_classifier" -> QueryDef.sql(
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, unnest($sqlWords) AS term,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8) AS UBIGINT) % 1000 < 700 AS train
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS pcnt,
+        |    sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS ncnt
+        |  FROM toks WHERE train GROUP BY term),
+        |tot AS (SELECT sum(pcnt) AS ptot, sum(ncnt) AS ntot,
+        |               count(*) AS vsize FROM vocab),
+        |inst AS (
+        |  SELECT t.doc_id, t.source,
+        |    coalesce(
+        |      ln(CAST(v.pcnt + 1 AS DOUBLE) / CAST(ptot + vsize AS DOUBLE))
+        |        - ln(CAST(v.ncnt + 1 AS DOUBLE) / CAST(ntot + vsize AS DOUBLE)),
+        |      ln(CAST(ntot + vsize AS DOUBLE)) - ln(CAST(ptot + vsize AS DOUBLE))) AS w
+        |  FROM toks t LEFT JOIN vocab v USING (term), tot
+        |  WHERE NOT t.train)
+        |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(sum(w), 2) + 0.0::DOUBLE AS nb_logodds,
+        |  round(sum(w), 2) + 0.0::DOUBLE > 0 AS pred_target
+        |FROM inst
+        |GROUP BY doc_id, source
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Corpus.nbClassifierScore(Tables.documents(s, d), targetSource = "src0",
+        trainPermille = 700).orderBy("doc_id")
+    },
+
     "t24_dsir_weights" -> QueryDef.sql(
       s"""WITH toks AS (
         |  SELECT doc_id, source,

@@ -469,6 +469,32 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Per-source rank normalization: the two-phase distributed rank
+    // (groupPercentRank), oracled by the naive per-source window. The
+    // pct quotient divides identical integers on both engines —
+    // bit-identical, emitted unrounded
+    "t28_pct_rank" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CASE WHEN n = 1 THEN 0.0::DOUBLE
+        |       ELSE CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct_rank
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("n_tokens",
+        TextFunctions.tokenCount(col("text")))
+      Scale.groupPercentRank(docs, "source", "n_tokens", "doc_id")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("pct_rank"))
+        .orderBy("doc_id")
+    },
+
     // Quality-ranked curation: keep the top-3 docs per source by the t5
     // composite quality score (ties to the lowest doc_id). Runs the
     // salted two-stage top-k; the oracle recomputes the same quality
@@ -550,6 +576,19 @@ object PipelineQueries {
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
       Similarity.topKCosine(Tables.embeddings(s, d), queryId = 0L, k = 20)
+    },
+
+    // filtered vector search: metadata predicate BEFORE the distance
+    // compute (scan-pushed), exact within the filtered set
+    "s10_filtered_topk" -> QueryDef.sql(
+      """SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  round(list_cosine_similarity(
+        |    CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        |FROM embeddings WHERE vec_id <> 0 AND label = 2
+        |ORDER BY sim DESC, vec_id LIMIT 15""".stripMargin) { (s, d) =>
+      Similarity.topKCosineFiltered(Tables.embeddings(s, d), queryId = 0L,
+        k = 15, candidatePred = col("label") === 2)
     },
 
     "s2_embed_neardup" -> QueryDef.sql(

@@ -331,6 +331,67 @@ object Scale {
       .drop("__salt", "__rn")
   }
 
+  /** Normalized rank of every row within its group under a TOTAL
+    * ordering — percent-rank-style score normalization (comparing raw
+    * quality scores ACROSS corpora is meaningless when their score
+    * distributions differ; the rank transform puts every source on the
+    * same [0,1] scale before a global selection threshold). The rank is
+    * `row_number` semantics (ties broken by `idCol`), so the output is a
+    * pure function of the input set.
+    *
+    * NEVER a single per-group window: this is the packTokens two-phase
+    * distributed rank —
+    *  1. per-group order-value bounds (cheap two-column scan, broadcast)
+    *     cut each group into `numSlices` contiguous value ranges; the
+    *     slice of a row is a monotonic function of its order VALUE, so
+    *     ties land in one slice and slices concatenate in order;
+    *  2. a slice-local `row_number` windows per (group, slice) —
+    *     parallelism is numSlices tasks per group;
+    *  3. per-slice counts (tiny) turn into exclusive offsets + group
+    *     totals via windows over the slice axis, broadcast back:
+    *     rank = offset + local row_number, pct = (rank−1)/(n−1).
+    * The pct quotient divides identical integers on every engine —
+    * bit-identical IEEE doubles, no rounding needed. Value-skewed
+    * groups skew slice sizes but never correctness (offsets come from
+    * actual counts). `orderCol` must be numeric and non-null (a constant
+    * group degrades to one slice — correct, serial for that group).
+    */
+  def groupPercentRank(df: DataFrame, groupCol: String, orderCol: String,
+      idCol: String = "doc_id", outCol: String = "pct_rank",
+      numSlices: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slices =
+      if (numSlices > 0) numSlices
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val bounds = df.groupBy(col(groupCol).as("__pr_k"))
+      .agg(min(col(orderCol)).as("__pr_lo"), max(col(orderCol)).as("__pr_hi"))
+    val sliceOf = coalesce(least(lit(slices - 1), greatest(lit(0), floor(
+      (col(orderCol).cast("double") - col("__pr_lo").cast("double")) /
+        (col("__pr_hi").cast("double") - col("__pr_lo").cast("double") + 1.0) *
+        slices))).cast("int"), lit(0))
+    val sliced = df.join(broadcast(bounds), col(groupCol) <=> col("__pr_k"))
+      .withColumn("__slice", sliceOf)
+      .drop("__pr_k", "__pr_lo", "__pr_hi")
+    val wLocal = Window.partitionBy(col(groupCol), col("__slice"))
+      .orderBy(col(orderCol), col(idCol))
+    val localRn = sliced.withColumn("__rn", row_number().over(wLocal))
+    val wOff = Window.partitionBy(col("__of_k")).orderBy(col("__of_s"))
+    val offsets = sliced.groupBy(col(groupCol).as("__of_k"),
+        col("__slice").as("__of_s"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__of_k"), col("__of_s"), col("__off"), col("__n"))
+    localRn.join(broadcast(offsets),
+        col(groupCol) <=> col("__of_k") && col("__slice") === col("__of_s"))
+      .withColumn(outCol, when(col("__n") === 1, lit(0.0)).otherwise(
+        (col("__off") + col("__rn") - 1).cast("double") /
+          (col("__n") - 1).cast("double")))
+      .drop("__of_k", "__of_s", "__off", "__n", "__slice", "__rn")
+  }
+
   /** Deterministic fixed-size holdout per stratum (frozen eval sets,
     * human-review samples): the `nPerStratum` rows whose md5-derived key
     * ranks lowest within the stratum — a pure function of (id, seed), so

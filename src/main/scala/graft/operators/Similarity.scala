@@ -43,6 +43,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[topKCosine]] with a candidate predicate — filtered vector search
+    * (metadata + vector, the RAG retrieval shape: "top-k nearest WHERE
+    * label = X"). The predicate is applied BEFORE the distance compute
+    * and is a plain scan filter, so Catalyst pushes it into the parquet
+    * scan (PushedFilters) and, with a label-partitioned layout, prunes
+    * whole partitions — the candidate set shrinks at the source rather
+    * than post-scoring, unlike post-filtered ANN which over-fetches.
+    * Exact (brute-force within the filtered set): the correctness
+    * baseline any filtered-ANN variant is recall-gated against.
+    */
+  def topKCosineFiltered(embeddings: DataFrame, queryId: Long, k: Int,
+      candidatePred: Column): DataFrame = {
+    val q = broadcast(embeddings.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv")))
+    embeddings.filter(candidatePred && col("vec_id") =!= queryId)
+      .crossJoin(q)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(cosine(asDouble(col("embedding")), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** All pairs with cosine ≥ `threshold` among vec_id < `idCap` — the
     * embedding near-dup probe. Bounded cross join (idCap² pairs) used as a
     * correctness oracle; the scale path is [[annBuckets]] + join within

@@ -48,6 +48,26 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(1L, 1L, 1L))
   }
 
+  test("eventTransitions counts consecutive pairs within the gap only") {
+    val events = Seq(
+      // user 1: view→click (5 min, counts), click→view (25 min, counts),
+      // view→purchase (2 h gap — session break, must NOT count)
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "click", ts("2024-01-01 10:05:00")),
+      (3L, 10L, "view", ts("2024-01-01 10:30:00")),
+      (4L, 10L, "purchase", ts("2024-01-01 12:30:00")),
+      // user 2: simultaneous events break ties by event_id: 5→6 then 6→7
+      (5L, 20L, "view", ts("2024-01-01 09:00:00")),
+      (6L, 20L, "view", ts("2024-01-01 09:00:00")),
+      (7L, 20L, "click", ts("2024-01-01 09:10:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Behavior.eventTransitions(events, maxGapMinutes = 30)
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("click", "view", 1L), ("view", "click", 2L), ("view", "view", 1L)))
+  }
+
   test("retentionCohorts buckets activity by exact week offsets") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00")),            // Monday: cohort 2024-01-01

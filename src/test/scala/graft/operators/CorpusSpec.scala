@@ -169,6 +169,41 @@ class CorpusSpec extends AnyFunSuite {
 
   // ---- dsirWeights --------------------------------------------------------
 
+  test("nbClassifierScore separates held-out docs by train-side vocabulary") {
+    import spark.implicits._
+    // vocabulary is perfectly separable: target docs speak 'alpha beta',
+    // the rest 'zork quux'. Ids 0..999 so both splits are populated by
+    // the md5 gate at trainPermille = 700.
+    val docs = (0L until 1000L).map { i =>
+      val src = if (i % 2 == 0) "tgt" else "web"
+      val text = if (src == "tgt") "alpha beta alpha" else "zork quux zork"
+      (i, src, text)
+    }.toDF("doc_id", "source", "text")
+    val out = Corpus.nbClassifierScore(docs, targetSource = "tgt")
+      .collect().map(r => (r.getString(1), r.getDouble(3), r.getBoolean(4)))
+    assert(out.nonEmpty && out.length < 1000) // held-out split only
+    // every held-out target doc scores positive, every web doc negative
+    assert(out.forall { case (src, s, pred) =>
+      if (src == "tgt") s > 0 && pred else s < 0 && !pred })
+  }
+
+  test("nbClassifierScore smooths terms unseen in the train split") {
+    import spark.implicits._
+    // doc 505 is held out (gate ≥ 700 for id 505 under seed 42) and
+    // speaks ONLY a term absent from training: its score must be the
+    // add-one floor times its token count, not null or zero
+    val docs = ((0L until 500L).map(i =>
+        (i, if (i % 2 == 0) "tgt" else "web",
+          if (i % 2 == 0) "alpha beta" else "zork quux")) :+
+      (505L, "web", "unseen unseen unseen"))
+      .toDF("doc_id", "source", "text")
+    val row = Corpus.nbClassifierScore(docs, targetSource = "tgt")
+      .filter(col("doc_id") === 505L).collect()
+    assert(row.length === 1)
+    assert(row.head.getLong(2) === 3L)
+    assert(!row.head.isNullAt(3) && row.head.getDouble(3) != 0.0)
+  }
+
   test("dsirWeights scores target-like raw docs above target-unlike ones") {
     val docs = Seq(
       (0L, "alpha beta gamma delta alpha beta", "tgt"),

@@ -42,6 +42,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"filter not pushed:\n$p")
   }
 
+  test("s10 filtered vector search pushes the label predicate to the scan") {
+    val p = plan("s10_filtered_topk")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(label,2)"),
+      s"label filter not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
+
   test("a10 aggregation runs partial/final inside whole-stage codegen") {
     val df = SparkEntry.queries("a10_tpch_q1")(spark, d)
     val pre = df.queryExecution.executedPlan.toString

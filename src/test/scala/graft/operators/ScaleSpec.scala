@@ -82,6 +82,35 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("groupPercentRank: two-phase rank matches the serial window and fans out") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed fixture with heavy ties: scores are i % 50, 'web' dominates
+    val docs = ((1L to 1800L).map(i => (i, "web", (i % 50).toInt)) ++
+      (1801L to 1900L).map(i => (i, "books", (i % 9).toInt)) ++
+      Seq((1901L, "one", 7))) // single-row group → pct 0.0
+      .toDF("doc_id", "source", "score")
+    val dist = Scale.groupPercentRank(docs, "source", "score", "doc_id",
+      numSlices = 8)
+    // reference: serial per-source window, row_number semantics
+    val w = Window.partitionBy("source").orderBy("score", "doc_id")
+    val n = Window.partitionBy("source")
+    val serial = docs
+      .withColumn("pct_rank", when(count(lit(1)).over(n) === 1, lit(0.0))
+        .otherwise((row_number().over(w) - 1).cast("double") /
+          (count(lit(1)).over(n) - 1).cast("double")))
+    assert(dist.exceptAll(serial).count() === 0)
+    assert(serial.exceptAll(dist).count() === 0)
+    // fan-out gate: the big window partitions by (group, slice), never
+    // the group alone
+    val planStr = dist.queryExecution.executedPlan.toString()
+    assert(planStr.contains("__slice"), s"no slice key in plan:\n$planStr")
+    // slicing-independence
+    val dist2 = Scale.groupPercentRank(docs, "source", "score", "doc_id",
+      numSlices = 3)
+    assert(dist2.exceptAll(serial).count() === 0)
+  }
+
   test("packTokens: distributed prefix sum fans out a dominant source and matches the serial cumsum") {
     import spark.implicits._
     // skewed fixture: 'web' carries 95% of the rows, two tail sources
