@@ -136,6 +136,83 @@ object Behavior {
         .orderBy("from_type", "to_type")
     },
 
+    // weighted PageRank over the transition graph — the oracle unrolls
+    // the same 5-round recurrence; 12-d.p. per-round rounding
+    // re-synchronizes summation-order ulps (Graph.pageRank contract)
+    "g1_pagerank" -> QueryDef.sql(
+      """WITH e0 AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |nx AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER w AS next_type,
+        |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+        |  FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |edges AS (
+        |  SELECT event_type AS src, next_type AS dst,
+        |    CAST(count(*) AS DOUBLE) AS w
+        |  FROM nx WHERE next_type IS NOT NULL AND gap_us <= 1800000000
+        |  GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM edges
+        |          UNION SELECT dst FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |ow AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+        |r0 AS (SELECT node, 1.0::DOUBLE / n AS r FROM nodes, nn),
+        |c1 AS (SELECT e.dst AS node, sum(r.r * e.w / ow.ow) AS contrib
+        |       FROM edges e JOIN r0 r ON r.node = e.src JOIN ow ON ow.src = e.src
+        |       GROUP BY e.dst),
+        |d1 AS (SELECT coalesce(sum(r.r), 0.0::DOUBLE) AS mass
+        |       FROM r0 r LEFT JOIN ow ON ow.src = r.node WHERE ow.src IS NULL),
+        |r1 AS (SELECT n.node, round((1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+        |         + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+        |                           + d.mass / nn.n), 12) AS r
+        |       FROM nodes n LEFT JOIN c1 c ON c.node = n.node, d1 d, nn),
+        |c2 AS (SELECT e.dst AS node, sum(r.r * e.w / ow.ow) AS contrib
+        |       FROM edges e JOIN r1 r ON r.node = e.src JOIN ow ON ow.src = e.src
+        |       GROUP BY e.dst),
+        |d2 AS (SELECT coalesce(sum(r.r), 0.0::DOUBLE) AS mass
+        |       FROM r1 r LEFT JOIN ow ON ow.src = r.node WHERE ow.src IS NULL),
+        |r2 AS (SELECT n.node, round((1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+        |         + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+        |                           + d.mass / nn.n), 12) AS r
+        |       FROM nodes n LEFT JOIN c2 c ON c.node = n.node, d2 d, nn),
+        |c3 AS (SELECT e.dst AS node, sum(r.r * e.w / ow.ow) AS contrib
+        |       FROM edges e JOIN r2 r ON r.node = e.src JOIN ow ON ow.src = e.src
+        |       GROUP BY e.dst),
+        |d3 AS (SELECT coalesce(sum(r.r), 0.0::DOUBLE) AS mass
+        |       FROM r2 r LEFT JOIN ow ON ow.src = r.node WHERE ow.src IS NULL),
+        |r3 AS (SELECT n.node, round((1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+        |         + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+        |                           + d.mass / nn.n), 12) AS r
+        |       FROM nodes n LEFT JOIN c3 c ON c.node = n.node, d3 d, nn),
+        |c4 AS (SELECT e.dst AS node, sum(r.r * e.w / ow.ow) AS contrib
+        |       FROM edges e JOIN r3 r ON r.node = e.src JOIN ow ON ow.src = e.src
+        |       GROUP BY e.dst),
+        |d4 AS (SELECT coalesce(sum(r.r), 0.0::DOUBLE) AS mass
+        |       FROM r3 r LEFT JOIN ow ON ow.src = r.node WHERE ow.src IS NULL),
+        |r4 AS (SELECT n.node, round((1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+        |         + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+        |                           + d.mass / nn.n), 12) AS r
+        |       FROM nodes n LEFT JOIN c4 c ON c.node = n.node, d4 d, nn),
+        |c5 AS (SELECT e.dst AS node, sum(r.r * e.w / ow.ow) AS contrib
+        |       FROM edges e JOIN r4 r ON r.node = e.src JOIN ow ON ow.src = e.src
+        |       GROUP BY e.dst),
+        |d5 AS (SELECT coalesce(sum(r.r), 0.0::DOUBLE) AS mass
+        |       FROM r4 r LEFT JOIN ow ON ow.src = r.node WHERE ow.src IS NULL),
+        |r5 AS (SELECT n.node, round((1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+        |         + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+        |                           + d.mass / nn.n), 12) AS r
+        |       FROM nodes n LEFT JOIN c5 c ON c.node = n.node, d5 d, nn)
+        |SELECT node, round(r, 6) AS pr FROM r5
+        |ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = eventTransitions(Tables.events(s, d), maxGapMinutes = 30)
+        .select(col("from_type").as("src"), col("to_type").as("dst"),
+          col("transitions").as("weight"))
+      Graph.pageRank(edges, iterations = 5)
+        .select(col("node"), round(col("r"), 6).as("pr"))
+        .orderBy("node")
+    },
+
     "e2_retention" -> QueryDef.sql(
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |f AS (SELECT user_id, min(ts) AS t0 FROM e GROUP BY user_id)

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational edge lists — join-based power
+  * iteration, no graph runtime. The data-curation use: centrality over a
+  * derived relation (near-dup similarity pairs, event-transition counts)
+  * ranks cluster representatives / behavioral hubs without leaving the
+  * DataFrame layer.
+  *
+  * Scale notes (the d7 connected-components discipline applied):
+  *  - every iteration is one equi join (ranks ⋈ edges on src) + one hash
+  *    agg on dst — both shuffle on node keys, so Catalyst reuses the
+  *    partitioning across iterations;
+  *  - each round is `localCheckpoint`ed and the previous round's blocks
+  *    are released ([[Dedup.release]]) — a cached chain keeps an
+  *    O(3^rounds) logical plan that OOMs the driver (CLAUDE.md lesson);
+  *  - a FIXED iteration count, not a convergence test: determinism
+  *    across engines and no per-round driver action beyond the
+  *    checkpoint itself.
+  */
+object Graph {
+
+  /** Weighted PageRank by `iterations` rounds of power iteration over
+    * `(src, dst, weight)` edges (PageRank: Page et al. 1999; weighted
+    * out-edge-proportional transition as in standard link-analysis
+    * practice).
+    *
+    * r₀(v) = 1/N;  r_{t+1}(v) = (1−d)/N + d·(Σ_{u→v} r_t(u)·w(u,v)/out(u)
+    * + dangling_t/N), where dangling_t is the rank mass parked on nodes
+    * with no out-edges (redistributed uniformly — the standard
+    * stochastic-matrix completion).
+    *
+    * Every intermediate rank is rounded to `syncDecimals` so engines
+    * that sum neighbor contributions in different orders re-synchronize
+    * each round (ulp drift never compounds) — the probe's DuckDB twin
+    * unrolls the same recurrence and matches at 6 d.p. N and the
+    * out-weights stay DataFrames (broadcast by AQE when small); nothing
+    * is collected to the driver.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 5, damping: Double = 0.85,
+      syncDecimals: Int = 12): DataFrame = {
+    require(iterations >= 1, "iterations must be at least 1")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    // materialize the (often expensive) edge derivation ONCE — the
+    // iteration lineage must re-root at data, not at the upstream query
+    val e = edges.select(col("src"), col("dst"),
+        col("weight").cast("double").as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val nDf = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
+    var ranks = nodes.join(nDf)
+      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outW, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("r") * col("w") / col("ow")).as("contrib"))
+      val dangling = broadcast(
+        ranks.join(outW.withColumnRenamed("src", "node"), Seq("node"),
+            "left_anti")
+          .agg(coalesce(sum(col("r")), lit(0.0)).as("mass")))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .join(dangling).join(nDf)
+        .select(col("node"), round(
+            lit(1.0 - damping) / col("n") + lit(damping) *
+              (coalesce(col("contrib"), lit(0.0)) + col("mass") / col("n")),
+            syncDecimals).as("r"))
+        .localCheckpoint()
+      Dedup.release(ranks)
+      ranks = next
+    }
+    ranks
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Driver-side reference: the same recurrence over an adjacency map. */
+  private def refPageRank(edges: Seq[(String, String, Double)],
+      iterations: Int, damping: Double): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iterations) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, w) => r(s) * w / outW(s) }.sum
+      }
+      val dangling = nodes.filterNot(outW.contains).map(r).sum
+      r = nodes.map { v =>
+        v -> BigDecimal((1.0 - damping) / n + damping *
+            (contrib.getOrElse(v, 0.0) + dangling / n))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    r
+  }
+
+  test("pageRank matches the reference recurrence, conserves mass, floors the uncited node") {
+    // a → hub, b → hub, hub → a, sink has only inbound (dangling node)
+    val edges = Seq(
+      ("a", "hub", 1.0), ("b", "hub", 3.0), ("hub", "a", 1.0),
+      ("a", "sink", 1.0))
+      .toDF("src", "dst", "weight")
+    val out = Graph.pageRank(edges, iterations = 8).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ref = refPageRank(Seq(("a", "hub", 1.0), ("b", "hub", 3.0),
+      ("hub", "a", 1.0), ("a", "sink", 1.0)), 8, 0.85)
+    assert(out.keySet === ref.keySet)
+    out.foreach { case (node, r) =>
+      assert(math.abs(r - ref(node)) < 1e-9, s"$node: $r vs ${ref(node)}")
+    }
+    // rank mass is conserved (dangling redistribution keeps it stochastic)
+    assert(math.abs(out.values.sum - 1.0) < 1e-6)
+    // b has no inbound edges at all → it holds the minimum rank
+    assert(out("b") === out.values.min)
+  }
+
+  test("pageRank is deterministic across input repartitioning") {
+    val edges = (1L to 200L).map(i =>
+        (s"n${i % 23}", s"n${(i * 7) % 23}", (i % 5 + 1).toDouble))
+      .toDF("src", "dst", "weight")
+    val a = Graph.pageRank(edges, iterations = 5)
+      .orderBy("node").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val b = Graph.pageRank(edges.repartition(13), iterations = 5)
+      .orderBy("node").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(a.toSeq === b.toSeq)
+  }
+}
