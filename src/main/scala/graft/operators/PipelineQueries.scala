@@ -495,6 +495,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Z-order layout key: the Morton interleave itself is engine-portable
+    // integer bit math (the oracle spells out the same 20 shift terms);
+    // the LAYOUT payoff (fewer files under a 2-D box filter) is proven in
+    // PartitioningSpec against a single-dim-sorted write
+    "t29_zorder" -> QueryDef.sql {
+      val terms = (0 until 10).map(i =>
+        s"(((dim_a >> $i) & 1) << ${2 * i}) + (((dim_b >> $i) & 1) << ${2 * i + 1})")
+        .mkString("\n|    + ")
+      s"""WITH t AS (
+        |  SELECT event_id, user_id % 1024 AS dim_a,
+        |    CAST(floor(abs(value)) AS BIGINT) % 1024 AS dim_b
+        |  FROM events)
+        |SELECT event_id, dim_a, dim_b,
+        |  CAST($terms AS BIGINT) AS z
+        |FROM t ORDER BY event_id""".stripMargin
+    } { (s, d) =>
+      val e = Tables.events(s, d)
+      val a = col("user_id") % 1024L
+      val b = floor(abs(col("value"))).cast("long") % 1024L
+      e.select(col("event_id"), a.as("dim_a"), b.as("dim_b"),
+          Scale.zValue(a, b, bits = 10).as("z"))
+        .orderBy("event_id")
+    },
+
     // Quality-ranked curation: keep the top-3 docs per source by the t5
     // composite quality score (ties to the lowest doc_id). Runs the
     // salted two-stage top-k; the oracle recomputes the same quality

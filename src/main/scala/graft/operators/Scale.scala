@@ -392,6 +392,45 @@ object Scale {
       .drop("__of_k", "__of_s", "__off", "__n", "__slice", "__rn")
   }
 
+  /** Z-order (Morton) interleave of the low `bits` bits of two
+    * non-negative integer dimensions: bit i of `a` lands at position 2i,
+    * bit i of `b` at 2i+1. Nearby (a, b) cells get nearby z-values, so a
+    * range-partitioned, z-sorted layout clusters BOTH dimensions — a
+    * box predicate on either (or both) touches a handful of files
+    * instead of every file, which is what parquet min/max row-group and
+    * file skipping prune on at 100 TB (single-dim sorting only serves
+    * its own dimension). Pure bit arithmetic (shift/and/or as addition
+    * of disjoint bit terms — a flat 2·bits-term sum, never a when()
+    * fold), identical in any engine with integer shifts.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _).cast("long")
+  }
+
+  /** Write `df` parquet in z-order layout over two integer dimension
+    * columns: range-repartition by the z-value (contiguous z-ranges per
+    * file) and sort within each partition so row-group min/max stats are
+    * tight. The z column itself is dropped — the layout, not the value,
+    * is the product. PartitioningSpec proves a 2-D box filter touches
+    * strictly fewer files than a single-dim-sorted layout of the same
+    * data.
+    */
+  def zorderWrite(df: DataFrame, aCol: String, bCol: String, path: String,
+      bits: Int = 16, numFiles: Int = 0): Unit = {
+    val files =
+      if (numFiles > 0) numFiles
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    df.withColumn("__z", zValue(col(aCol), col(bCol), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Deterministic fixed-size holdout per stratum (frozen eval sets,
     * human-review samples): the `nPerStratum` rows whose md5-derived key
     * ranks lowest within the stratum — a pure function of (id, seed), so

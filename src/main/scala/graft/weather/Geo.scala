@@ -46,8 +46,10 @@ object Geo {
     * this key before writing gives every parquet file a compact lat AND
     * lon bounding box, so min/max row-group statistics prune 2-D box
     * queries — the standard Z-order data-layout trick (Delta/Iceberg
-    * OPTIMIZE ZORDER), here as a plain column expression. Linear tree:
-    * one OR pair per bit.
+    * OPTIMIZE ZORDER), here as a plain column expression. The bit
+    * interleave itself is the generic [[graft.operators.Scale.zValue]]
+    * (lon on the even positions, lat on the odd — same curve as the
+    * original fold); this wrapper only owns the degree quantization.
     */
   def mortonCode(lat: Column, lon: Column, bits: Int = 12): Column = {
     val scaleMax = (1L << bits) - 1
@@ -55,11 +57,7 @@ object Geo {
       lit(scaleMax)).cast("long")
     val qLon = least(floor((lon + 180.0) / 360.0 * (1L << bits)),
       lit(scaleMax)).cast("long")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(qLat.bitwiseAND(lit(1L << i)), i + 1))
-        .bitwiseOR(shiftleft(qLon.bitwiseAND(lit(1L << i)), i))
-    }
+    graft.operators.Scale.zValue(qLon, qLat, bits)
   }
 
   /** J4: map each query point to the nearest grid point. The grid side is

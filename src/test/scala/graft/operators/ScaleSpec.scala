@@ -111,6 +111,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(dist2.exceptAll(serial).count() === 0)
   }
 
+  test("zorderWrite: lossless round-trip, z key dropped, files span compact boxes") {
+    import spark.implicits._
+    val pts = (0L until 4096L).map(i => (i, (i % 64).toInt, ((i / 64) % 64).toInt))
+      .toDF("id", "x", "y")
+    val dir = graft.TestSpark.tempDir("graft_zw")
+    Scale.zorderWrite(pts, "x", "y", dir, bits = 6, numFiles = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.sorted.toSeq === Seq("id", "x", "y"))
+    assert(back.count() === 4096L)
+    assert(back.exceptAll(pts).count() === 0)
+    // every file covers a compact 2-D box: no file spans the full grid
+    // on BOTH axes (a hash-scattered layout spans 64 on both)
+    val spans = back.withColumn("f", input_file_name())
+      .groupBy("f").agg((max("x") - min("x")).as("sx"),
+        (max("y") - min("y")).as("sy"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(spans.forall { case (sx, sy) => sx < 64 || sy < 64 },
+      s"a file spans the whole grid on both axes: ${spans.mkString(",")}")
+  }
+
   test("packTokens: distributed prefix sum fans out a dominant source and matches the serial cumsum") {
     import spark.implicits._
     // skewed fixture: 'web' carries 95% of the rows, two tail sources
