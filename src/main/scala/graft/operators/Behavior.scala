@@ -97,6 +97,34 @@ object Behavior {
       .agg(count(lit(1)).cast("long").as("transitions"))
   }
 
+  /** SCD2 state-history build (gaps-and-islands): collapse each user's
+    * event stream into contiguous same-state runs and emit one validity
+    * interval per run — `valid_to` is the next run's start, null while
+    * current. The classic warehouse dimension-history shape, here over
+    * the event stream's `event_type` as the tracked state.
+    *
+    * Two windows over the SAME (user, ts, id) ordering — one exchange,
+    * one sort, both windows ride it (Catalyst reuses the partitioning).
+    * Run starts are detected with lag(); the id column breaks same-ts
+    * ties deterministically.
+    */
+  def scdIntervals(events: DataFrame, userCol: String = "user_id",
+      stateCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val starts = events
+      .select(col(userCol), col(stateCol).as("state"), col(tsCol), col(idCol))
+      .withColumn("__prev", lag(col("state"), 1).over(byTime))
+      .filter(col("__prev").isNull || col("__prev") =!= col("state"))
+    starts
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(byTime))
+      .select(col(userCol), col("state"),
+        col("valid_from").cast("timestamp_ntz"),
+        col("valid_to").cast("timestamp_ntz"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "e1_funnel" -> QueryDef.sql(
       """WITH e AS (
@@ -134,6 +162,24 @@ object Behavior {
         |ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
       eventTransitions(Tables.events(s, d), maxGapMinutes = 30)
         .orderBy("from_type", "to_type")
+    },
+
+    "e4_scd2_intervals" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS ts,
+        |         event_id
+        |  FROM events),
+        |c AS (
+        |  SELECT *, lag(state) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |s AS (SELECT user_id, state, ts, event_id FROM c
+        |      WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id, state, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM s
+        |ORDER BY user_id, valid_from, state""".stripMargin) { (s, d) =>
+      scdIntervals(Tables.events(s, d))
+        .orderBy("user_id", "valid_from", "state")
     },
 
     // weighted PageRank over the transition graph — the oracle unrolls

@@ -252,6 +252,37 @@ object Corpus {
     * (idCol, source, n_tokens, dsir_logw); token-less documents are
     * absent.
     */
+  /** Per-group winsorization: clamp `valueCol` to its group's
+    * [pLo, pHi] percentile band — the standard outlier treatment before
+    * per-source statistics (a handful of 10 MB documents otherwise
+    * dominate a source's mean length). `exact = true` uses ANSI
+    * percentile_cont interpolation (oracle-parity, but the per-group
+    * value array is held in memory — probe scale only); at corpus scale
+    * pass `exact = false` for approx_percentile (t-digest sketch:
+    * mergeable, bounded memory, map-side combinable), same plan
+    * otherwise. The percentile table is O(groups) and broadcasts; the
+    * clamp itself is scan-local.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95, outCol: String = "winsorized",
+      exact: Boolean = true): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val (loAgg, hiAgg) =
+      if (exact)
+        (expr(s"percentile($valueCol, $pLo)"),
+          expr(s"percentile($valueCol, $pHi)"))
+      else
+        (approx_percentile(col(valueCol), lit(pLo), lit(10000)).cast("double"),
+          approx_percentile(col(valueCol), lit(pHi), lit(10000)).cast("double"))
+    val qs = df.groupBy(col(groupCol).as("__w_k"))
+      .agg(loAgg.as("__w_lo"), hiAgg.as("__w_hi"))
+    df.join(broadcast(qs), col(groupCol) <=> col("__w_k"))
+      .withColumn(outCol,
+        least(greatest(col(valueCol).cast("double"), col("__w_lo")),
+          col("__w_hi")))
+      .drop("__w_k", "__w_lo", "__w_hi")
+  }
+
   /** Multinomial naive-Bayes corpus-quality classifier (the GPT-3 §A /
     * LLaMA-style setup: positive class = a curated target corpus,
     * negative = everything else), trained and applied in one relational

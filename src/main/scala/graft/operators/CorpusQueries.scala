@@ -199,6 +199,26 @@ object CorpusQueries {
         .orderBy("src_a", "src_b")
     },
 
+    // winsorized per-source lengths: exact percentile_cont parity is
+    // proven by a14; round 4 absorbs interpolation ulps
+    "t30_winsorize" -> QueryDef.sql(
+      """WITH p AS (
+        |  SELECT source,
+        |    percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars) AS plo,
+        |    percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars) AS phi
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  round(least(greatest(CAST(d.n_chars AS DOUBLE), plo), phi), 4)
+        |    AS n_chars_w
+        |FROM documents d JOIN p USING (source)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Corpus.winsorize(Tables.documents(s, d), "source", "n_chars",
+          outCol = "n_chars_w")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("n_chars_w"), 4).as("n_chars_w"))
+        .orderBy("doc_id")
+    },
+
     // NB quality classifier: deterministic split (t19 gate), train-side
     // per-term smoothed log-odds, held-out per-instance scoring. The
     // decision reuses the ROUNDED score so both columns flip together if

@@ -68,6 +68,27 @@ class BehaviorSpec extends AnyFunSuite {
       ("click", "view", 1L), ("view", "click", 2L), ("view", "view", 1L)))
   }
 
+  test("scdIntervals collapses same-state runs into chained validity windows") {
+    val events = Seq(
+      // user 1: view view click view → 3 runs
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "view", ts("2024-01-01 10:05:00")),
+      (3L, 10L, "click", ts("2024-01-01 10:10:00")),
+      (4L, 10L, "view", ts("2024-01-01 10:20:00")),
+      // user 2: a single state → one open-ended interval
+      (5L, 20L, "view", ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Behavior.scdIntervals(events)
+      .orderBy("user_id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.get(2).toString, Option(r.get(3)).map(_.toString).orNull))
+    assert(out.toSeq === Seq(
+      (10L, "view", "2024-01-01T10:00", "2024-01-01T10:10"),
+      (10L, "click", "2024-01-01T10:10", "2024-01-01T10:20"),
+      (10L, "view", "2024-01-01T10:20", null),
+      (20L, "view", "2024-01-01T09:00", null)))
+  }
+
   test("retentionCohorts buckets activity by exact week offsets") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00")),            // Monday: cohort 2024-01-01

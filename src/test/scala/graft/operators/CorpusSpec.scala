@@ -169,6 +169,30 @@ class CorpusSpec extends AnyFunSuite {
 
   // ---- dsirWeights --------------------------------------------------------
 
+  test("winsorize clamps to the group percentile band; approx tracks exact") {
+    import spark.implicits._
+    // group A: 1..100 plus a 10_000 outlier; p05/p95 over 101 values
+    val rows = ((1 to 100).map(v => ("A", v.toLong)) :+ ("A", 10000L)) ++
+      (1 to 50).map(v => ("B", (v * 2).toLong))
+    val df = rows.toDF("source", "n_chars")
+    val out = Corpus.winsorize(df, "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val a = out.filter(_._1 == "A")
+    // the outlier is pulled down to p95, small values up to p05
+    assert(a.map(_._3).max < 10000.0)
+    assert(a.filter(_._2 == 10000L).head._3 === a.map(_._3).max)
+    assert(a.map(_._3).min > 1.0)
+    // mid-band values pass through unchanged
+    assert(a.filter(_._2 == 50L).head._3 === 50.0)
+    // the approx path stays within a tight band of exact on this data
+    val approx = Corpus.winsorize(df, "source", "n_chars", exact = false)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val exactByKey = out.groupBy(x => (x._1, x._2)).view.mapValues(_.head._3)
+    approx.foreach { case (g, v, w) =>
+      assert(math.abs(w - exactByKey((g, v))) <= 5.0, s"($g,$v): $w")
+    }
+  }
+
   test("nbClassifierScore separates held-out docs by train-side vocabulary") {
     import spark.implicits._
     // vocabulary is perfectly separable: target docs speak 'alpha beta',
