@@ -16,7 +16,7 @@ object SparkEntry {
   private def allDefs: Map[String, QueryDef] =
     Relational.defs ++ operators.Relational2.defs ++
       operators.Relational3.defs ++ operators.Relational4.defs ++
-      operators.Relational5.defs ++
+      operators.Relational5.defs ++ operators.Interval.defs ++
       PipelineQueries.defs ++ operators.CorpusQueries.defs ++
       operators.Behavior.defs ++
       WeatherQueries.defs ++ operators.Multimodal.defs ++

@@ -125,6 +125,53 @@ object Behavior {
         col("valid_to").cast("timestamp_ntz"))
   }
 
+  /** Rolling z-score anomaly flags on the hourly event-rate series: per
+    * (`typeCol`, hour) counts; baseline = the trailing `lookback`
+    * PRESENT hours (rows frame excluding the current row — absent hours
+    * don't pad the frame); emit hours with z ≥ `zThreshold` where
+    * z = (cnt − mean) / sd over the baseline.
+    *
+    * Determinism contract: the frame aggregates are exact integers
+    * (n, Σx, Σx²), and mean/variance/z are derived by a FIXED scalar op
+    * tree — each IEEE op correctly rounded — so the unrounded z is
+    * bit-identical across engines (no stddev_samp, whose streaming-merge
+    * op order is engine-private). Baselines need `minN` observations,
+    * and zero-variance baselines are excluded EXPLICITLY (0/0 → NaN
+    * orders differently across engines).
+    *
+    * Scale: one hash agg (type, hour) then one window shuffle on the
+    * type key — hourly series are ~10⁴ rows/year/type, so even a
+    * single-task-per-type window is bounded by calendar time, not by
+    * corpus size; the raw event table never enters the window.
+    */
+  def rollingZAnomalies(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", lookback: Int = 24, minN: Int = 12,
+      zThreshold: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lookback >= 2 && minN >= 2 && minN <= lookback,
+      "need 2 <= minN <= lookback")
+    val hourly = events.groupBy(col(typeCol).as("event_type"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-lookback, -1)
+    val stats = hourly.select(col("event_type"), col("hour"), col("cnt"),
+      count(col("cnt")).over(w).as("n"),
+      sum(col("cnt")).over(w).as("sx"),
+      sum(col("cnt") * col("cnt")).over(w).as("sxx"))
+    val nD = col("n").cast("double")
+    val mean = col("sx").cast("double") / nD
+    val vr = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nD) /
+      (nD - lit(1.0))
+    val z = (col("cnt").cast("double") - mean) / sqrt(vr)
+    stats.filter(col("n") >= minN)
+      .withColumn("__vr", vr).withColumn("z", z)
+      .filter(col("__vr") > 0.0 && col("z") >= zThreshold)
+      .select(col("event_type"), col("hour"), col("cnt").cast("long").as("cnt"),
+        col("n").cast("long").as("n"), col("z"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "e1_funnel" -> QueryDef.sql(
       """WITH e AS (
@@ -270,6 +317,75 @@ object Behavior {
         |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
       retentionCohorts(Tables.events(s, d))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // Rolling z-score anomaly detection on the hourly event-rate series:
+    // per (event_type, hour) counts, baseline = the TRAILING 24 present
+    // hours (rows frame, excluding the current row), flag hours whose
+    // count sits ≥ 3 sample-stddevs above the baseline mean. The z
+    // quotient is emitted UNROUNDED: every input to the scalar tree (n,
+    // Σx, Σx²) is an exact integer, so both engines evaluate the
+    // identical correctly-rounded IEEE op sequence — bit-equal doubles
+    // (the same identical-dividend/divisor argument as the avg rule).
+    // `vr > 0` guards the constant-baseline case explicitly: Spark says
+    // NaN ≥ 3 is false but DuckDB sorts NaN above all numbers, so an
+    // unguarded 0/0 would diverge.
+    "e5_anomaly" -> QueryDef.sql(
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, hour, cnt,
+        |    count(cnt) OVER w AS n, sum(cnt) OVER w AS sx,
+        |    sum(cnt * cnt) OVER w AS sxx
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |v AS (
+        |  SELECT event_type, hour, cnt, n,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0::DOUBLE) AS vr
+        |  FROM s WHERE n >= 12)
+        |SELECT event_type, hour, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(n AS BIGINT) AS n,
+        |  (CAST(cnt AS DOUBLE) - mean) / sqrt(vr) AS z
+        |FROM v
+        |WHERE vr > 0.0::DOUBLE
+        |  AND (CAST(cnt AS DOUBLE) - mean) / sqrt(vr) >= 3.0::DOUBLE
+        |ORDER BY event_type, hour""".stripMargin) { (s, d) =>
+      rollingZAnomalies(Tables.events(s, d))
+        .orderBy("event_type", "hour")
+    },
+
+    // Exact triangle count over the co-purchase graph (parts sharing an
+    // order). Spark runs the degree-ordered oriented wedge join
+    // (Graph.triangleCount); the oracle counts the same triangles by the
+    // textbook a<b<c three-way self-join — equality proves orientation
+    // neither loses nor double-counts. Edge derivation uses the in-row
+    // pair explode over per-order part sets (the t26 lesson: order
+    // cardinality is bounded, so pairs never need a self-join shuffle).
+    "g2_triangles" -> QueryDef.sql(
+      """WITH e0 AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)
+        |SELECT
+        |  (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM
+        |    (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+        |     JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+        |ORDER BY n_nodes""".stripMargin) { (s, d) =>
+      val pairs = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
+            struct(x.as("src"), y.as("dst")))))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      Graph.triangleCount(pairs).orderBy("n_nodes")
     }
   )
 }

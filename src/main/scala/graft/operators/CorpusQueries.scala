@@ -276,6 +276,23 @@ object CorpusQueries {
         |ORDER BY tf.doc_id""".stripMargin) { (s, d) =>
       Corpus.dsirWeights(Tables.documents(s, d), targetSource = "src0", buckets = 64)
         .orderBy("doc_id")
+    },
+
+    // Inverted-index build (Relevance.invertedIndex): term → df, cf, and
+    // the doc_id-ordered "id:tf" posting string. minDf=5 prunes the
+    // hapax tail. Postings serialize identically on both engines
+    // (integer ++ ':' concat, comma join, doc_id order).
+    "t31_posting_lists" -> QueryDef.sql(
+      s"""WITH w AS (
+        |  SELECT doc_id, unnest($sqlWords) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM w GROUP BY 1, 2)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS cf,
+        |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY term HAVING count(*) >= 5
+        |ORDER BY term""".stripMargin) { (s, d) =>
+      Relevance.invertedIndex(Tables.documents(s, d), minDf = 5)
+        .orderBy("term")
     }
   )
 }

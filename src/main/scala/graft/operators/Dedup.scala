@@ -383,8 +383,17 @@ object Dedup {
     val candIds = corpus.select(col(idCol), explode(hashes).as("h"))
       .join(broadcast(evalHashes), Seq("h"), "left_semi")
       .select(idCol).distinct()
-    // phase 2 exact verify: shingle STRINGS materialize only for the
-    // candidate docs and the (small) eval set
+    exactContaminationVerify(corpus, evalDocs, candIds, n, idCol, textCol)
+  }
+
+  /** Phase-2 exact verify shared by [[decontaminate]] and
+    * [[bloomDecontaminate]]: shingle STRINGS materialize only for the
+    * candidate docs and the (small) eval set, so any false positive a
+    * hashed/bloomed phase 1 admits is rejected here and the flag is
+    * exact regardless of the candidate generator's precision.
+    */
+  private def exactContaminationVerify(corpus: DataFrame, evalDocs: DataFrame,
+      candIds: DataFrame, n: Int, idCol: String, textCol: String): DataFrame = {
     val evalSh = evalDocs.select(explode(array_distinct(
       TextFunctions.wordShingles(col(textCol), n))).as("g")).distinct()
     val confirmed = corpus.join(candIds, idCol)
@@ -396,6 +405,52 @@ object Dedup {
       .join(confirmed.withColumn("contaminated", lit(true)), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
+  /** [[decontaminate]] with the phase-1 candidate filter compressed into
+    * a Bloom filter — the 100 TB form of the hygiene pass. The broadcast
+    * hash-set semi join ships every distinct eval shingle hash (8 B each
+    * + set overhead) to every executor; a benchmark battery of 10⁸
+    * shingles is multi-GB as a hash set but ~9.6 bits/item as a 1%-fpp
+    * Bloom filter (~120 MB), and the probe becomes a SCAN-LOCAL
+    * predicate — no join, no build side, no shuffle for phase 1. False
+    * positives only ADD candidates (rejected by the exact verify);
+    * false negatives are impossible (Bloom filters have none), so the
+    * result is bit-identical to [[decontaminate]]'s.
+    *
+    * The filter is built distributedly (per-partition Bloom filters
+    * OR-merged), pulled once to the driver (`expectedItems`-sized, not
+    * data-sized), and re-enters the plan as a BINARY LITERAL probed by
+    * Spark's own codegen'd `BloomFilterMightContain` — the expression
+    * the optimizer itself plants for runtime join pruning. Sizing is a
+    * fixed budget rather than a pre-count: an undersized filter only
+    * raises the phase-1 fpp (more verify work, same answer), which is
+    * the right failure mode, and skipping the count saves a full pass
+    * over the eval set.
+    */
+  def bloomDecontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 8,
+      expectedItems: Long = 1L << 22, fpp: Double = 0.01,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      "need expectedItems > 0 and fpp in (0, 1)")
+    val hashes = Sketches.shingleHashArray(
+      TextFunctions.words(col(textCol)), n)
+    val evalHashes = evalDocs.select(explode(hashes).as("h")).distinct()
+    val bloom = evalHashes.stat.bloomFilter("h", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = GraftBridge.toColumn(BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      GraftBridge.toExpression(col("h"))))
+    val candIds = corpus.select(col(idCol), explode(hashes).as("h"))
+      .filter(mightContain)
+      .select(idCol).distinct()
+    exactContaminationVerify(corpus, evalDocs, candIds, n, idCol, textCol)
   }
 
   /** EXACT overlap-coefficient pairs: all (id_a < id_b) with

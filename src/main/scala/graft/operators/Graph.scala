@@ -76,4 +76,65 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact global triangle count over an undirected edge list, by the
+    * degree-ordered wedge join (Schank & Wagner 2005; the MapReduce
+    * formulation of Suri & Vassilvitskii WWW'11): orient every edge from
+    * its (degree, node)-smaller endpoint to the larger, join the
+    * oriented list with itself on the source to form wedges, and close
+    * each wedge against the oriented list. Each triangle {x,y,z} (in
+    * orientation order) is generated exactly once — as the wedge
+    * (x; y, z) closed by edge (y, z) — so the count needs no distinct.
+    *
+    * Why orientation matters at scale: a raw wedge join pays
+    * Σ deg(v)² — a single celebrity node with degree 10⁷ contributes
+    * 10¹⁴ wedges. Orientation bounds every out-degree by O(√m), making
+    * the wedge volume O(m^1.5) WORST case (the optimum for exact
+    * counting) regardless of skew; the wedge filter keeps only
+    * order-respecting out-neighbor pairs, halving the join probe.
+    * All three steps are equi joins on node keys — one shuffle family,
+    * AQE-skew-splittable.
+    *
+    * Returns a single row `(n_nodes, n_edges, n_triangles)`. Self-loops
+    * and duplicate/reverse edges are normalized away first.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      // the wedge join re-reads this THREE times — cut the (possibly
+      // expensive) edge-derivation lineage once, like pageRank's edges
+      .localCheckpoint()
+    // deg is re-read lazily by the final n_nodes aggregate — checkpoint
+    // it (one row per node) so releasing `und` below can't strand it
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(lower, col("a")).otherwise(col("b")).as("u"),
+        when(lower, col("b")).otherwise(col("a")).as("v"),
+        when(lower, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint()
+    Dedup.release(und)
+    val wedges = oriented.select(col("u"), col("v"), col("dv"))
+      .join(oriented.select(col("u"), col("v").as("w"), col("dv").as("dw")),
+        Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedges
+      .join(oriented.select(col("u").as("v"), col("v").as("w")),
+        Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
+    val nEdges = oriented.agg(count(lit(1)).cast("long").as("n_edges"))
+    broadcast(nNodes).join(broadcast(nEdges)).join(tri)
+  }
 }

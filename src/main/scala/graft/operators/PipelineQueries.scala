@@ -776,6 +776,42 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // d10's contract with phase 1 compressed into a Bloom filter
+    // (Dedup.bloomDecontaminate — scan-local BloomFilterMightContain
+    // probe instead of the broadcast hash-set semi join). The oracle is
+    // d10's, UNCHANGED: equality proves bloom false positives never
+    // survive the exact verify, and that the filter admits every true
+    // collision (no false negatives). expectedItems is deliberately
+    // modest at probe scale so the filter stays a few hundred KB.
+    "d14_bloom_decontaminate" -> QueryDef.sql(
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(range(len(w) - 7),
+        |                i -> array_to_string(list_slice(w, i + 1, i + 8), ' ')) END) AS g
+        |  FROM ws),
+        |ev AS (SELECT DISTINCT unnest(g) AS t FROM sh WHERE doc_id % 7 = 0),
+        |hits AS (
+        |  SELECT DISTINCT p.doc_id
+        |  FROM (SELECT doc_id, unnest(g) AS t FROM sh WHERE doc_id % 7 <> 0) p
+        |  JOIN ev USING (t))
+        |SELECT s.doc_id, s.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+        |FROM sh s WHERE s.doc_id % 7 <> 0
+        |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.bloomDecontaminate(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0), n = 8,
+          expectedItems = 1L << 16)
+        .orderBy("doc_id")
+    },
+
     // Duplicated-span statistics (Lee et al. 2021 exact-substring-dedup
     // signal): fraction of each document's position-indexed word 8-gram
     // windows whose content occurs at ≥2 positions corpus-wide. The

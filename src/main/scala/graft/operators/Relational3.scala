@@ -120,6 +120,26 @@ object Relational3 {
         .orderBy("n_regionkey")
     },
 
+    // ---- equi-width histogram -------------------------------------------
+    // bin = floor(price / width): 2-d.p. inputs sit ≥ 0.01 from any bin
+    // boundary they don't exactly hit (relative 1e-6 ≫ an ulp), and
+    // exact multiples divide exactly in IEEE — floor is engine-stable.
+    // The standard profiling/quality-report primitive: one hash agg,
+    // map-side combinable, output rows = bin count regardless of scale.
+    "a22_histogram" -> QueryDef.sql(
+      """SELECT CAST(floor(l_extendedprice / 5000.0::DOUBLE) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / 5000.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi"))
+        .orderBy("bin")
+    },
+
     // ---- approximate count-distinct (HLL++): rows-only check ------------
     // (approx result is engine-specific; the ScalaTest asserts the ±5%
     // error bound against the exact count instead)

@@ -109,4 +109,31 @@ object Relevance {
       .select(col(idCol), col("term"), col("tf").cast("long").as("tf"),
         col("df").cast("long").as("df"), col("dl"), col("score"))
   }
+
+  /** Inverted index: one row per term with document frequency, collection
+    * frequency, and the doc_id-ordered posting list serialized as
+    * `"id:tf,id:tf,…"` — the retrieval-side artifact BM25/TF-IDF serve
+    * from (and the string form is portable across engines and sinks).
+    *
+    * Scale: one (doc, term) hash agg (map-side combine absorbs
+    * within-doc repeats) then one term-key agg. Posting lists are
+    * per-term rows — write the output `partitionBy`/bucketed on a term
+    * hash and lookups prune to one partition. `minDf` bounds the
+    * vocabulary tail (hapax terms are most of a web corpus's distinct
+    * tokens but serve no retrieval purpose); a head-term posting list
+    * can reach corpus size — production layouts split postings into
+    * fixed-size blocks per term (block id = doc_id range), which keeps
+    * rows bounded without changing this plan's shape.
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long = 1, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    termFrequencies(docs, idCol, textCol)
+      .groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df"),
+        sum("tf").cast("long").as("cf"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col(idCol), col("tf")))),
+            e => concat_ws(":", e.getField(idCol), e.getField("tf"))))
+          .as("postings"))
+      .filter(col("df") >= minDf)
 }

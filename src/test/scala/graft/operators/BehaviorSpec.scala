@@ -103,4 +103,33 @@ class BehaviorSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(
       ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 2L, 1L)))
   }
+
+  test("rollingZAnomalies flags only the injected spike; warm-up and zero-variance guarded") {
+    import org.apache.spark.sql.functions._
+    // 30 hours of alternating 9/11 counts (baseline mean 10, var 24/23),
+    // with hour 25 spiked to 30 → z ≈ 19.6; later hours see the spike in
+    // their baseline (large variance) and must NOT flag
+    def series(spike: Boolean) = (0 until 30).flatMap { h =>
+      val n = if (spike && h == 25) 30 else if (h % 2 == 0) 9 else 11
+      Seq.fill(n)(h.toLong)
+    }
+    def mkDf(spike: Boolean) = series(spike).toDF("h")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("h") * 3600))
+      .withColumn("event_type", lit("A"))
+    val flagged = Behavior.rollingZAnomalies(mkDf(spike = true)).collect()
+    assert(flagged.length === 1)
+    val row = flagged.head
+    assert(row.getLong(2) === 30L) // cnt
+    assert(row.getLong(3) === 24L) // full lookback window
+    assert(row.getDouble(4) > 15.0 && row.getDouble(4) < 25.0)
+
+    // without the spike nothing crosses z ≥ 3
+    assert(Behavior.rollingZAnomalies(mkDf(spike = false)).isEmpty)
+
+    // constant series: zero variance must be excluded, not NaN/Inf-flagged
+    val flat = (0 until 30).flatMap(h => Seq.fill(10)(h.toLong)).toDF("h")
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("h") * 3600))
+      .withColumn("event_type", lit("B"))
+    assert(Behavior.rollingZAnomalies(flat).isEmpty)
+  }
 }

@@ -210,6 +210,23 @@ class DedupSpec extends AnyFunSuite {
     assert(naive.nonEmpty, "slice should contain at least one near-dup pair")
   }
 
+  test("bloomDecontaminate ≡ decontaminate (bloom phase 1 changes cost, never the answer)") {
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+      .filter(col("doc_id") < 250)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val eval = docs.filter(col("doc_id") % 7 === 0)
+    val exact = Dedup.decontaminate(corpus, eval, n = 8)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    // a deliberately UNDERSIZED filter (high fpp): extra phase-1
+    // candidates must still be rejected by the exact verify
+    val bloomed = Dedup.bloomDecontaminate(corpus, eval, n = 8,
+        expectedItems = 64, fpp = 0.2)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(bloomed === exact)
+    assert(exact.exists(_.contains("true")),
+      "fixture should contain at least one contaminated doc")
+  }
+
   test("overlapPairs equals the naive quadratic overlap join (100% recall)") {
     val corpus = graft.Tables.documents(spark, TestSpark.sfDir)
       .filter(col("doc_id") < 120)

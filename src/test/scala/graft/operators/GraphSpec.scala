@@ -59,4 +59,41 @@ class GraphSpec extends AnyFunSuite {
       .orderBy("node").collect().map(r => (r.getString(0), r.getDouble(1)))
     assert(a.toSeq === b.toSeq)
   }
+
+  private def triples(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+    val r = df.collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("triangleCount: K4, star, and a messy graph with loops/reverses/dups") {
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a != b }
+      yield (a.toLong, b.toLong)).toDF("src", "dst")
+    assert(triples(Graph.triangleCount(k4)) === ((4L, 6L, 4L)))
+
+    val star = (2L to 9L).map(i => (1L, i)).toDF("src", "dst")
+    assert(triples(Graph.triangleCount(star)) === ((9L, 8L, 0L)))
+
+    // one triangle 1-2-3, plus self-loops and reverse duplicates that
+    // normalization must fold away
+    val messy = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L),
+      (1L, 3L), (3L, 3L)).toDF("src", "dst")
+    assert(triples(Graph.triangleCount(messy)) === ((3L, 3L, 1L)))
+  }
+
+  test("triangleCount matches brute force on a pseudo-random graph") {
+    val raw = (1 to 300).map(i => ((i * 17 % 37).toLong, (i * 31 % 37).toLong))
+    val und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct
+    val es = und.toSet
+    val ns = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var expected = 0L
+    for {
+      i <- ns.indices; j <- i + 1 until ns.size; k <- j + 1 until ns.size
+      if es((ns(i), ns(j))) && es((ns(j), ns(k))) && es((ns(i), ns(k)))
+    } expected += 1
+    val (nn, ne, nt) = triples(Graph.triangleCount(raw.toDF("src", "dst")))
+    assert(nn === ns.size.toLong)
+    assert(ne === und.size.toLong)
+    assert(nt === expected)
+  }
 }

@@ -147,4 +147,19 @@ class RelevanceSpec extends AnyFunSuite {
     // sqrt(75/300) = 0.5 ⇒ ~half of 'small' survives the md5 gate
     assert(kept("small") > 15 && kept("small") < 60)
   }
+
+  test("invertedIndex: doc-ordered postings, df/cf counts, minDf prune") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "a b a"), (1L, "b c"), (2L, "a")).toDF("doc_id", "text")
+    val out = Relevance.invertedIndex(docs).orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      ("a", 2L, 3L, "2:1,3:2"),
+      ("b", 2L, 2L, "1:1,3:1"),
+      ("c", 1L, 1L, "1:1")))
+    val pruned = Relevance.invertedIndex(docs, minDf = 2)
+      .select("term").collect().map(_.getString(0)).sorted
+    assert(pruned.toSeq === Seq("a", "b"))
+  }
 }
