@@ -158,4 +158,50 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
       s"chunking must stay a scan-local map:\n$p")
   }
+
+  test("j10 interval overlap is an EQUI join — the binning defeats the nested loop") {
+    // the naive s1<=e2 AND s2<=e1 predicate would plan BroadcastNestedLoop;
+    // the whole point of the binned formulation is that it cannot
+    val df = SparkEntry.queries("j10_interval_overlap")(spark, d)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degraded to a nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"binned interval join should be a hash/merge join:\n$p")
+  }
+
+  test("d14 bloom phase 1 is scan-local: candidates come from a filter, not a join") {
+    val df = SparkEntry.queries("d14_bloom_decontaminate")(spark, d)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"bloom probe expression missing from the executed plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bloom decontamination must stay equi-join-only:\n$p")
+    // joins remain only in the exact-verify phase and final flag join —
+    // strictly fewer than d10, which also joins for phase-1 candidates
+    val joins = "Join".r.findAllIn(p).length
+    val d10 = {
+      val q = SparkEntry.queries("d10_decontaminate")(spark, d)
+      q.write.mode("overwrite").format("noop").save()
+      "Join".r.findAllIn(q.queryExecution.executedPlan.toString).length
+    }
+    assert(joins < d10,
+      s"bloom phase 1 should remove the candidate join ($joins vs d10's $d10)")
+  }
+
+  test("g2 triangles: wedge/closure joins are hash joins, never a product") {
+    val df = SparkEntry.queries("g2_triangles")(spark, d)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"triangle counting must never plan a cartesian product:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"wedge/closure joins should be hash/merge joins:\n$p")
+    // the only keyless joins allowed are the two 1-row scalar-summary
+    // combinators (n_nodes × n_edges × n_triangles)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 2, s"unexpected nested-loop joins beyond the 1-row summaries:\n$p")
+  }
 }
