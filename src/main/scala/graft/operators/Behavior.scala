@@ -358,6 +358,48 @@ object Behavior {
         .orderBy("event_type", "hour")
     },
 
+    // Last-touch attribution: for each purchase, the latest non-purchase
+    // event (the "channel") at-or-before it for the same user, plus the
+    // delay in whole seconds — the SCD2/as-of composition every
+    // marketing-analytics stack runs. Spark is the one-shuffle
+    // union+window as-of (AsOf.asofJoin); the oracle is DuckDB's native
+    // ASOF LEFT JOIN. Context rows are pre-deduped per (user, ts) by max
+    // event_id: both engines' as-ofs pick an ARBITRARY build row on
+    // exact-tie timestamps, so the contract dedups them away.
+    "e6_last_touch" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |ctx AS (
+        |  SELECT user_id, event_type, ts FROM (
+        |    SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM e WHERE event_type <> 'purchase') WHERE rn = 1),
+        |p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, c.event_type AS channel,
+        |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS delay_s
+        |FROM p ASOF LEFT JOIN ctx c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+      val rn = row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc))
+      val ctx = e.filter(col("event_type") =!= "purchase")
+        .withColumn("__rn", rn).filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_type").as("channel"), col("ts").as("ctx_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      AsOf.asofJoin(purchases, ctx, keys = Seq("user_id"), tsCol = "ts",
+          carry = Seq("channel", "ctx_ts"))
+        .select(col("user_id"), col("event_id"),
+          col("asof_channel").as("channel"),
+          expr("(unix_micros(ts) - unix_micros(asof_ctx_ts)) div 1000000")
+            .as("delay_s"))
+        .orderBy("event_id")
+    },
+
     // Exact triangle count over the co-purchase graph (parts sharing an
     // order). Spark runs the degree-ordered oriented wedge join
     // (Graph.triangleCount); the oracle counts the same triangles by the

@@ -140,6 +140,53 @@ object Relational3 {
         .orderBy("bin")
     },
 
+    // ---- per-group OLS regression from exact integer sums ----------------
+    // slope/intercept of price-in-CENTS on quantity: the inputs are
+    // integer-valued (quantity) and 2-d.p. (price), so ×100 + round gives
+    // EXACT BIGINT sums (n, Σx, Σy, Σxy, Σx² all < 2^53) and the
+    // slope/intercept scalar trees are bit-identical cross-engine — the
+    // e5 recipe applied to regression (never regr_slope, whose partial
+    // -merge op order is engine-private). Σy² (r²) would overflow the
+    // exact-integer window at corpus scale and is deliberately omitted.
+    "a23_regression" -> QueryDef.sql(
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)
+        |           * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxy,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)
+        |           * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag),
+        |t AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents
+        |  FROM s)
+        |SELECT l_returnflag, n, slope_cents,
+        |  (CAST(sy AS DOUBLE) - slope_cents * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS icept_cents
+        |FROM t ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val x = round(col("l_quantity")).cast("long")
+      val y = round(col("l_extendedprice") * 100).cast("long")
+      val agg = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      val nD = col("n").cast("double")
+      val slope = (nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (nD * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      agg.withColumn("slope_cents", slope)
+        .select(col("l_returnflag"), col("n"), col("slope_cents"),
+          ((col("sy").cast("double") -
+            col("slope_cents") * col("sx").cast("double")) /
+            col("n").cast("double")).as("icept_cents"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- approximate count-distinct (HLL++): rows-only check ------------
     // (approx result is engine-specific; the ScalaTest asserts the ±5%
     // error bound against the exact count instead)

@@ -211,6 +211,36 @@ object Relational4 {
         .orderBy("event_id")
     },
 
+    // ---- gaps-and-islands: longest consecutive-active-day streak --------
+    // the classic islands trick: day_number − row_number is constant
+    // within a consecutive run, so runs fall out of one hash agg on the
+    // derived group key. Windows run on the DEDUPED per-user day grid
+    // (bounded by calendar days, not event volume).
+    "w10_streaks" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |r AS (
+        |  SELECT user_id, day,
+        |    date_diff('day', DATE '1970-01-01', day)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d),
+        |s AS (SELECT user_id, count(*) AS len FROM r GROUP BY user_id, grp)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak,
+        |  CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val grp = datediff(col("day"), lit("1970-01-01")).cast("long") -
+        row_number().over(Window.partitionBy("user_id").orderBy("day"))
+      days.withColumn("grp", grp)
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(max(col("len")).as("max_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    },
+
     // ---- band (range) join: equi key + date-interval residual -----------
     "j9_band_join" -> QueryDef.sql(
       """SELECT o.o_orderkey, count(*) AS n_within
