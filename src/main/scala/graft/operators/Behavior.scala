@@ -125,6 +125,67 @@ object Behavior {
         col("valid_to").cast("timestamp_ntz"))
   }
 
+  /** Incremental SCD2 merge: fold an append-only batch of new events
+    * into an existing interval table WITHOUT recomputing untouched
+    * users. Contract: every new event for a user occurs strictly after
+    * all of that user's existing boundaries (the append-only feed case —
+    * out-of-order history would need the dropped non-change events to
+    * re-split runs, which no interval table can reconstruct).
+    *
+    *  - users absent from the batch pass through UNTOUCHED (left-anti) —
+    *    at 100 TB this is the entire win: a daily batch touches a tiny
+    *    user fraction, and partition-pruned storage makes the rewrite
+    *    proportional to the batch, not the history;
+    *  - affected users' intervals replay as pseudo change events
+    *    (lossless — intervals ARE the change points) unioned with the
+    *    new events, through the same [[scdIntervals]] window; run
+    *    continuation falls out of the consecutive-state dedup (a batch
+    *    opening with the still-open state keeps the OLD valid_from).
+    *
+    * Correctness contract (the e7 probe): merge(intervals(old), new)
+    * ≡ intervals(old ∪ new) row-for-row.
+    */
+  def scdMerge(existing: DataFrame, newEvents: DataFrame,
+      userCol: String = "user_id", stateCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val affected = newEvents.select(col(userCol)).distinct()
+    val untouched = existing.join(affected, Seq(userCol), "left_anti")
+    val touchedOld = existing.join(affected, Seq(userCol), "left_semi")
+    // pseudo id −1: new events are strictly later under the contract, so
+    // (ts, id) ties with real events cannot arise
+    val pseudo = touchedOld.select(col(userCol),
+      col("state").as(stateCol),
+      col("valid_from").cast("timestamp").as(tsCol),
+      lit(-1L).as(idCol))
+    val replayed = scdIntervals(
+      pseudo.unionByName(newEvents.select(col(userCol), col(stateCol),
+        col(tsCol), col(idCol))),
+      userCol, stateCol, tsCol, idCol)
+    untouched.unionByName(replayed)
+  }
+
+  /** Exact trailing-`windowDays` rolling distinct active users (the
+    * WAU/MAU primitive) per calendar day: each (user, active day)
+    * contributes to the `windowDays` window-end days it falls in, so the
+    * exact distinct becomes explode(×windowDays) → one (user, window-day)
+    * dedup shuffle → a map-combinable count — the standard scalable
+    * formulation (sliding distinct cannot pre-aggregate, so the explode
+    * factor IS the cost, linear and bounded by the window length).
+    * Emitted days are clipped to the observed day range (trailing
+    * windows at the head are naturally partial).
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, "windowDays must be at least 1")
+    val d = events.select(col(userCol), to_date(col(tsCol)).as("day")).distinct()
+    val maxDay = broadcast(d.agg(max(col("day")).as("__mx")))
+    d.withColumn("wday", explode(expr(
+        s"sequence(day, date_add(day, ${windowDays - 1}), interval 1 day)")))
+      .join(maxDay).filter(col("wday") <= col("__mx"))
+      .groupBy("wday")
+      .agg(countDistinct(col(userCol)).as("wau"))
+  }
+
   /** Rolling z-score anomaly flags on the hourly event-rate series: per
     * (`typeCol`, hour) counts; baseline = the trailing `lookback`
     * PRESENT hours (rows frame excluding the current row — absent hours
@@ -356,6 +417,52 @@ object Behavior {
         |ORDER BY event_type, hour""".stripMargin) { (s, d) =>
       rollingZAnomalies(Tables.events(s, d))
         .orderBy("event_type", "hour")
+    },
+
+    // Incremental SCD2 merge ≡ full recompute: existing = intervals from
+    // events before Jan 24, batch = the rest; the oracle is e4's FULL
+    // SQL over all events — row equality proves the merge is exact and
+    // the untouched-user passthrough loses nothing.
+    "e7_scd2_merge" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS ts,
+        |         event_id
+        |  FROM events),
+        |c AS (
+        |  SELECT *, lag(state) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |s AS (SELECT user_id, state, ts, event_id FROM c
+        |      WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id, state, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM s
+        |ORDER BY user_id, valid_from, state""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val cut = lit("2024-01-24 00:00:00").cast("timestamp")
+      val existing = scdIntervals(e.filter(col("ts") < cut))
+      scdMerge(existing, e.filter(col("ts") >= cut))
+        .orderBy("user_id", "valid_from", "state")
+    },
+
+    // Exact trailing-7-day rolling distinct active users (WAU) per
+    // calendar day — explode each active (user, day) into the 7
+    // window-end days it reaches, dedup, count. The oracle unnests the
+    // same series relationally.
+    "e8_rolling_wau" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |      CAST(day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS wday
+        |  FROM d),
+        |m AS (SELECT max(day) AS mx FROM d)
+        |SELECT wday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM w, m WHERE wday <= mx
+        |GROUP BY wday ORDER BY wday""".stripMargin) { (s, d) =>
+      rollingActiveUsers(Tables.events(s, d), windowDays = 7)
+        .orderBy("wday")
     },
 
     // Last-touch attribution: for each purchase, the latest non-purchase

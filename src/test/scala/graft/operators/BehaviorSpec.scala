@@ -104,6 +104,42 @@ class BehaviorSpec extends AnyFunSuite {
       ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 2L, 1L)))
   }
 
+  test("scdMerge ≡ full recompute: continuation keeps old valid_from, untouched users pass") {
+    val old = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "view", ts("2024-01-01 11:00:00"), 2L), // non-change, dropped
+      (1L, "click", ts("2024-01-01 12:00:00"), 3L),
+      (2L, "view", ts("2024-01-01 09:00:00"), 4L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val batch = Seq(
+      (1L, "click", ts("2024-01-02 08:00:00"), 5L), // continues the open run
+      (1L, "view", ts("2024-01-02 09:00:00"), 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val merged = Behavior.scdMerge(Behavior.scdIntervals(old), batch)
+      .orderBy("user_id", "valid_from", "state").collect().map(_.toString)
+    val full = Behavior.scdIntervals(old.unionByName(batch))
+      .orderBy("user_id", "valid_from", "state").collect().map(_.toString)
+    assert(merged.toSeq === full.toSeq)
+    // the continued 'click' run must keep its ORIGINAL start (12:00, not
+    // the batch's 08:00) — the run-stitch is the merge's hard case
+    assert(merged.exists(r => r.contains("click") && r.contains("12:00")))
+    assert(merged.count(_.startsWith("[2,")) === 1) // user 2 untouched
+  }
+
+  test("rollingActiveUsers: trailing window counts, clipped at the observed max day") {
+    import org.apache.spark.sql.functions._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 11:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Behavior.rollingActiveUsers(events, windowDays = 2)
+      .orderBy("wday").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    // window=2: day X counts users active on X-1 or X; clipped at Jan 3
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 2L), ("2024-01-02", 2L), ("2024-01-03", 1L)))
+  }
+
   test("rollingZAnomalies flags only the injected spike; warm-up and zero-variance guarded") {
     import org.apache.spark.sql.functions._
     // 30 hours of alternating 9/11 counts (baseline mean 10, var 24/23),
