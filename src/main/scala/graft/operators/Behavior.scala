@@ -24,16 +24,24 @@ object Behavior {
     * monotonically non-increasing by construction.
     */
   def funnel(events: DataFrame, steps: Seq[String], userCol: String = "user_id",
-      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+      typeCol: String = "event_type", tsCol: String = "ts",
+      maxDelayMinutes: Option[Int] = None): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")
+    require(maxDelayMinutes.forall(_ > 0), "maxDelayMinutes must be positive")
     val stepTimes = steps.zipWithIndex.drop(1).foldLeft(
       events.filter(col(typeCol) === steps.head)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))) {
       case (wide, (step, i)) =>
+        // windowed variant: the qualifying step-i event must land within
+        // maxDelay of the step-(i−1) time (per-step window, the standard
+        // conversion-window contract), not merely after it
+        val within = maxDelayMinutes.map(m =>
+          col(tsCol) <= col(s"t$i") + expr(s"INTERVAL $m MINUTES"))
+          .getOrElse(lit(true))
         val next = events.filter(col(typeCol) === step)
           .select(col(userCol), col(tsCol))
           .join(wide.select(col(userCol), col(s"t$i")), Seq(userCol))
-          .filter(col(tsCol) > col(s"t$i"))
+          .filter(col(tsCol) > col(s"t$i") && within)
           .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t${i + 1}"))
         wide.join(next, Seq(userCol), "left")
     }
@@ -124,6 +132,29 @@ object Behavior {
         col("valid_from").cast("timestamp_ntz"),
         col("valid_to").cast("timestamp_ntz"))
   }
+
+  /** Time-in-state from the SCD2 intervals: per state, the number of
+    * CLOSED intervals, total dwell seconds, and the mean dwell — the
+    * state-duration report every state-machine/session analysis needs.
+    * Open intervals are excluded (their duration is right-censored; a
+    * production report would cap them at the watermark — documented
+    * choice, not an accident). Dwell sums are exact integer seconds
+    * (µs diff, integer division), so `avg_s` is the one unrounded
+    * bit-identical quotient.
+    */
+  def stateDwell(events: DataFrame, userCol: String = "user_id",
+      stateCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame =
+    scdIntervals(events, userCol, stateCol, tsCol, idCol)
+      .filter(col("valid_to").isNotNull)
+      .withColumn("dwell_s", expr(
+        "(unix_micros(cast(valid_to as timestamp)) - " +
+          "unix_micros(cast(valid_from as timestamp))) div 1000000"))
+      .groupBy("state")
+      .agg(count(lit(1)).as("n_intervals"), sum(col("dwell_s")).as("total_s"))
+      .select(col("state"), col("n_intervals"), col("total_s"),
+        (col("total_s").cast("double") / col("n_intervals").cast("double"))
+          .as("avg_s"))
 
   /** Incremental SCD2 merge: fold an append-only batch of new events
     * into an existing interval table WITHOUT recomputing untouched
@@ -417,6 +448,54 @@ object Behavior {
         |ORDER BY event_type, hour""".stripMargin) { (s, d) =>
       rollingZAnomalies(Tables.events(s, d))
         .orderBy("event_type", "hour")
+    },
+
+    // Time-in-state report: closed SCD2 intervals only; exact integer
+    // dwell seconds; avg_s is the unrounded quotient of exact ints.
+    "e9_state_dwell" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS ts,
+        |         event_id FROM events),
+        |c AS (SELECT *, lag(state) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |s AS (SELECT user_id, state, ts, event_id FROM c
+        |      WHERE prev IS NULL OR prev <> state),
+        |i AS (SELECT user_id, state, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS valid_to FROM s)
+        |SELECT state, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum((epoch_us(valid_to) - epoch_us(valid_from)) // 1000000)
+        |    AS BIGINT) AS total_s,
+        |  CAST(sum((epoch_us(valid_to) - epoch_us(valid_from)) // 1000000)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_s
+        |FROM i WHERE valid_to IS NOT NULL
+        |GROUP BY state ORDER BY state""".stripMargin) { (s, d) =>
+      stateDwell(Tables.events(s, d)).orderBy("state")
+    },
+
+    // Funnel with a per-step conversion window (120 min): step i counts
+    // only within maxDelay of step i−1 — the windowed-conversion
+    // contract every product funnel actually uses.
+    "e10_windowed_funnel" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND e.ts > t1
+        |         AND e.ts <= t1 + INTERVAL 120 MINUTE GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND e.ts > t2
+        |         AND e.ts <= t2 + INTERVAL 120 MINUTE GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS step_idx, 'view' AS step,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM s1) AS users
+        |  UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3))
+        |ORDER BY step_idx""".stripMargin) { (s, d) =>
+      funnel(Tables.events(s, d), Seq("view", "click", "purchase"),
+          maxDelayMinutes = Some(120))
+        .orderBy("step_idx")
     },
 
     // Incremental SCD2 merge ≡ full recompute: existing = intervals from

@@ -114,6 +114,52 @@ object Corpus {
       .limit(k)
   }
 
+  /** Collocation mining: pointwise mutual information of adjacent word
+    * pairs (Church & Hanks 1990), PMI = ln(p(xy) / (p(x)·p(y))) with
+    * p(xy) = c_xy/B over true adjacent bigrams and p(x) = c_x/N over the
+    * full token stream. High-PMI pairs are multiword expressions
+    * ("new york") — the standard signal for tokenizer/vocab curation.
+    *
+    * Docs with fewer than two words are excluded from the bigram stream
+    * BEFORE the fused shingle expression so its partial-shingle rule
+    * cannot inject whole-short-docs as fake bigrams. All counts are
+    * exact integers; the PMI argument is one fixed left-associated
+    * double tree, and the 2-d.p. rounding (+0.0 to normalize −0.0)
+    * absorbs cross-engine `ln` ulps — the t21/t24 recipe.
+    *
+    * Scale: two hash aggs (bigrams, unigrams) + one small join of the
+    * minCount-pruned bigram table against the vocabulary — the pruned
+    * side is broadcastable by construction (min-count tables are tiny
+    * relative to the corpus).
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, "minCount must be positive")
+    val ws = graft.functions.TextFunctions.words(col(textCol))
+    val bigrams = docs.select(ws.as("__ws"), col(textCol))
+      .filter(size(col("__ws")) >= 2)
+      .select(explode(
+        graft.functions.Sketches.wordShinglesText(col(textCol), 2)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+    val uni = docs.select(explode(ws).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bTot = broadcast(bigrams.agg(sum(col("cnt")).as("b")))
+    val nTot = broadcast(uni.agg(sum(col("c")).as("n")))
+    val pruned = bigrams.filter(col("cnt") >= minCount)
+      .withColumn("__x", split(col("ngram"), " ")(0))
+      .withColumn("__y", split(col("ngram"), " ")(1))
+    pruned
+      .join(uni.select(col("w").as("__x"), col("c").as("cx")), Seq("__x"))
+      .join(uni.select(col("w").as("__y"), col("c").as("cy")), Seq("__y"))
+      .join(bTot).join(nTot)
+      .select(col("ngram"), col("cnt").cast("long").as("cnt"),
+        (round(log(
+          (col("cnt").cast("double") * col("n").cast("double") *
+            col("n").cast("double")) /
+          (col("b").cast("double") * col("cx").cast("double") *
+            col("cy").cast("double"))), 2) + lit(0.0)).as("pmi"))
+  }
+
   /** k-nearest-neighbor label vote over the embedding table: for every
     * vector with vec_id < `idCap`, the majority label among its `k`
     * nearest neighbors (cosine, rounded 6 d.p. before ranking; ties →

@@ -278,6 +278,36 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // PMI collocations (Corpus.pmiBigrams): true adjacent bigrams only
+    // (short docs excluded BEFORE the fused shingle expr), exact integer
+    // counts, one fixed left-associated double tree inside ln, 2-d.p.
+    // round + 0.0 normalization (the t21/t24 ln recipe).
+    "t33_pmi_bigrams" -> QueryDef.sql(
+      s"""WITH w AS (SELECT $sqlWords AS ws FROM documents),
+        |big AS (
+        |  SELECT unnest(list_transform(range(len(ws) - 1),
+        |    i -> ws[i+1] || ' ' || ws[i+2])) AS ngram
+        |  FROM w WHERE len(ws) >= 2),
+        |bc AS (SELECT ngram, count(*) AS cnt FROM big GROUP BY ngram),
+        |bt AS (SELECT sum(cnt) AS b FROM bc),
+        |uc AS (SELECT w AS word, count(*) AS c
+        |       FROM (SELECT unnest(ws) AS w FROM w) GROUP BY word),
+        |ut AS (SELECT sum(c) AS n FROM uc)
+        |SELECT bc.ngram, CAST(bc.cnt AS BIGINT) AS cnt,
+        |  round(ln((CAST(bc.cnt AS DOUBLE) * CAST(n AS DOUBLE)
+        |            * CAST(n AS DOUBLE))
+        |         / (CAST(b AS DOUBLE) * CAST(cx.c AS DOUBLE)
+        |            * CAST(cy.c AS DOUBLE))), 2) + 0.0::DOUBLE AS pmi
+        |FROM bc
+        |JOIN uc cx ON cx.word = string_split(bc.ngram, ' ')[1]
+        |JOIN uc cy ON cy.word = string_split(bc.ngram, ' ')[2],
+        |bt, ut
+        |WHERE bc.cnt >= 5
+        |ORDER BY ngram""".stripMargin) { (s, d) =>
+      Corpus.pmiBigrams(Tables.documents(s, d), minCount = 5)
+        .orderBy("ngram")
+    },
+
     // Inverted-index build (Relevance.invertedIndex): term → df, cf, and
     // the doc_id-ordered "id:tf" posting string. minDf=5 prunes the
     // hapax tail. Postings serialize identically on both engines

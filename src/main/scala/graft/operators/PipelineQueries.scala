@@ -148,6 +148,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Per-ROW weighted Bernoulli gate (Scale.weightedSample): keep rate =
+    // (n_chars % 1000)/1000 — varied, deterministic, and ×1000 lands
+    // within an ulp of an integer so `round` can never face a .5 half
+    // cross-engine. The oracle mirrors the gate AND the threshold tree.
+    "t32_weighted_sample" -> QueryDef.sql(
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 8)
+        |        AS UBIGINT) % 1000
+        |  < greatest(0, least(1000, CAST(round(
+        |      CAST(n_chars % 1000 AS DOUBLE) / 1000.0::DOUBLE * 1000.0::DOUBLE)
+        |      AS BIGINT)))
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Scale.weightedSample(Tables.documents(s, d),
+          (col("n_chars") % 1000).cast("double") / lit(1000.0))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // corpus vocabulary: explode → hash-agg → top-k. At 100 TB this is the
     // classic word-count shape: Generate (no shuffle) → partial agg on
     // every mapper → single narrow final agg → TakeOrdered.

@@ -247,6 +247,26 @@ object Scale {
       idCol, seed)
   }
 
+  /** Per-ROW weighted Bernoulli sampling: keep each row with probability
+    * `rateCol` (a [0,1] column — typically a quality/importance score),
+    * via the same deterministic md5-permille gate as the stratified
+    * sampler (engine-portable, seed-stable, no RNG, no shuffle — a
+    * scan-local filter). This is score-proportional downsampling: the
+    * per-stratum gate decides by GROUP, this one decides by ROW, which
+    * is what quality-weighted corpus thinning actually needs. Rates are
+    * clamped to [0, 1] and resolve at 1/1000 (a rate below 0.0005 drops
+    * the row — by design, same resolution as the stratified gate).
+    */
+  def weightedSample(df: DataFrame, rateCol: Column,
+      idCol: String = "doc_id", seed: Long = 42L): DataFrame = {
+    val gate = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit("#" + seed))), 1, 8),
+      16, 10).cast("long") % 1000
+    val thr = greatest(lit(0L),
+      least(lit(1000L), round(rateCol.cast("double") * 1000).cast("long")))
+    df.filter(gate < thr)
+  }
+
   /** Temperature-based source rebalancing (the multilingual-mix rule of
     * Conneau & Lample 2019 / Devlin et al.'s mBERT: sample stratum s
     * with probability ∝ count(s)^α, α = 1/T < 1 flattening the head):

@@ -104,6 +104,41 @@ class BehaviorSpec extends AnyFunSuite {
       ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 2L, 1L)))
   }
 
+  test("windowed funnel: conversions outside the per-step window don't count") {
+    val events = Seq(
+      // user 1 converts fully within 10-minute windows
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:12:00")),
+      // user 2 clicks 30 min after viewing — outside a 10-minute window
+      (2L, "view", ts("2024-01-01 09:00:00")),
+      (2L, "click", ts("2024-01-01 09:30:00")),
+      (2L, "purchase", ts("2024-01-01 09:31:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val steps = Seq("view", "click", "purchase")
+    val unwindowed = Behavior.funnel(events, steps)
+      .orderBy("step_idx").collect().map(_.getLong(2))
+    assert(unwindowed.toSeq === Seq(2L, 2L, 2L))
+    val windowed = Behavior.funnel(events, steps, maxDelayMinutes = Some(10))
+      .orderBy("step_idx").collect().map(_.getLong(2))
+    assert(windowed.toSeq === Seq(2L, 1L, 1L))
+    // user 2 must also not count at step 3 even though purchase follows
+    // click within 10 min — the funnel died at step 2
+  }
+
+  test("stateDwell: closed intervals only, exact second sums") {
+    val events = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "b", ts("2024-01-01 10:01:30"), 2L), // a dwelt 90 s
+      (1L, "a", ts("2024-01-01 10:02:30"), 3L), // b dwelt 60 s; a open
+      (2L, "a", ts("2024-01-01 11:00:00"), 4L),
+      (2L, "b", ts("2024-01-01 11:00:30"), 5L)  // a dwelt 30 s; b open
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Behavior.stateDwell(events).orderBy("state").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(("a", 2L, 120L, 60.0), ("b", 1L, 60L, 60.0)))
+  }
+
   test("scdMerge ≡ full recompute: continuation keeps old valid_from, untouched users pass") {
     val old = Seq(
       (1L, "view", ts("2024-01-01 10:00:00"), 1L),

@@ -253,4 +253,22 @@ class CorpusSpec extends AnyFunSuite {
     val b = Corpus.dsirWeights(docs.repartition(7), "tgt").orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("pmiBigrams: collocated pair scores high, independent pair low, short docs excluded") {
+    import spark.implicits._
+    // "x y" always adjacent (perfect collocation); "p"/"q" occur often
+    // but never adjacent to each other except once
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "x y filler" + i)) ++
+      (11 to 20).map(i => (i.toLong, "p filler" + i + " q other")) ++
+      Seq((21L, "p q"), (22L, "solo"))  // one p-q adjacency; 1-word doc
+    ).toDF("doc_id", "text")
+    val out = Corpus.pmiBigrams(docs, minCount = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.contains("x y") && out.contains("p q"))
+    assert(out("x y") > out("p q") + 1.0,
+      s"perfect collocation should dominate: ${out("x y")} vs ${out("p q")}")
+    // the 1-word doc contributes no bigram (no partial-shingle leak)
+    assert(!out.keys.exists(_.contains("solo")))
+  }
 }

@@ -398,4 +398,24 @@ class ScaleSpec extends AnyFunSuite {
       Scale.assignSplit(df, splits = Seq("a" -> 700, "b" -> 200))
     }
   }
+
+  test("weightedSample: rate 0 drops, rate 1 keeps, fractional rate concentrates, clamps hold") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, i % 4)).toDF("doc_id", "grp")
+    assert(Scale.weightedSample(df, lit(0.0)).isEmpty)
+    assert(Scale.weightedSample(df, lit(1.0)).count() === 2000L)
+    // out-of-range rates clamp instead of corrupting the permille gate
+    assert(Scale.weightedSample(df, lit(7.5)).count() === 2000L)
+    assert(Scale.weightedSample(df, lit(-3.0)).isEmpty)
+    val half = Scale.weightedSample(df, lit(0.5)).count()
+    assert(half > 900 && half < 1100, s"rate 0.5 kept $half of 2000")
+    // per-row rates: grp/4 ⇒ expected 2000 · (0+1+2+3)/4/4 = 750
+    val rowRate = Scale.weightedSample(df, col("grp").cast("double") / 4.0).count()
+    assert(rowRate > 650 && rowRate < 850, s"row-rate kept $rowRate")
+    // deterministic under repartitioning
+    val a = Scale.weightedSample(df, lit(0.3)).collect().map(_.getLong(0)).sorted
+    val b = Scale.weightedSample(df.repartition(13), lit(0.3))
+      .collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === b.toSeq)
+  }
 }
