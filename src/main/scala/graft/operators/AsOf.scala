@@ -70,6 +70,34 @@ object AsOf {
         carry.map(c => col(s"__asof_row.$c").as(s"asof_$c")): _*)
   }
 
+  /** [[asofJoin]] with a max-staleness bound (pandas `merge_asof`'s
+    * `tolerance`): carried values are nulled when the matched build row
+    * is older than `toleranceSeconds` — "the latest reading, but only if
+    * it is still fresh". All carry columns null TOGETHER (they come from
+    * one build row; the bound either accepts or rejects that row whole),
+    * preserving asofJoin's no-mixed-rows guarantee. Same single-shuffle
+    * plan; the bound is a scan-local post-projection.
+    */
+  def asofJoinTolerant(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      carry: Seq[String],
+      toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds >= 0, "toleranceSeconds must be non-negative")
+    val joined = asofJoin(probe,
+      build.withColumn("__asof_build_ts", col(tsCol)),
+      keys, tsCol, carry :+ "__asof_build_ts")
+    val fresh = col("asof___asof_build_ts").isNotNull &&
+      unix_micros(col(tsCol).cast("timestamp")) -
+        unix_micros(col("asof___asof_build_ts").cast("timestamp")) <=
+        toleranceSeconds * 1000000L
+    carry.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c")))
+    }.drop("asof___asof_build_ts")
+  }
+
   /** Specialized probe used by the correctness gate: for each `probeType`
     * event, the greatest `buildType` event timestamp at-or-before it for
     * the same user. Equivalent SQL: correlated `max(ts)` subquery.

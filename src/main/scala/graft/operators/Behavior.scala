@@ -544,6 +544,46 @@ object Behavior {
         .orderBy("wday")
     },
 
+    // As-of with max-staleness (pandas merge_asof tolerance): the latest
+    // 'view' before each purchase, nulled when older than 30 minutes —
+    // "attribute only if the view is still fresh". Oracle = ASOF LEFT
+    // JOIN + the same staleness CASE. Context deduped per (user, ts) as
+    // in e6 (tie determinism).
+    "j11_asof_tolerance" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, ts FROM (
+        |    SELECT *, row_number() OVER (
+        |        PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM e WHERE event_type = 'view') WHERE rn = 1),
+        |p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT p.user_id, p.event_id, p.ts, v.ts AS vts
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts)
+        |SELECT user_id, event_id,
+        |  CASE WHEN vts IS NOT NULL
+        |         AND epoch_us(ts) - epoch_us(vts) <= 1800000000
+        |       THEN (epoch_us(ts) - epoch_us(vts)) // 1000000 END AS view_age_s
+        |FROM m ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+      val rn = row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc))
+      val views = e.filter(col("event_type") === "view")
+        .withColumn("__rn", rn).filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts"), col("ts").as("view_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      AsOf.asofJoinTolerant(purchases, views, keys = Seq("user_id"),
+          tsCol = "ts", carry = Seq("view_ts"), toleranceSeconds = 1800L)
+        .select(col("user_id"), col("event_id"),
+          expr("(unix_micros(ts) - unix_micros(asof_view_ts)) div 1000000")
+            .as("view_age_s"))
+        .orderBy("event_id")
+    },
+
     // Last-touch attribution: for each purchase, the latest non-purchase
     // event (the "channel") at-or-before it for the same user, plus the
     // delay in whole seconds — the SCD2/as-of composition every

@@ -356,6 +356,43 @@ object Dedup {
       .drop("digest")
   }
 
+  /** [[incrementalNew]] with a Bloom pre-filter on the history digest
+    * set — the steady-state ingest shape when history is orders of
+    * magnitude larger than each batch. Rows whose digest hash misses
+    * the filter are DEFINITIVELY new (Bloom filters have no false
+    * negatives) and skip the join entirely; only the might-contain
+    * minority — true dups plus ~fpp of the batch — verifies against the
+    * exact digest set. The bloom is rebuilt here per call for a
+    * self-contained contract; a production ingest loop would maintain
+    * it incrementally (bloom unions are bitwise-OR) and keep the exact
+    * verify pruned via digest-bucketed history storage. Result is
+    * row-identical to [[incrementalNew]].
+    */
+  def bloomIncrementalNew(batch: DataFrame, history: DataFrame,
+      textCol: String = "text", expectedItems: Long = 1L << 22,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      "need expectedItems > 0 and fpp in (0, 1)")
+    val histDigests = withDigest(history, textCol).select("digest").distinct()
+    val bloom = histDigests.select(xxhash64(col("digest")).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val might = GraftBridge.toColumn(BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      GraftBridge.toExpression(xxhash64(col("digest")))))
+    val b = withDigest(batch, textCol)
+    val definitelyNew = b.filter(!might)
+    val verifiedNew = b.filter(might)
+      .join(histDigests, Seq("digest"), "left_anti")
+    definitelyNew.unionByName(verifiedNew).drop("digest")
+  }
+
   /** Benchmark decontamination: flag every corpus document sharing at
     * least one word `n`-gram with the eval/benchmark set — the standard
     * train-set hygiene pass before training (GPT-3's 13-gram collision

@@ -148,6 +148,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // d11's contract through the Bloom pre-filter (Dedup
+    // .bloomIncrementalNew): definitively-new rows skip the anti join
+    // entirely; might-contain candidates verify exactly. The oracle is
+    // d11's NOT EXISTS, unchanged — equality proves no-false-negatives
+    // and that bloom FPs die in the verify.
+    "d15_bloom_incremental" -> QueryDef.sql(
+      """SELECT n.doc_id FROM documents n
+        |WHERE n.doc_id >= 400 AND NOT EXISTS (
+        |  SELECT 1 FROM documents o
+        |  WHERE o.doc_id < 400 AND md5(o.text) = md5(n.text))
+        |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.bloomIncrementalNew(
+          docs.filter(col("doc_id") >= 400),
+          docs.filter(col("doc_id") < 400),
+          expectedItems = 1L << 16)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // Per-ROW weighted Bernoulli gate (Scale.weightedSample): keep rate =
     // (n_chars % 1000)/1000 — varied, deterministic, and ×1000 lands
     // within an ulp of an integer so `round` can never face a .5 half

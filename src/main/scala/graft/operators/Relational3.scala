@@ -187,6 +187,22 @@ object Relational3 {
         .orderBy("l_returnflag")
     },
 
+    // ---- join-key skew diagnostics (sizes Scale.saltedJoin) -------------
+    "a24_skew_report" -> QueryDef.sql(
+      """WITH f AS (
+        |  SELECT l_suppkey, count(*) AS f FROM lineitem GROUP BY l_suppkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(f) AS BIGINT) AS n_rows,
+        |  CAST(max(f) AS BIGINT) AS max_freq,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY f), 4) AS p50_freq,
+        |  round(percentile_cont(0.99) WITHIN GROUP (ORDER BY f), 4) AS p99_freq,
+        |  CAST(max(f) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+        |    / CAST(sum(f) AS DOUBLE) AS skew_factor
+        |FROM f ORDER BY n_keys""".stripMargin) { (s, d) =>
+      Scale.keySkewReport(Tables.lineitem(s, d), "l_suppkey")
+        .orderBy("n_keys")
+    },
+
     // ---- approximate count-distinct (HLL++): rows-only check ------------
     // (approx result is engine-specific; the ScalaTest asserts the ±5%
     // error bound against the exact count instead)

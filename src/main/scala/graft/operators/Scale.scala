@@ -247,6 +247,35 @@ object Scale {
       idCol, seed)
   }
 
+  /** Join-key skew diagnostics — the measurement that SIZES
+    * [[saltedJoin]]: per-key frequency distribution summarized as one
+    * row (key count, row count, max/median/p99 frequency), plus
+    * `skew_factor` = max_freq / mean_freq (the hot key's multiple of
+    * the average — ceil of it is the natural `saltFactor`). One hash
+    * agg + one tiny agg; the report costs a single pass and prevents
+    * both under-salting (straggler task) and blind over-salting
+    * (needless build-side replication).
+    *
+    * skew_factor is the unrounded quotient of exact integers
+    * (max·n_keys/n_rows) — bit-identical cross-engine; the percentile
+    * rows round at 4 d.p. (the a14 interpolation contract).
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val freq = df.groupBy(col(keyCol)).agg(count(lit(1)).as("f"))
+    freq.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("f")).as("n_rows"),
+        max(col("f")).as("max_freq"),
+        round(expr("percentile(f, 0.5)"), 4).as("p50_freq"),
+        round(expr("percentile(f, 0.99)"), 4).as("p99_freq"))
+      .select(col("n_keys").cast("long").as("n_keys"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("max_freq").cast("long").as("max_freq"),
+        col("p50_freq"), col("p99_freq"),
+        (col("max_freq").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).as("skew_factor"))
+  }
+
   /** Per-ROW weighted Bernoulli sampling: keep each row with probability
     * `rateCol` (a [0,1] column — typically a quality/importance score),
     * via the same deterministic md5-permille gate as the stratified

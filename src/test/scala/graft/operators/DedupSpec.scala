@@ -227,6 +227,19 @@ class DedupSpec extends AnyFunSuite {
       "fixture should contain at least one contaminated doc")
   }
 
+  test("bloomIncrementalNew ≡ incrementalNew even with an undersized filter") {
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val history = docs.filter(col("doc_id") < 400)
+    val exact = Dedup.incrementalNew(batch, history)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val bloomed = Dedup.bloomIncrementalNew(batch, history,
+        expectedItems = 32, fpp = 0.3) // deliberately tiny → high fpp
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(bloomed === exact)
+    assert(exact.nonEmpty)
+  }
+
   test("overlapPairs equals the naive quadratic overlap join (100% recall)") {
     val corpus = graft.Tables.documents(spark, TestSpark.sfDir)
       .filter(col("doc_id") < 120)

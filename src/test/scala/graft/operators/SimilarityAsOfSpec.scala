@@ -194,6 +194,32 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     assert(got === Array(("a", Some(1.0)), ("a", Some(2.0)), ("b", None), ("c", None)))
   }
 
+  test("as-of tolerance nulls stale matches; all carries null together") {
+    val spark2 = spark
+    import spark2.implicits._
+    val build = Seq(
+      ("a", "2024-01-01 00:00:00", 1.0, "x"),
+      ("b", "2024-01-01 01:00:00", 5.0, "y")
+    ).toDF("k", "ts", "v", "tag").withColumn("ts", col("ts").cast("timestamp"))
+    val probe = Seq(
+      ("a", "2024-01-01 00:20:00"), // 20 min old → fresh at 30-min bound
+      ("a", "2024-01-01 02:00:00"), // 2 h old → stale, BOTH carries null
+      ("b", "2024-01-01 01:30:00")  // exactly 30 min → inclusive bound
+    ).toDF("k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val got = AsOf.asofJoinTolerant(probe, build, Seq("k"), "ts",
+        Seq("v", "tag"), toleranceSeconds = 1800L)
+      .orderBy("k", "ts")
+      .select("k", "asof_v", "asof_tag")
+      .as[(String, Option[Double], Option[String])].collect()
+    assert(got === Array(
+      ("a", Some(1.0), Some("x")),
+      ("a", None, None),
+      ("b", Some(5.0), Some("y"))))
+    // helper column must not leak
+    assert(!AsOf.asofJoinTolerant(probe, build, Seq("k"), "ts",
+      Seq("v"), 1800L).columns.exists(_.contains("__asof_build_ts")))
+  }
+
   test("lastEventBefore matches a hand-computed case") {
     val events = Seq(
       (1L, "2024-01-01 00:00:00", 7L, "purchase"),
