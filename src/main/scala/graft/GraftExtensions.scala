@@ -28,5 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Aggregate pushdown: hourly→daily rollups over the openmeteo source
     // are rewritten to the source's pre-aggregated daily scan (SURVEY §4).
     ext.injectOptimizerRule(_ => graft.plans.DailyRollupPushdown)
+    // Range-predicate joins: pure interval-overlap inner joins rewrite
+    // to a binned equi join when spark.graft.overlapJoin.binWidth is set.
+    ext.injectOptimizerRule(_ => graft.plans.OverlapJoinRewrite)
   }
 }

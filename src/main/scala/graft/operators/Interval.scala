@@ -97,5 +97,65 @@ object Interval {
           (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")) + 1)
             .cast("long").as("overlap_days"))
         .orderBy("custkey", "order_a", "order_b")
+    },
+
+    // The TRANSPARENT version of j10's rewrite: a pure range-overlap
+    // join written as a plain DataFrame inequality condition — no equi
+    // key at all, Spark's BNLJ worst case — optimized into the binned
+    // equi join by graft.plans.OverlapJoinRewrite (conf-scoped inside
+    // the probe; localCheckpoint forces planning while the conf is
+    // set). Semantics: sampled order windows [orderdate, +6] vs
+    // sampled lineitem delivery intervals [shipdate, shipdate +
+    // quantity days] (no receiptdate in the synthetic table; quantity
+    // is integral 1..50), aggregated per order.
+    // The oracle is DuckDB's plain quadratic inequality join — equality
+    // proves the rewrite loses no pair and double-counts none on real
+    // data (the fixture-level proof incl. NULL/inverted bounds lives in
+    // OverlapJoinRewriteSpec). Sampling gates are the engine-portable
+    // md5-permille recipe (t7). binWidth 64 ≥ both interval lengths
+    // (window 7 d, delivery ≤ 50 d) ⇒ ≤ 2 bins per row.
+    "j12_overlap_rewrite" -> QueryDef.sql(
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT AS ws,
+        |    date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT + 6 AS we
+        |  FROM orders
+        |  WHERE CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '#j12'), 1, 8) AS UBIGINT) % 1000 < 10),
+        |li AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', l_shipdate)::BIGINT AS ss,
+        |    date_diff('day', DATE '1970-01-01', l_shipdate)::BIGINT
+        |      + CAST(l_quantity AS BIGINT) AS se
+        |  FROM lineitem
+        |  WHERE CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) || '#j12'), 1, 8) AS UBIGINT) % 1000 < 5)
+        |SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_overlap,
+        |  CAST(sum(least(o.we, li.se) - greatest(o.ws, li.ss) + 1) AS BIGINT) AS overlap_days
+        |FROM o JOIN li ON o.ws <= li.se AND li.ss <= o.we
+        |GROUP BY o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      def gate(key: org.apache.spark.sql.Column, salt: String, permille: Int) =
+        conv(substring(md5(concat(key, lit(salt))), 1, 8), 16, 10)
+          .cast("long") % 1000 < permille
+      val o = Tables.orders(s, d)
+        .filter(gate(col("o_orderkey").cast("string"), "#j12", 10))
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("ws"))
+        .withColumn("we", col("ws") + 6)
+      val li = Tables.lineitem(s, d)
+        .filter(gate(concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")), "#j12", 5))
+        .select(
+          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("ss"),
+          (datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
+            + col("l_quantity").cast("long")).as("se"))
+      s.conf.set(graft.plans.OverlapJoinRewrite.BinWidthKey, "64")
+      val agg =
+        try o.join(li, o("ws") <= li("se") && li("ss") <= o("we"))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).cast("long").as("n_overlap"),
+            sum(least(col("we"), col("se")) - greatest(col("ws"), col("ss"))
+              + 1).cast("long").as("overlap_days"))
+          .localCheckpoint() // plan + execute while the conf is in scope
+        finally s.conf.unset(graft.plans.OverlapJoinRewrite.BinWidthKey)
+      agg.orderBy("o_orderkey")
     })
 }
