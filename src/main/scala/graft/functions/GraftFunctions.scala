@@ -50,7 +50,9 @@ object GraftFunctions {
     "sorted_overlap" -> checked("sorted_overlap", 2)(es =>
       SortedLongOverlapExpr(es.head, es(1))),
     "window_digests" -> checked("window_digests", 2)(es =>
-      WindowDigestsExpr(es.head, intLit(es(1), "window_digests", "n"))))
+      WindowDigestsExpr(es.head, intLit(es(1), "window_digests", "n"))),
+    "heavy_hitters" -> checked("heavy_hitters", 2)(es =>
+      HeavyHittersAgg(es.head, intLit(es(1), "heavy_hitters", "k"))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

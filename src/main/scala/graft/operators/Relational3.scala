@@ -203,6 +203,27 @@ object Relational3 {
         .orderBy("n_keys")
     },
 
+    // ---- SpaceSaving heavy hitters (native TypedImperativeAggregate) ----
+    // Top-10 users by event count via heavy_hitters(col, 4096). Capacity
+    // 4096 exceeds the distinct-user count at every test SF, so the
+    // sketch runs in its EXACT regime (no eviction, err = 0 everywhere)
+    // and the DuckDB GROUP BY oracle hash-checks it — the approximate
+    // regime's (count − err ≤ true ≤ count) bounds are ScalaTest-gated
+    // in HeavyHittersSpec. Ties cut at the LIMIT boundary identically:
+    // both engines order by (cnt DESC, user_id-string ASC).
+    "a25_heavy_hitters" -> QueryDef.sql(
+      """SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1
+        |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .agg(graft.functions.HeavyHitters
+          .heavyHitters(col("user_id").cast("string"), 4096).as("hh"))
+        .select(explode(slice(col("hh"), 1, 10)).as("e"))
+        .select(col("e.item").as("user_id"), col("e.count").as("cnt"))
+        .orderBy(desc("cnt"), asc("user_id"))
+    },
+
     // ---- approximate count-distinct (HLL++): rows-only check ------------
     // (approx result is engine-specific; the ScalaTest asserts the ±5%
     // error bound against the exact count instead)
