@@ -246,6 +246,44 @@ object Corpus {
       .withColumn("avg_quality", col("quality_sum") / col("n_docs"))
       .withColumn("avg_tokens", col("n_tokens").cast("double") / col("n_docs"))
 
+  /** Per-source unigram KL divergence from the whole-corpus token
+    * distribution — the drift/mix diagnostic for training-data
+    * curation: a source whose KL(source ‖ corpus) jumps between ingests
+    * changed its content mix (domain shift, contamination, a crawler
+    * gone wrong), and sources rank by how far their vocabulary departs
+    * from the blend they feed. KL(P_s ‖ Q) = Σ_t p(t|s) · ln(p(t|s) /
+    * q(t)) with p, q exact IEEE quotients of integer term counts.
+    *
+    * Shuffle shape: one (source, term) hash agg over the token stream,
+    * then a window over `term` for the corpus count (the
+    * [[unigramLogProb]] trick — the tf table is (sources × vocab)-sized,
+    * never corpus-sized) and a window over `source` for the source
+    * totals; the corpus total broadcasts. Determinism: every factor in
+    * the per-term contribution is CAST to double in one fixed tree, and
+    * the cross-row sum rounds to 4 d.p. (+0.0 normalizes a −0.0 round)
+    * — KL magnitudes are O(1), ulp noise is ~1e−12.
+    */
+  def sourceKl(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.words(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c_st"))
+    val withCounts = tf
+      .withColumn("c_t", sum(col("c_st")).over(Window.partitionBy("term")))
+      .withColumn("c_s", sum(col("c_st")).over(Window.partitionBy("source")))
+    val tot = tf.agg(sum(col("c_st")).as("c_tot"))
+    val contrib = col("c_st").cast("double") / col("c_s").cast("double") *
+      log(col("c_st").cast("double") * col("c_tot").cast("double") /
+        (col("c_s").cast("double") * col("c_t").cast("double")))
+    withCounts.join(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(max(col("c_s")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_terms"),
+        (round(sum(contrib), 4) + lit(0.0)).as("kl"))
+  }
+
   /** Cross-source n-gram contamination matrix: for every source pair,
     * how many distinct word `n`-grams they share, with the overlap
     * coefficient |A∩B| / min(|A|,|B|) (the containment-style measure —

@@ -176,6 +176,30 @@ object CorpusQueries {
       Corpus.sourceReport(Tables.documents(s, d)).orderBy("source")
     },
 
+    // Per-source unigram KL drift vs the corpus blend (Corpus.sourceKl):
+    // exact integer counts, one fixed double tree per term contribution,
+    // 4-d.p.-rounded cross-row sum (+0.0 −0.0 normalization) — the
+    // t21/t24 ln recipe at KL's O(1) magnitudes.
+    "t34_source_kl" -> QueryDef.sql(
+      s"""WITH tf AS (
+        |  SELECT source, term, count(*) AS c_st
+        |  FROM (SELECT source, unnest($sqlWords) AS term FROM documents)
+        |  GROUP BY source, term),
+        |ct AS (SELECT term, sum(c_st) AS c_t FROM tf GROUP BY term),
+        |cs AS (SELECT source, sum(c_st) AS c_s FROM tf GROUP BY source),
+        |tot AS (SELECT sum(c_st) AS c_tot FROM tf)
+        |SELECT tf.source, CAST(max(cs.c_s) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(sum(CAST(c_st AS DOUBLE) / CAST(cs.c_s AS DOUBLE)
+        |    * ln(CAST(c_st AS DOUBLE) * CAST(c_tot AS DOUBLE)
+        |         / (CAST(cs.c_s AS DOUBLE) * CAST(ct.c_t AS DOUBLE)))), 4)
+        |    + 0.0::DOUBLE AS kl
+        |FROM tf JOIN ct USING (term) JOIN cs USING (source), tot
+        |GROUP BY tf.source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      Corpus.sourceKl(Tables.documents(s, d)).orderBy("source")
+    },
+
     "t26_source_overlap" -> QueryDef.sql(
       s"""WITH sh AS (
         |  SELECT DISTINCT source AS src, g FROM (

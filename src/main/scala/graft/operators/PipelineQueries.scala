@@ -557,6 +557,36 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // Token-budget curation (Scale.budgetSelect): per source, keep the
+    // longest-first (n_chars DESC, doc_id ASC) prefix of documents whose
+    // running token total stays within 800 — "top docs until B tokens",
+    // the selection every training-mix spec bottoms out in. The running
+    // total is the packTokens two-phase distributed prefix sum with the
+    // slice cut on the ORDER VALUE (descending); the oracle is the
+    // serial per-source window, so equality proves the distributed
+    // cumsum bit-exact in selection order.
+    "t35_token_budget_select" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 800
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Scale.budgetSelect(Tables.documents(s, d), budgetTokens = 800)
+        .select(col("doc_id"), col("source"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("cum_tokens").cast("long").as("cum_tokens"))
+        .orderBy("doc_id")
+    },
+
     // Quality-ranked curation: keep the top-3 docs per source by the t5
     // composite quality score (ties to the lowest doc_id). Runs the
     // salted two-stage top-k; the oracle recomputes the same quality

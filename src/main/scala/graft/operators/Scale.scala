@@ -164,6 +164,65 @@ object Scale {
       .drop("__of_k", "__of_s", "__cum", "__off")
   }
 
+  /** Token-budget curation: per `shardKeyCol` group, keep the
+    * best-`orderCol`-first prefix of documents whose cumulative token
+    * count stays within `budgetTokens` — the "take the top docs until
+    * B tokens per source" selection every training-mix spec bottoms out
+    * in. Selection order is (`orderCol` DESC, `idCol` ASC); a document
+    * is kept iff the running total INCLUDING it is ≤ budget. Returns
+    * the surviving rows plus `n_tokens` and `cum_tokens`.
+    *
+    * The running total is the [[packTokens]] two-phase distributed
+    * prefix sum — never a single per-group window — except the slice
+    * cut is on the ORDER VALUE, descending (slice 0 holds each group's
+    * largest values; equal values land in one slice, so slices
+    * concatenate in selection order exactly like [[groupPercentRank]]):
+    * per-group value bounds broadcast, a slice-local cumsum windows per
+    * (group, slice), and per-slice subtotals become exclusive offsets
+    * over the tiny slice axis. A null `orderCol` sorts last (pinned to
+    * the final slice, `desc_nulls_last` within it) — mirroring the
+    * serial window's DESC NULLS LAST order.
+    */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long,
+      orderCol: String = "n_chars", shardKeyCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text",
+      numSlices: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val slices =
+      if (numSlices > 0) numSlices
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
+    val withTok = docs.withColumn("n_tokens",
+      coalesce(graft.functions.TextFunctions.tokenCount(col(textCol)), lit(0L)))
+    val bounds = docs.groupBy(col(shardKeyCol).as("__bs_k"))
+      .agg(min(col(orderCol)).as("__bs_lo"), max(col(orderCol)).as("__bs_hi"))
+    // DESC slice cut: monotonic NON-INCREASING in the order value
+    val sliceOf = coalesce(least(lit(slices - 1), greatest(lit(0), floor(
+      (col("__bs_hi").cast("double") - col(orderCol).cast("double")) /
+        (col("__bs_hi").cast("double") - col("__bs_lo").cast("double") + 1.0) *
+        slices))).cast("int"), lit(slices - 1))
+    val sliced = withTok.join(broadcast(bounds),
+        col(shardKeyCol) <=> col("__bs_k"))
+      .withColumn("__slice", sliceOf)
+      .drop("__bs_k", "__bs_lo", "__bs_hi")
+    val wLocal = Window.partitionBy(col(shardKeyCol), col("__slice"))
+      .orderBy(col(orderCol).desc_nulls_last, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localCum = sliced.withColumn("__cum", sum(col("n_tokens")).over(wLocal))
+    val offsets = sliced.groupBy(col(shardKeyCol).as("__of_k"),
+        col("__slice").as("__of_s"))
+      .agg(sum(col("n_tokens")).as("__sub"))
+      .withColumn("__off", coalesce(sum(col("__sub")).over(
+        Window.partitionBy(col("__of_k")).orderBy(col("__of_s"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__of_k"), col("__of_s"), col("__off"))
+    localCum.join(broadcast(offsets),
+        col(shardKeyCol) <=> col("__of_k") && col("__slice") === col("__of_s"))
+      .withColumn("cum_tokens", col("__off") + col("__cum"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .drop("__of_k", "__of_s", "__cum", "__off", "__slice")
+  }
+
   /** Split documents into ≤ `maxTokens` whitespace-token chunks — the
     * long-document precursor to context-window training (a 100k-token
     * document must become k bounded pieces BEFORE packing/shuffling, or

@@ -271,4 +271,22 @@ class CorpusSpec extends AnyFunSuite {
     // the 1-word doc contributes no bigram (no partial-shingle leak)
     assert(!out.keys.exists(_.contains("solo")))
   }
+
+  test("sourceKl: zero for identical sources, large for disjoint vocab, non-negative") {
+    import spark.implicits._
+    // twin sources with IDENTICAL content → each matches the blend
+    // exactly → KL 0; an alien source with disjoint vocabulary diverges
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "same", s"alpha beta gamma delta $i x")) ++
+      (11 to 20).map(i => (i.toLong, "same2", s"alpha beta gamma delta ${i - 10} x")) ++
+      (21 to 25).map(i => (i.toLong, "alien", "zork quux fnord blarg"))
+    ).toDF("doc_id", "source", "text")
+    val kl = Corpus.sourceKl(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(kl.keySet === Set("same", "same2", "alien"))
+    assert(kl.values.forall(_ >= 0.0), s"KL must be non-negative: $kl")
+    assert(kl("same") === kl("same2"), "identical sources must score equally")
+    assert(kl("alien") > kl("same") + 0.5,
+      s"disjoint vocabulary must diverge: $kl")
+  }
 }

@@ -418,4 +418,38 @@ class ScaleSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted
     assert(a.toSeq === b.toSeq)
   }
+
+  test("budgetSelect: matches the serial window, fans out, nulls sort last") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed fixture with ties on the order value and a null order row
+    val docs = ((1L to 900L).map(i =>
+        (i, "web", s"w $i txt" * (i % 5).toInt, Some((i % 40).toInt))) ++
+      (901L to 950L).map(i => (i, "books", s"b $i body", Some(7))) ++
+      Seq((951L, "web", "null-quality row", Option.empty[Int])))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val budget = 300L
+    val dist = Scale.budgetSelect(docs, budget, numSlices = 8)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc_nulls_last, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val serial = docs.withColumn("n_tokens",
+        coalesce(graft.functions.TextFunctions.tokenCount(col("text")), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+    assert(dist.exceptAll(serial).count() === 0)
+    assert(serial.exceptAll(dist).count() === 0)
+    // scale gate: the dominant source's selection spans multiple slices
+    // before the budget filter (the big window never partitions by the
+    // source alone)
+    val planStr = dist.queryExecution.executedPlan.toString()
+    assert(planStr.contains("__slice"), s"no slice key in plan:\n$planStr")
+    // budget monotonicity: a bigger budget keeps a superset
+    val wide = Scale.budgetSelect(docs, budget * 4, numSlices = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val narrow = dist.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(narrow.subsetOf(wide))
+  }
 }
