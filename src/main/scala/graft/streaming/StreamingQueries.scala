@@ -488,5 +488,47 @@ object StreamingQueries {
         .select(col("latitude"), col("longitude"), col("ts"),
           round(col("precip_sum"), 2).as("precip_sum"), col("n_obs"))
         .orderBy("latitude", "longitude", "ts")
+    },
+
+    // The SpaceSaving heavy-hitters aggregate (a25's
+    // TypedImperativeAggregate) running INSIDE Structured Streaming
+    // state: mergeable summaries are exactly what a streaming global
+    // aggregate wants — each micro-batch merges O(k) counters, never
+    // keys × batches. Complete output mode, AvailableNow replay of the
+    // events feed; capacity 4096 exceeds the distinct-user count at
+    // every test SF, so the sketch stays in its EXACT regime and the
+    // DuckDB GROUP BY oracle hash-checks the streamed result —
+    // batch/stream parity for the custom aggregate.
+    "st7_stream_heavy_hitters" -> QueryDef.sql(
+      """SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1
+        |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin) { (s, d) =>
+      val dropDir = cachedDrop(s"st7:$d", dir =>
+        Tables.events(s, d).select("event_id", "user_id")
+          .repartition(4).write.mode("overwrite").json(dir))
+      val ckDir = tempDir("graft_st7_ck")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType)))
+      val sinkName = s"graft_st7_sink_${runSeq.incrementAndGet()}"
+      try withStateShuffle(s) {
+        val q = s.readStream.schema(schema).json(dropDir)
+          .agg(graft.functions.HeavyHitters
+            .heavyHitters(col("user_id").cast("string"), 4096).as("hh"))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally deleteQuietly(ckDir)
+
+      s.table(sinkName)
+        .select(explode(slice(col("hh"), 1, 10)).as("e"))
+        .select(col("e.item").as("user_id"), col("e.count").as("cnt"))
+        .orderBy(desc("cnt"), asc("user_id"))
     })
 }
