@@ -383,6 +383,29 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Overlapping sliding-window chunking (Scale.slidingChunks): window
+    // 64, stride 48 ⇒ adjacent chunks share 16 tokens of retrieval
+    // context; the last window is the first to reach the document end.
+    "t36_sliding_chunks" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |                x -> x <> '') AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(1 + CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS BIGINT))) AS chunk_idx
+        |  FROM t WHERE len(ws) > 0)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(ws[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text,
+        |  CAST(least(len(ws) - chunk_idx*48, 64) AS BIGINT) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Scale.slidingChunks(Tables.documents(s, d), windowTokens = 64,
+          strideTokens = 48)
+        .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Deterministic epoch shuffle: the reorder position each document
     // takes in training epoch 1 — an md5 key both engines compute
     // identically (no RNG). The probe ranks the operator's output with a

@@ -259,6 +259,39 @@ object Scale {
       .drop("__toks", textCol)
   }
 
+  /** Overlapping sliding-window chunking — the retrieval/RAG shape of
+    * [[chunkDocuments]]: windows of `windowTokens` starting every
+    * `strideTokens` (stride < window ⇒ adjacent chunks share
+    * `window − stride` tokens of context, so no retrieval boundary
+    * splits an answer span). Chunk count = 1 + ⌈max(n − window, 0) /
+    * stride⌉ — the last window is the first one reaching the document
+    * end; only it may be short. Same scan-local plan as
+    * [[chunkDocuments]] (split + explode + slice, no shuffle), same
+    * regexp-trim discipline, all non-text columns ride along.
+    */
+  def slidingChunks(docs: DataFrame, windowTokens: Int = 512,
+      strideTokens: Int = 384, textCol: String = "text"): DataFrame = {
+    require(strideTokens > 0, "strideTokens must be positive")
+    require(windowTokens >= strideTokens,
+      "windowTokens must be at least strideTokens (no gaps between chunks)")
+    val clean = regexp_replace(col(textCol), "^\\s+|\\s+$", "")
+    val toks = when(clean === "", array()).otherwise(split(clean, "\\s+"))
+    docs
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        ceil(greatest(size(col("__toks")) - windowTokens, lit(0))
+          / lit(strideTokens.toDouble)).cast("long"))))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("__toks"),
+          (col("chunk_idx") * strideTokens + 1).cast("int"),
+          lit(windowTokens))))
+      .withColumn("n_chunk_tokens",
+        least(size(col("__toks")) - col("chunk_idx") * strideTokens,
+          lit(windowTokens.toLong)).cast("long"))
+      .drop("__toks", textCol)
+  }
+
   /** Deterministic epoch shuffle (training-data reorder): every epoch
     * permutes the corpus by an md5-derived sort key — a pure function of
     * (id, epoch), so the permutation is reproducible across runs,

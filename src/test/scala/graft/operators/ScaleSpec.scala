@@ -452,4 +452,33 @@ class ScaleSpec extends AnyFunSuite {
     val narrow = dist.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(narrow.subsetOf(wide))
   }
+
+  test("slidingChunks: overlap, short docs, exact-window docs, trailing whitespace") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks: windows at 0, 4, 8? no — see below
+      (2L, "a b c"),                                   // shorter than window
+      (3L, (1 to 6).map(i => s"x$i").mkString(" ")),   // exactly one window
+      (4L, "t1 t2 t3 t4 t5 t6 t7\n"),                  // trailing newline
+      (5L, "   "))                                     // whitespace-only: no chunks
+      .toDF("doc_id", "text")
+    val out = Scale.slidingChunks(docs, windowTokens = 6, strideTokens = 4)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1 (10 toks, W=6, S=4): chunks = 1 + ceil(4/4) = 2 → [1..6], [5..10]
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq === Seq("w1 w2 w3 w4 w5 w6", "w5 w6 w7 w8 w9 w10"))
+    assert(d1.map(_._4).toSeq === Seq(6L, 6L))
+    // overlap: chunks share W − S = 2 tokens
+    assert(d1(0)._3.split(" ").takeRight(2).toSeq === d1(1)._3.split(" ").take(2).toSeq)
+    // doc 2: single short chunk
+    assert(out.filter(_._1 == 2L).map(t => (t._3, t._4)).toSeq === Seq(("a b c", 3L)))
+    // doc 3: exactly one full window, no phantom second chunk
+    assert(out.filter(_._1 == 3L).map(_._4).toSeq === Seq(6L))
+    // doc 4 (7 toks): [1..6], [5..7] — trailing newline adds no phantom token
+    assert(out.filter(_._1 == 4L).map(_._4).toSeq === Seq(6L, 3L))
+    // doc 5: no chunks
+    assert(!out.exists(_._1 == 5L))
+  }
 }
