@@ -610,6 +610,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Exact-size uniform draw: 5 docs per source by the md5 pseudo-random
+    // total order (Scale.groupSample) — the eval-set sampler. DuckDB
+    // ranks by the identical md5 key, proving the salted two-stage
+    // top-k picks exactly the same rows.
+    "t37_group_sample" -> QueryDef.sql(
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '#gs42'), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Scale.groupSample(Tables.documents(s, d), "source", k = 5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // Quality-ranked curation: keep the top-3 docs per source by the t5
     // composite quality score (ties to the lowest doc_id). Runs the
     // salted two-stage top-k; the oracle recomputes the same quality

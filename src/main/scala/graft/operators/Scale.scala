@@ -472,6 +472,25 @@ object Scale {
       .drop("__salt", "__rn")
   }
 
+  /** Uniform-without-replacement sample of exactly `k` rows per group
+    * (or the whole group when smaller) — the eval-set / human-review
+    * draw: unlike the rate-based [[hashStratifiedSample]], the output
+    * SIZE is exact per group. Rows rank by the md5 content hash of
+    * (id, seed) — a deterministic pseudo-random total order both
+    * engines compute bit-identically (the t7 gate recipe turned into a
+    * sort key), so the sample is reproducible across runs, retries,
+    * partitionings, and the DuckDB oracle. Executes through
+    * [[topKPerGroup]]'s salted two-stage top-k — no single per-group
+    * window at any scale.
+    */
+  def groupSample(df: DataFrame, groupCol: String, k: Int,
+      idCol: String = "doc_id", seed: Long = 42L): DataFrame = {
+    val key = md5(concat(col(idCol).cast("string"), lit(s"#gs$seed")))
+    topKPerGroup(df.withColumn("__gs_key", key), groupCol,
+        Seq(col("__gs_key"), col(idCol)), k, saltOn = col(idCol))
+      .drop("__gs_key")
+  }
+
   /** Normalized rank of every row within its group under a TOTAL
     * ordering — percent-rank-style score normalization (comparing raw
     * quality scores ACROSS corpora is meaningless when their score
