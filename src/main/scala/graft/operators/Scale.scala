@@ -192,8 +192,14 @@ object Scale {
     val slices =
       if (numSlices > 0) numSlices
       else docs.sparkSession.sessionState.conf.numShufflePartitions
-    val withTok = docs.withColumn("n_tokens",
-      coalesce(graft.functions.TextFunctions.tokenCount(col(textCol)), lit(0L)))
+    // an existing n_tokens column wins, exactly like packTokens: at
+    // 100 TB a precomputed count spares this pass a read of the text
+    val withTok =
+      if (docs.columns.contains("n_tokens"))
+        docs.withColumn("n_tokens",
+          coalesce(col("n_tokens").cast("long"), lit(0L)))
+      else docs.withColumn("n_tokens",
+        coalesce(graft.functions.TextFunctions.tokenCount(col(textCol)), lit(0L)))
     val bounds = docs.groupBy(col(shardKeyCol).as("__bs_k"))
       .agg(min(col(orderCol)).as("__bs_lo"), max(col(orderCol)).as("__bs_hi"))
     // DESC slice cut: monotonic NON-INCREASING in the order value
