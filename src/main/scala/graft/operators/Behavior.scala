@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Behavioral-analytics operators over the event stream: ordered funnel
@@ -155,6 +155,40 @@ object Behavior {
       .select(col("state"), col("n_intervals"), col("total_s"),
         (col("total_s").cast("double") / col("n_intervals").cast("double"))
           .as("avg_s"))
+
+  /** [[stateDwell]] with right-censoring made computable: open
+    * intervals (each user's current state) are capped at `cap` instead
+    * of dropped — the "dwell as of the report time" convention a live
+    * dashboard wants, where the final state's ongoing residence counts
+    * up to now. `cap` defaults to the maximum observed event time (one
+    * broadcast 1-row aggregate); an explicit earlier cap produces the
+    * true "as of" report — every interval truncates at the cap (closed
+    * ones included) and intervals opening after it are excluded. Same
+    * exact-integer-seconds contract as [[stateDwell]]; `avg_s` stays
+    * the one unrounded bit-identical quotient.
+    */
+  def stateDwellCapped(events: DataFrame, cap: Option[Column] = None,
+      userCol: String = "user_id", stateCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val intervals = scdIntervals(events, userCol, stateCol, tsCol, idCol)
+    val withCap = cap match {
+      case Some(c) => intervals.withColumn("__cap", c)
+      case None => intervals.join(
+        broadcast(events.agg(max(col(tsCol)).as("__cap"))))
+    }
+    withCap
+      .withColumn("valid_to", least(coalesce(col("valid_to"), col("__cap")),
+        col("__cap")))
+      .filter(col("valid_from") <= col("__cap"))
+      .withColumn("dwell_s", expr(
+        "(unix_micros(cast(valid_to as timestamp)) - " +
+          "unix_micros(cast(valid_from as timestamp))) div 1000000"))
+      .groupBy("state")
+      .agg(count(lit(1)).as("n_intervals"), sum(col("dwell_s")).as("total_s"))
+      .select(col("state"), col("n_intervals"), col("total_s"),
+        (col("total_s").cast("double") / col("n_intervals").cast("double"))
+          .as("avg_s"))
+  }
 
   /** Incremental SCD2 merge: fold an append-only batch of new events
     * into an existing interval table WITHOUT recomputing untouched
@@ -471,6 +505,33 @@ object Behavior {
         |FROM i WHERE valid_to IS NOT NULL
         |GROUP BY state ORDER BY state""".stripMargin) { (s, d) =>
       stateDwell(Tables.events(s, d)).orderBy("state")
+    },
+
+    // e9's right-censoring choice made computable (stateDwellCapped):
+    // each user's current state counts its ongoing residence up to the
+    // report time (max observed ts) — the live-dashboard convention.
+    "e11_state_dwell_capped" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS ts,
+        |         event_id FROM events),
+        |c AS (SELECT *, lag(state) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |s AS (SELECT user_id, state, ts, event_id FROM c
+        |      WHERE prev IS NULL OR prev <> state),
+        |i AS (SELECT user_id, state, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS valid_to FROM s),
+        |i2 AS (SELECT user_id, state, valid_from,
+        |         coalesce(valid_to, (SELECT max(ts) FROM e)) AS valid_to
+        |       FROM i WHERE valid_from <= (SELECT max(ts) FROM e))
+        |SELECT state, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum((epoch_us(valid_to) - epoch_us(valid_from)) // 1000000)
+        |    AS BIGINT) AS total_s,
+        |  CAST(sum((epoch_us(valid_to) - epoch_us(valid_from)) // 1000000)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_s
+        |FROM i2
+        |GROUP BY state ORDER BY state""".stripMargin) { (s, d) =>
+      stateDwellCapped(Tables.events(s, d)).orderBy("state")
     },
 
     // Funnel with a per-step conversion window (120 min): step i counts

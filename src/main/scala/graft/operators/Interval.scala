@@ -63,6 +63,31 @@ object Interval {
       .drop("__bin")
   }
 
+  /** Bin-width sizing for [[overlapJoin]] / `OverlapJoinRewrite` — the
+    * first-principles rule the Scaladoc states ("pick width ≈ the
+    * median interval length so replication is O(1) per row") made
+    * executable, like `Dedup.recommendedBands` and
+    * `Similarity.recommendedLists`: the median interval length
+    * (approx_percentile — one cheap two-column pass), rounded UP to a
+    * power of two so small estimate jitter between runs never changes
+    * the chosen width. Degenerate inputs (empty relation, all-inverted
+    * intervals) fall back to 1. Probe queries keep their pinned widths
+    * for oracle stability; production callers pass this.
+    */
+  def recommendedBinWidth(df: DataFrame, startCol: String,
+      endCol: String): Long = {
+    val med = df
+      .select((col(endCol).cast("long") - col(startCol).cast("long")).as("w"))
+      .filter(col("w") >= 0)
+      .agg(expr("approx_percentile(w, 0.5, 1000)"))
+      .head.getAs[Any](0)
+    med match {
+      case null => 1L
+      case m: Long if m <= 1L => 1L
+      case m: Long => java.lang.Long.highestOneBit(m - 1) << 1 // ceil pow2
+    }
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // Overlapping order-processing windows per customer: each order owns
     // a 7-day closed window from its order date; pairs of windows of the

@@ -175,6 +175,28 @@ class BehaviorSpec extends AnyFunSuite {
       ("2024-01-01", 2L), ("2024-01-02", 2L), ("2024-01-03", 1L)))
   }
 
+  test("stateDwellCapped: open intervals count up to the cap; explicit caps exclude later opens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // u1: a(t0) → b(t100) → open b until cap; u2: c(t50) open until cap
+    val ev = Seq(
+      (1L, 1L, "a", "2024-01-01 00:00:00"),
+      (2L, 1L, "b", "2024-01-01 00:01:40"),
+      (3L, 2L, "c", "2024-01-01 00:00:50"))
+      .toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    // default cap = max(ts) = t100: a closed [0,100)=100s, b open 0s, c open 50s
+    val dflt = Behavior.stateDwellCapped(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dflt === Map("a" -> (1L, 100L), "b" -> (1L, 0L), "c" -> (1L, 50L)))
+    // explicit cap at t60: a truncates to [0,60)=60s, b opens at
+    // t100 > cap → excluded, c caps at [50,60)=10s
+    val capped = Behavior.stateDwellCapped(ev,
+        cap = Some(lit("2024-01-01 00:01:00").cast("timestamp"))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(capped === Map("a" -> (1L, 60L), "c" -> (1L, 10L)))
+  }
+
   test("rollingZAnomalies flags only the injected spike; warm-up and zero-variance guarded") {
     import org.apache.spark.sql.functions._
     // 30 hours of alternating 9/11 counts (baseline mean 10, var 24/23),

@@ -57,4 +57,21 @@ class IntervalSpec extends AnyFunSuite {
       .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
     assert(got.toSeq === Seq((1L, 9L)))
   }
+
+  test("recommendedBinWidth: pow2 ceil of median length, degenerate fallbacks") {
+    // uniform 7-day windows → median 7 → next pow2 = 8
+    val uni = (1L to 100L).map(i => (i, i + 7L)).toDF("s", "e")
+    assert(Interval.recommendedBinWidth(uni, "s", "e") === 8L)
+    // exact power stays put: length 8 → 8
+    val p2 = (1L to 50L).map(i => (i, i + 8L)).toDF("s", "e")
+    assert(Interval.recommendedBinWidth(p2, "s", "e") === 8L)
+    // mixed with inverted rows: inverted lengths are excluded
+    val mixed = ((1L to 40L).map(i => (i, i + 30L)) ++
+      (1L to 10L).map(i => (i + 100L, i))).toDF("s", "e")
+    assert(Interval.recommendedBinWidth(mixed, "s", "e") === 32L)
+    // empty / all-inverted → 1
+    val inv = Seq((10L, 2L)).toDF("s", "e")
+    assert(Interval.recommendedBinWidth(inv, "s", "e") === 1L)
+    assert(Interval.recommendedBinWidth(uni.filter(col("s") < 0), "s", "e") === 1L)
+  }
 }
