@@ -626,6 +626,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Curriculum ordering (Scale.curriculumOrder): 4 difficulty bands
+    // by global n_chars percent rank (easy → hard), intra-band order by
+    // the md5 epoch key. pct is the bit-identical (rk−1)/(n−1) integer
+    // quotient on both engines, so floor(pct·4) bands match exactly.
+    "t38_curriculum" -> QueryDef.sql(
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(least(floor(CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |    * 4), 3) AS BIGINT) AS band,
+        |  md5(CAST(doc_id AS VARCHAR) || '#cu1') AS ord_key
+        |FROM r ORDER BY band, ord_key, doc_id""".stripMargin) { (s, d) =>
+      Scale.curriculumOrder(Tables.documents(s, d), bands = 4)
+        .select("doc_id", "band", "ord_key")
+        .orderBy("band", "ord_key", "doc_id")
+    },
+
     // Quality-ranked curation: keep the top-3 docs per source by the t5
     // composite quality score (ties to the lowest doc_id). Runs the
     // salted two-stage top-k; the oracle recomputes the same quality

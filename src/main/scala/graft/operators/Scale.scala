@@ -478,6 +478,31 @@ object Scale {
       .drop("__salt", "__rn")
   }
 
+  /** Curriculum ordering (Bengio et al., ICML'09 applied to corpus
+    * prep): rank every document into `bands` difficulty bands by the
+    * global percent rank of `orderCol` (easy → hard), then shuffle
+    * WITHIN each band by the deterministic md5 epoch key — coarse
+    * difficulty progression with intra-band decorrelation, the
+    * standard curriculum schedule. Emits `band` (0-based) and
+    * `ord_key`; training order is (band, ord_key, id). The percent
+    * rank is the [[groupPercentRank]] two-phase distributed rank over
+    * a single global group (slice-parallel — no serial global window),
+    * and the shuffle key is the [[epochShuffle]] md5 recipe, so both
+    * the banding and the intra-band order are reproducible across
+    * runs, engines, and epochs.
+    */
+  def curriculumOrder(docs: DataFrame, orderCol: String = "n_chars",
+      bands: Int = 4, idCol: String = "doc_id", epoch: Int = 1): DataFrame = {
+    require(bands >= 1, "bands must be positive")
+    groupPercentRank(docs.withColumn("__cu_g", lit(1)), "__cu_g", orderCol,
+        idCol, outCol = "__cu_pct")
+      .withColumn("band",
+        least(floor(col("__cu_pct") * bands), lit(bands - 1L)).cast("long"))
+      .withColumn("ord_key",
+        md5(concat(col(idCol).cast("string"), lit(s"#cu$epoch"))))
+      .drop("__cu_g", "__cu_pct")
+  }
+
   /** Uniform-without-replacement sample of exactly `k` rows per group
     * (or the whole group when smaller) — the eval-set / human-review
     * draw: unlike the rate-based [[hashStratifiedSample]], the output

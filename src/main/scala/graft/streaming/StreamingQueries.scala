@@ -530,5 +530,45 @@ object StreamingQueries {
         .select(explode(slice(col("hh"), 1, 10)).as("e"))
         .select(col("e.item").as("user_id"), col("e.count").as("cnt"))
         .orderBy(desc("cnt"), asc("user_id"))
+    },
+
+    // Stream-STATIC join — the remaining Structured Streaming join
+    // shape (st2 covers stream-stream): the event stream enriches
+    // against a static dimension (nation, via the deterministic
+    // user→nation assignment) with a broadcast hash join per
+    // micro-batch — the static side never enters state, which is the
+    // entire scale story: a 100 TB stream joins a dimension at zero
+    // state cost. Complete-mode count per nation; the oracle is the
+    // plain relational join+agg.
+    "st8_stream_static_join" -> QueryDef.sql(
+      """SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+        |GROUP BY 1 ORDER BY nation""".stripMargin) { (s, d) =>
+      val dropDir = cachedDrop(s"st8:$d", dir =>
+        Tables.events(s, d).select("event_id", "user_id")
+          .repartition(4).write.mode("overwrite").json(dir))
+      val ckDir = tempDir("graft_st8_ck")
+      val nation = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType)))
+      val sinkName = s"graft_st8_sink_${runSeq.incrementAndGet()}"
+      try withStateShuffle(s) {
+        val q = s.readStream.schema(schema).json(dropDir)
+          .withColumn("n_nationkey", col("user_id") % 25)
+          .join(broadcast(nation), Seq("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally deleteQuietly(ckDir)
+
+      s.table(sinkName).select("nation", "cnt").orderBy("nation")
     })
 }
