@@ -220,6 +220,53 @@ object Corpus {
       .select(col("qid"), col("qlabel"), col("neg_id"), col("neg_label"), col("sim"))
   }
 
+  /** Retrieval-quality evaluation — the metrics loop every embedding
+    * model ships through: for each query vector, rank the corpus by
+    * cosine, take the top `k`, and score hits@k, recall@k
+    * (denominator min(k, #relevant), the standard convention) and the
+    * reciprocal rank of the first relevant hit, with "relevant" =
+    * shares the query's label (the classed-corpus relevance proxy; a
+    * qrels table would join in the same shape). Cosines round to
+    * 6 d.p. BEFORE ranking (cross-engine ulp stability), ties break by
+    * neighbor id; recall/rr are exact integer-derived quotients —
+    * bit-identical unrounded.
+    *
+    * Scale: queries broadcast (bounded by `queryCap`), the corpus side
+    * streams through the scan once; per-label counts are a tiny
+    * broadcast. The ranking is a per-query top-k window over the
+    * queryCap-bounded candidate set — production ANN would swap the
+    * brute-force candidate generator, not the metric tail.
+    */
+  def retrievalEval(embeddings: DataFrame, queryCap: Long, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val all = embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        Similarity.asDouble(col("embedding")).as("v"))
+    val labelCounts = all.groupBy(col("label").as("__lc_label"))
+      .agg(count(lit(1)).as("__lc_n"))
+    val q = broadcast(all.filter(col("vec_id") < queryCap)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv")))
+    val rn = row_number().over(
+      Window.partitionBy("qid").orderBy(col("sim").desc, col("nid")))
+    val top = all.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id").as("nid"),
+        col("label").as("nlabel"),
+        round(Similarity.cosine(col("v"), col("qv")), 6).as("sim"))
+      .withColumn("rank", rn)
+      .filter(col("rank") <= k)
+    top.groupBy(col("qid"), col("qlabel"))
+      .agg(
+        sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L)).as("hits"),
+        min(when(col("nlabel") === col("qlabel"), col("rank"))).as("__first"))
+      .join(broadcast(labelCounts), col("qlabel") === col("__lc_label"))
+      .select(col("qid").as("vec_id"), col("qlabel").as("label"),
+        col("hits").cast("long").as("hits"),
+        (col("hits").cast("double") /
+          least(lit(k.toLong), col("__lc_n") - 1).cast("double")).as("recall_k"),
+        coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0)).as("rr"))
+  }
+
   /** Per-source corpus report (the Dolma/RefinedWeb-style dataset
     * datasheet row): document and token counts, quality mass from the
     * fused [[graft.functions.TextStats]] pass, low-quality counts and

@@ -113,6 +113,38 @@ object CorpusQueries {
         .orderBy("vec_id")
     },
 
+    // Retrieval eval (Corpus.retrievalEval): per-query hits@10,
+    // recall@10 (min(k, #relevant) denominator) and reciprocal rank,
+    // relevance = shared label. Cosines round 6 d.p. BEFORE ranking;
+    // recall/rr are identical-operand quotients — unrounded.
+    "s11_retrieval_eval" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |lc AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+        |top AS (
+        |  SELECT q.vec_id AS qid, q.label AS qlabel, n.label AS nlabel,
+        |         n.vec_id AS nid,
+        |         round(list_cosine_similarity(n.v, q.v), 6) AS sim
+        |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20),
+        |rk AS (SELECT *, row_number() OVER (
+        |         PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM top),
+        |m AS (
+        |  SELECT qid, qlabel,
+        |    sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS hits,
+        |    min(CASE WHEN nlabel = qlabel THEN rank END) AS first_rel
+        |  FROM rk WHERE rank <= 10 GROUP BY qid, qlabel)
+        |SELECT m.qid AS vec_id, m.qlabel AS label, CAST(hits AS BIGINT) AS hits,
+        |  CAST(hits AS DOUBLE) / CAST(least(10, lc.n - 1) AS DOUBLE) AS recall_k,
+        |  coalesce(1.0::DOUBLE / CAST(first_rel AS DOUBLE), 0.0::DOUBLE) AS rr
+        |FROM m JOIN lc ON lc.label = m.qlabel
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Corpus.retrievalEval(Tables.embeddings(s, d), queryCap = 20L, k = 10)
+        .orderBy("vec_id")
+    },
+
     "s9_hard_negatives" -> QueryDef.sql(
       """WITH e AS (
         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
