@@ -754,6 +754,43 @@ object PipelineQueries {
       Similarity.nearDupPairs(Tables.embeddings(s, d), idCap = 200L, threshold = 0.3)
     },
 
+    // SemDeDup end-to-end (Similarity.semanticDedup): embedding
+    // near-dup pairs → connected components → keep the min-id
+    // representative per cluster (+ all singletons), with cluster
+    // population. Oracle: DuckDB quadratic cosine pairs + WITH
+    // RECURSIVE reachability (the s2 + d7 patterns composed).
+    "s12_semantic_dedup" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(id, lab) AS (
+        |    SELECT a, a FROM edges
+        |    UNION
+        |    SELECT e2.a, r.lab FROM edges e2 JOIN r ON e2.b = r.id)
+        |  SELECT id, min(lab) AS cluster_id FROM r GROUP BY id),
+        |lab AS (
+        |  SELECT e.vec_id, e.label,
+        |         coalesce(reach.cluster_id, e.vec_id) AS cluster_id
+        |  FROM e LEFT JOIN reach ON reach.id = e.vec_id),
+        |sz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY cluster_id)
+        |SELECT lab.vec_id, lab.label, CAST(sz.n AS BIGINT) AS n_members
+        |FROM lab JOIN sz USING (cluster_id)
+        |WHERE lab.vec_id = lab.cluster_id
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), threshold = 0.3,
+          idCap = 200L)
+        .orderBy("vec_id")
+    },
+
     "s3_ann_topk" -> QueryDef.noOracle { (s, d) =>
       Similarity.topKCosineApprox(Tables.embeddings(s, d), queryId = 0L, k = 20)
     },

@@ -82,6 +82,33 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
+    * — keep exactly ONE representative (the minimum vec_id) of every
+    * embedding near-duplicate cluster, dropping the rest. Pipeline:
+    * cosine near-dup pairs → connected components
+    * ([[graft.operators.Dedup.clusters]], min-label join iteration) →
+    * survivors = cluster representatives plus all singletons, each with
+    * its cluster population. This bounded variant runs the exact
+    * quadratic pair generator so the s12 probe is oracle-checkable
+    * end-to-end (DuckDB recursive CTE, the d7 pattern); the production
+    * path swaps [[nearDupPairsBucketed]] (s6's LSH contract) in front —
+    * the CC + keep tail is identical and never sees the swap.
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+      idCap: Long): DataFrame = {
+    val comp = Dedup.clusters(nearDupPairs(embeddings, idCap, threshold))
+    val sizes = comp.groupBy("cluster_id")
+      .agg(count(lit(1)).as("__cs"))
+    embeddings.filter(col("vec_id") < idCap)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+      .filter(col("vec_id") === col("cluster_id"))
+      .join(sizes.withColumnRenamed("cluster_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("__cs"), lit(1L)).cast("long").as("n_members"))
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (fixed seed) for
     * sign-LSH. Generated driver-side once; tiny (nBits × dim doubles) and
     * embedded as a literal into the plan, so executors pay nothing.
