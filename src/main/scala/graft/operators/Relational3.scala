@@ -224,6 +224,34 @@ object Relational3 {
         .orderBy(desc("cnt"), asc("user_id"))
     },
 
+    // ---- exact quantile at scale (histogram-refinement selection) -------
+    // Scale.exactOrderStatistic: the bounded-memory exact median/p90 —
+    // each pass is one ≤4096-row hash agg, never the built-in
+    // percentile's per-group value map. tailLimit 1024 forces ≥2
+    // refinement passes at every test SF, so the probe exercises the
+    // recursion, not just the tail sort. Rank = ⌊q·(n−1)⌋, 0-based —
+    // the oracle reads the same sorted position directly.
+    "a26_exact_quantile" -> QueryDef.sql(
+      """WITH s AS (
+        |  SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT
+        |  max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+        |      THEN v END) AS p50,
+        |  max(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+        |      THEN v END) AS p90
+        |FROM s ORDER BY p50""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p50 = Scale.exactOrderStatistic(li, "l_extendedprice", 0.5,
+        tailLimit = 1024)
+      val p90 = Scale.exactOrderStatistic(li, "l_extendedprice", 0.9,
+        tailLimit = 1024)
+      s.range(1).select(lit(p50).as("p50"), lit(p90).as("p90"))
+        .orderBy("p50")
+    },
+
     // ---- approximate count-distinct (HLL++): rows-only check ------------
     // (approx result is engine-specific; the ScalaTest asserts the ±5%
     // error bound against the exact count instead)

@@ -478,6 +478,71 @@ object Scale {
       .drop("__salt", "__rn")
   }
 
+  /** EXACT k-th order statistic (discrete quantile, 0-based rank
+    * ⌊q·(n−1)⌋) of a numeric column in a BOUNDED number of bounded-
+    * memory passes — distributed selection by iterative histogram
+    * refinement (the Blum et al. selection idea in scan form: histogram
+    * the live interval into `buckets`, locate the bucket holding the
+    * target rank, recurse into it): each pass is one hash aggregate
+    * producing ≤ `buckets` rows, and the interval shrinks `buckets`-fold
+    * per pass, so doubles converge in ≤ ~5 passes. The survivors
+    * (≤ `tailLimit`) sort in a single executor-side collect_list.
+    *
+    * Why it exists next to the built-in exact `percentile` (a14): that
+    * aggregate buffers a value→count map PER GROUP — on a
+    * high-cardinality double column at 100 TB the map IS the data and
+    * the executor dies; this routine's state is `buckets` counters per
+    * pass, full stop. Bucket membership is re-derived from the same
+    * floor expression the histogram used (never from float interval
+    * arithmetic), so rank accounting is exact. Duplicate-heavy columns
+    * short-circuit: a zero-width interval means every candidate equals
+    * `lo`.
+    */
+  def exactOrderStatistic(df: DataFrame, valueCol: String, q: Double,
+      buckets: Int = 4096, tailLimit: Int = 65536): Double = {
+    require(q >= 0.0 && q <= 1.0, "q must be in [0, 1]")
+    require(buckets >= 2 && tailLimit >= 1, "buckets/tailLimit too small")
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && !col("v").isNaN)
+    val first = vals.agg(count(lit(1)).as("n"), min("v").as("lo"),
+      max("v").as("hi")).head
+    val n = first.getLong(0)
+    require(n > 0, s"exactOrderStatistic: no non-null values in $valueCol")
+    var k = math.floor(q * (n - 1)).toLong
+    var lo = first.getDouble(1)
+    var hi = first.getDouble(2)
+    var pred: Column = lit(true)
+    var candCount = n
+    while (candCount > tailLimit && hi > lo) {
+      val width = (hi - lo) / buckets
+      if (width == 0.0) { hi = lo } // interval below one ulp: all equal
+      else {
+        val bucketOf = least(lit(buckets - 1),
+          floor((col("v") - lit(lo)) / lit(width))).cast("int")
+        val h = vals.filter(pred)
+          .groupBy(bucketOf.as("b")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        var acc = 0L
+        var b = 0
+        while (b < buckets && acc + h.getOrElse(b, 0L) <= k) {
+          acc += h.getOrElse(b, 0L); b += 1
+        }
+        k -= acc
+        candCount = h.getOrElse(b, 0L)
+        pred = pred && (bucketOf === b) // exact membership, no float drift
+        lo = lo + b * width
+        hi = if (b == buckets - 1) hi else lo + width
+      }
+    }
+    if (hi <= lo) lo
+    else {
+      val tail = vals.filter(pred)
+        .agg(sort_array(collect_list(col("v"))).as("t"))
+        .head.getSeq[Double](0)
+      tail(k.toInt)
+    }
+  }
+
   /** Curriculum ordering (Bengio et al., ICML'09 applied to corpus
     * prep): rank every document into `bands` difficulty bands by the
     * global percent rank of `orderCol` (easy → hard), then shuffle

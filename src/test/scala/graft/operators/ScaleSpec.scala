@@ -453,6 +453,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(narrow.subsetOf(wide))
   }
 
+  test("exactOrderStatistic: matches sort-based rank; duplicates, extremes, tiny tails") {
+    import spark.implicits._
+    // pseudo-random values with heavy duplicates and negatives
+    val xs = (1 to 5000).map(i => ((i * 2654435761L) % 997).toDouble - 300.0)
+    val df = xs.toDF("x").repartition(7)
+    val sorted = xs.sorted
+    for (q <- Seq(0.0, 0.1, 0.5, 0.9, 1.0)) {
+      val expected = sorted(math.floor(q * (xs.size - 1)).toInt)
+      // tailLimit 64 forces several refinement passes; 100000 none
+      assert(Scale.exactOrderStatistic(df, "x", q, buckets = 16,
+        tailLimit = 64) === expected, s"q=$q refined")
+      assert(Scale.exactOrderStatistic(df, "x", q,
+        tailLimit = 100000) === expected, s"q=$q tail-only")
+    }
+    // constant column short-circuits
+    val const = Seq.fill(100)(42.0).toDF("x")
+    assert(Scale.exactOrderStatistic(const, "x", 0.5, tailLimit = 10) === 42.0)
+    // nulls/NaNs are excluded, not counted in ranks
+    val withNull = (Seq(Some(1.0), None, Some(3.0), Some(Double.NaN),
+      Some(2.0))).toDF("x")
+    assert(Scale.exactOrderStatistic(withNull, "x", 1.0, tailLimit = 2) === 3.0)
+  }
+
   test("slidingChunks: overlap, short docs, exact-window docs, trailing whitespace") {
     import spark.implicits._
     val docs = Seq(
