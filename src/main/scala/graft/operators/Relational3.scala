@@ -252,6 +252,34 @@ object Relational3 {
         .orderBy("p50")
     },
 
+    // ---- weighted exact quantile (token-weighted doc length) ------------
+    // Scale.weightedOrderStatistic: first n_chars value whose cumulative
+    // TOKEN weight reaches q·W — giant documents pull the median the
+    // way they pull the token budget. Integer weights keep every
+    // cumulative sum an exact long on both engines.
+    "a27_weighted_quantile" -> QueryDef.sql(
+      """WITH t AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS v,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS w
+        |  FROM documents),
+        |f AS (SELECT v, w FROM t WHERE w > 0),
+        |s AS (SELECT v, sum(w) OVER (ORDER BY v) AS cw,
+        |             sum(w) OVER () AS W FROM f)
+        |SELECT
+        |  (SELECT min(v) FROM s WHERE cw >= greatest(0.5 * W, 1)) AS wp50,
+        |  (SELECT min(v) FROM s WHERE cw >= greatest(0.9 * W, 1)) AS wp90
+        |ORDER BY wp50""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("n_chars"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("w"))
+      val wp50 = Scale.weightedOrderStatistic(docs, "n_chars", "w", 0.5,
+        tailLimit = 64)
+      val wp90 = Scale.weightedOrderStatistic(docs, "n_chars", "w", 0.9,
+        tailLimit = 64)
+      s.range(1).select(lit(wp50).as("wp50"), lit(wp90).as("wp90"))
+        .orderBy("wp50")
+    },
+
     // ---- approximate count-distinct (HLL++): rows-only check ------------
     // (approx result is engine-specific; the ScalaTest asserts the ±5%
     // error bound against the exact count instead)

@@ -543,6 +543,74 @@ object Scale {
     }
   }
 
+  /** Weighted exact quantile by the same histogram-refinement selection
+    * as [[exactOrderStatistic]]: the smallest value v whose cumulative
+    * weight (values sorted ascending) reaches q·W. Weights must be
+    * NON-NEGATIVE INTEGERS (token counts, byte sizes, row
+    * multiplicities — the corpus cases) so every cumulative sum is an
+    * exact long and the q·W threshold compares identically on every
+    * engine; a float-weighted variant would make the threshold itself
+    * summation-order-dependent. Each pass aggregates `buckets` weight
+    * sums; the tail sorts ≤ `tailLimit` surviving rows. The
+    * "median document length weighted by tokens" question — where a
+    * handful of giant documents should pull the median the way they
+    * pull the token budget — is this routine.
+    */
+  def weightedOrderStatistic(df: DataFrame, valueCol: String,
+      weightCol: String, q: Double, buckets: Int = 4096,
+      tailLimit: Int = 65536): Double = {
+    require(q >= 0.0 && q <= 1.0, "q must be in [0, 1]")
+    val vals = df.select(col(valueCol).cast("double").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("v").isNotNull && !col("v").isNaN &&
+        col("w").isNotNull && col("w") > 0)
+    val first = vals.agg(sum("w").as("tw"), count(lit(1)).as("n"),
+      min("v").as("lo"), max("v").as("hi")).head
+    require(!first.isNullAt(0), s"weightedOrderStatistic: no weighted rows")
+    val totalW = first.getLong(0)
+    // target: first v with cumWeight >= t (t > 0 so q=0 → min value)
+    var t = math.max(q * totalW, 1.0)
+    var lo = first.getDouble(2)
+    var hi = first.getDouble(3)
+    var pred: Column = lit(true)
+    var candCount = first.getLong(1)
+    while (candCount > tailLimit && hi > lo) {
+      val width = (hi - lo) / buckets
+      if (width == 0.0) { hi = lo }
+      else {
+        val bucketOf = least(lit(buckets - 1),
+          floor((col("v") - lit(lo)) / lit(width))).cast("int")
+        val h = vals.filter(pred)
+          .groupBy(bucketOf.as("b"))
+          .agg(sum(col("w")).as("sw"), count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        var acc = 0L
+        var b = 0
+        while (b < buckets && acc + h.get(b).map(_._1).getOrElse(0L) < t) {
+          acc += h.get(b).map(_._1).getOrElse(0L); b += 1
+        }
+        t -= acc
+        candCount = h.get(b).map(_._2).getOrElse(0L)
+        pred = pred && (bucketOf === b)
+        lo = lo + b * width
+        hi = if (b == buckets - 1) hi else lo + width
+      }
+    }
+    if (hi <= lo) lo
+    else {
+      val tail = vals.filter(pred)
+        .groupBy("v").agg(sum("w").as("w")) // merge duplicate values
+        .orderBy("v")
+        .collect()
+      var acc = 0L
+      var i = 0
+      while (i < tail.length && acc + tail(i).getLong(1) < t) {
+        acc += tail(i).getLong(1); i += 1
+      }
+      tail(math.min(i, tail.length - 1)).getDouble(0)
+    }
+  }
+
   /** Curriculum ordering (Bengio et al., ICML'09 applied to corpus
     * prep): rank every document into `bands` difficulty bands by the
     * global percent rank of `orderCol` (easy → hard), then shuffle

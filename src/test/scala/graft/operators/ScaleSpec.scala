@@ -476,6 +476,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(Scale.exactOrderStatistic(withNull, "x", 1.0, tailLimit = 2) === 3.0)
   }
 
+  test("weightedOrderStatistic: matches serial weighted rank; uniform weights ≡ unweighted") {
+    import spark.implicits._
+    val rows = (1 to 2000).map { i =>
+      (((i * 48271L) % 211).toDouble, (i % 7 + 1).toLong)
+    }
+    val df = rows.toDF("x", "w").repartition(5)
+    // serial reference: first value (ascending) with cumWeight >= q*W
+    val sorted = rows.sortBy(_._1)
+    val totalW = rows.map(_._2).sum
+    def serial(q: Double): Double = {
+      val t = math.max(q * totalW, 1.0)
+      var acc = 0L
+      sorted.find { case (_, w) => { acc += w; acc >= t } }.get._1
+    }
+    for (q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      assert(Scale.weightedOrderStatistic(df, "x", "w", q, buckets = 16,
+        tailLimit = 32) === serial(q), s"q=$q refined")
+      assert(Scale.weightedOrderStatistic(df, "x", "w", q,
+        tailLimit = 100000) === serial(q), s"q=$q tail-only")
+    }
+    // uniform weights reduce to a plain quantile position
+    val uni = rows.map(t => (t._1, 1L)).toDF("x", "w")
+    // t = 0.5·n ⇒ first index with cum ≥ t is ⌈0.5·n⌉ − 1 (0-based)
+    assert(Scale.weightedOrderStatistic(uni, "x", "w", 0.5, tailLimit = 16)
+      === rows.map(_._1).sorted.apply(math.ceil(0.5 * rows.size).toInt - 1))
+    // zero/negative weights are excluded
+    val mixed = Seq((1.0, 0L), (2.0, 5L), (3.0, 0L)).toDF("x", "w")
+    assert(Scale.weightedOrderStatistic(mixed, "x", "w", 1.0, tailLimit = 2) === 2.0)
+  }
+
   test("slidingChunks: overlap, short docs, exact-window docs, trailing whitespace") {
     import spark.implicits._
     val docs = Seq(
