@@ -1,0 +1,256 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analytics batch (round 7, third wave): deterministic per-group mode,
+  * RFM segmentation on the distributed percent-rank, day-of-week
+  * seasonality, link prediction + k-core over the support-filtered
+  * co-purchase graph, and the k-means assignment step over embeddings.
+  * All six are oracle-checked.
+  */
+object Analytics {
+
+  /** Co-purchase graph with minimum support: parts sharing ≥ `minSupport`
+    * DISTINCT orders. Pairs explode IN-ROW from each order's sorted part
+    * set (bounded by order size — the t26/g2 lesson: no lineitem
+    * self-join shuffle); the support filter is what makes the graph
+    * sparse enough for neighborhood methods (the unfiltered co-purchase
+    * graph has avg degree >100 — Σdeg² wedge work would be quadratic).
+    */
+  private def copurchaseEdges(s: SparkSession, d: String,
+      minSupport: Int): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
+          struct(x.as("src"), y.as("dst")))))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= minSupport)
+      .select("src", "dst")
+
+  /** The oracle twin of [[copurchaseEdges]] (DuckDB dialect): per-order
+    * DISTINCT parts first, so the SQL pair count is order-set support,
+    * matching the collect_set semantics (a part listed twice in one
+    * order counts once).
+    */
+  private val CopurchaseCte =
+    """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (
+      |  SELECT o1.l_partkey AS a, o2.l_partkey AS b
+      |  FROM op o1 JOIN op o2
+      |    ON o1.l_orderkey = o2.l_orderkey AND o1.l_partkey < o2.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** Unrolled k-core oracle: `rounds` peels of (degree ≥ k) node
+    * filtering over the e0 CTE. Extra rounds past the fixpoint are
+    * identity, so any `rounds` ≥ the true peeling depth matches the
+    * Spark fixpoint (depth measured ≤ 7 at both test SFs; 12 is margin —
+    * Graph.kCore errors rather than under-peels if a graph ever needs
+    * more).
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $CopurchaseCte"
+    // each e_i is referenced three times (d_{i+1} twice, e_{i+1} once):
+    // an INLINED chain re-evaluates e0 O(3^rounds) times — the same
+    // exponential-lineage trap as Spark's cached iterative plans, hit
+    // here as a "too many open files" parquet storm. MATERIALIZED pins
+    // every round to one evaluation.
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+        |d$i AS MATERIALIZED (SELECT node FROM (SELECT a AS node FROM e${i - 1}
+        |  UNION ALL SELECT b FROM e${i - 1}) GROUP BY node
+        |  HAVING count(*) >= $k),
+        |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+        |  WHERE a IN (SELECT node FROM d$i)
+        |    AND b IN (SELECT node FROM d$i))""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+      |FROM (SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+      |GROUP BY node ORDER BY node""".stripMargin
+    sb.toString
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- deterministic per-group mode ----
+    // most frequent brand per part type; ties break to the LOWEST brand.
+    // Spark side is two map-combinable hash aggs (count, then min of a
+    // (−cnt, brand) struct) — no window, no single-task partition; the
+    // oracle is the textbook row_number formulation.
+    "a28_mode" -> QueryDef.sql(
+      """WITH c AS (
+        |  SELECT p_type, p_brand, count(*) AS cnt FROM part GROUP BY 1, 2)
+        |SELECT p_type, p_brand AS mode_brand, CAST(cnt AS BIGINT) AS cnt
+        |FROM c
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY p_type ORDER BY cnt DESC, p_brand) = 1
+        |ORDER BY p_type""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .groupBy("p_type", "p_brand").agg(count(lit(1)).as("cnt"))
+        .groupBy("p_type")
+        .agg(min(struct((-col("cnt")).as("nc"), col("p_brand").as("b"))).as("m"))
+        .select(col("p_type"), col("m.b").as("mode_brand"),
+          (-col("m.nc")).as("cnt"))
+        .orderBy("p_type")
+    },
+
+    // ---- RFM segmentation ----
+    // Per customer: recency (days from last order to the corpus max
+    // date), frequency (order count), monetary (EXACT integer cents —
+    // sum of round(o_totalprice·100), order-independent, the a23
+    // exact-integer discipline). Each metric quartiles via the
+    // DISTRIBUTED percent rank (Scale.groupPercentRank on a constant
+    // group — no single-task global window at 100 TB), bucketed
+    // 1 + min(3, ⌊4·pct⌋); the oracle is the serial window twin, so
+    // equality proves the two-phase rank bit-exact on all three axes.
+    "e12_rfm" -> QueryDef.sql(
+      """WITH m AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+        |c AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |              (SELECT maxd FROM m)) AS recency_days,
+        |    count(*) AS freq,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon_cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY recency_days, o_custkey) - 1 AS DOUBLE)
+        |      / CAST(count(*) OVER () - 1 AS DOUBLE) AS r_pct,
+        |    CAST(row_number() OVER (ORDER BY freq, o_custkey) - 1 AS DOUBLE)
+        |      / CAST(count(*) OVER () - 1 AS DOUBLE) AS f_pct,
+        |    CAST(row_number() OVER (ORDER BY mon_cents, o_custkey) - 1 AS DOUBLE)
+        |      / CAST(count(*) OVER () - 1 AS DOUBLE) AS m_pct
+        |  FROM c)
+        |SELECT
+        |  CAST(least(3.0::DOUBLE, floor(r_pct * 4.0::DOUBLE)) AS INTEGER) + 1 AS r_score,
+        |  CAST(least(3.0::DOUBLE, floor(f_pct * 4.0::DOUBLE)) AS INTEGER) + 1 AS f_score,
+        |  CAST(least(3.0::DOUBLE, floor(m_pct * 4.0::DOUBLE)) AS INTEGER) + 1 AS m_score,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(mon_cents) AS BIGINT) AS mon_cents_total
+        |FROM r GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val maxD = broadcast(o.agg(max(col("o_orderdate").cast("date")).as("maxd")))
+      val base = o.groupBy("o_custkey")
+        .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("mon_cents"))
+        .join(maxD)
+        .select(col("o_custkey"),
+          datediff(col("maxd"), col("last_d")).as("recency_days"),
+          col("freq"), col("mon_cents"))
+        .withColumn("__all", lit(1))
+      val ranked = Seq(("recency_days", "r_pct"), ("freq", "f_pct"),
+        ("mon_cents", "m_pct")).foldLeft(base) { case (df, (metric, out)) =>
+        Scale.groupPercentRank(df, "__all", metric, idCol = "o_custkey",
+          outCol = out)
+      }
+      def score(pct: String) =
+        (least(lit(3.0), floor(col(pct) * lit(4.0)))).cast("int") + 1
+      ranked.select(
+          score("r_pct").as("r_score"), score("f_pct").as("f_score"),
+          score("m_pct").as("m_score"), col("mon_cents"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("mon_cents")).as("mon_cents_total"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+
+    // ---- day-of-week seasonality profile ----
+    // events per (type, dow) with the seasonal index cnt·7 / total —
+    // exact integers on both sides of the quotient ⇒ bit-identical
+    // doubles unrounded (the e5 discipline). Spark dayofweek is
+    // 1=Sunday; DuckDB dayofweek is 0=Sunday, hence the +1.
+    "e13_dow_profile" -> QueryDef.sql(
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INTEGER) AS dow,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, dow, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(cnt * 7 AS DOUBLE) / CAST(sum(cnt) OVER (
+        |    PARTITION BY event_type) AS DOUBLE) AS dow_index
+        |FROM c ORDER BY event_type, dow""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .groupBy(col("event_type"), dayofweek(col("ts")).cast("int").as("dow"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = c.groupBy("event_type").agg(sum("cnt").as("tot"))
+      c.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("cnt"),
+          ((col("cnt") * 7).cast("double") / col("tot").cast("double"))
+            .as("dow_index"))
+        .orderBy("event_type", "dow")
+    },
+
+    // ---- common-neighbor link prediction ----
+    // top-100 non-adjacent pairs of the support-2 co-purchase graph by
+    // neighborhood Jaccard (Graph.linkPrediction: hub cap 12, in-row
+    // wedge explode). cn/da/db are exact ints ⇒ the score quotient is
+    // bit-identical unrounded; (a, b) completes the total order.
+    "g3_link_prediction" -> QueryDef.sql(
+      s"""WITH $CopurchaseCte,
+        |d0 AS (SELECT node, count(*) AS d FROM (SELECT a AS node FROM e0
+        |  UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |keep AS (SELECT node FROM d0 WHERE d <= 12),
+        |e AS (SELECT a, b FROM e0
+        |  WHERE a IN (SELECT node FROM keep) AND b IN (SELECT node FROM keep)),
+        |deg AS (SELECT node, count(*) AS d FROM (SELECT a AS node FROM e
+        |  UNION ALL SELECT b FROM e) GROUP BY 1),
+        |ed AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+        |wed AS (SELECT e1.t AS a, e2.t AS b FROM ed e1
+        |  JOIN ed e2 ON e1.s = e2.s AND e1.t < e2.t),
+        |cn AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn
+        |  FROM wed GROUP BY 1, 2),
+        |nc AS (SELECT cn.a, cn.b, cn.cn FROM cn
+        |  ANTI JOIN e ON e.a = cn.a AND e.b = cn.b),
+        |sc AS (SELECT nc.a, nc.b, nc.cn,
+        |    CAST(nc.cn AS DOUBLE) / CAST(da.d + db.d - nc.cn AS DOUBLE) AS score
+        |  FROM nc JOIN deg da ON da.node = nc.a JOIN deg db ON db.node = nc.b)
+        |SELECT a, b, cn, score FROM sc
+        |QUALIFY row_number() OVER (ORDER BY score DESC, cn DESC, a, b) <= 100
+        |ORDER BY score DESC, cn DESC, a, b""".stripMargin) { (s, d) =>
+      Graph.linkPrediction(copurchaseEdges(s, d, minSupport = 2),
+        maxDegree = 12, topK = 100)
+    },
+
+    // ---- k-core decomposition (k = 2) ----
+    // iterative peeling to the fixpoint (Graph.kCore) over the same
+    // support-2 graph; the oracle unrolls 12 peel rounds (≥ the true
+    // depth at every test SF — extra rounds are identity).
+    "g4_kcore" -> QueryDef.sql(kcoreOracle(k = 2, rounds = 12)) { (s, d) =>
+      Graph.kCore(copurchaseEdges(s, d, minSupport = 2), k = 2,
+          maxRounds = 12)
+        .select(col("node"), col("core_degree"))
+        .orderBy("node")
+    },
+
+    // ---- k-means assignment step ----
+    // every embedding assigned to its nearest of 8 deterministic seed
+    // centroids (vec_id < 8) by cosine (Similarity.assignToCentroids:
+    // broadcast centroids, no corpus shuffle before the map-combinable
+    // argmax). Cosines round 6 d.p. before ranking; ties → lowest
+    // centroid.
+    "s13_kmeans_assign" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+        |s AS (SELECT e.vec_id, c.centroid_id,
+        |    round(list_cosine_similarity(e.v, c.cv), 6) + 0.0::DOUBLE AS sim
+        |  FROM e, c)
+        |SELECT vec_id, centroid_id, sim FROM s
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      Similarity.assignToCentroids(e, cent).orderBy("vec_id")
+    }
+  )
+}

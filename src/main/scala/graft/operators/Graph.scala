@@ -77,6 +77,119 @@ object Graph {
     ranks
   }
 
+  /** The k-core of an undirected edge list: the maximal subgraph in
+    * which every node has degree ≥ k (Seidman 1983), by the standard
+    * iterative peeling fixpoint — drop nodes below degree k, re-derive
+    * degrees, repeat until the edge set stops shrinking.
+    *
+    * Scale shape (the d7 connected-components discipline): every round
+    * is one hash agg (degrees) + two left-semi equi joins (edge
+    * filtering), all shuffling on node keys so the partitioning is
+    * reused; each round `localCheckpoint`s and releases the previous
+    * round's blocks. Rounds are bounded by the peeling depth (the
+    * graph's degeneracy ordering height), NOT by n — real sparse graphs
+    * converge in a handful of rounds; `maxRounds` turns a pathological
+    * chain into a diagnosed error instead of a silent half-answer (the
+    * d7 non-convergence contract).
+    *
+    * Self-loops and duplicate/reverse edges are normalized away first.
+    * Returns `(node, core_degree)` — each surviving node with its degree
+    * INSIDE the core (≥ k by construction; empty result = empty core).
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 16): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(maxRounds >= 1, "maxRounds must be at least 1")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("core_degree"))
+    var cur = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var nEdges = cur.count()
+    var stable = false
+    var rounds = 0
+    while (!stable) {
+      if (rounds >= maxRounds)
+        sys.error(s"kCore: no fixpoint after $maxRounds rounds " +
+          s"($nEdges edges live) — raise maxRounds for this graph")
+      val keep = degrees(cur).filter(col("core_degree") >= k).select("node")
+      val next = cur
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val n = next.count()
+      Dedup.release(cur)
+      cur = next
+      stable = n == nEdges
+      nEdges = n
+      rounds += 1
+    }
+    degrees(cur)
+  }
+
+  /** Common-neighbor link prediction over an undirected edge list
+    * (Liben-Nowell & Kleinberg CIKM'03): score every NON-adjacent pair
+    * at distance 2 by its common-neighbor count and neighborhood
+    * Jaccard cn / (deg(a) + deg(b) − cn), and keep the top `topK` by
+    * (jaccard DESC, cn DESC, a, b).
+    *
+    * Scale shape: wedge enumeration is inherently Σ deg(v)² — one
+    * celebrity node makes it quadratic — so nodes above `maxDegree` are
+    * dropped FIRST (the standard hub cap for neighborhood methods:
+    * a hub's common-neighbor signal is noise anyway). After the cap,
+    * each node's neighbor array is bounded, wedge pairs explode IN-ROW
+    * from one collect_set aggregate (no self-join of the edge list —
+    * the t26/g2 lesson), and the only shuffles are node-keyed aggs plus
+    * the pair-count agg. Degrees for the Jaccard are the degrees of the
+    * CAPPED graph, so the score is internally consistent.
+    */
+  def linkPrediction(edges: DataFrame, maxDegree: Int = 64,
+      topK: Int = 100): DataFrame = {
+    require(maxDegree >= 2, "maxDegree must be at least 2")
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg0 = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val keep = deg0.filter(col("d") <= maxDegree).select("node")
+    val e = und
+      .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+      .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+      .localCheckpoint()
+    Dedup.release(und)
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // per-node sorted neighbor array (bounded by maxDegree), wedge pairs
+    // exploded in-row: neighbors u < v of the mid node are a candidate
+    // (or existing) edge with one common neighbor — the mid itself
+    val adj = e.select(col("a").as("node"), col("b").as("nbr"))
+      .union(e.select(col("b").as("node"), col("a").as("nbr")))
+      .groupBy("node").agg(sort_array(collect_set(col("nbr"))).as("ns"))
+    val wedges = adj
+      .select(explode(flatten(transform(col("ns"), (x, i) =>
+        transform(slice(col("ns"), i + 2, size(col("ns"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cn = wedges.groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .join(e, Seq("a", "b"), "left_anti")
+    cn.join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"),
+        col("cn").cast("double")
+          ./((col("da") + col("db") - col("cn")).cast("double")).as("score"))
+      .orderBy(col("score").desc, col("cn").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Exact global triangle count over an undirected edge list, by the
     * degree-ordered edge iterator (Schank & Wagner 2005; the adjacency
     * formulation of Suri & Vassilvitskii WWW'11): orient every edge from

@@ -26,6 +26,31 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Assign every vector to its nearest centroid by cosine — the
+    * assignment step of Lloyd's k-means (and the exact form of the IVF
+    * probe-routing this file's `ivfTopK` approximates). `centroids` is a
+    * small `(centroid_id, cv)` relation, broadcast and cross-joined — k
+    * rows replicated to every scan task, NO shuffle of the corpus except
+    * the final map-combinable per-vector argmax (each vector's k
+    * candidate rows partial-aggregate to one before the exchange).
+    *
+    * Cosines round to 6 d.p. BEFORE the argmax (cross-engine ranking
+    * stability) and `+ 0.0` normalizes a −0.0 similarity (the t24
+    * lesson); exact ties break to the LOWEST centroid_id via the
+    * max-struct trick (negated id as the second sort key).
+    */
+  def assignToCentroids(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(
+        centroids.select(col("centroid_id"), asDouble(col("cv")).as("cv"))))
+      .select(col("vec_id"), col("centroid_id"),
+        (round(cosine(col("v"), col("cv")), 6) + lit(0.0)).as("sim"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("centroid_id")).as("ni"),
+        col("centroid_id").as("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("centroid_id"),
+        col("m.sim").as("sim"))
+
   /** Exact top-k by cosine against the embedding of `queryId`. The single
     * query vector is a broadcast nested-loop over the scan — a full pass
     * but no shuffle; `round` before ordering makes the ranking stable

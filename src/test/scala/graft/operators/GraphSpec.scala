@@ -96,4 +96,47 @@ class GraphSpec extends AnyFunSuite {
     assert(ne === und.size.toLong)
     assert(nt === expected)
   }
+
+  test("kCore peels a tail off a triangle, survives dups/loops, empties a tree") {
+    // triangle 1-2-3 with a pendant chain 3-4-5: the chain peels over two
+    // rounds, the triangle is the 2-core; loops/reverse dups normalize away
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 5L)).toDF("src", "dst")
+    val core = Graph.kCore(g, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // a star is a tree: its 2-core is empty
+    val star = (2L to 6L).map(i => (1L, i)).toDF("src", "dst")
+    assert(Graph.kCore(star, k = 2).count() === 0L)
+  }
+
+  test("kCore diagnoses non-convergence within maxRounds instead of under-peeling") {
+    // a 12-node path peels one node per end per round — needs ~6 rounds
+    val path = (1L to 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[RuntimeException] {
+      Graph.kCore(path, k = 2, maxRounds = 2).count()
+    }
+    assert(e.getMessage.contains("no fixpoint"))
+    assert(Graph.kCore(path, k = 2, maxRounds = 8).count() === 0L)
+  }
+
+  test("linkPrediction scores distance-2 pairs, excludes edges, caps hubs") {
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) have cn=2, jaccard
+    // 2/(2+2-2) = 1.0; adjacent pairs never appear
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = Graph.linkPrediction(square, maxDegree = 8, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet === Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+
+    // add a hub adjacent to everything: with the cap at 4 the hub (degree
+    // 8) is dropped and the square's scores are unchanged; without the
+    // cap the hub inflates every cn and joins the candidates
+    val hub = square.union(
+      (1L to 8L).map(i => (99L, i)).toDF("src", "dst"))
+    val capped = Graph.linkPrediction(hub, maxDegree = 4, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(capped.toSet === Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+    val uncapped = Graph.linkPrediction(hub, maxDegree = 64, topK = 100)
+    assert(uncapped.filter(col("a") === 5L || col("b") === 5L).count() > 0)
+  }
 }

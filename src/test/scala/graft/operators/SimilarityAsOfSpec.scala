@@ -235,4 +235,21 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     assert(got(4L).get.toString.startsWith("2024-01-01 02:00:00"))
     assert(got(5L).isEmpty)
   }
+
+  test("assignToCentroids picks nearest centroid, ties break to lowest id") {
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)),   // → centroid 0 (identical direction)
+      (11L, Array(0.0f, 5.0f)),   // → centroid 1
+      (12L, Array(1.0f, 1.0f))    // equidistant from both → lowest id 0
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(2.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "cv")
+    val got = Similarity.assignToCentroids(vecs, cents).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(10L) === ((0L, 1.0)))
+    assert(got(11L) === ((1L, 1.0)))
+    assert(got(12L)._1 === 0L)
+    assert(math.abs(got(12L)._2 - 0.707107) < 1e-9) // cos 45°, rounded 6 d.p.
+  }
 }
