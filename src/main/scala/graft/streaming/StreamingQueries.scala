@@ -570,5 +570,75 @@ object StreamingQueries {
       } finally deleteQuietly(ckDir)
 
       s.table(sinkName).select("nation", "cnt").orderBy("nation")
+    },
+
+    // SESSION windows through the live streaming path: the event feed
+    // replays into groupBy(session_window(ts, 30 min), user_id) — the
+    // state store MERGES adjacent windows as events arrive, the shape
+    // per-user activity analytics runs on an endless stream (state is
+    // bounded by the watermark: closed sessions evict). Session windows
+    // stream in APPEND mode only: a session emits once the watermark
+    // (max event time − 1 h, ms-truncated — the st3 lesson) passes its
+    // end, so the oracle's islands twin applies the same
+    // session_end ≤ wm cutoff — the last hour's sessions are still open
+    // in state by DESIGN, exactly what a production stream would hold.
+    // A session breaks where the gap is ≥ 30 min (Spark's window is
+    // [start, last+gap), so an event AT the boundary starts a new one),
+    // and session_end = last event + gap by the same definition.
+    "st9_stream_session" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |wm AS (
+        |  SELECT make_timestamp(epoch_ms(max(ts)) * 1000)
+        |    - INTERVAL 1 HOUR AS w FROM e),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT user_id, ts, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      val dropDir = cachedDrop(s"st9:$d", dir =>
+        Tables.events(s, d).select("event_id", "user_id", "ts")
+          .repartition(4).write.mode("overwrite")
+          .option("timestampFormat", TsFmt).json(dir))
+      val ckDir = tempDir("graft_st9_ck")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val sinkName = s"graft_st9_sink_${runSeq.incrementAndGet()}"
+      try withStateShuffle(s) {
+        val q = s.readStream.schema(schema).option("timestampFormat", TsFmt)
+          .json(dropDir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).cast("long").as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"), col("n_events"))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally deleteQuietly(ckDir)
+
+      s.table(sinkName)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
     })
 }
