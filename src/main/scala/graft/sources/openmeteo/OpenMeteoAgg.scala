@@ -165,6 +165,7 @@ class OpenMeteoAggReader(opts: OpenMeteoOptions, aggs: Seq[PushedAgg],
                 acc(k) =
                   if (acc(k) == null) v
                   else if (a.kind == "MIN") math.min(acc(k), v)
+                  else if (a.kind == "SUM") acc(k) + v
                   else math.max(acc(k), v)
               }
             }

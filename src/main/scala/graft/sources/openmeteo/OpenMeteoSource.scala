@@ -251,8 +251,13 @@ class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
   // (the reference's "ask for the daily pre-aggregate" move,
   // `server.py:219-223`). Pushed ONLY when exact: a global (no grouping)
   // MIN/MAX whose hourly variable has a daily counterpart, with any
-  // pushed time bounds on local-day boundaries. Sums are never pushed —
-  // the source's daily sums are rounded.
+  // pushed time bounds on local-day boundaries. ROUNDED daily sums
+  // (precipitation_sum etc.) are never pushed; the two EXACT sum-of-case
+  // daily variables ARE — precipitation_hours is an integer slot count
+  // and sunshine_duration a multiple of 3600 s, so summing the daily
+  // values is bit-equal to the hourly derivation (the same catalog
+  // DailyRollupPushdown recognizes on the Catalyst path, here matched on
+  // the connector's V2 expression tree).
   private val dailyCounterpart: Map[(String, String), String] = Map(
     ("MAX", "temperature_2m") -> "temperature_2m_max",
     ("MIN", "temperature_2m") -> "temperature_2m_min",
@@ -260,20 +265,70 @@ class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
     ("MIN", "apparent_temperature") -> "apparent_temperature_min",
     ("MAX", "uv_index") -> "uv_index_max")
 
+  private def numLitV2(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[Double] =
+    e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value match {
+          case d: Double  => Some(d)
+          case f: Float   => Some(f.toDouble)
+          case i: Int     => Some(i.toDouble)
+          case n: Long    => Some(n.toDouble)
+          case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+          case _          => None
+        }
+      case _ => None
+    }
+
+  /** sum(CASE WHEN var > thr THEN a ELSE b END) arriving as the V2
+    * GeneralScalarExpression("CASE_WHEN", [pred, then, else]) — mapped
+    * to its exact daily counterpart (A4/A6 shapes only; anything else
+    * bails to the native path).
+    */
+  private def sumOfCaseDaily(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case g: org.apache.spark.sql.connector.expressions.GeneralScalarExpression
+          if g.name == "CASE_WHEN" && g.children.length == 3 =>
+        (g.children()(0), numLitV2(g.children()(1)), numLitV2(g.children()(2))) match {
+          case (c: org.apache.spark.sql.connector.expressions.GeneralScalarExpression,
+              Some(thenV), Some(elseV))
+              if c.name == ">" && c.children.length == 2 =>
+            (c.children()(0), numLitV2(c.children()(1))) match {
+              case (r: org.apache.spark.sql.connector.expressions.NamedReference,
+                  Some(thr)) if r.fieldNames.length == 1 =>
+                (r.fieldNames.head, thr, thenV, elseV) match {
+                  case ("precipitation", 0.0, 1.0, 0.0) =>
+                    Some("precipitation_hours")
+                  case ("shortwave_radiation", 120.0, 3600.0, 0.0) =>
+                    Some("sunshine_duration")
+                  case _ => None
+                }
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+
   private def asPushedAgg(
       f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Option[PushedAgg] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
-    val kindCol = f match {
-      case m: Min => Some(("MIN", m.column))
-      case m: Max => Some(("MAX", m.column))
-      case _      => None
-    }
-    kindCol.flatMap {
-      case (kind,
-          ref: org.apache.spark.sql.connector.expressions.NamedReference)
-          if ref.fieldNames.length == 1 =>
-        dailyCounterpart.get((kind, ref.fieldNames.head))
-          .map(PushedAgg(kind, _))
+    import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min, Sum}
+    f match {
+      case m: Min => m.column match {
+        case ref: org.apache.spark.sql.connector.expressions.NamedReference
+            if ref.fieldNames.length == 1 =>
+          dailyCounterpart.get(("MIN", ref.fieldNames.head)).map(PushedAgg("MIN", _))
+        case _ => None
+      }
+      case m: Max => m.column match {
+        case ref: org.apache.spark.sql.connector.expressions.NamedReference
+            if ref.fieldNames.length == 1 =>
+          dailyCounterpart.get(("MAX", ref.fieldNames.head)).map(PushedAgg("MAX", _))
+        case _ => None
+      }
+      case s: Sum if !s.isDistinct =>
+        sumOfCaseDaily(s.column).map(PushedAgg("SUM", _))
       case _ => None
     }
   }

@@ -378,6 +378,31 @@ object WeatherQueries {
         .orderBy("latitude", "longitude")
     },
 
+    // §4 SUM-of-case aggregate pushdown: the two EXACT daily counterparts
+    // — precipitation_hours (integer slot count) and sunshine_duration
+    // (multiples of 3600 s) — answered by SUMMING the source's daily
+    // block instead of scanning hourly rows (complete pushdown, one row).
+    // The oracle derives the same values from the hourly arrays, so
+    // pushed ≡ hourly-derived proves the payload-consistency contract
+    // end-to-end. Rounded daily sums (precipitation_sum…) still bail.
+    "wx18_connector_agg_sumcase" -> QueryDef.sql(
+      s"""WITH ${wideCte("hourly_7d.json")}
+         |SELECT
+         |  CAST(sum(CASE WHEN precipitation > 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE)
+         |    AS precip_hours,
+         |  CAST(sum(CASE WHEN shortwave_radiation > 120 THEN 3600.0 ELSE 0.0 END) AS DOUBLE)
+         |    AS sunshine_s
+         |FROM wide""".stripMargin) { (s, _) =>
+      s.read.format("openmeteo")
+        .option("path", s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json")
+        .load()
+        .agg(
+          sum(when(col("precipitation") > 0, 1.0).otherwise(0.0))
+            .as("precip_hours"),
+          sum(when(col("shortwave_radiation") > 120, 3600.0).otherwise(0.0))
+            .as("sunshine_s"))
+    },
+
     // J3 generic as-of: probe points 30 min past each hour joined to the
     // latest at-or-earlier weather observation. DuckDB's native ASOF JOIN
     // is the oracle for the union+window single-shuffle plan.

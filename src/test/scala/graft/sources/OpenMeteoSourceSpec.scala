@@ -214,6 +214,34 @@ class OpenMeteoSourceSpec extends AnyFunSuite {
     assert(row.getDouble(2) === native.getDouble(2))
   }
 
+  test("SUM-of-case pushes to the exact daily counterparts; pushed ≡ native (golden)") {
+    val agg = read().agg(
+      sum(when(col("precipitation") > 0, 1.0).otherwise(0.0)).as("ph"),
+      sum(when(col("shortwave_radiation") > 120, 3600.0).otherwise(0.0)).as("ss"))
+    val row = agg.collect()(0)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [SUM(precipitation_hours), " +
+      "SUM(sunshine_duration)]"), s"sum-of-case not pushed:\n$plan")
+    val native = graft.weather.WeatherOps.toWide(
+      graft.weather.WeatherOps.readBlocks(spark, fixture))
+      .agg(sum(when(col("precipitation") > 0, 1.0).otherwise(0.0)),
+        sum(when(col("shortwave_radiation") > 120, 3600.0).otherwise(0.0)))
+      .collect()(0)
+    assert(row.getDouble(0) === native.getDouble(0))
+    assert(row.getDouble(1) === native.getDouble(1))
+
+    // a ROUNDED daily sum has no exact counterpart: must bail to native
+    val rounded = read().agg(sum("precipitation").as("psum"))
+    assert(!rounded.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"),
+      "plain sum over a rounded daily counterpart must not push")
+    // an unrecognized case shape (different threshold) must bail too
+    val other = read().agg(
+      sum(when(col("precipitation") > 1.5, 1.0).otherwise(0.0)).as("x"))
+    assert(!other.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+  }
+
   test("agg pushdown respects day-aligned pushed bounds and bails otherwise") {
     // day-aligned range: pushed, and only the in-range days aggregate
     val aligned = read()
