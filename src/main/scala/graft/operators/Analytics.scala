@@ -230,6 +230,151 @@ object Analytics {
         .orderBy("node")
     },
 
+    // ---- vocabulary coverage curve cutoff ----
+    // the smallest frequency-ranked vocabulary covering ≥ 95% of token
+    // mass — the tokenizer-design question every corpus pipeline answers.
+    // The running total rides Scale.groupRunningSum (two-phase
+    // distributed prefix sum — no single-task global window); the
+    // cutoff compares EXACT integers (cum_prev·20 < total·19 ⇔
+    // prev-coverage < 0.95) so no float boundary exists, and the
+    // reported coverage is an exact-integer quotient, unrounded.
+    "t39_vocab_coverage" -> QueryDef.sql(
+      """WITH f AS (
+        |  SELECT w AS word, count(*) AS freq
+        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+        |          '[^a-z0-9]+'), x -> x <> '')) AS w FROM documents)
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM f),
+        |c AS (SELECT word, freq, sum(freq) OVER (
+        |    ORDER BY freq DESC, word ROWS UNBOUNDED PRECEDING) AS cum FROM f),
+        |k AS (SELECT c.* FROM c, t WHERE (cum - freq) * 20 < total * 19)
+        |SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+        |  CAST(max(cum) AS BIGINT) AS covered_tokens,
+        |  (SELECT total FROM t) AS total_tokens,
+        |  CAST(max(cum) AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)
+        |    AS coverage
+        |FROM k ORDER BY vocab_size""".stripMargin) { (s, d) =>
+      val f = Tables.documents(s, d)
+        .select(explode(graft.functions.TextFunctions.words(col("text")))
+          .as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val tot = broadcast(f.agg(sum("freq").as("total")))
+      Scale.groupRunningSum(f.withColumn("__all", lit(1)), "__all",
+          orderCol = "freq", idCol = "word", weightCol = "freq",
+          outCol = "cum", descending = true)
+        .join(tot)
+        .filter((col("cum") - col("freq")) * 20 < col("total") * 19)
+        .agg(count(lit(1)).as("vocab_size"), max("cum").as("covered_tokens"),
+          first("total").as("total_tokens"))
+        .select(col("vocab_size"), col("covered_tokens"), col("total_tokens"),
+          (col("covered_tokens").cast("double") /
+            col("total_tokens").cast("double")).as("coverage"))
+        .orderBy("vocab_size")
+    },
+
+    // ---- per-document n-gram novelty ----
+    // fraction of each document's DISTINCT 3-shingles appearing in no
+    // other document — the "how much does this doc add" curation score
+    // (complement of the d12/d13 duplication lenses). Shingles come from
+    // the fused WordShinglesExpr (the t23 lesson); keys stay strings so
+    // the count is exact — at corpus scale swap in 8-byte shingle hashes
+    // (d9 discipline) for a 3× shuffle cut at ~n²/2⁶⁴ undercount risk.
+    // Docs under 3 words have no shingles and no row, both sides.
+    "t40_doc_novelty" -> QueryDef.sql(
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+        |    '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(len(ws) - 2),
+        |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |df AS (SELECT sh, count(*) AS nd FROM g GROUP BY 1)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN df.nd = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM g JOIN df USING (sh)
+        |GROUP BY g.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.Sketches.wordShinglesText(col("text"), 3))).as("sh"))
+      val df = g.groupBy("sh").agg(count(lit(1)).as("nd"))
+      g.join(df, Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("nd") === 1, 1).otherwise(0)).cast("long").as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+            .as("novelty"))
+        .orderBy("doc_id")
+    },
+
+    // ---- cumulative distinct users (growth curve) ----
+    // first-seen day per user, new-user count per day, and the running
+    // total — the user-growth curve. The only window rides the per-DAY
+    // grid (calendar-bounded, the w10 discipline), never event volume;
+    // the heavy lifting is two map-combinable aggs.
+    "w11_cumulative_users" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+        |n AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+        |SELECT day, CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_users
+        |FROM n ORDER BY day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .groupBy("user_id").agg(min("day").as("day"))
+      f.groupBy("day").agg(count(lit(1)).as("n_new"))
+        .withColumn("cum_users", sum("n_new").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("day")
+    },
+
+    // ---- k-means centroid update step ----
+    // the OTHER half of Lloyd's iteration (s13 is the assignment):
+    // per-(cluster, dimension) means of the assigned vectors. Dimensions
+    // explode in-row (posexplode ↔ DuckDB's positional parallel unnest);
+    // the mean is round(sum,4)/count — identical dividend and divisor ⇒
+    // bit-identical quotients (the CLAUDE.md rolling-mean recipe; raw
+    // element sums carry ulp noise that 4 d.p. absorbs).
+    "s14_centroid_update" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+        |s AS (SELECT e.vec_id, c.centroid_id,
+        |    round(list_cosine_similarity(e.v, c.cv), 6) + 0.0::DOUBLE AS sim
+        |  FROM e, c),
+        |a AS (SELECT vec_id, centroid_id FROM s
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
+        |x AS (SELECT a.centroid_id,
+        |    unnest(range(1, len(e.v) + 1)) AS dim, unnest(e.v) AS val
+        |  FROM a JOIN e USING (vec_id))
+        |SELECT centroid_id, CAST(dim AS INTEGER) AS dim,
+        |  round(sum(val), 4) / count(*) AS mean_val
+        |FROM x GROUP BY 1, 2
+        |ORDER BY centroid_id, dim""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      val assign = Similarity.assignToCentroids(e, cent)
+        .select("vec_id", "centroid_id")
+      assign
+        .join(e.select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("v")), Seq("vec_id"))
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "val")))
+        .select(col("centroid_id"), (col("pos") + 1).cast("int").as("dim"),
+          col("val"))
+        .groupBy("centroid_id", "dim")
+        .agg((round(sum("val"), 4) / count(lit(1))).as("mean_val"))
+        .orderBy("centroid_id", "dim")
+    },
+
     // ---- k-means assignment step ----
     // every embedding assigned to its nearest of 8 deterministic seed
     // centroids (vec_id < 8) by cosine (Similarity.assignToCentroids:

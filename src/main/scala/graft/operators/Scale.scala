@@ -680,6 +680,57 @@ object Scale {
     * actual counts). `orderCol` must be numeric and non-null (a constant
     * group degrades to one slice — correct, serial for that group).
     */
+  /** Distributed running sum of `weightCol` per group in
+    * (`orderCol` asc|desc, `idCol`) order — the budgetSelect/packTokens
+    * two-phase prefix sum generalized: value-sliced local windows +
+    * broadcast per-slice offsets, so no group ever serializes into a
+    * single task. The slice function maps monotonically from the order
+    * VALUE (monotone non-decreasing asc, non-increasing desc), which is
+    * all correctness needs; Zipf-skewed order values just unbalance
+    * slices, never break them. Appends `outCol` (the INCLUSIVE running
+    * total); all input columns ride along.
+    */
+  def groupRunningSum(df: DataFrame, groupCol: String, orderCol: String,
+      idCol: String, weightCol: String, outCol: String = "cum",
+      descending: Boolean = false, numSlices: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slices =
+      if (numSlices > 0) numSlices
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val bounds = df.groupBy(col(groupCol).as("__rs_k"))
+      .agg(min(col(orderCol)).as("__rs_lo"), max(col(orderCol)).as("__rs_hi"))
+    val frac =
+      if (descending)
+        (col("__rs_hi").cast("double") - col(orderCol).cast("double")) /
+          (col("__rs_hi").cast("double") - col("__rs_lo").cast("double") + 1.0)
+      else
+        (col(orderCol).cast("double") - col("__rs_lo").cast("double")) /
+          (col("__rs_hi").cast("double") - col("__rs_lo").cast("double") + 1.0)
+    val sliceOf = coalesce(least(lit(slices - 1), greatest(lit(0),
+      floor(frac * slices))).cast("int"), lit(0))
+    val sliced = df.join(broadcast(bounds), col(groupCol) <=> col("__rs_k"))
+      .withColumn("__slice", sliceOf)
+      .drop("__rs_k", "__rs_lo", "__rs_hi")
+    val ord =
+      if (descending) Seq(col(orderCol).desc_nulls_last, col(idCol))
+      else Seq(col(orderCol).asc_nulls_first, col(idCol))
+    val wLocal = Window.partitionBy(col(groupCol), col("__slice"))
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localCum = sliced.withColumn("__cum", sum(col(weightCol)).over(wLocal))
+    val offsets = sliced.groupBy(col(groupCol).as("__of_k"),
+        col("__slice").as("__of_s"))
+      .agg(sum(col(weightCol)).as("__sub"))
+      .withColumn("__off", coalesce(sum(col("__sub")).over(
+        Window.partitionBy(col("__of_k")).orderBy(col("__of_s"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__of_k"), col("__of_s"), col("__off"))
+    localCum.join(broadcast(offsets),
+        col(groupCol) <=> col("__of_k") && col("__slice") === col("__of_s"))
+      .withColumn(outCol, col("__off") + col("__cum"))
+      .drop("__of_k", "__of_s", "__cum", "__slice")
+  }
+
   def groupPercentRank(df: DataFrame, groupCol: String, orderCol: String,
       idCol: String = "doc_id", outCol: String = "pct_rank",
       numSlices: Int = 0): DataFrame = {

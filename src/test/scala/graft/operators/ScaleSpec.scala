@@ -22,6 +22,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("groupRunningSum equals the serial window in both directions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // duplicate order values (v = i·7 mod 101) force the id tie-break;
+    // 8 slices force cross-slice offsets to matter
+    val df = (1 to 500).map(i =>
+      ((i % 3).toString, (i * 7 % 101).toLong, i.toLong)).toDF("g", "v", "id")
+    for (desc <- Seq(true, false)) {
+      val got = Scale.groupRunningSum(df, "g", "v", "id", "v",
+          outCol = "cum", descending = desc, numSlices = 8)
+        .select("g", "id", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val ord = if (desc) col("v").desc else col("v").asc
+      val w = Window.partitionBy("g").orderBy(ord, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df.withColumn("cum", sum("v").over(w))
+        .select("g", "id", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === want, s"descending=$desc")
+    }
+  }
+
   test("salted left-outer join preserves unmatched probe rows exactly once") {
     import spark.implicits._
     // hot key 1L dominates; keys 60..100 have NO build match
