@@ -640,5 +640,105 @@ object StreamingQueries {
       s.table(sinkName)
         .select("user_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_start")
+    },
+
+    // Stream-stream LEFT OUTER interval join (st2 is the inner shape):
+    // observations keep flowing when no forecast exists for their hour —
+    // the forecast-gap detector. Matched rows emit in the data batch;
+    // an unmatched observation emits its null row only once the GLOBAL
+    // watermark (min over both sides' column watermarks, ms-truncated)
+    // proves no future forecast can match: the join condition bounds
+    // ts_valid ≤ obs_ts, so eviction is obs_ts < wm. The forecast side
+    // is restricted to latitude 0, making latitudes 1/2 permanent
+    // no-match traffic. The oracle mirrors matched ∪ (unmatched below
+    // the watermark) relationally; unmatched rows AT/ABOVE the watermark
+    // are still open in state by design — a production stream would
+    // emit them as the watermark advances.
+    "st10_stream_left_outer" -> QueryDef.sql(
+      s"""WITH $RevCte,
+        |f AS (SELECT * FROM rev WHERE latitude = 0.0),
+        |obs AS (
+        |  SELECT CAST(user_id % 3 AS DOUBLE) AS latitude, 10.0 AS longitude,
+        |         date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |           + INTERVAL 30 MINUTE AS obs_ts,
+        |         max(value) AS observed_temp
+        |  FROM events GROUP BY 1, 2, 3),
+        |wm AS (
+        |  SELECT least(
+        |      make_timestamp(epoch_ms((SELECT max(obs_ts) FROM obs)) * 1000),
+        |      make_timestamp(epoch_ms((SELECT max(ts_valid) FROM f)) * 1000))
+        |    - INTERVAL 2 HOUR AS w),
+        |j AS (
+        |  SELECT o.latitude, o.longitude, o.obs_ts,
+        |         round(o.observed_temp, 2) AS observed_temp,
+        |         r.ts_valid, r.issued_at,
+        |         round(r.temperature_2m, 2) AS forecast_temp
+        |  FROM obs o JOIN f r
+        |    ON o.latitude = r.latitude AND o.longitude = r.longitude
+        |   AND o.obs_ts >= r.ts_valid
+        |   AND o.obs_ts < r.ts_valid + INTERVAL 1 HOUR),
+        |u AS (
+        |  SELECT o.latitude, o.longitude, o.obs_ts,
+        |         round(o.observed_temp, 2) AS observed_temp,
+        |         CAST(NULL AS TIMESTAMP) AS ts_valid,
+        |         CAST(NULL AS TIMESTAMP) AS issued_at,
+        |         CAST(NULL AS DOUBLE) AS forecast_temp
+        |  FROM obs o
+        |  WHERE o.obs_ts < (SELECT w FROM wm)
+        |    AND NOT EXISTS (SELECT 1 FROM f r
+        |      WHERE o.latitude = r.latitude AND o.longitude = r.longitude
+        |        AND o.obs_ts >= r.ts_valid
+        |        AND o.obs_ts < r.ts_valid + INTERVAL 1 HOUR))
+        |SELECT * FROM (SELECT * FROM j UNION ALL SELECT * FROM u)
+        |ORDER BY latitude, obs_ts, issued_at NULLS FIRST""".stripMargin) { (s, d) =>
+      val fDrop = cachedDrop(s"st10f:$d", dir =>
+        revisionFeed(Tables.events(s, d)).filter(col("latitude") === 0.0)
+          .repartition(2).write
+          .mode("overwrite").option("timestampFormat", TsFmt).json(dir))
+      val oDrop = cachedDrop(s"st10o:$d", dir =>
+        Tables.events(s, d).groupBy(
+            (col("user_id") % 3).cast("double").as("latitude"),
+            lit(10.0).as("longitude"),
+            (date_trunc("hour", col("ts")) +
+              expr("INTERVAL 30 MINUTES")).as("obs_ts"))
+          .agg(max("value").as("observed_temp"))
+          .repartition(2).write
+          .mode("overwrite").option("timestampFormat", TsFmt).json(dir))
+      val ckDir = tempDir("graft_st10_ck")
+
+      val sinkName = s"graft_st10_sink_${runSeq.incrementAndGet()}"
+      try withStateShuffle(s) {
+        val f = revisionStream(s, fDrop).toDF()
+          .withWatermark("ts_valid", "2 hours")
+          .select(col("latitude").as("f_lat"), col("longitude").as("f_lon"),
+            col("ts_valid"), col("issued_at"),
+            col("temperature_2m").as("forecast_temp"))
+        val o = s.readStream.schema(ObsEnc.schema)
+          .option("timestampFormat", TsFmt).json(oDrop)
+          .as[WeatherStreams.Observation](ObsEnc).toDF()
+          .withWatermark("obs_ts", "2 hours")
+        val q = o.join(f,
+            col("f_lat") === col("latitude") &&
+              col("f_lon") === col("longitude") &&
+              col("obs_ts") >= col("ts_valid") &&
+              col("obs_ts") < col("ts_valid") + expr("INTERVAL 1 HOUR"),
+            "left_outer")
+          .select(col("latitude"), col("longitude"), col("obs_ts"),
+            col("observed_temp"), col("ts_valid"), col("issued_at"),
+            col("forecast_temp"))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally deleteQuietly(ckDir)
+
+      s.table(sinkName)
+        .select(col("latitude"), col("longitude"), col("obs_ts"),
+          round(col("observed_temp"), 2).as("observed_temp"),
+          col("ts_valid"), col("issued_at"),
+          round(col("forecast_temp"), 2).as("forecast_temp"))
+        .orderBy(col("latitude"), col("obs_ts"), col("issued_at"))
     })
 }
