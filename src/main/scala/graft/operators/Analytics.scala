@@ -375,6 +375,89 @@ object Analytics {
         .orderBy("centroid_id", "dim")
     },
 
+    // ---- top 3-step behavioral paths ----
+    // most common (t1 → t2 → t3) event sequences with each hop ≤ 30 min
+    // (e3's transition pairs extended to path mining). Two leads ride ONE
+    // (user, ts, id) window sort; the top-20 cut is fully tie-broken.
+    "e14_top_paths" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3,
+        |    epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS g1,
+        |    epoch_us(lead(ts, 2) OVER w) - epoch_us(lead(ts, 1) OVER w) AS g2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p WHERE t3 IS NOT NULL
+        |    AND g1 <= 1800000000 AND g2 <= 1800000000
+        |  GROUP BY 1, 2, 3)
+        |SELECT t1, t2, t3, cnt FROM c
+        |QUALIFY row_number() OVER (ORDER BY cnt DESC, t1, t2, t3) <= 20
+        |ORDER BY cnt DESC, t1, t2, t3""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .withColumn("g1",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .withColumn("g2",
+          unix_micros(lead(col("ts"), 2).over(w)) -
+            unix_micros(lead(col("ts"), 1).over(w)))
+        .filter(col("t3").isNotNull &&
+          col("g1") <= 1800000000L && col("g2") <= 1800000000L)
+        .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    },
+
+    // ---- one full Lloyd's k-means iteration ----
+    // seed centroids (vec_id < 8) → assign → recompute means → REASSIGN
+    // (Similarity.kmeans, composing s13's argmax and s14's exact-quotient
+    // means); output is the per-cluster population after the iteration.
+    // The oracle unrolls the same round — DuckDB's list(mv ORDER BY dim)
+    // rebuilds each centroid array positionally, exactly like the Spark
+    // sort_array/transform. Proves an ITERATIVE ML fit can sit under the
+    // exact cross-engine gate (the g1/g4 discipline applied to ML).
+    "s15_kmeans_iterate" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |s1 AS (SELECT e.vec_id, c0.cid,
+        |    round(list_cosine_similarity(e.v, c0.cv), 6) + 0.0::DOUBLE AS sim
+        |  FROM e, c0),
+        |a1 AS (SELECT vec_id, cid FROM s1
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
+        |x1 AS (SELECT a1.cid, unnest(range(1, len(e.v) + 1)) AS dim,
+        |    unnest(e.v) AS val
+        |  FROM a1 JOIN e USING (vec_id)),
+        |m1 AS (SELECT cid, dim, round(sum(val), 4) / count(*) AS mv
+        |  FROM x1 GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(mv ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+        |s2 AS (SELECT e.vec_id, c1.cid,
+        |    round(list_cosine_similarity(e.v, c1.cv), 6) + 0.0::DOUBLE AS sim
+        |  FROM e, c1),
+        |a2 AS (SELECT vec_id, cid FROM s2
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, cid) = 1)
+        |SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n
+        |FROM a2 GROUP BY 1
+        |ORDER BY centroid_id""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      Similarity.kmeans(e, cent, iterations = 1)
+        .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+        .orderBy("centroid_id")
+    },
+
     // ---- k-means assignment step ----
     // every embedding assigned to its nearest of 8 deterministic seed
     // centroids (vec_id < 8) by cosine (Similarity.assignToCentroids:

@@ -51,6 +51,41 @@ object Similarity {
       .select(col("vec_id"), col("m.cid").as("centroid_id"),
         col("m.sim").as("sim"))
 
+  /** Lloyd's k-means over cosine similarity: `iterations` rounds of
+    * (assign → recompute means), then a final assignment against the
+    * last centroids. Every round is the s13/s14 pair composed: broadcast
+    * centroids + map-combinable argmax (no corpus shuffle beyond it),
+    * then per-(cluster, dim) means rebuilt into centroid arrays with a
+    * sort_array/transform (k·d rows — driver-free). Cross-engine
+    * determinism is the pageRank re-sync discipline: similarities round
+    * 6 d.p. before every argmax and means are round(sum,4)/count exact
+    * quotients, so engines re-synchronize each round instead of
+    * compounding ulps. A cluster losing all members drops out of the
+    * next round (standard Lloyd's degeneracy; deterministic on both
+    * engines).
+    */
+  def kmeans(embeddings: DataFrame, centroids: DataFrame,
+      iterations: Int): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("embedding"))
+    var cents = centroids.select(col("centroid_id"),
+      asDouble(col("cv")).as("cv"))
+    for (_ <- 1 to iterations) {
+      val assign = assignToCentroids(e, cents)
+      cents = assign.join(e, Seq("vec_id"))
+        .select(col("centroid_id"),
+          posexplode(col("embedding")).as(Seq("pos", "val")))
+        .groupBy("centroid_id", "pos")
+        .agg((round(sum("val"), 4) / count(lit(1))).as("mv"))
+        .groupBy("centroid_id")
+        .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), x => x.getField("mv")).as("cv"))
+    }
+    assignToCentroids(e, cents)
+  }
+
   /** Exact top-k by cosine against the embedding of `queryId`. The single
     * query vector is a broadcast nested-loop over the scan — a full pass
     * but no shuffle; `round` before ordering makes the ranking stable
