@@ -76,7 +76,62 @@ object Analytics {
     sb.toString
   }
 
+  /** Unrolled greedy-MMR oracle: one CTE per pick. λ = 0.5 on BOTH
+    * sides deliberately — with any λ whose complement is not exactly
+    * representable (e.g. 0.7 → 1−λ = 0.30000000000000004 in the
+    * driver's double arithmetic vs a 0.3 SQL literal) the two engines'
+    * scores diverge in the last ulp; 0.5/0.5 is exact everywhere.
+    */
+  private def mmrOracle(queryId: Long, candK: Int, selectK: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = $queryId),
+      |cand AS (
+      |  SELECT e.vec_id, e.v,
+      |    round(list_cosine_similarity(e.v, q.qv), 6) + 0.0::DOUBLE AS rel
+      |  FROM e, q WHERE e.vec_id <> $queryId
+      |  QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) <= $candK),
+      |pair AS (
+      |  SELECT a.vec_id AS ai, b.vec_id AS bi,
+      |    round(list_cosine_similarity(a.v, b.v), 6) + 0.0::DOUBLE AS s
+      |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+      |sel1 AS (SELECT vec_id, rel, 1 AS rank FROM cand
+      |  QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) = 1)""".stripMargin
+    for (i <- 2 to selectK) {
+      val prev = (1 until i).map(j => s"SELECT vec_id FROM sel$j")
+        .mkString(" UNION ALL ")
+      sb ++= s""",
+        |sel$i AS (
+        |  SELECT vec_id, rel, $i AS rank FROM (
+        |    SELECT c.vec_id, c.rel, max(p.s) AS ms
+        |    FROM cand c JOIN pair p ON p.ai = c.vec_id
+        |    WHERE p.bi IN ($prev) AND c.vec_id NOT IN ($prev)
+        |    GROUP BY c.vec_id, c.rel)
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY 0.5::DOUBLE * rel - 0.5::DOUBLE * ms DESC, vec_id) = 1)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT CAST(rank AS INTEGER) AS rank, vec_id, rel
+      |FROM (${(1 to selectK).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})
+      |ORDER BY rank""".stripMargin
+    sb.toString
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- MMR diversity re-ranking ----
+    // greedy maximal-marginal-relevance over the top-20 candidates for
+    // query vector 0 (Similarity.mmrRerank): relevance and the pairwise
+    // matrix compute distributed with the standard rounded cosines; the
+    // inherently sequential greedy runs on the driver over the bounded
+    // candidate set. The oracle unrolls one CTE per pick.
+    "s16_mmr_rerank" -> QueryDef.sql(
+      mmrOracle(queryId = 0L, candK = 20, selectK = 5)) { (s, d) =>
+      Similarity.mmrRerank(Tables.embeddings(s, d), queryId = 0L,
+          candK = 20, selectK = 5, lambda = 0.5)
+        .orderBy("rank")
+    },
 
     // ---- deterministic per-group mode ----
     // most frequent brand per part type; ties break to the LOWEST brand.

@@ -86,6 +86,60 @@ object Similarity {
     assignToCentroids(e, cents)
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * SIGIR'98): from the top-`candK` cosine candidates for `queryId`,
+    * greedily select `selectK` maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s).
+    *
+    * Scale shape: relevance and the candidate×candidate similarity
+    * matrix are computed DISTRIBUTED with the same rounded cosine
+    * expressions as every other probe (numeric parity with the oracle);
+    * only the inherently sequential greedy loop runs on the driver, over
+    * the collected candK×candK matrix — bounded by candK² (the IVF
+    * single-row-collect justification: the algorithm is defined on a
+    * small candidate set; candK is the re-ranking window, not the
+    * corpus). Ties break to the lower vec_id at every pick.
+    */
+  def mmrRerank(embeddings: DataFrame, queryId: Long, candK: Int,
+      selectK: Int, lambda: Double): DataFrame = {
+    require(candK >= selectK && selectK >= 1, "need candK ≥ selectK ≥ 1")
+    val spark = embeddings.sparkSession
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val q = broadcast(e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv")))
+    val cand = e.filter(col("vec_id") =!= queryId).crossJoin(q)
+      .select(col("vec_id"), col("v"),
+        (round(cosine(col("v"), col("qv")), 6) + lit(0.0)).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(candK)
+    val rel = cand.select("vec_id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val a = cand.select(col("vec_id").as("ai"), col("v").as("va"))
+    val b = cand.select(col("vec_id").as("bi"), col("v").as("vb"))
+    val sims = a.crossJoin(broadcast(b)).filter(col("ai") =!= col("bi"))
+      .select(col("ai"), col("bi"),
+        (round(cosine(col("va"), col("vb")), 6) + lit(0.0)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // greedy: pick 1 is pure relevance; thereafter the MMR score
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(rel.toSeq: _*)
+    while (selected.size < selectK && remaining.nonEmpty) {
+      val pick =
+        if (selected.isEmpty) remaining.minBy { case (id, r) => (-r, id) }
+        else remaining.minBy { case (id, r) =>
+          val ms = selected.map(s => sims((id, s._1))).max
+          (-(lambda * r - (1.0 - lambda) * ms), id)
+        }
+      selected += ((pick._1, pick._2))
+      remaining.remove(pick._1): Unit
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, r), i) => (i + 1, id, r) }.toSeq
+      .toDF("rank", "vec_id", "rel")
+  }
+
   /** Exact top-k by cosine against the embedding of `queryId`. The single
     * query vector is a broadcast nested-loop over the scan — a full pass
     * but no shuffle; `round` before ordering makes the ranking stable

@@ -204,4 +204,32 @@ class PlanQualitySpec extends AnyFunSuite {
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
     assert(bnlj <= 2, s"unexpected nested-loop joins beyond the 1-row summaries:\n$p")
   }
+
+  test("s13 centroid assignment shuffles the corpus exactly once (map-combined argmax)") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, d)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val df = Similarity.assignToCentroids(e, cent)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    // broadcast centroids: the k-row side must never hash-shuffle the corpus
+    assert(p.contains("partial_max"),
+      s"argmax must partial-aggregate map-side before the exchange:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"assignment should shuffle once (the per-vector argmax), got $exchanges:\n$p")
+  }
+
+  test("g3 link prediction: wedges explode in-row — no edge-list self-join product") {
+    val df = SparkEntry.queries("g3_link_prediction")(spark, d)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"wedge generation must never plan a cartesian product:\n$p")
+    assert(p.contains("collect_set"),
+      s"adjacency arrays should come from one collect_set agg:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k cut should be a TakeOrdered, not a global sort:\n$p")
+  }
 }

@@ -236,6 +236,28 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     assert(got(5L).isEmpty)
   }
 
+  test("mmrRerank demotes a near-duplicate of an already-selected result") {
+    // 1 and 3 are mirror images around the query (equal relevance,
+    // 0.993884 at 6 d.p.); 2 is an exact clone of 1. MMR at λ=0.5 picks
+    // 1 (rel tie → lowest id), then 3 (the clone's penalty is sim=1.0,
+    // strictly worse than 3's 0.975610 at equal relevance), then 2.
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f)),            // query
+      (1L, Array(1.0f, 0.8f)),
+      (2L, Array(1.0f, 0.8f)),            // clone of 1
+      (3L, Array(0.8f, 1.0f))             // mirror of 1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(vecs, queryId = 0L, candK = 3,
+        selectK = 3, lambda = 0.5)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(got === Seq(1L, 3L, 2L))
+    // λ = 1 is pure relevance: the clone comes straight back
+    val pure = Similarity.mmrRerank(vecs, queryId = 0L, candK = 3,
+        selectK = 3, lambda = 1.0)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(pure === Seq(1L, 2L, 3L))
+  }
+
   test("assignToCentroids picks nearest centroid, ties break to lowest id") {
     val vecs = Seq(
       (10L, Array(1.0f, 0.0f)),   // → centroid 0 (identical direction)
