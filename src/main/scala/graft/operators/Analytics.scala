@@ -430,6 +430,55 @@ object Analytics {
         .orderBy("centroid_id", "dim")
     },
 
+    // ---- deterministic negative sampling ----
+    // 3 pseudo-random contrastive negatives per document, a pure
+    // function of (doc_id, j) through the md5 gate (the t19 split
+    // discipline): r = md5₆₀(doc_id#neg j) mod (N−1) indexes the
+    // doc-id-ordered rank space with the self slot spliced out
+    // (r ≥ self ⇒ r+1) — leak-free across runs, no RNG, no driver
+    // state. Ranks come from groupRunningSum of ones (no single-task
+    // global row_number); the oracle is the serial window + the same
+    // splice.
+    "t41_negative_sample" -> QueryDef.sql(
+      """WITH ids AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk0
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ids),
+        |j AS (SELECT unnest([1, 2, 3]) AS j),
+        |p AS (
+        |  SELECT i.doc_id, j.j,
+        |    ('0x' || substring(md5(CAST(i.doc_id AS VARCHAR) || '#neg'
+        |       || CAST(j.j AS VARCHAR)), 1, 15))::UBIGINT % (n.n - 1) AS r,
+        |    i.rk0
+        |  FROM ids i, j, n),
+        |q AS (SELECT doc_id, j,
+        |    CASE WHEN r >= rk0 THEN r + 1 ELSE r END AS neg_rk0 FROM p)
+        |SELECT q.doc_id, CAST(q.j AS INTEGER) AS j,
+        |  t.doc_id AS neg_doc_id
+        |FROM q JOIN ids t ON t.rk0 = q.neg_rk0
+        |ORDER BY q.doc_id, j""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id")
+        .withColumn("__all", lit(1)).withColumn("__one", lit(1L))
+      val ids = Scale.groupRunningSum(docs, "__all", orderCol = "doc_id",
+          idCol = "doc_id", weightCol = "__one", outCol = "rk")
+        .select(col("doc_id"), (col("rk") - 1).as("rk0"))
+      val n = broadcast(ids.agg(count(lit(1)).as("n")))
+      val p = ids.join(n)
+        .select(col("doc_id"), col("rk0"), col("n"),
+          explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .withColumn("r",
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("#neg"), col("j").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % (col("n") - 1))
+        .select(col("doc_id"), col("j"),
+          when(col("r") >= col("rk0"), col("r") + 1).otherwise(col("r"))
+            .as("neg_rk0"))
+      p.join(ids.select(col("rk0").as("neg_rk0"),
+          col("doc_id").as("neg_doc_id")), Seq("neg_rk0"))
+        .select(col("doc_id"), col("j"), col("neg_doc_id"))
+        .orderBy("doc_id", "j")
+    },
+
     // ---- top 3-step behavioral paths ----
     // most common (t1 → t2 → t3) event sequences with each hop ≤ 30 min
     // (e3's transition pairs extended to path mining). Two leads ride ONE

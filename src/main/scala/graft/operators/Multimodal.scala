@@ -181,6 +181,38 @@ object Multimodal {
         .orderBy("media_id")
     },
 
+    // size-budgeted media batching: concatenate-then-split packing per
+    // modality — each row lands in the batch its START offset falls in
+    // (floor((cum − size)/B)), the exact shape token-packing uses, here
+    // over payload bytes so decode batches bound their memory. The
+    // running offset is the two-phase distributed prefix sum
+    // (Scale.groupRunningSum) — no per-modality single task; the oracle
+    // is the serial window twin.
+    "mm4_media_batches" -> QueryDef.sql(
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS blen
+        |  FROM documents),
+        |c AS (SELECT *, sum(blen) OVER (PARTITION BY kind
+        |    ORDER BY media_id ROWS UNBOUNDED PRECEDING) AS cum FROM m)
+        |SELECT kind, CAST((cum - blen) // 65536 AS BIGINT) AS batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(blen) AS BIGINT) AS total_bytes
+        |FROM c GROUP BY 1, 2
+        |ORDER BY kind, batch_id""".stripMargin) { (s, d) =>
+      val m = mediaFromDocuments(graft.Tables.documents(s, d))
+        .select(col("media_id"), col("kind"),
+          length(col("bytes")).cast("long").as("blen"))
+      Scale.groupRunningSum(m, "kind", orderCol = "media_id",
+          idCol = "media_id", weightCol = "blen", outCol = "cum")
+        .withColumn("batch_id", expr("(cum - blen) div 65536"))
+        .groupBy("kind", "batch_id")
+        .agg(count(lit(1)).as("n_items"), sum("blen").as("total_bytes"))
+        .orderBy("kind", "batch_id")
+    },
+
     // frame chunking, oracle-checked: DuckDB mirrors the stride/length
     // arithmetic over octet_length (kind 'video' ⇔ doc_id % 3 = 2, cf.
     // mediaFromDocuments)
