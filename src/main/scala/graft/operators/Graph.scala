@@ -77,6 +77,25 @@ object Graph {
     ranks
   }
 
+  /** Materialize an edge list as a BUCKETED parquet table (external
+    * path, in-memory catalog): repeated graph analytics (triangles,
+    * k-core, link prediction, PageRank all re-derive edges from the
+    * fact scan otherwise) read the derivation once, and every src-keyed
+    * aggregate or equi join over the table skips its shuffle entirely —
+    * the bucket layout IS the hash partitioning (asserted in
+    * PartitioningSpec). At fleet scale the bucket count scales with
+    * edge volume; the catalog entry travels with the metastore.
+    */
+  def materializeEdges(edges: DataFrame, table: String, path: String,
+      buckets: Int = 8): DataFrame = {
+    val s = edges.sparkSession
+    edges.select(col("src"), col("dst"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "src").sortBy("src")
+      .option("path", path).saveAsTable(table)
+    s.table(table)
+  }
+
   /** The k-core of an undirected edge list: the maximal subgraph in
     * which every node has degree ≥ k (Seidman 1983), by the standard
     * iterative peeling fixpoint — drop nodes below degree k, re-derive

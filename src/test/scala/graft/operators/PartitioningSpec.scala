@@ -122,4 +122,34 @@ class PartitioningSpec extends AnyFunSuite {
         s"approx $approx vs exact $exact exceeds 6%")
     }
   }
+
+  test("materialized bucketed edges: src-keyed agg and self-join skip the shuffle") {
+    import spark.implicits._
+    val edges = (1 to 400).map(i => ((i % 37).toLong, (i % 53).toLong))
+      .toDF("src", "dst")
+    val t = graft.operators.Graph.materializeEdges(edges,
+      "g_edges_bucketed_test", TestSpark.tempDir("graft_gedges"), buckets = 4)
+    try {
+      assert(t.count() === 400L)
+      // bucket layout IS the hash partitioning: the src agg plans no
+      // exchange (assert on the FINAL adaptive plan — AQE lesson)
+      val agg = t.groupBy("src").agg(count(lit(1)).as("deg"))
+      agg.collect()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"bucketed src agg should not shuffle:\n$aggPlan")
+      // co-bucketed self-join: force the merge join (a broadcast would
+      // dodge the shuffle trivially at test scale) — no exchange on
+      // either side
+      val j = t.as("a").hint("merge").join(t.as("b").hint("merge"), "src")
+      j.collect()
+      val jPlan = j.queryExecution.executedPlan.toString
+      assert(jPlan.contains("SortMergeJoin"),
+        s"merge join not planned:\n$jPlan")
+      assert(!jPlan.contains("Exchange hashpartitioning"),
+        s"co-bucketed self-join should not shuffle:\n$jPlan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_edges_bucketed_test"): Unit
+    }
+  }
 }
