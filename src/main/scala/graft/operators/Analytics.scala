@@ -118,7 +118,62 @@ object Analytics {
     sb.toString
   }
 
+  /** Unrolled synchronous label-propagation oracle over the s2 exact
+    * pair graph. Every l_{i−1} is referenced twice per round (votes +
+    * carry-through) — MATERIALIZED, or the chain re-evaluates the
+    * quadratic pair generator O(2^rounds) times (the kcore lesson).
+    */
+  private def labelPropOracle(idCap: Long, threshold: Double,
+      rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |         CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id < $idCap),
+      |p AS MATERIALIZED (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $threshold),
+      |ed AS MATERIALIZED (
+      |  SELECT id_a AS node, id_b AS nbr FROM p
+      |  UNION ALL SELECT id_b, id_a FROM p),
+      |l0 AS MATERIALIZED (SELECT vec_id AS node, label FROM e)""".stripMargin
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+        |v$i AS MATERIALIZED (
+        |  SELECT ed.node, l.label AS nl, count(*) AS c
+        |  FROM ed JOIN l${i - 1} l ON l.node = ed.nbr GROUP BY 1, 2),
+        |b$i AS MATERIALIZED (
+        |  SELECT node, nl AS vote FROM v$i
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY node ORDER BY c DESC, nl) = 1),
+        |l$i AS MATERIALIZED (
+        |  SELECT l.node, coalesce(b.vote, l.label) AS label
+        |  FROM l${i - 1} l LEFT JOIN b$i b ON b.node = l.node)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
+    sb.toString
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- semi-supervised label propagation ----
+    // 3 synchronous majority-vote rounds (Graph.labelPropagation) over
+    // the s2 exact near-dup pair graph — the "spread the trusted labels
+    // to the unlabeled neighbors" pipeline step. Fixed rounds, ties →
+    // smallest label, isolated nodes keep their own; the oracle unrolls
+    // the identical recurrence.
+    "g5_label_prop" -> QueryDef.sql(
+      labelPropOracle(idCap = 200L, threshold = 0.3, rounds = 3)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val edges = Similarity.nearDupPairs(emb, idCap = 200L, threshold = 0.3)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val labels = emb.filter(col("vec_id") < 200L)
+        .select(col("vec_id").as("node"), col("label"))
+      Graph.labelPropagation(edges, labels, rounds = 3)
+        .orderBy("node")
+    },
 
     // ---- MMR diversity re-ranking ----
     // greedy maximal-marginal-relevance over the top-20 candidates for
@@ -428,6 +483,60 @@ object Analytics {
         .groupBy("centroid_id", "dim")
         .agg((round(sum("val"), 4) / count(lit(1))).as("mean_val"))
         .orderBy("centroid_id", "dim")
+    },
+
+    // ---- cross-source quantile normalization ----
+    // map each document's length onto the CORPUS BLEND's value at the
+    // same quantile (the score-calibration move: source distributions
+    // become comparable before mixing). Everything stays in INTEGER
+    // arithmetic: target global rank = 1 + ((rk_s−1)·(N−1)) div (n_s−1)
+    // — a float p·(N−1) lands within an ulp of exact integers and
+    // floor() flips across engines; integer div cannot. Ranks ride
+    // groupRunningSum (per-source and global — no single-task windows);
+    // the mapping is one equi join on the computed rank. A singleton
+    // source maps to the global median slot, both sides.
+    "e15_quantile_norm" -> QueryDef.sql(
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |s AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rk_s,
+        |    count(*) OVER (PARTITION BY source) AS n_s
+        |  FROM d),
+        |g AS (SELECT n_chars AS gval,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS grk
+        |  FROM d),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |t AS (SELECT s.doc_id, s.source, s.n_chars,
+        |    CASE WHEN s.n_s = 1 THEN 1 + (n.n - 1) // 2
+        |         ELSE 1 + ((s.rk_s - 1) * (n.n - 1)) // (s.n_s - 1)
+        |    END AS target_rk
+        |  FROM s, n)
+        |SELECT t.doc_id, t.source, t.n_chars, g.gval AS norm_chars
+        |FROM t JOIN g ON g.grk = t.target_rk
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+        .withColumn("__one", lit(1L))
+      val ranked = Scale.groupRunningSum(docs, "source",
+          orderCol = "n_chars", idCol = "doc_id", weightCol = "__one",
+          outCol = "rk_s")
+      val ns = ranked.groupBy(col("source").as("__ns_k"))
+        .agg(count(lit(1)).as("n_s"))
+      val globalRanks = Scale.groupRunningSum(
+          docs.withColumn("__all", lit(1)), "__all",
+          orderCol = "n_chars", idCol = "doc_id", weightCol = "__one",
+          outCol = "grk")
+        .select(col("n_chars").as("gval"), col("grk"))
+      val n = broadcast(docs.agg(count(lit(1)).as("n")))
+      ranked.join(broadcast(ns), col("source") === col("__ns_k"))
+        .join(n)
+        .withColumn("target_rk",
+          when(col("n_s") === 1, lit(1) + expr("(n - 1) div 2"))
+            .otherwise(lit(1) +
+              expr("((rk_s - 1) * (n - 1)) div (n_s - 1)")))
+        .join(globalRanks, col("grk") === col("target_rk"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("gval").as("norm_chars"))
+        .orderBy("doc_id")
     },
 
     // ---- deterministic negative sampling ----

@@ -150,6 +150,45 @@ object Graph {
     degrees(cur)
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, the
+    * semi-supervised labeling workhorse): `rounds` rounds of every node
+    * adopting the MAJORITY label among its neighbors' current labels
+    * (ties → smallest label; isolated nodes keep their own). A FIXED
+    * round count, not a convergence test — determinism across engines
+    * (the pageRank contract); label-prop oscillates on bipartite
+    * structures, so fixed-round synchronous is also the defensible
+    * semantics. Per round: one equi join (neighbor labels) + two
+    * map-combinable aggs (count, then the min-(−cnt,label) argmax —
+    * the a28 mode shape); localCheckpoint + release per round (d7).
+    */
+  def labelPropagation(edges: DataFrame, labels: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be at least 1")
+    val ed = edges.select(col("src").as("node"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("node"), col("src").as("nbr")))
+      .filter(col("node").isNotNull && col("nbr").isNotNull &&
+        col("node") =!= col("nbr"))
+      .distinct()
+      .localCheckpoint()
+    var lab = labels.select(col("node"),
+      col("label").cast("long").as("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val vote = ed
+        .join(lab.select(col("node").as("nbr"), col("label").as("nl")),
+          Seq("nbr"))
+        .groupBy(col("node"), col("nl")).agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("vote"))
+      val next = lab.join(vote, Seq("node"), "left")
+        .select(col("node"), coalesce(col("vote"), col("label")).as("label"))
+        .localCheckpoint()
+      Dedup.release(lab)
+      lab = next
+    }
+    lab
+  }
+
   /** Common-neighbor link prediction over an undirected edge list
     * (Liben-Nowell & Kleinberg CIKM'03): score every NON-adjacent pair
     * at distance 2 by its common-neighbor count and neighborhood

@@ -120,6 +120,24 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kCore(path, k = 2, maxRounds = 8).count() === 0L)
   }
 
+  test("labelPropagation: majority wins, ties go low, isolated keep their label") {
+    // star: center 1 (label 9) with leaves 2,3,4 labeled 5,5,7 → center
+    // adopts 5 in round 1; leaves all adopt the center's CURRENT label 9
+    // (synchronous update). Node 99 is isolated and keeps label 42.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 9L), (2L, 5L), (3L, 5L), (4L, 7L), (99L, 42L))
+      .toDF("node", "label")
+    val r1 = Graph.labelPropagation(edges, labels, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(1L -> 5L, 2L -> 9L, 3L -> 9L, 4L -> 9L, 99L -> 42L))
+    // tie case: two neighbors with labels 3 and 8 → the smaller wins
+    val tie = Graph.labelPropagation(
+      Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"),
+      Seq((1L, 0L), (2L, 8L), (3L, 3L)).toDF("node", "label"),
+      rounds = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tie(1L) === 3L)
+  }
+
   test("linkPrediction scores distance-2 pairs, excludes edges, caps hubs") {
     // square 1-2-3-4-1: diagonals (1,3) and (2,4) have cn=2, jaccard
     // 2/(2+2-2) = 1.0; adjacent pairs never appear
