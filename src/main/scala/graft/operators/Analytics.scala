@@ -485,6 +485,142 @@ object Analytics {
         .orderBy("centroid_id", "dim")
     },
 
+    // ---- bitemporal as-of ----
+    // "what did we believe at known_at about the state at valid_ts":
+    // among revisions with ts_valid ≤ valid_ts AND issued_at ≤ known_at
+    // (within a 24 h staleness bound — the j11 tolerance contract),
+    // take the (ts_valid, issued_at)-lexicographic max. 2-D dominance
+    // doesn't fit one as-of window, so the plan is the j9/j10 shape:
+    // equi join on the DAY bin of the valid axis (probe explodes its
+    // own + previous bin), residual range filters, then one
+    // map-combinable max-struct argmax per probe — no window over the
+    // join output, no quadratic pass. The revision feed is the st-probe
+    // derivation; probes sit at hh:30 valid / hh:20 known so the
+    // transaction axis genuinely bites (revisions issued later in the
+    // hour are invisible).
+    "j14_bitemporal_asof" -> QueryDef.sql(
+      """WITH rev AS (
+        |  SELECT CAST(user_id % 3 AS DOUBLE) AS lat,
+        |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts_valid,
+        |         CAST(ts AS TIMESTAMP) AS issued_at,
+        |         max(value) AS temp
+        |  FROM events GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT DISTINCT CAST(user_id % 3 AS DOUBLE) AS lat,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |      + INTERVAL 30 MINUTE AS valid_ts,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |      + INTERVAL 20 MINUTE AS known_at
+        |  FROM events),
+        |j AS (
+        |  SELECT p.lat, p.valid_ts, p.known_at,
+        |         r.ts_valid, r.issued_at, r.temp
+        |  FROM p JOIN rev r ON r.lat = p.lat
+        |    AND r.ts_valid <= p.valid_ts AND r.issued_at <= p.known_at
+        |    AND r.ts_valid > p.valid_ts - INTERVAL 24 HOUR)
+        |SELECT lat, valid_ts, known_at, ts_valid, issued_at,
+        |  round(temp, 2) AS temp
+        |FROM j
+        |QUALIFY row_number() OVER (PARTITION BY lat, valid_ts, known_at
+        |  ORDER BY ts_valid DESC, issued_at DESC) = 1
+        |ORDER BY lat, valid_ts""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val rev = ev.groupBy(
+          (col("user_id") % 3).cast("double").as("lat"),
+          date_trunc("hour", col("ts")).as("ts_valid"),
+          col("ts").as("issued_at"))
+        .agg(max("value").as("temp"))
+        .withColumn("vday", col("ts_valid").cast("date"))
+      val probes = ev.select(
+          (col("user_id") % 3).cast("double").as("lat"),
+          (date_trunc("hour", col("ts")) + expr("INTERVAL 30 MINUTES"))
+            .as("valid_ts"),
+          (date_trunc("hour", col("ts")) + expr("INTERVAL 20 MINUTES"))
+            .as("known_at"))
+        .distinct()
+        .withColumn("vday", explode(array(col("valid_ts").cast("date"),
+          date_sub(col("valid_ts").cast("date"), 1))))
+      probes.join(rev, Seq("lat", "vday"))
+        .filter(col("ts_valid") <= col("valid_ts") &&
+          col("issued_at") <= col("known_at") &&
+          col("ts_valid") > col("valid_ts") - expr("INTERVAL 24 HOURS"))
+        .groupBy("lat", "valid_ts", "known_at")
+        .agg(max(struct(col("ts_valid"), col("issued_at"), col("temp")))
+          .as("m"))
+        .select(col("lat"), col("valid_ts"), col("known_at"),
+          col("m.ts_valid").as("ts_valid"), col("m.issued_at").as("issued_at"),
+          round(col("m.temp"), 2).as("temp"))
+        .orderBy("lat", "valid_ts")
+    },
+
+    // ---- CDC apply (net effect of a change stream) ----
+    // upsert/delete log → final table state: the lakehouse compaction
+    // semantics. The winner per key is ONE map-combinable max-struct agg
+    // over (ts, event_id) — no window, no shuffle beyond the key agg —
+    // then delete-winners drop out. Ops synthesize deterministically
+    // from the event stream (every 10th event id is a delete).
+    "e16_cdc_apply" -> QueryDef.sql(
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    value
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, op, value FROM c
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT user_id, value FROM w WHERE op <> 'D'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_id") % 10 === 0, "D").otherwise("U").as("op"),
+          col("value"))
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("op"),
+          col("value"))).as("m"))
+        .filter(col("m.op") =!= "D")
+        .select(col("user_id"), col("m.value").as("value"))
+        .orderBy("user_id")
+    },
+
+    // ---- resetting running sum (spend since last purchase) ----
+    // the conditional-reset cumsum: segment = running purchase count
+    // (resets AT each purchase), then a cumulative within (user,
+    // segment). Two windows ride ONE (user, ts, id) sort. Cents stay
+    // exact integers (the e12 discipline) so the cumsum is
+    // order-independent-exact on both engines.
+    "w12_reset_running_sum" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (
+        |  SELECT *, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS seg
+        |  FROM e)
+        |SELECT event_id, user_id, CAST(seg AS BIGINT) AS seg,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id, seg
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS run_cents
+        |FROM g ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w1 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("seg",
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).over(w1))
+      val w2 = Window.partitionBy("user_id", "seg")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("run_cents", sum("cents").over(w2))
+        .select(col("event_id"), col("user_id"), col("seg").cast("long").as("seg"),
+          col("run_cents"))
+        .orderBy("event_id")
+    },
+
     // ---- cross-source quantile normalization ----
     // map each document's length onto the CORPUS BLEND's value at the
     // same quantile (the score-calibration move: source distributions
