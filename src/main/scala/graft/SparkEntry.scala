@@ -19,7 +19,7 @@ object SparkEntry {
       operators.Relational5.defs ++ operators.Interval.defs ++
       PipelineQueries.defs ++ operators.CorpusQueries.defs ++
       operators.Analytics.defs ++
-      operators.Behavior.defs ++
+      operators.Behavior.defs ++ operators.Incremental.defs ++
       WeatherQueries.defs ++ operators.Multimodal.defs ++
       streaming.StreamingQueries.defs
 

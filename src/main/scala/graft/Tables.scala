@@ -23,17 +23,28 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a long (nanos since epoch) and truncate to
-    * a microsecond TimestampType — the same floor-truncation DuckDB
-    * applies when casting TIMESTAMP_NS → TIMESTAMP, so oracle comparisons
-    * agree.
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects — read it as a nanos-since-epoch
+    * long and floor-truncate to microseconds, matching DuckDB's
+    * TIMESTAMP_NS → TIMESTAMP cast) or plain TIMESTAMP(MICROS) (read
+    * natively). Dispatch on the decoded type so both generations of the
+    * driver's testdata load identically.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // isAdjustedToUTC=false parquet decodes as NTZ; anchor the naive
+        // micros at the epoch explicitly (session-TZ independent — a
+        // plain NTZ→TIMESTAMP cast would re-interpret in session time)
+        raw.withColumn("ts", timestamp_micros(expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
