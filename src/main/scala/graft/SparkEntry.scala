@@ -18,7 +18,7 @@ object SparkEntry {
       operators.Relational3.defs ++ operators.Relational4.defs ++
       operators.Relational5.defs ++ operators.Interval.defs ++
       PipelineQueries.defs ++ operators.CorpusQueries.defs ++
-      operators.Analytics.defs ++
+      operators.Analytics.defs ++ operators.Analytics2.defs ++
       operators.Behavior.defs ++ operators.Incremental.defs ++
       WeatherQueries.defs ++ operators.Multimodal.defs ++
       streaming.StreamingQueries.defs

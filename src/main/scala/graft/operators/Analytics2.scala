@@ -1,0 +1,289 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics batch (round 10): cohort LTV curves, market-basket
+  * association rules, conversion-lag percentiles, one-pass column
+  * profiling, and forward-fill (LOCF). All five oracle-checked.
+  *
+  * Determinism discipline (the e5/a23 rules): every emitted float is a
+  * single IEEE division of exactly-representable integers (identical
+  * dividend/divisor on both engines ⇒ bit-identical quotient); counts
+  * and cents stay BIGINT end to end; percentiles are DISCRETE order
+  * statistics selected by integer-arithmetic rank conditions (never
+  * interpolated — a p50 of microsecond-scale values rounds on an ulp
+  * boundary, the a14 trap at 1e11 magnitude).
+  */
+object Analytics2 {
+
+  private val WeekUs = 604800000000L
+
+  /** Exact integer floor of (ts − t0) in weeks: (d − d mod w) / w is an
+    * exact multiple so the double quotient is exact (the e2 idiom). */
+  private def weekOffset(ts: org.apache.spark.sql.Column,
+      t0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val d = unix_micros(ts) - unix_micros(t0)
+    ((d - pmod(d, lit(WeekUs))) / lit(WeekUs)).cast("long")
+  }
+
+  /** Weekly-cohort cumulative revenue ("LTV curve"): users cohorted by
+    * the ISO week of their first event; purchase cents accumulate over
+    * integer week offsets from that first event; ltv = cumulative cents
+    * over cohort size. The cumulative window rides the (cohort, offset)
+    * GRID — bounded by calendar weeks squared, never event volume (the
+    * w10 argument) — and cohort sizes join back broadcast-sized. Weeks
+    * with zero purchases are absent from the curve by design (the
+    * cumulative value at the next present offset is still correct).
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val first = events.groupBy("user_id").agg(min(col("ts")).as("__t0"))
+    val sizes = first
+      .groupBy(to_date(date_trunc("week", col("__t0"))).as("cohort_week"))
+      .agg(count(lit(1)).as("users"))
+    val grid = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("__cents"))
+      .join(first, Seq("user_id"))
+      .groupBy(to_date(date_trunc("week", col("__t0"))).as("cohort_week"),
+        weekOffset(col("ts"), col("__t0")).as("week_offset"))
+      .agg(sum(col("__cents")).as("wk_cents"))
+    val cum = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("cum_cents", sum(col("wk_cents")).over(cum))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"),
+        col("users").cast("long").as("users"), col("cum_cents"),
+        (col("cum_cents").cast("double") / col("users")).as("ltv_cents"))
+  }
+
+  /** Market-basket association rules over per-order DISTINCT item sets:
+    * for every UNORDERED pair with ≥ `minSupport` shared orders, both
+    * directed rules with confidence = supp(a,b)/supp(a) and lift =
+    * N·supp(a,b)/(supp(a)·supp(b)). Pair supports come from the g2/t26
+    * in-row pair explode (bounded by order size — no order-key
+    * self-join shuffle); item supports are one hash agg joined back on
+    * the item key. All score inputs are exact BIGINTs (products stay
+    * < 2^53 by a guard), so the emitted doubles are single divisions of
+    * identical operands — bit-identical cross-engine, no rounding.
+    */
+  def associationRules(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
+    val op = lineitem.select(col("l_orderkey").as("oid"),
+      col("l_partkey").as("item")).distinct()
+    val n = op.select(countDistinct(col("oid")).as("__n"))
+    val itemSupp = op.groupBy(col("item")).agg(count(lit(1)).as("isupp"))
+    val pairs = op.groupBy("oid")
+      .agg(sort_array(collect_set(col("item"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("psupp"))
+      .filter(col("psupp") >= minSupport)
+    val directed = pairs.select(col("a").as("ante"), col("b").as("cons"),
+        col("psupp"))
+      .unionByName(pairs.select(col("b").as("ante"), col("a").as("cons"),
+        col("psupp")))
+    directed
+      .join(itemSupp.select(col("item").as("ante"), col("isupp").as("asupp")),
+        Seq("ante"))
+      .join(itemSupp.select(col("item").as("cons"), col("isupp").as("csupp")),
+        Seq("cons"))
+      .join(broadcast(n))
+      // 2^53 exactness guard: lift operands must stay exactly
+      // representable or the "identical operands" argument dies
+      .select(col("ante"), col("cons"), col("psupp"),
+        col("asupp").cast("long").as("asupp"),
+        col("csupp").cast("long").as("csupp"),
+        (col("psupp").cast("double") / col("asupp")).as("confidence"),
+        when(col("__n") * col("psupp") < lit(1L << 53) &&
+             col("asupp") * col("csupp") < lit(1L << 53),
+          (col("__n") * col("psupp")).cast("double") /
+            (col("asupp") * col("csupp")))
+          .otherwise(raise_error(lit(
+            "associationRules: lift operands exceed exact-double range")))
+          .as("lift"))
+  }
+
+  /** First-view → first-purchase conversion lag per weekly cohort:
+    * converters are users whose first purchase follows their first view;
+    * p50/p90 are DISCRETE order statistics (smallest lag whose rank r
+    * satisfies 2r ≥ n resp. 10r ≥ 9n — pure integer conditions, the
+    * percentile_disc definition with zero float boundary risk), and the
+    * conversion rate is an exact-count quotient. One agg per user, one
+    * cohort-grid window for ranks, one tiny agg.
+    */
+  def conversionLag(events: DataFrame): DataFrame = {
+    val firsts = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("__fv"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("__fp"),
+        min(col("ts")).as("__t0"))
+    val conv = firsts
+      .filter(col("__fv").isNotNull && col("__fp").isNotNull &&
+        col("__fp") > col("__fv"))
+      .select(to_date(date_trunc("week", col("__t0"))).as("cohort_week"),
+        (unix_micros(col("__fp")) - unix_micros(col("__fv"))).as("lag_us"),
+        col("user_id"))
+    val w = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("lag_us"), col("user_id"))
+    val wAll = Window.partitionBy(col("cohort_week"))
+    conv
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("converters"),
+        min(when(col("__rn") * 2 >= col("__n"), col("lag_us")))
+          .as("p50_lag_us"),
+        min(when(col("__rn") * 10 >= col("__n") * 9, col("lag_us")))
+          .as("p90_lag_us"))
+  }
+
+  /** One-pass column profile (data-quality report): row count, null
+    * count, distinct count, min/max, and exact cents sum per profiled
+    * numeric column, via an in-row `stack` unpivot feeding ONE hash agg
+    * — a single scan regardless of column count (the per-column UNION
+    * formulation scans once per column). distinct-count shuffles
+    * (col_name, value) pairs only.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackArgs = cols.map(c => s"'$c', $c").mkString(", ")
+    df.select(expr(
+        s"stack(${cols.size}, $stackArgs) as (col_name, v)"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).cast("long").as("n_distinct"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(round(col("v") * 100).cast("long")).as("sum_cents"))
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ---- weekly-cohort LTV curve ----
+    "e17_cohort_ltv" -> QueryDef.sql(
+      """WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+        |cs AS (SELECT CAST(date_trunc('week', t0) AS DATE) AS cohort_week,
+        |         count(*) AS users FROM f GROUP BY 1),
+        |p AS (SELECT CAST(date_trunc('week', f.t0) AS DATE) AS cohort_week,
+        |    CAST((epoch_us(e.ts) - epoch_us(f.t0)
+        |          - ((epoch_us(e.ts) - epoch_us(f.t0)) % 604800000000))
+        |         / 604800000000 AS BIGINT) AS week_offset,
+        |    CAST(round(e.value * 100) AS BIGINT) AS cents
+        |  FROM events e JOIN f USING (user_id)
+        |  WHERE e.event_type = 'purchase'),
+        |g AS (SELECT cohort_week, week_offset, sum(cents) AS wk_cents
+        |      FROM p GROUP BY 1, 2),
+        |c AS (SELECT cohort_week, week_offset,
+        |        CAST(sum(wk_cents) OVER (PARTITION BY cohort_week
+        |          ORDER BY week_offset
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum_cents
+        |      FROM g)
+        |SELECT c.cohort_week, c.week_offset, CAST(cs.users AS BIGINT) AS users,
+        |  c.cum_cents, c.cum_cents::DOUBLE / cs.users AS ltv_cents
+        |FROM c JOIN cs USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+      cohortLtv(Tables.events(s, d)).orderBy("cohort_week", "week_offset")
+    },
+
+    // ---- market-basket association rules ----
+    "a29_assoc_rules" -> QueryDef.sql(
+      """WITH op AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+        |            FROM lineitem),
+        |n AS (SELECT count(DISTINCT oid) AS nn FROM op),
+        |isupp AS (SELECT item, count(*) AS s FROM op GROUP BY 1),
+        |pairs AS (
+        |  SELECT o1.item AS a, o2.item AS b, count(*) AS psupp
+        |  FROM op o1 JOIN op o2
+        |    ON o1.oid = o2.oid AND o1.item < o2.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |dir AS (
+        |  SELECT a AS ante, b AS cons, psupp FROM pairs
+        |  UNION ALL
+        |  SELECT b AS ante, a AS cons, psupp FROM pairs)
+        |SELECT dir.ante, dir.cons, CAST(dir.psupp AS BIGINT) AS psupp,
+        |  CAST(sa.s AS BIGINT) AS asupp, CAST(sc.s AS BIGINT) AS csupp,
+        |  dir.psupp::DOUBLE / sa.s AS confidence,
+        |  (n.nn * dir.psupp)::DOUBLE / (sa.s * sc.s) AS lift
+        |FROM dir
+        |JOIN isupp sa ON sa.item = dir.ante
+        |JOIN isupp sc ON sc.item = dir.cons
+        |CROSS JOIN n
+        |ORDER BY ante, cons""".stripMargin) { (s, d) =>
+      associationRules(Tables.lineitem(s, d)).orderBy("ante", "cons")
+    },
+
+    // ---- conversion-lag percentiles per cohort ----
+    "e19_conversion_lag" -> QueryDef.sql(
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
+        |    min(ts) AS t0
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |conv AS (
+        |  SELECT CAST(date_trunc('week', t0) AS DATE) AS cohort_week,
+        |    epoch_us(fp) - epoch_us(fv) AS lag_us, user_id
+        |  FROM f WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv),
+        |r AS (
+        |  SELECT cohort_week, lag_us,
+        |    row_number() OVER (PARTITION BY cohort_week
+        |      ORDER BY lag_us, user_id) AS rn,
+        |    count(*) OVER (PARTITION BY cohort_week) AS n
+        |  FROM conv)
+        |SELECT cohort_week, CAST(count(*) AS BIGINT) AS converters,
+        |  CAST(min(CASE WHEN rn * 2 >= n THEN lag_us END) AS BIGINT)
+        |    AS p50_lag_us,
+        |  CAST(min(CASE WHEN rn * 10 >= n * 9 THEN lag_us END) AS BIGINT)
+        |    AS p90_lag_us
+        |FROM r GROUP BY cohort_week
+        |ORDER BY cohort_week""".stripMargin) { (s, d) =>
+      conversionLag(Tables.events(s, d)).orderBy("cohort_week")
+    },
+
+    // ---- one-pass column profile ----
+    "a30_profile" -> QueryDef.sql(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  min($c) AS min_v, max($c) AS max_v,
+           |  CAST(sum(CAST(round($c * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) { (s, d) =>
+      profileColumns(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_name")
+    },
+
+    // ---- forward fill (last observation carried forward) ----
+    // The classic LOCF shape: carry each user's latest purchase cents
+    // onto every subsequent event. One window riding one (user, ts, id)
+    // sort; IGNORE NULLS keeps the state column sparse (no pre-join).
+    "w13_fill_forward" -> QueryDef.sql(
+      """SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_cents
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          last(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")), ignoreNulls = true)
+            .over(w).as("last_purchase_cents"))
+        .orderBy("event_id")
+    }
+  )
+}
