@@ -262,6 +262,79 @@ object Analytics2 {
         .orderBy("col_name")
     },
 
+    // ---- signed random projection (JL dimensionality reduction) ----
+    // Implementation: Similarity.randomProjection. Exact BIGINT sums of
+    // md5-signed quantized components — both engines compute the
+    // identical sign matrix and integer arithmetic.
+    "s17_random_projection" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |js AS (SELECT unnest(range(1, 9)) AS j),
+        |c AS (SELECT vec_id, js.j AS j,
+        |    (CASE WHEN ('0x' || substring(
+        |         md5(i::VARCHAR || '#' || js.j::VARCHAR), 1, 8))::UBIGINT
+        |         % 2 = 0 THEN 1 ELSE -1 END)
+        |    * CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT) AS c
+        |  FROM e CROSS JOIN js)
+        |SELECT vec_id, j, CAST(sum(c) AS BIGINT) AS proj
+        |FROM c GROUP BY 1, 2
+        |ORDER BY vec_id, j""".stripMargin) { (s, d) =>
+      Similarity.randomProjection(Tables.embeddings(s, d), k = 8)
+        .orderBy("vec_id", "j")
+    },
+
+    // ---- BPE merge training (3 rounds) ----
+    // Implementation: Corpus.bpeMerges. The oracle unrolls each round
+    // with MATERIALIZED vocabulary CTEs (the g4 inline-reevaluation
+    // lesson) and applies merges with the same greedy left-to-right
+    // list fold.
+    "t42_bpe_merges" -> QueryDef.sql {
+      def pairCte(n: Int, src: String) =
+        s"""p$n AS (SELECT p.a AS a, p.b AS b, sum(cnt) AS pair_cnt FROM (
+           |    SELECT cnt, unnest(list_transform(syms[:len(syms)-1],
+           |      (x, i) -> {'a': x, 'b': syms[i+1]})) AS p
+           |    FROM $src WHERE len(syms) > 1) GROUP BY 1, 2),
+           |m$n AS MATERIALIZED (SELECT a, b, pair_cnt FROM p$n
+           |  ORDER BY pair_cnt DESC, a, b LIMIT 1)""".stripMargin
+      def applyCte(n: Int, src: String) =
+        s"""w$n AS MATERIALIZED (
+           |  SELECT list_reduce(list_transform(syms, s -> [s]),
+           |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$n.a
+           |        AND x[1] = m$n.b
+           |      THEN list_append(acc[:len(acc)-1], m$n.a || m$n.b)
+           |      ELSE list_concat(acc, x) END) AS syms, cnt
+           |  FROM $src CROSS JOIN m$n)""".stripMargin
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT list_transform(range(1, length(w)+1),
+         |           i -> substring(w, i, 1)) AS syms, cnt
+         |  FROM (SELECT w, count(*) AS cnt FROM (
+         |          SELECT unnest(string_split_regex(
+         |            regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'),
+         |            '\\s+')) AS w
+         |          FROM documents)
+         |        WHERE length(w) > 0 GROUP BY w)),
+         |${pairCte(1, "w0")},
+         |${applyCte(1, "w0")},
+         |${pairCte(2, "w1")},
+         |${applyCte(2, "w1")},
+         |${pairCte(3, "w2")}
+         |SELECT * FROM (
+         |  SELECT 1 AS merge_round, a AS left_sym, b AS right_sym,
+         |         CAST(pair_cnt AS BIGINT) AS pair_cnt FROM m1
+         |  UNION ALL
+         |  SELECT 2, a, b, CAST(pair_cnt AS BIGINT) FROM m2
+         |  UNION ALL
+         |  SELECT 3, a, b, CAST(pair_cnt AS BIGINT) FROM m3)
+         |ORDER BY merge_round""".stripMargin
+    } { (s, d) =>
+      Corpus.bpeMerges(Tables.documents(s, d), rounds = 3)
+        .select(col("merge_round").cast("int").as("merge_round"),
+          col("left_sym"), col("right_sym"), col("pair_cnt"))
+        .orderBy("merge_round")
+    },
+
     // ---- forward fill (last observation carried forward) ----
     // The classic LOCF shape: carry each user's latest purchase cents
     // onto every subsequent event. One window riding one (user, ts, id)

@@ -508,4 +508,69 @@ object Corpus {
         // zero) so both engines emit +0.0
         (round(sum(col("tf").cast("double") * logRatio), 2) + lit(0.0)).as("dsir_logw"))
   }
+
+  /** BPE merge training (Sennrich et al. 2016): learn the top merge per
+    * round over the corpus vocabulary — the tokenizer-training primitive
+    * run distributed. Per round: (1) adjacent-symbol pair counts,
+    * frequency-weighted by word count, from an in-row transform over
+    * each word's symbol array (one hash agg — the pair table is
+    * O(vocab·avg_len), never materialized per document); (2) the argmax
+    * pair under the deterministic tie-break (max count, then
+    * lexicographically smallest pair) — a bounded single-row collect,
+    * the IVF/MMR justification: the merge decision is inherently
+    * sequential and feeds the next round's lambda as LITERALS, so merge
+    * application stays a scan-local in-row fold (greedy left-to-right:
+    * an already-merged symbol never re-merges with the next occurrence,
+    * the standard BPE application rule); (3) `localCheckpoint` per round
+    * with the previous round's blocks released (the d7/g1 iterative
+    * discipline — the vocabulary table is referenced twice per round).
+    *
+    * Works on the DEDUPED (word, count) vocabulary, so per-round cost is
+    * vocabulary-sized regardless of corpus size; the vocabulary itself
+    * is one exact-dedup agg over the corpus — the 100 TB path.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, "rounds must be at least 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = docs
+      .select(explode(split(
+        regexp_replace(lower(col(textCol)), "^\\s+|\\s+$", ""),
+        "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val pairs = cur.filter(size(col("syms")) > 1)
+        .select(col("cnt"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), " +
+            "(x, i) -> struct(x AS a, element_at(syms, i + 2) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("pair_cnt"))
+      val top = pairs.orderBy(col("pair_cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"bpeMerges: no adjacent pairs left at round $r")
+      val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2))
+      merges += ((r, a, b, c))
+      val prev = cur
+      val (la, lb, lab) = (lit(a), lit(b), lit(a + b))
+      cur = cur.select(aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === la && x === lb,
+            concat(slice(acc, lit(1), size(acc) - 1), array(lab)))
+            .otherwise(concat(acc, array(x)))).as("syms"),
+          col("cnt"))
+        .localCheckpoint()
+      Dedup.release(prev)
+    }
+    Dedup.release(cur)
+    merges.toSeq.toDF("merge_round", "left_sym", "right_sym", "pair_cnt")
+  }
 }

@@ -119,7 +119,59 @@ object Incremental {
         count(lit(1)).as("n_touches"))
   }
 
+  /** Incremental JOIN delta (the bilinearity of ⋈ over union — the DBSP
+    * / materialized-view-maintenance identity):
+    * Δ(R ⋈ S) = ΔR ⋈ S_old ∪ R_old ⋈ ΔS ∪ ΔR ⋈ ΔS.
+    * Feeding the delta through the same aggregate partials as the state
+    * and merging with [[mergeAggState]]-style SUMs refreshes a join view
+    * touching |Δ|-proportional data: each term probes the big old side
+    * with a small delta (broadcast or bucketed-join-friendly), and the
+    * old⋈old term — the 100 TB one — is never recomputed.
+    */
+  def joinDelta(rOld: DataFrame, rDelta: DataFrame, sOld: DataFrame,
+      sDelta: DataFrame, keys: Seq[String]): DataFrame =
+    rOld.join(sDelta, keys)
+      .unionByName(rDelta.join(sOld, keys))
+      .unionByName(rDelta.join(sDelta, keys))
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- incremental join-view maintenance ----
+    // Revenue-per-customer over orders ⋈ lineitem, maintained from a
+    // state snapshot (orders before 1998, lines shipped before Mar 1998)
+    // plus both deltas. The oracle is the FULL recompute, so a green row
+    // proves the join-delta identity including the cross term (orders
+    // near the cutoffs ship on both sides of the line cutoff).
+    "e23_incremental_join_view" -> QueryDef.sql(
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val rCut = lit("1998-01-01").cast("timestamp")
+      val sCut = lit("1998-03-01").cast("timestamp")
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("__cents"),
+        col("l_shipdate"))
+      val (rOld, rDelta) = (o.filter(col("o_orderdate") < rCut),
+        o.filter(col("o_orderdate") >= rCut))
+      val (sOld, sDelta) = (l.filter(col("l_shipdate") < sCut),
+        l.filter(col("l_shipdate") >= sCut))
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy("o_custkey").agg(count(lit(1)).as("n_lines"),
+          sum(col("__cents")).as("rev_cents"))
+      val state = partials(rOld.join(sOld, Seq("o_orderkey")))
+      val delta = partials(joinDelta(rOld, rDelta, sOld, sDelta,
+        Seq("o_orderkey")))
+      state.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(sum(col("n_lines")).cast("long").as("n_lines"),
+          sum(col("rev_cents")).as("rev_cents"))
+        .orderBy("o_custkey")
+    },
 
     // ---- incremental aggregate-view maintenance ----
     // state (events before the cutoff) merged with one delta batch

@@ -463,4 +463,38 @@ object Similarity {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Signed (Rademacher) random projection — the Johnson-Lindenstrauss
+    * dimensionality reduction behind SimHash-style embedding sketches:
+    * out[j] = Σ_i sign(i, j) · q(v_i), with the ±1 sign matrix derived
+    * from the md5-hex-prefix gate (seed-free, engine-portable) and the
+    * input quantized to integer `scaleQ`-ths so the per-dimension sum is
+    * EXACT BIGINT arithmetic — order-independent, hash-checkable, and
+    * immune to the float-sum-order trap that a raw-float projection
+    * would hit under distributed aggregation.
+    *
+    * Shape: posexplode × k broadcast dims → map-side-combinable hash
+    * agg; the exploded stream is (id, i, v) longs and partial aggregation
+    * collapses it to n·k rows before the exchange. For a hot path the
+    * sign matrix is a (d × k) literal computed once (the s13 centroid
+    * pattern) and the fold runs in-row; this formulation keeps both
+    * engines' arithmetic identical for the oracle.
+    */
+  def randomProjection(emb: DataFrame, k: Int = 8, scaleQ: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val dims = emb.sparkSession.range(1, k + 1)
+      .select(col("id").as("j"))
+    val sign = when(
+      conv(substring(md5(concat_ws("#",
+          (col("__i0") + 1).cast("string"), col("j").cast("string"))), 1, 8),
+        16, 10).cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("__i0", "__v")))
+      .join(broadcast(dims))
+      .select(col(idCol), col("j"),
+        (sign * round(col("__v").cast("double") * scaleQ).cast("long"))
+          .as("__c"))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("__c")).as("proj"))
+  }
 }

@@ -76,6 +76,70 @@ class Analytics2Spec extends AnyFunSuite {
     assert(r.getLong(3) === 10L * 3600000000L)
   }
 
+  test("bpeMerges: greedy application, frequency weighting, tie-break") {
+    // vocab: "aaab" ×3, "ab" ×2 → round 1 pairs: (a,a)=6 [two per "aaab"],
+    // (a,b)=5, tie-break not needed. Merge (a,a): "aaab" → [aa, a, b]
+    // (greedy left-to-right: the merged "aa" does NOT re-merge with the
+    // third a). Round 2 pairs: (a,b)=5 [3 from "aaab" tails + 2 from
+    // "ab"], (aa,a)=3 → merge (a,b).
+    val docs = Seq(
+      "aaab aaab ab", "aaab ab"
+    ).toDF("text")
+    val out = Corpus.bpeMerges(docs, rounds = 2).orderBy("merge_round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq((1, "a", "a", 6L), (2, "a", "b", 5L)))
+  }
+
+  test("bpeMerges tie-break picks the lexicographically smallest pair") {
+    // "xy" ×2 and "ab" ×2 both give pair count 2 → (a,b) wins over (x,y)
+    val docs = Seq("xy ab", "ab xy").toDF("text")
+    val out = Corpus.bpeMerges(docs, rounds = 1).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("a", "b", 2L)))
+  }
+
+  test("joinDelta covers all three delta terms") {
+    // state: r1/s1 join in OLD⋈OLD (not in any delta term);
+    // r1 ⋈ s2(delta) exercises R_old⋈ΔS; r2(delta) ⋈ s1 exercises
+    // ΔR⋈S_old; r2 ⋈ s3(delta) exercises ΔR⋈ΔS.
+    val rOld = Seq((1L, "r1")).toDF("k", "rv")
+    val rDelta = Seq((1L, "r2")).toDF("k", "rv")
+    val sOld = Seq((1L, "s1")).toDF("k", "sv")
+    val sDelta = Seq((1L, "s2"), (1L, "s3")).toDF("k", "sv")
+    val delta = Incremental.joinDelta(rOld, rDelta, sOld, sDelta, Seq("k"))
+      .select("rv", "sv").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    // full − old⋈old = every pair except (r1, s1)
+    assert(delta === Set(("r1", "s2"), ("r1", "s3"), ("r2", "s1"),
+      ("r2", "s2"), ("r2", "s3")))
+  }
+
+  test("randomProjection is partitioning-invariant and md5-sign exact") {
+    val emb = Seq(
+      (1L, Seq(0.5f, -0.25f, 1.0f)),
+      (2L, Seq(-1.0f, 0.125f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val a = Similarity.randomProjection(emb, k = 4)
+      .orderBy("vec_id", "j").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Similarity.randomProjection(emb.repartition(7), k = 4)
+      .orderBy("vec_id", "j").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq)
+    // driver-side recompute of vec 1, dim j: sign from the identical
+    // md5-hex-prefix rule over "i#j" (1-based i)
+    def sign(i: Int, j: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i#$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+    val v = Seq(0.5, -0.25, 1.0)
+    val expected = (1 to 4).map { j =>
+      (1 to 3).map(i => sign(i, j) * Math.round(v(i - 1) * 10000)).sum
+    }
+    assert(a.filter(_._1 == 1L).map(_._3).toSeq === expected)
+  }
+
   test("profileColumns: one-pass stats incl. nulls and distinct") {
     val df = Seq(
       (Some(1.0), 2.5), (None, 2.5), (Some(3.0), 4.0)
