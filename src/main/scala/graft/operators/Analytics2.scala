@@ -161,7 +161,179 @@ object Analytics2 {
         sum(round(col("v") * 100).cast("long")).as("sum_cents"))
   }
 
+  /** Consecutive-rise run detection (CEP-lite trend flagging) on the
+    * hourly event-count series: a "rise" is an hour whose count strictly
+    * exceeds the PREVIOUS PRESENT hour's (row-order lag on the grid —
+    * missing hours splice, a documented choice matching how the series
+    * is actually stored), and runs of ≥ `minLen` consecutive rises
+    * surface as (type, run_start, run_len). Gaps-and-islands on the
+    * rise flag: island id = overall rank − rank-within-rises, both
+    * windows riding ONE (type, hour) sort of the GRID (calendar-bounded,
+    * never event volume — the w10 argument).
+    */
+  def risingRuns(events: DataFrame, minLen: Int = 3): DataFrame = {
+    val byHour = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val grid = events
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val flagged = grid
+      .withColumn("__rise", col("cnt") > lag(col("cnt"), 1).over(byHour))
+      .withColumn("__rn", row_number().over(byHour))
+      .filter(col("__rise"))
+      .withColumn("__grp", col("__rn") - row_number().over(byHour))
+    flagged
+      .groupBy(col("event_type"), col("__grp"))
+      .agg(min(col("hour")).as("run_start"),
+        count(lit(1)).cast("long").as("run_len"))
+      .filter(col("run_len") >= minLen)
+      .select(col("event_type"), col("run_start"), col("run_len"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- two-stage prefix rerank (Matryoshka retrieval) ----
+    "s18_prefix_rerank" -> QueryDef.sql(
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0),
+        |coarse AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+        |    round(list_cosine_similarity(
+        |      CAST(embedding AS DOUBLE[])[1:16], qv[1:16]), 6) AS prefix_sim
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+        |  ORDER BY prefix_sim DESC, vec_id LIMIT 50)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(ev, (SELECT qv FROM q)), 6) AS sim,
+        |  prefix_sim
+        |FROM coarse
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      Similarity.prefixRerank(Tables.embeddings(s, d), queryId = 0L)
+    },
+
+    // ---- consecutive-rise run detection ----
+    "w14_rising_runs" -> QueryDef.sql(
+      """WITH g AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, hour, cnt,
+        |    cnt > lag(cnt) OVER w AS rise,
+        |    row_number() OVER w AS rn
+        |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+        |i AS (
+        |  SELECT event_type, hour,
+        |    rn - row_number() OVER (PARTITION BY event_type ORDER BY hour)
+        |      AS grp
+        |  FROM f WHERE rise)
+        |SELECT event_type, min(hour) AS run_start,
+        |  CAST(count(*) AS BIGINT) AS run_len
+        |FROM i GROUP BY event_type, grp
+        |HAVING count(*) >= 3
+        |ORDER BY event_type, run_start""".stripMargin) { (s, d) =>
+      risingRuns(Tables.events(s, d), minLen = 3)
+        .orderBy("event_type", "run_start")
+    },
+
+    // ---- SCD2 point-in-time enrichment join ----
+    // Each purchase enriched with the user's state (latest non-purchase
+    // event type, consecutive-dedup'd) valid AT purchase time — the
+    // warehouse PIT-join: fact ⋈ dimension-version-as-of-event-time.
+    // Rides AsOf.asofJoin (union+window, ONE shuffle); dimension events
+    // pre-dedup per (user, ts) by max event_id (the e6 tie rule — both
+    // engines' as-ofs pick arbitrarily among exact-tie build rows).
+    "j15_scd2_pit_join" -> QueryDef.sql(
+      """WITH dd AS (
+        |  SELECT user_id, ts, event_type FROM (
+        |    SELECT user_id, ts, event_type, row_number() OVER (
+        |        PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type <> 'purchase') WHERE rn = 1),
+        |runs AS (
+        |  SELECT user_id, event_type AS state, ts AS valid_from FROM (
+        |    SELECT user_id, event_type, ts,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |    FROM dd) WHERE prev IS NULL OR prev <> event_type),
+        |p AS (SELECT user_id, event_id, ts,
+        |        CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.ts, p.cents, r.state AS asof_state
+        |FROM p ASOF LEFT JOIN runs r
+        |  ON p.user_id = r.user_id AND p.ts >= r.valid_from
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val dimEvents = e.filter(col("event_type") =!= "purchase")
+        .withColumn("__rn", row_number().over(Window
+          .partitionBy(col("user_id"), col("ts"))
+          .orderBy(col("event_id").desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+      val dim = Behavior.scdIntervals(dimEvents)
+        .select(col("user_id"), col("state"),
+          col("valid_from").as("ts"))
+      val fact = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      AsOf.asofJoin(fact, dim, Seq("user_id"), "ts", Seq("state"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("cents"),
+          col("asof_state"))
+        .orderBy("event_id")
+    },
+
+    // ---- Benford first-digit profile (data-quality screen) ----
+    // First significant digit via the INTEGER cents string — no
+    // log10/pow float boundary (log10(1000) is not guaranteed exactly
+    // 3.0 in both engines' libm; substring of an exact BIGINT is).
+    "a31_benford" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT substring(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           AS VARCHAR), 1, 1) AS digit
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT digit, CAST(n AS BIGINT) AS n, n::DOUBLE / total AS share
+        |FROM c CROSS JOIN t
+        |ORDER BY digit""".stripMargin) { (s, d) =>
+      val digits = Tables.lineitem(s, d)
+        .filter(col("l_extendedprice") > 0)
+        .select(substring(round(col("l_extendedprice") * 100).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      digits.join(broadcast(digits.agg(sum(col("n")).as("__total"))))
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("__total")).as("share"))
+        .orderBy("digit")
+    },
+
+    // ---- bag-semantics set operations ----
+    // EXCEPT ALL / INTERSECT ALL keep multiplicities (multiset algebra —
+    // the set-op rows u1/u2 cover only DISTINCT semantics). Partkeys of
+    // high-quantity lines minus/intersect low-discount lines, with
+    // duplicates preserved and the result counted per key so the output
+    // carries the multiplicity explicitly.
+    "u6_except_all" -> QueryDef.sql(
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_quantity >= 30
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_discount <= 0.02)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      l.filter(col("l_quantity") >= 30).select("l_partkey")
+        .exceptAll(l.filter(col("l_discount") <= 0.02).select("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_partkey")
+    },
+
+    "u7_intersect_all" -> QueryDef.sql(
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_quantity >= 30
+        |  INTERSECT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_discount <= 0.02)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      l.filter(col("l_quantity") >= 30).select("l_partkey")
+        .intersectAll(l.filter(col("l_discount") <= 0.02).select("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_partkey")
+    },
 
     // ---- weekly-cohort LTV curve ----
     "e17_cohort_ltv" -> QueryDef.sql(

@@ -480,6 +480,39 @@ object Similarity {
     * pattern) and the fold runs in-row; this formulation keeps both
     * engines' arithmetic identical for the oracle.
     */
+  /** Two-stage coarse-to-fine retrieval (the Matryoshka-embedding
+    * pattern, Kusupati et al. 2022): stage 1 ranks the corpus by cosine
+    * over only the first `prefixDims` dimensions — a TakeOrdered top-k
+    * over a scan that reads and multiplies 4× less data — and stage 2
+    * re-ranks the `candK` survivors with the full-dimension cosine.
+    * Both stages are deterministic (6-d.p. rounded sims, vec_id
+    * tie-break), so the two-stage result is exactly reproducible — and
+    * oracle-checkable — even though it is an approximation of the
+    * single-stage exact top-k (candidates the prefix ranking cuts are
+    * cut; that is the accuracy/cost dial, prefixDims being the knob).
+    * At 100 TB stage 1 is the only corpus-wide pass; stage 2 touches
+    * candK rows.
+    */
+  def prefixRerank(emb: DataFrame, queryId: Long, k: Int = 10,
+      candK: Int = 50, prefixDims: Int = 16): DataFrame = {
+    require(candK >= k, "candK must be at least k")
+    val q = broadcast(emb.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv")))
+    val coarse = emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(q)
+      .select(col("vec_id"), col("embedding"), col("qv"),
+        round(cosine(asDouble(slice(col("embedding"), 1, prefixDims)),
+          slice(col("qv"), 1, prefixDims)), 6).as("prefix_sim"))
+      .orderBy(col("prefix_sim").desc, col("vec_id"))
+      .limit(candK)
+    coarse
+      .select(col("vec_id"),
+        round(cosine(asDouble(col("embedding")), col("qv")), 6).as("sim"),
+        col("prefix_sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   def randomProjection(emb: DataFrame, k: Int = 8, scaleQ: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, "k must be at least 1")

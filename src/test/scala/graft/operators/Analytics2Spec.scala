@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.TestSpark
+import graft.{Tables, TestSpark}
 import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -138,6 +138,68 @@ class Analytics2Spec extends AnyFunSuite {
       (1 to 3).map(i => sign(i, j) * Math.round(v(i - 1) * 10000)).sum
     }
     assert(a.filter(_._1 == 1L).map(_._3).toSeq === expected)
+  }
+
+  test("risingRuns finds runs of strictly rising present-hour counts") {
+    // type A counts by hour: 1, 2, 3, 4, 2, 3 → rises at h2,h3,h4 (run
+    // of 3) and h6 (run of 1, below minLen)
+    val rows = for {
+      (h, n) <- Seq(10 -> 1, 11 -> 2, 12 -> 3, 13 -> 4, 14 -> 2, 15 -> 3)
+      i <- 1 to n
+    } yield (i.toLong, "A", ts(f"2024-01-01 $h%02d:30:00"))
+    val events = rows.toDF("event_id", "event_type", "ts")
+    val out = Analytics2.risingRuns(events, minLen = 3).collect()
+      .map(r => (r.getString(0),
+        r.getAs[java.time.LocalDateTime](1).toString.substring(11, 13),
+        r.getLong(2)))
+    assert(out.toSeq === Seq(("A", "11", 3L)))
+  }
+
+  test("scd2 PIT join: purchase before any dim event carries null state") {
+    val e = Seq(
+      (1L, 1L, "purchase", ts("2024-01-01 08:00:00")), // before any state
+      (2L, 1L, "view", ts("2024-01-01 09:00:00")),
+      (3L, 1L, "purchase", ts("2024-01-01 10:00:00")), // state = view
+      (4L, 1L, "click", ts("2024-01-01 11:00:00")),
+      (5L, 1L, "purchase", ts("2024-01-01 11:00:00"))  // tie ts: click wins
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val dim = Behavior.scdIntervals(e.filter($"event_type" =!= "purchase"))
+      .select($"user_id", $"state", $"valid_from".as("ts"))
+    val fact = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts".cast("timestamp_ntz").as("ts"))
+    val out = AsOf.asofJoin(fact, dim, Seq("user_id"), "ts", Seq("state"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(1), Option(r.getString(3))))
+    assert(out.toSeq === Seq((1L, None), (3L, Some("view")),
+      (5L, Some("click"))))
+  }
+
+  test("prefixRerank at full prefix equals exact top-k") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val exact = Similarity.topKCosine(emb, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Similarity.prefixRerank(emb, 0L, k = 10, candK = 50,
+        prefixDims = 64).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq === exact.toSeq)
+  }
+
+  test("prefixRerank 16-dim stage recalls most of the exact top-10") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val exact = Similarity.topKCosine(emb, 0L, 10).collect()
+      .map(_.getLong(0)).toSet
+    // synthetic embeddings are random — unlike trained Matryoshka
+    // vectors the prefix carries only prefixDims/64 of the signal, so
+    // recall here is a floor check, not the trained-model ~0.9
+    val staged = Similarity.prefixRerank(emb, 0L, k = 10, candK = 50,
+        prefixDims = 16).collect().map(_.getLong(0)).toSet
+    assert((exact intersect staged).size >= 2,
+      s"coarse-to-fine recall too low: ${(exact intersect staged).size}/10")
+    val wider = Similarity.prefixRerank(emb, 0L, k = 10, candK = 200,
+        prefixDims = 32).collect().map(_.getLong(0)).toSet
+    assert((exact intersect wider).size > (exact intersect staged).size ||
+      (exact intersect staged).size >= 8,
+      "widening candK/prefixDims should improve recall")
   }
 
   test("profileColumns: one-pass stats incl. nulls and distinct") {
