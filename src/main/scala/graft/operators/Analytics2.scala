@@ -190,7 +190,140 @@ object Analytics2 {
       .select(col("event_type"), col("run_start"), col("run_len"))
   }
 
+  /** Unrolled personalized-PageRank oracle over the g1 transition graph:
+    * r₀ = p (uniform over `seeds`), then `rounds` of
+    * r' = (1−d)·p + d·(contrib + dangling_mass·p), every round rounded
+    * to 12 d.p. (the g1 re-sync discipline). (1−d) is computed IN-ENGINE
+    * as `1.0::DOUBLE − 0.85::DOUBLE` — the parsed literal `0.15` is a
+    * DIFFERENT double than the computed difference, the g1 trap.
+    */
+  private def pprOracle(seeds: Seq[String], rounds: Int): String = {
+    val seedList = seeds.map(s => s"'$s'").mkString(", ")
+    def p(node: String) =
+      s"(CASE WHEN $node IN ($seedList) THEN 1.0::DOUBLE / ${seeds.size} " +
+        "ELSE 0.0::DOUBLE END)"
+    val sb = new StringBuilder
+    sb ++= """WITH e0 AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events),
+      |nx AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER w AS next_type,
+      |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+      |  FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |edges AS (
+      |  SELECT event_type AS src, next_type AS dst,
+      |    CAST(count(*) AS DOUBLE) AS w
+      |  FROM nx WHERE next_type IS NOT NULL AND gap_us <= 1800000000
+      |  GROUP BY 1, 2),
+      |nodes AS (SELECT src AS node FROM edges
+      |          UNION SELECT dst FROM edges),
+      |ow AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+      |""".stripMargin
+    sb ++= s"r0 AS (SELECT node, ${p("node")} AS r FROM nodes)"
+    for (i <- 1 to rounds) {
+      sb ++= s""",
+        |c$i AS (SELECT e.dst AS node, sum(r.r * e.w / ow.ow) AS contrib
+        |       FROM edges e JOIN r${i - 1} r ON r.node = e.src
+        |       JOIN ow ON ow.src = e.src
+        |       GROUP BY e.dst),
+        |d$i AS (SELECT coalesce(sum(r.r), 0.0::DOUBLE) AS mass
+        |       FROM r${i - 1} r LEFT JOIN ow ON ow.src = r.node
+        |       WHERE ow.src IS NULL),
+        |r$i AS (SELECT n.node, round((1.0::DOUBLE - 0.85::DOUBLE)
+        |         * ${p("n.node")}
+        |         + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+        |                           + d.mass * ${p("n.node")}), 12) AS r
+        |       FROM nodes n LEFT JOIN c$i c ON c.node = n.node, d$i d)"""
+        .stripMargin
+    }
+    sb ++= s"""
+      |SELECT node, round(r, 6) AS ppr FROM r$rounds
+      |ORDER BY node""".stripMargin
+    sb.toString
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ---- personalized PageRank (random walk with restart) ----
+    "g6_personalized_pagerank" -> QueryDef.sql(
+      pprOracle(Seq("view", "signup"), rounds = 5)) { (s, d) =>
+      val edges = Behavior.eventTransitions(Tables.events(s, d),
+          maxGapMinutes = 30)
+        .select(col("from_type").as("src"), col("to_type").as("dst"),
+          col("transitions").as("weight"))
+      Graph.personalizedPageRank(edges, Seq("view", "signup"),
+          iterations = 5)
+        .select(col("node"), round(col("r"), 6).as("ppr"))
+        .orderBy("node")
+    },
+
+    // ---- exact pairwise correlation matrix ----
+    // ONE scan: all sums/squares/cross-products of the three bounded
+    // integer-scaled measures (quantity; discount and tax in cents) as
+    // EXACT BIGINTs, then each Pearson r derives through a fixed scalar
+    // IEEE tree (cast-to-double of exact ints → one multiply, sqrt,
+    // divide — identical operands ⇒ bit-identical, the e5/a23 rule;
+    // never the engine-private corr() merge order). Exactness window:
+    // n·Σx² < 2^53 holds to ~10¹² rows for these bounded measures —
+    // the a23-style documented envelope, far past the probe scale.
+    "a32_corr_matrix" -> QueryDef.sql(
+      """WITH m AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS dc,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tx
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT count(*) AS n,
+        |    sum(q) AS sq, sum(dc) AS sd, sum(tx) AS st,
+        |    sum(q * q) AS sqq, sum(dc * dc) AS sdd, sum(tx * tx) AS stt,
+        |    sum(q * dc) AS sqd, sum(q * tx) AS sqt, sum(dc * tx) AS sdt
+        |  FROM m)
+        |SELECT pair, corr FROM (
+        |  SELECT 'quantity_discount' AS pair,
+        |    CAST(n * sqd - sq * sd AS DOUBLE) /
+        |      sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+        |           * CAST(n * sdd - sd * sd AS DOUBLE)) AS corr FROM s
+        |  UNION ALL
+        |  SELECT 'quantity_tax',
+        |    CAST(n * sqt - sq * st AS DOUBLE) /
+        |      sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+        |           * CAST(n * stt - st * st AS DOUBLE)) FROM s
+        |  UNION ALL
+        |  SELECT 'discount_tax',
+        |    CAST(n * sdt - sd * st AS DOUBLE) /
+        |      sqrt(CAST(n * sdd - sd * sd AS DOUBLE)
+        |           * CAST(n * stt - st * st AS DOUBLE)) FROM s)
+        |ORDER BY pair""".stripMargin) { (s, d) =>
+      val m = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_discount") * 100).cast("long").as("dc"),
+        round(col("l_tax") * 100).cast("long").as("tx"))
+      val agg = m.agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("dc")).as("sd"),
+        sum(col("tx")).as("st"),
+        sum(col("q") * col("q")).as("sqq"),
+        sum(col("dc") * col("dc")).as("sdd"),
+        sum(col("tx") * col("tx")).as("stt"),
+        sum(col("q") * col("dc")).as("sqd"),
+        sum(col("q") * col("tx")).as("sqt"),
+        sum(col("dc") * col("tx")).as("sdt"))
+      def corrOf(sxy: String, sx: String, sy: String, sxx: String,
+          syy: String) =
+        (col("n") * col(sxy) - col(sx) * col(sy)).cast("double") /
+          sqrt((col("n") * col(sxx) - col(sx) * col(sx)).cast("double") *
+            (col("n") * col(syy) - col(sy) * col(sy)).cast("double"))
+      agg.select(explode(array(
+          struct(lit("quantity_discount").as("pair"),
+            corrOf("sqd", "sq", "sd", "sqq", "sdd").as("corr")),
+          struct(lit("quantity_tax").as("pair"),
+            corrOf("sqt", "sq", "st", "sqq", "stt").as("corr")),
+          struct(lit("discount_tax").as("pair"),
+            corrOf("sdt", "sd", "st", "sdd", "stt").as("corr"))))
+          .as("e"))
+        .select(col("e.pair").as("pair"), col("e.corr").as("corr"))
+        .orderBy("pair")
+    },
 
     // ---- two-stage prefix rerank (Matryoshka retrieval) ----
     "s18_prefix_rerank" -> QueryDef.sql(

@@ -77,6 +77,58 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (Jeh & Widom, WWW 2003): random walk with
+    * restart to a SEED set — "importance relative to these nodes", the
+    * similar-items / recommendation form of PageRank. Identical
+    * join-based power iteration, checkpoint-and-release discipline, and
+    * 12-d.p. per-round cross-engine sync as [[pageRank]]; the only
+    * change is the teleport vector p (uniform over seeds, 0 elsewhere),
+    * which replaces 1/n in BOTH the restart term and the dangling-mass
+    * redistribution, and seeds ranks as r₀ = p (the standard PPR init —
+    * mass starts at, and forever restarts to, the seed set).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[String],
+      iterations: Int = 5, damping: Double = 0.85,
+      syncDecimals: Int = 12): DataFrame = {
+    require(seeds.nonEmpty, "seeds must be non-empty")
+    require(iterations >= 1, "iterations must be at least 1")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val e = edges.select(col("src"), col("dst"),
+        col("weight").cast("double").as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // teleport weight: one literal division of exact operands —
+    // bit-identical to the oracle's 1.0::DOUBLE / |seeds|
+    def p(node: org.apache.spark.sql.Column) =
+      when(node.isin(seeds.map(x => x: Any): _*),
+        lit(1.0 / seeds.size)).otherwise(lit(0.0))
+    var ranks = nodes.select(col("node"), p(col("node")).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outW, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("r") * col("w") / col("ow")).as("contrib"))
+      val dangling = broadcast(
+        ranks.join(outW.withColumnRenamed("src", "node"), Seq("node"),
+            "left_anti")
+          .agg(coalesce(sum(col("r")), lit(0.0)).as("mass")))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .join(dangling)
+        .select(col("node"), round(
+            lit(1.0 - damping) * p(col("node")) + lit(damping) *
+              (coalesce(col("contrib"), lit(0.0)) +
+                col("mass") * p(col("node"))),
+            syncDecimals).as("r"))
+        .localCheckpoint()
+      Dedup.release(ranks)
+      ranks = next
+    }
+    ranks
+  }
+
   /** Materialize an edge list as a BUCKETED parquet table (external
     * path, in-memory catalog): repeated graph analytics (triangles,
     * k-core, link prediction, PageRank all re-derive edges from the

@@ -740,5 +740,74 @@ object StreamingQueries {
           col("ts_valid"), col("issued_at"),
           round(col("forecast_temp"), 2).as("forecast_temp"))
         .orderBy(col("latitude"), col("obs_ts"), col("issued_at"))
+    },
+
+    // Streaming incremental aggregate-view maintenance — the e20
+    // operator running LIVE: each micro-batch's per-(user, event_type)
+    // partial (Incremental.aggState) merges into the previous parquet
+    // generation via Incremental.mergeAggState (the st5
+    // generation-per-batch sink pattern: read prev gen, write next —
+    // never overwrite what a job is reading). The merge is associative
+    // and commutative over partials, so the FINAL generation equals the
+    // full recompute REGARDLESS of how AvailableNow slices the drop into
+    // micro-batches — which is exactly what the oracle computes, making
+    // the probe's green row a proof of batch-boundary independence.
+    "st11_stream_incremental_agg" -> QueryDef.sql(
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val dropDir = cachedDrop(s"st11:$d", dir =>
+        Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .repartition(4).write.mode("overwrite")
+          .option("timestampFormat", TsFmt).json(dir))
+      val ckDir = tempDir("graft_st11_ck")
+      val tableDir = tempDir("graft_st11_table")
+      deleteOnExit(tableDir)
+
+      val evSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      try withStateShuffle(s) {
+        val q = s.readStream.schema(evSchema)
+          .option("timestampFormat", TsFmt).json(dropDir)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val partial = graft.operators.Incremental.aggState(batch)
+            val prev = new java.io.File(s"$tableDir/gen=${batchId - 1}")
+            val state =
+              if (prev.isDirectory) s.read.parquet(prev.toString)
+              else partial.limit(0)
+            graft.operators.Incremental.mergeAggState(state, partial)
+              .write.mode("overwrite").parquet(s"$tableDir/gen=$batchId")
+          }
+          .option("checkpointLocation", ckDir)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally deleteQuietly(ckDir)
+
+      val gens = new java.io.File(tableDir).listFiles()
+        .filter(_.getName.startsWith("gen="))
+        .map(_.getName.stripPrefix("gen=").toLong)
+      val lastGen = gens.sorted.lastOption.getOrElse(
+        sys.error(s"st11: replay committed no batches (empty feed in $dropDir)"))
+      s.read.parquet(s"$tableDir/gen=$lastGen")
+        .select(col("user_id"), col("event_type"),
+          col("cnt").cast("long").as("cnt"), col("sum_cents"))
+        .orderBy("user_id", "event_type")
     })
 }
