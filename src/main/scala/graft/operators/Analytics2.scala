@@ -82,16 +82,23 @@ object Analytics2 {
       .groupBy(col("e.a").as("a"), col("e.b").as("b"))
       .agg(count(lit(1)).as("psupp"))
       .filter(col("psupp") >= minSupport)
-    val directed = pairs.select(col("a").as("ante"), col("b").as("cons"),
-        col("psupp"))
-      .unionByName(pairs.select(col("b").as("ante"), col("a").as("cons"),
-        col("psupp")))
-    directed
-      .join(itemSupp.select(col("item").as("ante"), col("isupp").as("asupp")),
-        Seq("ante"))
-      .join(itemSupp.select(col("item").as("cons"), col("isupp").as("csupp")),
-        Seq("cons"))
+    // supports join the UNDIRECTED pair once; both directed rules then
+    // explode in-row (halves the join traffic vs unioning directions
+    // first — the pair table crosses each support join a single time)
+    pairs
+      .join(itemSupp.select(col("item").as("a"), col("isupp").as("sa")),
+        Seq("a"))
+      .join(itemSupp.select(col("item").as("b"), col("isupp").as("sb")),
+        Seq("b"))
       .join(broadcast(n))
+      .select(col("psupp"), col("__n"), explode(array(
+        struct(col("a").as("ante"), col("b").as("cons"),
+          col("sa").as("asupp"), col("sb").as("csupp")),
+        struct(col("b").as("ante"), col("a").as("cons"),
+          col("sb").as("asupp"), col("sa").as("csupp")))).as("e"))
+      .select(col("e.ante").as("ante"), col("e.cons").as("cons"),
+        col("psupp"), col("e.asupp").as("asupp"), col("e.csupp").as("csupp"),
+        col("__n"))
       // 2^53 exactness guard: lift operands must stay exactly
       // representable or the "identical operands" argument dies
       .select(col("ante"), col("cons"), col("psupp"),

@@ -516,18 +516,31 @@ object Similarity {
   def randomProjection(emb: DataFrame, k: Int = 8, scaleQ: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, "k must be at least 1")
-    val dims = emb.sparkSession.range(1, k + 1)
-      .select(col("id").as("j"))
-    val sign = when(
-      conv(substring(md5(concat_ws("#",
-          (col("__i0") + 1).cast("string"), col("j").cast("string"))), 1, 8),
-        16, 10).cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
-    emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("__i0", "__v")))
-      .join(broadcast(dims))
-      .select(col(idCol), col("j"),
-        (sign * round(col("__v").cast("double") * scaleQ).cast("long"))
-          .as("__c"))
-      .groupBy(col(idCol), col("j"))
-      .agg(sum(col("__c")).as("proj"))
+    // The (d × k) ±1 sign matrix is a pure function of (i, j) through
+    // the md5 rule — evaluate it ONCE on the driver (k·d tiny hashes)
+    // and ship it as literals, instead of hashing inside the scan
+    // (n·d·k md5 evaluations measured 2.2 s at sf0.1; this form is
+    // dominated by the integer fold). d comes from one single-row
+    // fetch (bounded, the IVF-collect justification).
+    val d = emb.select(size(col(vecCol)).as("d")).head.getInt(0)
+    def sign(i: Int, j: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i#$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+    // per-row: quantize once, then k in-row integer folds over the
+    // zipped (component, sign) arrays; only the k-element result
+    // explodes. No scan-side hashing, no pre-agg row blowup, no join.
+    val quant = transform(col(vecCol),
+      x => round(x.cast("double") * scaleQ).cast("long"))
+    val projArr = array((1 to k).map { j =>
+      val signsJ = array((1 to d).map(i => lit(sign(i, j))): _*)
+      aggregate(zip_with(col("__q"), signsJ, (v, sg) => v * sg),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    emb.select(col(idCol), quant.as("__q"))
+      .select(col(idCol), posexplode(projArr).as(Seq("__j0", "proj")))
+      .select(col(idCol), (col("__j0") + 1).cast("long").as("j"), col("proj"))
   }
 }
