@@ -197,6 +197,40 @@ object Analytics2 {
       .select(col("event_type"), col("run_start"), col("run_len"))
   }
 
+  /** BPE oracle building blocks (DuckDB dialect), shared by t42 (train)
+    * and t45 (encode): the char-split vocabulary CTE, the per-round
+    * pair-count + argmax CTEs, and the greedy merge-application CTE.
+    * Every vocabulary generation is MATERIALIZED (the g4 lesson:
+    * inlined iterative CTEs re-evaluate exponentially).
+    */
+  private val BpeW0Cte =
+    """w0 AS MATERIALIZED (
+      |  SELECT list_transform(range(1, length(w)+1),
+      |           i -> substring(w, i, 1)) AS syms, cnt
+      |  FROM (SELECT w, count(*) AS cnt FROM (
+      |          SELECT unnest(string_split_regex(
+      |            regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+      |            '\s+')) AS w
+      |          FROM documents)
+      |        WHERE length(w) > 0 GROUP BY w))""".stripMargin
+
+  private def bpePairCte(n: Int, src: String) =
+    s"""p$n AS (SELECT p.a AS a, p.b AS b, sum(cnt) AS pair_cnt FROM (
+       |    SELECT cnt, unnest(list_transform(syms[:len(syms)-1],
+       |      (x, i) -> {'a': x, 'b': syms[i+1]})) AS p
+       |    FROM $src WHERE len(syms) > 1) GROUP BY 1, 2),
+       |m$n AS MATERIALIZED (SELECT a, b, pair_cnt FROM p$n
+       |  ORDER BY pair_cnt DESC, a, b LIMIT 1)""".stripMargin
+
+  private def bpeApplyCte(n: Int, src: String) =
+    s"""w$n AS MATERIALIZED (
+       |  SELECT list_reduce(list_transform(syms, s -> [s]),
+       |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$n.a
+       |        AND x[1] = m$n.b
+       |      THEN list_append(acc[:len(acc)-1], m$n.a || m$n.b)
+       |      ELSE list_concat(acc, x) END) AS syms, cnt
+       |  FROM $src CROSS JOIN m$n)""".stripMargin
+
   /** Unrolled personalized-PageRank oracle over the g1 transition graph:
     * r₀ = p (uniform over `seeds`), then `rounds` of
     * r' = (1−d)·p + d·(contrib + dangling_mass·p), every round rounded
@@ -602,36 +636,13 @@ object Analytics2 {
     // with MATERIALIZED vocabulary CTEs (the g4 inline-reevaluation
     // lesson) and applies merges with the same greedy left-to-right
     // list fold.
-    "t42_bpe_merges" -> QueryDef.sql {
-      def pairCte(n: Int, src: String) =
-        s"""p$n AS (SELECT p.a AS a, p.b AS b, sum(cnt) AS pair_cnt FROM (
-           |    SELECT cnt, unnest(list_transform(syms[:len(syms)-1],
-           |      (x, i) -> {'a': x, 'b': syms[i+1]})) AS p
-           |    FROM $src WHERE len(syms) > 1) GROUP BY 1, 2),
-           |m$n AS MATERIALIZED (SELECT a, b, pair_cnt FROM p$n
-           |  ORDER BY pair_cnt DESC, a, b LIMIT 1)""".stripMargin
-      def applyCte(n: Int, src: String) =
-        s"""w$n AS MATERIALIZED (
-           |  SELECT list_reduce(list_transform(syms, s -> [s]),
-           |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$n.a
-           |        AND x[1] = m$n.b
-           |      THEN list_append(acc[:len(acc)-1], m$n.a || m$n.b)
-           |      ELSE list_concat(acc, x) END) AS syms, cnt
-           |  FROM $src CROSS JOIN m$n)""".stripMargin
-      s"""WITH w0 AS MATERIALIZED (
-         |  SELECT list_transform(range(1, length(w)+1),
-         |           i -> substring(w, i, 1)) AS syms, cnt
-         |  FROM (SELECT w, count(*) AS cnt FROM (
-         |          SELECT unnest(string_split_regex(
-         |            regexp_replace(lower(text), '^\\s+|\\s+$$', '', 'g'),
-         |            '\\s+')) AS w
-         |          FROM documents)
-         |        WHERE length(w) > 0 GROUP BY w)),
-         |${pairCte(1, "w0")},
-         |${applyCte(1, "w0")},
-         |${pairCte(2, "w1")},
-         |${applyCte(2, "w1")},
-         |${pairCte(3, "w2")}
+    "t42_bpe_merges" -> QueryDef.sql(
+      s"""WITH $BpeW0Cte,
+         |${bpePairCte(1, "w0")},
+         |${bpeApplyCte(1, "w0")},
+         |${bpePairCte(2, "w1")},
+         |${bpeApplyCte(2, "w1")},
+         |${bpePairCte(3, "w2")}
          |SELECT * FROM (
          |  SELECT 1 AS merge_round, a AS left_sym, b AS right_sym,
          |         CAST(pair_cnt AS BIGINT) AS pair_cnt FROM m1
@@ -639,12 +650,273 @@ object Analytics2 {
          |  SELECT 2, a, b, CAST(pair_cnt AS BIGINT) FROM m2
          |  UNION ALL
          |  SELECT 3, a, b, CAST(pair_cnt AS BIGINT) FROM m3)
-         |ORDER BY merge_round""".stripMargin
-    } { (s, d) =>
+         |ORDER BY merge_round""".stripMargin) { (s, d) =>
       Corpus.bpeMerges(Tables.documents(s, d), rounds = 3)
         .select(col("merge_round").cast("int").as("merge_round"),
           col("left_sym"), col("right_sym"), col("pair_cnt"))
         .orderBy("merge_round")
+    },
+
+    // ---- bigram language-model scoring (t21's order-1 twin) ----
+    "t44_bigram_logprob" -> QueryDef.sql(
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+        |    '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents),
+        |d AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(ws) - 1),
+        |    i -> ws[i+1] || ' ' || ws[i+2])) AS bg
+        |  FROM w WHERE len(ws) >= 2),
+        |dtf AS (SELECT doc_id, bg, count(*) AS tf FROM d GROUP BY 1, 2),
+        |c AS (
+        |  SELECT doc_id, bg, tf,
+        |    sum(tf) OVER (PARTITION BY bg) AS c12,
+        |    sum(tf) OVER (PARTITION BY string_split(bg, ' ')[1]) AS c1
+        |  FROM dtf)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(sum(tf * -ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))), 2)
+        |    AS nll,
+        |  round(sum(tf * -ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))), 2)
+        |    / CAST(sum(tf) AS BIGINT) AS avg_nll
+        |FROM c GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Corpus.bigramLogProb(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // ---- BPE encode (the t42 round trip: train, then tokenize) ----
+    "t45_bpe_encode" -> QueryDef.sql(
+      s"""WITH $BpeW0Cte,
+         |${bpePairCte(1, "w0")},
+         |${bpeApplyCte(1, "w0")},
+         |${bpePairCte(2, "w1")},
+         |${bpeApplyCte(2, "w1")},
+         |${bpePairCte(3, "w2")},
+         |${bpeApplyCte(3, "w2")}
+         |SELECT sym, CAST(sum(cnt) AS BIGINT) AS cnt
+         |FROM (SELECT unnest(syms) AS sym, cnt FROM w3)
+         |GROUP BY sym
+         |ORDER BY cnt DESC, sym LIMIT 20""".stripMargin) { (s, d) =>
+      Corpus.bpeEncode(Tables.documents(s, d), rounds = 3, k = 20)
+    },
+
+    // ---- peak concurrency (interval sweep) ----
+    // Max simultaneously-open 30-min-gap sessions: +1/−1 boundary sweep
+    // with ends ordered before starts at timestamp ties ([start, end)
+    // presence — a zero-length session never counts, both engines
+    // agree). The running sum rides Scale.groupRunningSum — the
+    // two-phase distributed prefix sum, never one serial task over all
+    // boundaries. Output: the peak and the earliest instant it is hit.
+    "j16_peak_concurrency" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |           - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER
+        |             (PARTITION BY user_id ORDER BY ts, event_id))
+        |           > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM e),
+        |s AS (SELECT user_id, sess, min(ts) AS t0, max(ts) AS t1
+        |      FROM g GROUP BY 1, 2),
+        |ev AS (
+        |  SELECT t0 AS t, 1 AS delta, user_id FROM s
+        |  UNION ALL
+        |  SELECT t1, -1, user_id FROM s),
+        |c AS (
+        |  SELECT t, sum(delta) OVER (ORDER BY t, delta, user_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ev),
+        |m AS (SELECT max(cum) AS peak FROM c)
+        |SELECT CAST(m.peak AS BIGINT) AS peak, min(c.t) AS at_ts
+        |FROM c, m WHERE c.cum = m.peak
+        |GROUP BY m.peak""".stripMargin) { (s, d) =>
+      val gapW = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val runW = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("brk", when(unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(gapW)) > 1800000000L, 1)
+          .otherwise(0))
+        .withColumn("sess", sum(col("brk")).over(runW))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      // boundary stream: delta folds into the tie-break id so ends
+      // (delta −1 → low id band) sort before starts at equal t
+      val sweep = sess.select(col("t0").as("t"), lit(1L).as("delta"),
+          col("user_id"))
+        .unionByName(sess.select(col("t1").as("t"), lit(-1L).as("delta"),
+          col("user_id")))
+        .withColumn("__g", lit(1))
+        .withColumn("__ord", unix_micros(col("t")))
+        .withColumn("__id",
+          (col("delta") + 1) * lit(1000000000000L) + col("user_id"))
+      val cum = Scale.groupRunningSum(sweep, "__g", "__ord",
+        "__id", "delta", outCol = "cum")
+      val peak = broadcast(cum.agg(max(col("cum")).as("__peak")))
+      cum.join(peak, col("cum") === col("__peak"))
+        .groupBy(col("__peak"))
+        .agg(min(col("t")).cast("timestamp_ntz").as("at_ts"))
+        .select(col("__peak").cast("long").as("peak"), col("at_ts"))
+    },
+
+    // ---- ratio-to-report window ----
+    "w15_ratio_to_report" -> QueryDef.sql(
+      """WITH v AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, CAST(cents AS BIGINT) AS cents,
+        |  CAST(cents AS DOUBLE) /
+        |    sum(cents) OVER (PARTITION BY l_returnflag) AS share
+        |FROM v
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val v = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("cents"))
+      v.select(col("l_returnflag"), col("l_linestatus"), col("cents"),
+          (col("cents").cast("double") /
+            sum(col("cents")).over(
+              Window.partitionBy(col("l_returnflag")))).as("share"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- keyset pagination ----
+    // The cursor-based paging shape (WHERE key-tuple > cursor ORDER BY
+    // key-tuple LIMIT n) — O(page) via TakeOrdered over a
+    // predicate-pruned scan, where OFFSET would sort-and-skip. The
+    // row-value comparison expands to the standard disjunction (Spark
+    // has no tuple <); the oracle spells the identical expansion.
+    "o3_keyset_page" -> QueryDef.sql(
+      """SELECT l_orderkey, l_linenumber, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate > TIMESTAMP '1998-06-01'
+        |   OR (l_shipdate = TIMESTAMP '1998-06-01' AND l_orderkey > 1000)
+        |ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val cursor = lit("1998-06-01").cast("timestamp")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > cursor ||
+          (col("l_shipdate") === cursor && col("l_orderkey") > 1000))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .limit(20)
+    },
+
+    // ---- TPC-H Q7 shape: volume shipping between two nations ----
+    // Revenue extendedprice·(1−discount) stays EXACT: cents × (100 −
+    // discount_cents) is an integer number of ten-thousandths (rev_e4)
+    // — no float product, no rounding contract needed.
+    "q23_volume_shipping" -> QueryDef.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(rev_e4) AS BIGINT) AS rev_e4
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l.l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+      val joined = l
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(su, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("__sn"),
+          col("n_name").as("supp_nation"))), col("__sn") === col("s_nationkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("__cn"),
+          col("n_name").as("cust_nation"))), col("__cn") === col("c_nationkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+      joined
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // ---- TPC-H Q8 shape: yearly market share of one supplier nation ----
+    "q24_market_share" -> QueryDef.sql(
+      """WITH rev AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    n1.n_name AS supp_nation,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n2.n_regionkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |  WHERE r.r_name = 'EUROPE')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4
+        |           ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+        |  CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4
+        |           ELSE 0 END) AS DOUBLE) / sum(rev_e4) AS mkt_share
+        |FROM rev GROUP BY o_year
+        |ORDER BY o_year""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val r = Tables.region(s, d).select("r_regionkey", "r_name")
+      val custRegion = broadcast(n.join(broadcast(r),
+          col("r_regionkey") === col("n_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("n_nationkey").as("__cn")))
+      val rev = l
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(custRegion, col("__cn") === col("c_nationkey"))
+        .join(su, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("__sn"),
+          col("n_name").as("supp_nation"))),
+          col("__sn") === col("s_nationkey"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          col("supp_nation"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_e4"))
+      val isN3 = when(col("supp_nation") === "NATION_3", col("rev_e4"))
+        .otherwise(lit(0L))
+      rev.groupBy(col("o_year"))
+        .agg(sum(isN3).as("nation_rev_e4"), sum(col("rev_e4")).as("total_rev_e4"))
+        .select(col("o_year"), col("nation_rev_e4"), col("total_rev_e4"),
+          (col("nation_rev_e4").cast("double") / col("total_rev_e4"))
+            .as("mkt_share"))
+        .orderBy("o_year")
     },
 
     // ---- forward fill (last observation carried forward) ----

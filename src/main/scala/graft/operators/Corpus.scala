@@ -531,9 +531,39 @@ object Corpus {
     */
   def bpeMerges(docs: DataFrame, rounds: Int = 3,
       textCol: String = "text"): DataFrame = {
-    require(rounds >= 1, "rounds must be at least 1")
     val spark = docs.sparkSession
     import spark.implicits._
+    val (merges, vocab) = bpeCore(docs, rounds, textCol)
+    Dedup.release(vocab)
+    merges.toDF("merge_round", "left_sym", "right_sym", "pair_cnt")
+  }
+
+  /** The ENCODE side of BPE: apply the `rounds` learned merges to the
+    * corpus vocabulary and return the top-`k` resulting symbols by
+    * frequency-weighted count — the tokenizer round trip (train on the
+    * corpus, tokenize the corpus, read off the emergent vocabulary).
+    * Symbol counting explodes the merged symbol arrays weighted by word
+    * count — still vocabulary-sized, corpus-size independent — into one
+    * map-combinable hash agg + TakeOrdered.
+    */
+  def bpeEncode(docs: DataFrame, rounds: Int = 3, k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val (_, vocab) = bpeCore(docs, rounds, textCol)
+    // NOTE: vocab's checkpoint blocks stay live until process exit — the
+    // returned plan reads them lazily and a released localCheckpoint
+    // cannot recompute (truncated lineage). Bounded: deduped vocabulary.
+    vocab.select(explode(col("syms")).as("sym"), col("cnt"))
+      .groupBy(col("sym")).agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym"))
+      .limit(k)
+  }
+
+  /** Shared BPE loop: returns (merge table, final merged vocabulary).
+    * See [[bpeMerges]] for the per-round shape and determinism rules.
+    */
+  private def bpeCore(docs: DataFrame, rounds: Int, textCol: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(rounds >= 1, "rounds must be at least 1")
     var cur = docs
       .select(explode(split(
         regexp_replace(lower(col(textCol)), "^\\s+|\\s+$", ""),
@@ -570,7 +600,39 @@ object Corpus {
         .localCheckpoint()
       Dedup.release(prev)
     }
-    Dedup.release(cur)
-    merges.toSeq.toDF("merge_round", "left_sym", "right_sym", "pair_cnt")
+    (merges.toSeq, cur)
+  }
+
+  /** Per-document bigram language-model score — [[unigramLogProb]]'s
+    * order-1 twin (the CCNet-style perplexity signal with first-order
+    * context): every bigram occurrence contributes −ln P(w₂|w₁) with
+    * P(w₂|w₁) = C(w₁w₂)/C(w₁·), both corpus counts riding the per-doc
+    * bigram table as WINDOW sums (no second corpus pass — the t21
+    * trick, partitioned by bigram resp. first word). Unsmoothed is
+    * correct here: every scored bigram is in the corpus by construction
+    * (the doc is part of it). Float contract: nll is a rounded-2 sum
+    * (absorbs summation-order ulps), avg_nll the exact-operand quotient
+    * of the ROUNDED sum over the exact count — the t21 discipline.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ws = graft.functions.TextFunctions.words(col(textCol))
+    val dtf = docs
+      .select(col(idCol), ws.as("__ws"), col(textCol))
+      .filter(size(col("__ws")) >= 2)
+      .select(col(idCol), explode(
+        graft.functions.Sketches.wordShinglesText(col(textCol), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("tf"))
+    val scored = dtf
+      .withColumn("__w1", split(col("bg"), " ")(0))
+      .withColumn("c12", sum(col("tf")).over(Window.partitionBy(col("bg"))))
+      .withColumn("c1", sum(col("tf")).over(Window.partitionBy(col("__w1"))))
+    scored
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        round(sum(col("tf").cast("double") *
+          -log(col("c12").cast("double") / col("c1").cast("double"))), 2)
+          .as("nll"))
+      .withColumn("avg_nll", col("nll") / col("n_bigrams"))
   }
 }

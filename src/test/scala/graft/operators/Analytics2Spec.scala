@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Tables, TestSpark}
 import java.sql.Timestamp
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class Analytics2Spec extends AnyFunSuite {
@@ -200,6 +201,76 @@ class Analytics2Spec extends AnyFunSuite {
     assert((exact intersect wider).size > (exact intersect staged).size ||
       (exact intersect staged).size >= 8,
       "widening candK/prefixDims should improve recall")
+  }
+
+  test("bigramLogProb: hand-computed conditional probabilities") {
+    // corpus bigrams: "a b" ×2 (docs 1, 2), "b a" ×1 (doc 2)
+    // C(a b)=2, C(b a)=1; C(a ·)=2, C(b ·)=1
+    // doc 1 = "a b": nll = −ln(2/2) = 0
+    // doc 2 = "a b a": bigrams "a b", "b a" → −ln(2/2) − ln(1/1) = 0
+    val docs = Seq((1L, "a b"), (2L, "a b a"), (3L, "x")).toDF("doc_id", "text")
+    val out = Corpus.bigramLogProb(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 3 has no bigrams and is absent
+    assert(out.toSeq === Seq((1L, 1L, 0.0), (2L, 2L, 0.0)))
+  }
+
+  test("bigramLogProb penalizes rare continuations") {
+    // "a b" ×3, "a c" ×1 → doc with "a c" scores −ln(1/4) ≈ 1.39 > 0
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val out = Corpus.bigramLogProb(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.take(3).forall { case (_, nll) => nll === math.round(
+      -math.log(3.0 / 4) * 100) / 100.0 })
+    assert(out(3)._2 === math.round(-math.log(1.0 / 4) * 100) / 100.0)
+  }
+
+  test("bpeEncode applies the learned merges to the vocabulary") {
+    // one merge on "aaab"×1: (a,a) wins (2 occurrences beat (a,b)'s 1)
+    // encoded "aaab" = [aa, a, b] → counts: aa=1, a=1, b=1
+    val docs = Seq("aaab").toDF("text")
+    val out = Corpus.bpeEncode(docs, rounds = 1, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out === Set(("aa", 1L), ("a", 1L), ("b", 1L)))
+  }
+
+  test("peak concurrency counts overlapping sessions with [start,end)") {
+    // u1: 10:00–11:00; u2: 10:30–11:30; u3: 10:45–10:50 → 3 overlap at
+    // 10:45; u4 zero-length at 10:45 must NOT count (empty interval)
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")), // u1: one session 10:00–11:00
+      (2L, 1L, ts("2024-01-01 10:20:00")), //   (every gap ≤ 30 min)
+      (3L, 1L, ts("2024-01-01 10:40:00")),
+      (4L, 1L, ts("2024-01-01 11:00:00")),
+      (5L, 2L, ts("2024-01-01 10:30:00")), // u2: session 10:30–10:50
+      (6L, 2L, ts("2024-01-01 10:50:00")),
+      (7L, 3L, ts("2024-01-01 10:45:00")), // u3: session 10:45–10:48
+      (8L, 3L, ts("2024-01-01 10:48:00")),
+      (9L, 4L, ts("2024-01-01 10:45:00")) // u4: zero-length, counts 0
+    ).toDF("event_id", "user_id", "ts")
+    // at 10:45–10:48 u1+u2+u3 are all open → peak 3; u4's empty
+    // [10:45, 10:45) interval never counts under ends-before-starts
+    import org.apache.spark.sql.expressions.Window
+    val gapW = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val runW = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .withColumn("brk", when(unix_micros($"ts") -
+        unix_micros(lag($"ts", 1).over(gapW)) > 1800000000L, 1).otherwise(0))
+      .withColumn("sess", sum($"brk").over(runW))
+      .groupBy($"user_id", $"sess")
+      .agg(min($"ts").as("t0"), max($"ts").as("t1"))
+    val sweep = sess.select($"t0".as("t"), lit(1L).as("delta"), $"user_id")
+      .unionByName(sess.select($"t1".as("t"), lit(-1L).as("delta"),
+        $"user_id"))
+      .withColumn("__g", lit(1))
+      .withColumn("__ord", unix_micros($"t"))
+      .withColumn("__id", ($"delta" + 1) * lit(1000000000000L) + $"user_id")
+    val cum = Scale.groupRunningSum(sweep, "__g", "__ord", "__id", "delta",
+      outCol = "cum")
+    val peak = cum.agg(max($"cum")).head.getLong(0)
+    assert(peak === 3L)
   }
 
   test("profileColumns: one-pass stats incl. nulls and distinct") {
