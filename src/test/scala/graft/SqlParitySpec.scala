@@ -25,7 +25,11 @@ class SqlParitySpec extends AnyFunSuite {
     "q22_idle_customers", "u5_grouping_sets", "w8_ntile", "w9_range_frame",
     "j9_band_join", "o2_limit_offset", "q17_small_quantity",
     "q21_waiting_supplier", "q9_product_profit", "q12_late_shipments",
-    "q15_top_supplier", "q20_heavy_suppliers")
+    "q15_top_supplier", "q20_heavy_suppliers",
+    // round-10 additions (CAST-only float handling, no :: or epoch_us)
+    "q23_volume_shipping", "q24_market_share", "w15_ratio_to_report",
+    "o3_keyset_page", "u6_except_all", "u7_intersect_all", "a30_profile",
+    "a32_corr_matrix", "e20_incremental_agg", "e23_incremental_join_view")
 
   private def registerViews(): Unit =
     Tables.names.foreach { t =>
