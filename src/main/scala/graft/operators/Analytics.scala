@@ -19,7 +19,7 @@ object Analytics {
     * sparse enough for neighborhood methods (the unfiltered co-purchase
     * graph has avg degree >100 — Σdeg² wedge work would be quadratic).
     */
-  private def copurchaseEdges(s: SparkSession, d: String,
+  private[operators] def copurchaseEdges(s: SparkSession, d: String,
       minSupport: Int): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_orderkey")
@@ -37,7 +37,7 @@ object Analytics {
     * matching the collect_set semantics (a part listed twice in one
     * order counts once).
     */
-  private val CopurchaseCte =
+  private[operators] val CopurchaseCte =
     """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |e0 AS (
       |  SELECT o1.l_partkey AS a, o2.l_partkey AS b

@@ -919,6 +919,111 @@ object Analytics2 {
         .orderBy("o_year")
     },
 
+    // ---- single-source BFS hop distances ----
+    // Hops from the SMALLEST node of the support-2 co-purchase graph
+    // (seed derived, not hardcoded — stable under data regeneration).
+    // The oracle's recursive CTE uses UNION (distinct) so each (node,
+    // hops) pair enters once and recursion is level-bounded, then takes
+    // min(hops) per node — textbook BFS-as-SQL.
+    "g7_bfs_hops" -> QueryDef.sql(
+      s"""WITH RECURSIVE ${Analytics.CopurchaseCte},
+        |es AS (SELECT a AS src, b AS dst FROM e0
+        |       UNION SELECT b, a FROM e0),
+        |seed AS (SELECT min(src) AS s FROM es),
+        |walk AS (
+        |  SELECT s AS node, 0 AS hops FROM seed
+        |  UNION
+        |  SELECT e.dst, w.hops + 1
+        |  FROM walk w JOIN es e ON e.src = w.node
+        |  WHERE w.hops < 10)
+        |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        |FROM walk GROUP BY node
+        |ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = Analytics.copurchaseEdges(s, d, minSupport = 2)
+      val seed = edges.agg(least(min(col("src")), min(col("dst"))).as("s"))
+        .head.getLong(0)
+      Graph.bfsHops(edges, seed, maxHops = 10)
+        .select(col("node"), col("hops").cast("long").as("hops"))
+        .orderBy("node")
+    },
+
+    // ---- week-over-week growth ----
+    "w16_wow_growth" -> QueryDef.sql(
+      """WITH wk AS (
+        |  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, week, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(cnt - lag(cnt) OVER w AS DOUBLE) / lag(cnt) OVER w AS growth
+        |FROM wk WINDOW w AS (PARTITION BY event_type ORDER BY week)
+        |ORDER BY event_type, week""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("week", col("ts"))).as("week"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"), col("week"), col("cnt"),
+          ((col("cnt") - lag(col("cnt"), 1).over(w)).cast("double") /
+            lag(col("cnt"), 1).over(w)).as("growth"))
+        .orderBy("event_type", "week")
+    },
+
+    // ---- lexical diversity (type-token ratio) ----
+    // Entirely in-row: distinct-count over the word array — no shuffle
+    // at all; the classic quality signal for template/boilerplate docs.
+    "t46_type_token_ratio" -> QueryDef.sql(
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+        |    '[^a-z0-9]+'), x -> x <> '') AS ws FROM documents)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+        |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
+        |FROM w WHERE len(ws) > 0
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ws = graft.functions.TextFunctions.words(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), ws.as("__ws"))
+        .filter(size(col("__ws")) > 0)
+        .select(col("doc_id"), size(col("__ws")).cast("long").as("n_tokens"),
+          size(array_distinct(col("__ws"))).cast("long").as("n_types"),
+          (size(array_distinct(col("__ws"))).cast("double") /
+            size(col("__ws"))).as("ttr"))
+        .orderBy("doc_id")
+    },
+
+    // ---- DAU / trailing-7-day-AU stickiness ----
+    // The engagement ratio product teams watch: exact distinct counts
+    // on both axes (the e8 window-end explode for the trailing set),
+    // ratio as the exact-operand quotient.
+    "e24_stickiness" -> QueryDef.sql(
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |           FROM events),
+        |mx AS (SELECT max(day) AS m FROM d),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau
+        |        FROM d GROUP BY day),
+        |wau AS (
+        |  SELECT wday, count(DISTINCT user_id) AS wau FROM (
+        |    SELECT user_id, day + (i::INTEGER) AS wday
+        |    FROM d CROSS JOIN (SELECT unnest(range(7)) AS i)) x, mx
+        |  WHERE wday <= m GROUP BY wday)
+        |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+        |  CAST(wau.wau AS BIGINT) AS wau,
+        |  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+        |FROM dau JOIN wau ON wau.wday = dau.day
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = daily.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = Behavior.rollingActiveUsers(Tables.events(s, d),
+        windowDays = 7)
+      dau.join(wau, col("wday") === col("day"))
+        .select(col("day"), col("dau").cast("long").as("dau"),
+          col("wau").cast("long").as("wau"),
+          (col("dau").cast("double") / col("wau")).as("stickiness"))
+        .orderBy("day")
+    },
+
     // ---- forward fill (last observation carried forward) ----
     // The classic LOCF shape: carry each user's latest purchase cents
     // onto every subsequent event. One window riding one (user, ts, id)

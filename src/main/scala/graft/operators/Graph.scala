@@ -129,6 +129,54 @@ object Graph {
     ranks
   }
 
+  /** Single-source BFS hop distances over an undirected edge list —
+    * level-synchronous frontier expansion (the Pregel shape reduced to
+    * joins): each round joins the CURRENT frontier (not the whole
+    * visited set) against the edge list, anti-joins out already-visited
+    * nodes, and stops when the frontier drains or `maxHops` is reached.
+    * Per-round cost is |frontier-adjacent edges|; total work is O(m)
+    * across all rounds, rounds are bounded by the graph's diameter.
+    * The d7/g1 iterative discipline: localCheckpoint per round, previous
+    * blocks released; the per-round emptiness check is a bounded
+    * frontier count (the convergence-test collect every iterative
+    * operator in this repo performs).
+    */
+  def bfsHops(edges: DataFrame, source: Long, maxHops: Int = 10)
+      : DataFrame = {
+    require(maxHops >= 1, "maxHops must be at least 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var visited = Seq((source, 0L)).toDF("node", "hops").localCheckpoint()
+    var frontier = visited
+    var r = 1L
+    var done = false
+    while (r <= maxHops && !done) {
+      val next = e.join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hops", lit(r))
+        .localCheckpoint()
+      if (next.isEmpty) {
+        Dedup.release(next)
+        done = true
+      } else {
+        val prevV = visited
+        val prevF = frontier
+        visited = visited.unionByName(next).localCheckpoint()
+        Dedup.release(prevV)
+        if (prevF ne prevV) Dedup.release(prevF)
+        frontier = next
+        r += 1
+      }
+    }
+    Dedup.release(e)
+    visited
+  }
+
   /** Materialize an edge list as a BUCKETED parquet table (external
     * path, in-memory catalog): repeated graph analytics (triangles,
     * k-core, link prediction, PageRank all re-derive edges from the

@@ -273,6 +273,23 @@ class Analytics2Spec extends AnyFunSuite {
     assert(peak === 3L)
   }
 
+  test("bfsHops: level-synchronous distances, unreachable nodes absent") {
+    // chain 1–2–3–4 plus shortcut 1–3; island 8–9 unreachable from 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (8L, 9L))
+      .toDF("src", "dst")
+    val out = Graph.bfsHops(edges, source = 1L, maxHops = 10)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // shortest paths: 1→0, 2→1, 3→1 (via shortcut), 4→2; 8/9 absent
+    assert(out.toSeq === Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L)))
+  }
+
+  test("bfsHops honors the maxHops bound") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.bfsHops(edges, source = 1L, maxHops = 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 0L), (2L, 1L), (3L, 2L))) // 4 not reached
+  }
+
   test("profileColumns: one-pass stats incl. nulls and distinct") {
     val df = Seq(
       (Some(1.0), 2.5), (None, 2.5), (Some(3.0), 4.0)
