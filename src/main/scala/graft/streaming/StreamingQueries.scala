@@ -809,5 +809,78 @@ object StreamingQueries {
         .select(col("user_id"), col("event_type"),
           col("cnt").cast("long").as("cnt"), col("sum_cents"))
         .orderBy("user_id", "event_type")
+    },
+
+    // Streaming JOIN-view maintenance — e23's live form: orders arrive
+    // as a stream, each micro-batch joins the STATIC lineitem table
+    // (the st8 stream-static broadcast-dimension pattern, inverted:
+    // here the stream side is the small probe and the static side the
+    // big fact) and the per-batch join partials merge into parquet
+    // generations (st11's sink). Orders are streamed in FULL, so the
+    // final generation must equal the complete orders⋈lineitem
+    // revenue view — the e23 oracle — regardless of micro-batch
+    // slicing: the join distributes over the order-stream union and
+    // the merge is associative.
+    "st12_stream_join_view" -> QueryDef.sql(
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val dropDir = cachedDrop(s"st12:$d", dir =>
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+          .repartition(4).write.mode("overwrite")
+          .option("timestampFormat", TsFmt).json(dir))
+      val ckDir = tempDir("graft_st12_ck")
+      val tableDir = tempDir("graft_st12_table")
+      deleteOnExit(tableDir)
+
+      val lines = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("__cents"))
+      val oSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_orderdate",
+          org.apache.spark.sql.types.TimestampType)))
+      try withStateShuffle(s) {
+        val q = s.readStream.schema(oSchema)
+          .option("timestampFormat", TsFmt).json(dropDir)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val partial = batch.join(lines, Seq("o_orderkey"))
+              .groupBy("o_custkey")
+              .agg(count(lit(1)).as("n_lines"),
+                sum(col("__cents")).as("rev_cents"))
+            val prev = new java.io.File(s"$tableDir/gen=${batchId - 1}")
+            val state =
+              if (prev.isDirectory) s.read.parquet(prev.toString)
+              else partial.limit(0)
+            state.unionByName(partial)
+              .groupBy("o_custkey")
+              .agg(sum(col("n_lines")).as("n_lines"),
+                sum(col("rev_cents")).as("rev_cents"))
+              .write.mode("overwrite").parquet(s"$tableDir/gen=$batchId")
+          }
+          .option("checkpointLocation", ckDir)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally deleteQuietly(ckDir)
+
+      val gens = new java.io.File(tableDir).listFiles()
+        .filter(_.getName.startsWith("gen="))
+        .map(_.getName.stripPrefix("gen=").toLong)
+      val lastGen = gens.sorted.lastOption.getOrElse(
+        sys.error(s"st12: replay committed no batches (empty feed in $dropDir)"))
+      s.read.parquet(s"$tableDir/gen=$lastGen")
+        .select(col("o_custkey"), col("n_lines").cast("long").as("n_lines"),
+          col("rev_cents"))
+        .orderBy("o_custkey")
     })
 }
