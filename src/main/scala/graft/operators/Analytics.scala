@@ -124,9 +124,18 @@ object Analytics {
     * quadratic pair generator O(2^rounds) times (the kcore lesson).
     */
   private def labelPropOracle(idCap: Long, threshold: Double,
+      rounds: Int): String =
+    s"""WITH ${labelPropCtes(idCap, threshold, rounds)}
+      |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
+
+  /** The CTE chain of [[labelPropOracle]] without the WITH keyword or
+    * final select — reused by the g8 modularity oracle, which computes
+    * community quality over the same converged labels.
+    */
+  private[operators] def labelPropCtes(idCap: Long, threshold: Double,
       rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (
+    sb ++= s"""e AS (
       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
       |         CAST(embedding AS DOUBLE[]) AS v
       |  FROM embeddings WHERE vec_id < $idCap),
@@ -151,8 +160,6 @@ object Analytics {
         |  SELECT l.node, coalesce(b.vote, l.label) AS label
         |  FROM l${i - 1} l LEFT JOIN b$i b ON b.node = l.node)""".stripMargin
     }
-    sb ++= s"""
-      |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
     sb.toString
   }
 

@@ -1024,6 +1024,145 @@ object Analytics2 {
         .orderBy("day")
     },
 
+    // ---- community modularity of the g5 labels ----
+    // Per-community Newman Q decomposition over the same converged
+    // label-propagation assignment (oracle reuses the unrolled g5 CTE
+    // chain). Per-row contributions are fixed IEEE trees over exact
+    // integer (m, m_c, d_c) — the total is left as the sum of rows
+    // BECAUSE a cross-community float sum is summation-order dependent.
+    "g8_modularity" -> QueryDef.sql(
+      s"""WITH ${Analytics.labelPropCtes(idCap = 200L, threshold = 0.3,
+          rounds = 3)},
+        |m AS (SELECT count(*) AS m FROM p),
+        |deg AS (SELECT node, count(*) AS d FROM ed GROUP BY node),
+        |lbl AS (SELECT node, label FROM l3),
+        |mc AS (
+        |  SELECT la.label, count(*) AS mc
+        |  FROM p JOIN lbl la ON la.node = p.id_a
+        |         JOIN lbl lb ON lb.node = p.id_b
+        |  WHERE la.label = lb.label GROUP BY 1),
+        |dc AS (
+        |  SELECT lbl.label, sum(deg.d) AS dc
+        |  FROM lbl JOIN deg ON deg.node = lbl.node GROUP BY 1)
+        |SELECT dc.label AS label, CAST(coalesce(mc.mc, 0) AS BIGINT) AS m_c,
+        |  CAST(dc.dc AS BIGINT) AS d_c,
+        |  CAST(coalesce(mc.mc, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+        |    - (CAST(dc.dc AS DOUBLE) / CAST(2 * m.m AS DOUBLE))
+        |      * (CAST(dc.dc AS DOUBLE) / CAST(2 * m.m AS DOUBLE))
+        |    AS q_contrib
+        |FROM dc LEFT JOIN mc ON mc.label = dc.label, m
+        |ORDER BY label""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val edges = Similarity.nearDupPairs(emb, idCap = 200L, threshold = 0.3)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val labels = emb.filter(col("vec_id") < 200L)
+        .select(col("vec_id").as("node"), col("label"))
+      val converged = Graph.labelPropagation(edges, labels, rounds = 3)
+      Graph.modularity(edges,
+          converged.select(col("node"), col("label")))
+        .orderBy("label")
+    },
+
+    // ---- forward as-of join ----
+    // "Next error after each purchase" — the forward direction of the
+    // as-of family (j3 backward, j11 tolerance): earliest build row at
+    // or after the probe time. The oracle runs DuckDB's backward ASOF
+    // on the NEGATED microsecond axis (order reversal ≡ direction
+    // reversal, the same trick the operator uses internally).
+    "j17_asof_forward" -> QueryDef.sql(
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts,
+        |    -epoch_us(CAST(ts AS TIMESTAMP)) AS neg
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT user_id, ts AS err_ts, event_id AS err_id,
+        |    -epoch_us(CAST(ts AS TIMESTAMP)) AS neg
+        |  FROM (SELECT user_id, ts, event_id, row_number() OVER (
+        |          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |        FROM events WHERE event_type = 'error') WHERE rn = 1)
+        |SELECT p.user_id, p.event_id, p.ts,
+        |  b.err_ts AS asof_err_ts, b.err_id AS asof_err_id
+        |FROM p ASOF LEFT JOIN b
+        |  ON p.user_id = b.user_id AND p.neg >= b.neg
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      // dedupe build rows per (user, ts) by max id — the e6 tie rule
+      val errs = e.filter(col("event_type") === "error")
+        .withColumn("__rn", row_number().over(Window
+          .partitionBy(col("user_id"), col("ts"))
+          .orderBy(col("event_id").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("ts").cast("timestamp_ntz").as("err_ts"),
+          col("event_id").as("err_id"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("__out_ts"), col("ts"))
+      AsOf.asofJoinForward(purch, errs, Seq("user_id"), "ts",
+          Seq("err_ts", "err_id"))
+        .select(col("user_id"), col("event_id"),
+          col("__out_ts").as("ts"), col("asof_err_ts"), col("asof_err_id"))
+        .orderBy("event_id")
+    },
+
+    // ---- seasonal leave-one-out anomaly ----
+    // Hourly cells scored against their OWN (dow, hour-of-day) seasonal
+    // slot across the month — the e5 trailing-window anomaly's seasonal
+    // twin. The baseline excludes the scored cell via leave-one-out on
+    // exact integers (n−1, Σx−x, Σx²−x²), so z is a fixed IEEE tree
+    // over exact operands (bit-identical, no stddev_samp); vr > 0
+    // guards the NaN-ordering divergence (the e5 lesson).
+    "e25_seasonal_anomaly" -> QueryDef.sql(
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, hr, cnt,
+        |    dayofweek(hr) AS dw, hour(hr) AS hd,
+        |    count(*) OVER w AS n, sum(cnt) OVER w AS sx,
+        |    sum(cnt * cnt) OVER w AS sxx
+        |  FROM h WINDOW w AS (PARTITION BY event_type, dayofweek(hr),
+        |                      hour(hr))),
+        |v AS (
+        |  SELECT event_type, hr, cnt, n - 1 AS nb,
+        |    CAST(sx - cnt AS DOUBLE) / (n - 1) AS mu,
+        |    (CAST(sxx - cnt * cnt AS DOUBLE)
+        |      - CAST(sx - cnt AS DOUBLE) * CAST(sx - cnt AS DOUBLE)
+        |        / (n - 1)) / (n - 2) AS vr
+        |  FROM s WHERE n >= 4),
+        |z AS (
+        |  SELECT event_type, hr, CAST(cnt AS BIGINT) AS cnt,
+        |    (cnt - mu) / sqrt(vr) AS z
+        |  FROM v WHERE vr > 0)
+        |SELECT event_type, hr, cnt, z FROM z
+        |WHERE z >= 3.0 OR z <= -3.0
+        |ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+      val slot = Window.partitionBy(col("event_type"), col("dw"), col("hd"))
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("dw", dayofweek(col("hr")))
+        .withColumn("hd", hour(col("hr")))
+        .withColumn("n", count(lit(1)).over(slot))
+        .withColumn("sx", sum(col("cnt")).over(slot))
+        .withColumn("sxx", sum(col("cnt") * col("cnt")).over(slot))
+        .filter(col("n") >= 4)
+      val nb = col("n") - 1
+      val mu = (col("sx") - col("cnt")).cast("double") / nb
+      val vr = ((col("sxx") - col("cnt") * col("cnt")).cast("double") -
+        (col("sx") - col("cnt")).cast("double") *
+          (col("sx") - col("cnt")).cast("double") / nb) / (col("n") - 2)
+      val z = (col("cnt") - mu) / sqrt(vr)
+      cells
+        .withColumn("__vr", vr).filter(col("__vr") > 0)
+        .withColumn("z", z)
+        .filter(col("z") >= 3.0 || col("z") <= -3.0)
+        .select(col("event_type"), col("hr").cast("timestamp_ntz").as("hr"),
+          col("cnt").cast("long").as("cnt"), col("z"))
+        .orderBy("event_type", "hr")
+    },
+
     // ---- forward fill (last observation carried forward) ----
     // The classic LOCF shape: carry each user's latest purchase cents
     // onto every subsequent event. One window riding one (user, ts, id)

@@ -70,6 +70,27 @@ object AsOf {
         carry.map(c => col(s"__asof_row.$c").as(s"asof_$c")): _*)
   }
 
+  /** FORWARD as-of join (pandas `merge_asof(direction="forward")`):
+    * for each probe row, the EARLIEST build row with
+    * `build.tsCol >= probe.tsCol` — "the next scheduled thing after
+    * this event". Implemented as [[asofJoin]] on the NEGATED
+    * microsecond axis (order reversal turns nearest-later into
+    * nearest-earlier; the build-before-probe tie rule becomes >=
+    * inclusive, mirroring the backward join's <=). Same one-shuffle
+    * union+window plan; the negated column never leaves the operator.
+    */
+  def asofJoinForward(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      carry: Seq[String]): DataFrame = {
+    val neg = "__asof_neg"
+    val p = probe.withColumn(neg, -unix_micros(col(tsCol).cast("timestamp")))
+    val b = build.withColumn(neg, -unix_micros(col(tsCol).cast("timestamp")))
+    asofJoin(p, b, keys, neg, carry).drop(neg)
+  }
+
   /** [[asofJoin]] with a max-staleness bound (pandas `merge_asof`'s
     * `tolerance`): carried values are nulled when the matched build row
     * is older than `toleranceSeconds` — "the latest reading, but only if

@@ -129,6 +129,45 @@ object Graph {
     ranks
   }
 
+  /** Newman modularity per community: for a label assignment over the
+    * undirected edge list, each community c contributes
+    * Q_c = m_c/m − (d_c/2m)², where m_c counts intra-community edges,
+    * d_c sums member degrees, and m is the edge count — the standard
+    * community-quality decomposition (Newman & Girvan 2004). All
+    * inputs are EXACT integers from two hash aggs (degrees, intra
+    * counts), so each per-community contribution is a fixed scalar IEEE
+    * tree over exact operands — bit-identical cross-engine with no
+    * rounding. The total Q is the sum of the rows; it is deliberately
+    * NOT emitted (a float sum across communities is summation-order
+    * dependent — the per-row decomposition is the hashable contract).
+    * Isolated labeled nodes (no incident edge) are excluded: modularity
+    * is defined over the graph.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val m = broadcast(e.agg(count(lit(1)).as("__m")))
+    val ed = e.unionByName(e.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val deg = ed.groupBy(col("src").as("node")).agg(count(lit(1)).as("__d"))
+    val lbl = labels.select(col("node"), col("label"))
+    val mc = e
+      .join(lbl.select(col("node").as("src"), col("label").as("__la")),
+        Seq("src"))
+      .join(lbl.select(col("node").as("dst"), col("label").as("__lb")),
+        Seq("dst"))
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label")).agg(count(lit(1)).as("__mc"))
+    val dc = lbl.join(deg, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("__d")).as("__dc"))
+    val x = col("__dc").cast("double") / (lit(2L) * col("__m")).cast("double")
+    dc.join(mc, Seq("label"), "left").join(m)
+      .select(col("label"),
+        coalesce(col("__mc"), lit(0L)).cast("long").as("m_c"),
+        col("__dc").cast("long").as("d_c"),
+        (coalesce(col("__mc"), lit(0L)).cast("double") /
+          col("__m").cast("double") - x * x).as("q_contrib"))
+  }
+
   /** Single-source BFS hop distances over an undirected edge list —
     * level-synchronous frontier expansion (the Pregel shape reduced to
     * joins): each round joins the CURRENT frontier (not the whole

@@ -290,6 +290,39 @@ class Analytics2Spec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 0L), (2L, 1L), (3L, 2L))) // 4 not reached
   }
 
+  test("modularity: hand-computed Newman decomposition") {
+    // triangle {1,2,3} labeled A, pendant edge 3–4 with 4 labeled B
+    // m = 4; A: m_c = 3 (triangle edges), d_c = 2+2+3 = 7
+    //   Q_A = 3/4 − (7/8)² ; B: m_c = 0, d_c = 1 → Q_B = −(1/8)²
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"))
+      .toDF("node", "label")
+    val out = Graph.modularity(edges, labels).orderBy("label").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("A", 3L, 7L, 3.0 / 4 - (7.0 / 8) * (7.0 / 8)),
+      ("B", 0L, 1L, 0.0 / 4 - (1.0 / 8) * (1.0 / 8))))
+  }
+
+  test("asofJoinForward picks the earliest build at or after probe ts") {
+    val probe = Seq((1L, 10L, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "pid", "ts")
+    val build = Seq(
+      (1L, 1L, ts("2024-01-01 09:00:00")), // before → must not match
+      (1L, 2L, ts("2024-01-01 10:00:00")), // tie → inclusive, wins
+      (1L, 3L, ts("2024-01-01 11:00:00"))
+    ).toDF("user_id", "bid", "ts")
+    val out = AsOf.asofJoinForward(probe, build, Seq("user_id"), "ts",
+      Seq("bid")).collect()
+    assert(out.length === 1 && out.head.getLong(3) === 2L)
+    // with no later build row, the carry is null
+    val none = AsOf.asofJoinForward(
+      Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("user_id", "pid", "ts"),
+      build.filter($"bid" =!= 3L), Seq("user_id"), "ts", Seq("bid"))
+      .collect()
+    assert(none.length === 1 && none.head.isNullAt(3))
+  }
+
   test("profileColumns: one-pass stats incl. nulls and distinct") {
     val df = Seq(
       (Some(1.0), 2.5), (None, 2.5), (Some(3.0), 4.0)
