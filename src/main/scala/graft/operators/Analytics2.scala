@@ -1163,6 +1163,37 @@ object Analytics2 {
         .orderBy("event_type", "hr")
     },
 
+    // ---- hapax ratio (corpus vocabulary-growth signal) ----
+    // Fraction of vocabulary types occurring exactly once — the lexical
+    // long-tail measure (high hapax share ⇒ open vocabulary / noisy
+    // OCR; low ⇒ templated text). One word-count agg + one tiny agg;
+    // quotients are exact-operand divisions.
+    "t47_hapax_ratio" -> QueryDef.sql(
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+        |    '[^a-z0-9]+'), x -> x <> '')) AS term FROM documents),
+        |c AS (SELECT term, count(*) AS c FROM w GROUP BY term)
+        |SELECT CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(sum(c) AS BIGINT) AS tokens,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS hapax_ratio,
+        |  CAST(count(*) AS DOUBLE) / sum(c) AS type_token_ratio
+        |FROM c""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(graft.functions.TextFunctions.words(col("text")))
+          .as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+          sum(col("c")).as("tokens"))
+        .select(col("vocab").cast("long").as("vocab"),
+          col("hapax"), col("tokens"),
+          (col("hapax").cast("double") / col("vocab")).as("hapax_ratio"),
+          (col("vocab").cast("double") / col("tokens"))
+            .as("type_token_ratio"))
+    },
+
     // ---- forward fill (last observation carried forward) ----
     // The classic LOCF shape: carry each user's latest purchase cents
     // onto every subsequent event. One window riding one (user, ts, id)

@@ -232,4 +232,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"the top-k cut should be a TakeOrdered, not a global sort:\n$p")
   }
+
+  test("o3 keyset paging: pushed cursor predicate + TakeOrdered, no global sort") {
+    val p = plan("o3_keyset_page")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"cursor predicate not pushed to the scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"page cut should be TakeOrdered (O(page)), not sort+limit:\n$p")
+  }
+
+  test("s18 prefix rerank: both stages are TakeOrdered cuts") {
+    val df = SparkEntry.queries("s18_prefix_rerank")(spark, d)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      s"coarse and fine stages should both be TakeOrdered top-k:\n$p")
+  }
+
+  test("t46 type-token ratio computes in-row — no exchange before the sort") {
+    // the probe's terminal orderBy adds the Verify determinism range
+    // exchange; gate the OPERATOR body (no orderBy) instead
+    import org.apache.spark.sql.functions.col
+    val ws = graft.functions.TextFunctions.words(col("text"))
+    val df = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), ws.as("__ws"))
+      .filter(org.apache.spark.sql.functions.size(col("__ws")) > 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("__ws")).as("n_tokens"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.array_distinct(col("__ws")))
+          .as("n_types"))
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"lexical diversity must be scan-local (zero shuffles):\n$p")
+  }
 }
