@@ -584,7 +584,7 @@ object Corpus {
         .agg(sum(col("cnt")).as("pair_cnt"))
       val top = pairs.orderBy(col("pair_cnt").desc, col("a"), col("b"))
         .limit(1).collect()
-      require(top.nonEmpty, s"bpeMerges: no adjacent pairs left at round $r")
+      require(top.nonEmpty, s"bpeCore: no adjacent pairs left at round $r")
       val (a, b, c) = (top(0).getString(0), top(0).getString(1),
         top(0).getLong(2))
       merges += ((r, a, b, c))

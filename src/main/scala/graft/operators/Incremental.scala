@@ -48,8 +48,11 @@ object Incremental {
     * contributes `cents · 2^(10 − min(age_weeks, 10))` where age_weeks
     * is the FLOOR week count back from the corpus max timestamp —
     * half-life one week, floor weight 1 at ≥10 weeks. Weights are
-    * BIGINT powers of two (shiftleft), ages are integer division of
-    * microsecond gaps — no float pow anywhere, so the per-user sum is
+    * BIGINT powers of two (shiftleft); age_weeks is a long `/` (IEEE
+    * double division) truncated by the long cast — exact here because
+    * the microsecond gaps are < 2^53 (double-representable) and the
+    * double spacing near gap/WeekUs is ≪ 1, so truncation lands on the
+    * true floor quotient. No float pow anywhere, so the per-user sum is
     * exact and order-independent. The max-ts anchor broadcasts (one
     * row); everything else is a scan-local projection + one hash agg.
     */

@@ -464,22 +464,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** Signed (Rademacher) random projection — the Johnson-Lindenstrauss
-    * dimensionality reduction behind SimHash-style embedding sketches:
-    * out[j] = Σ_i sign(i, j) · q(v_i), with the ±1 sign matrix derived
-    * from the md5-hex-prefix gate (seed-free, engine-portable) and the
-    * input quantized to integer `scaleQ`-ths so the per-dimension sum is
-    * EXACT BIGINT arithmetic — order-independent, hash-checkable, and
-    * immune to the float-sum-order trap that a raw-float projection
-    * would hit under distributed aggregation.
-    *
-    * Shape: posexplode × k broadcast dims → map-side-combinable hash
-    * agg; the exploded stream is (id, i, v) longs and partial aggregation
-    * collapses it to n·k rows before the exchange. For a hot path the
-    * sign matrix is a (d × k) literal computed once (the s13 centroid
-    * pattern) and the fold runs in-row; this formulation keeps both
-    * engines' arithmetic identical for the oracle.
-    */
   /** Two-stage coarse-to-fine retrieval (the Matryoshka-embedding
     * pattern, Kusupati et al. 2022): stage 1 ranks the corpus by cosine
     * over only the first `prefixDims` dimensions — a TakeOrdered top-k
@@ -513,6 +497,22 @@ object Similarity {
       .limit(k)
   }
 
+  /** Signed (Rademacher) random projection — the Johnson-Lindenstrauss
+    * dimensionality reduction behind SimHash-style embedding sketches:
+    * out[j] = Σ_i sign(i, j) · q(v_i), with the ±1 sign matrix derived
+    * from the md5-hex-prefix gate (seed-free, engine-portable) and the
+    * input quantized to integer `scaleQ`-ths so the per-dimension sum is
+    * EXACT BIGINT arithmetic — order-independent, hash-checkable, and
+    * immune to the float-sum-order trap that a raw-float projection
+    * would hit under distributed aggregation.
+    *
+    * Shape: posexplode × k broadcast dims → map-side-combinable hash
+    * agg; the exploded stream is (id, i, v) longs and partial aggregation
+    * collapses it to n·k rows before the exchange. For a hot path the
+    * sign matrix is a (d × k) literal computed once (the s13 centroid
+    * pattern) and the fold runs in-row; this formulation keeps both
+    * engines' arithmetic identical for the oracle.
+    */
   def randomProjection(emb: DataFrame, k: Int = 8, scaleQ: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, "k must be at least 1")

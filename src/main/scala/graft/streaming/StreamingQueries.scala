@@ -408,6 +408,10 @@ object StreamingQueries {
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[WeatherStreams.Revision],
               batchId: Long) =>
             val prev = new java.io.File(s"$tableDir/gen=${batchId - 1}")
+            // a broken generation chain must fail loudly, not silently
+            // restart the merged table from empty
+            require(batchId == 0 || prev.isDirectory,
+              s"st5: missing generation ${batchId - 1} under $tableDir")
             val existing =
               if (prev.isDirectory) s.read.parquet(prev.toString)
               else batch.toDF().limit(0)
@@ -787,6 +791,10 @@ object StreamingQueries {
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val partial = graft.operators.Incremental.aggState(batch)
             val prev = new java.io.File(s"$tableDir/gen=${batchId - 1}")
+            // a missing prior generation means accumulated history would
+            // be silently dropped — fail the chain instead
+            require(batchId == 0 || prev.isDirectory,
+              s"st11: missing generation ${batchId - 1} under $tableDir")
             val state =
               if (prev.isDirectory) s.read.parquet(prev.toString)
               else partial.limit(0)
@@ -857,6 +865,10 @@ object StreamingQueries {
               .agg(count(lit(1)).as("n_lines"),
                 sum(col("__cents")).as("rev_cents"))
             val prev = new java.io.File(s"$tableDir/gen=${batchId - 1}")
+            // same loud-failure contract as st11: never silently restart
+            // the join-view state from empty mid-chain
+            require(batchId == 0 || prev.isDirectory,
+              s"st12: missing generation ${batchId - 1} under $tableDir")
             val state =
               if (prev.isDirectory) s.read.parquet(prev.toString)
               else partial.limit(0)

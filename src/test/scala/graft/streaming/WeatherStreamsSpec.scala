@@ -146,6 +146,69 @@ class WeatherStreamsSpec extends AnyFunSuite {
       "2024-07-01 13:00:00.0" -> 25.0))
   }
 
+  test("st4 contract: digest set is batch-count independent under multi-batch replay") {
+    // The sf-dir probe replays in ONE AvailableNow micro-batch, where
+    // dropDuplicatesWithinWatermark alone guarantees uniqueness. This
+    // forces the multi-batch case (maxFilesPerTrigger=1): a text recurs
+    // AFTER the watermark evicted its dedup state, so the stream emits
+    // its digest twice — and the probe's terminal DISTINCT is what keeps
+    // the contract. Asserts both halves: the raw sink really does hold a
+    // duplicate (the hazard is real), and DISTINCT restores uniqueness.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_st4_contract")
+    val dropDir = new java.io.File(dir.toFile, "drop"); dropDir.mkdirs()
+    val outDir = new java.io.File(dir.toFile, "out").toString
+    val ckDir = new java.io.File(dir.toFile, "ck").toString
+    def drop(name: String, docId: Long, text: String, ts: String,
+        mtime: Long): Unit = {
+      val f = new java.io.File(dropDir, name)
+      val json = s"""{"doc_id":$docId,"text":"$text","ingest_ts":"$ts"}"""
+      java.nio.file.Files.write(f.toPath, (json + "\n").getBytes("UTF-8"))
+      f.setLastModified(mtime)
+    }
+    // alpha at 00:00; beta at 00:30 advances the watermark past alpha's
+    // state expiry (10-minute delay → wm 00:20 > expiry 00:10); state
+    // eviction runs at END of batch, so one more filler batch (delta)
+    // must commit before alpha's recurrence sees empty state and
+    // re-emits
+    val t0 = 1700000000000L
+    drop("f0.json", 400L, "alpha", "2024-01-01 00:00:00", t0)
+    drop("f1.json", 401L, "beta", "2024-01-01 00:30:00", t0 + 60000)
+    drop("f2.json", 402L, "delta", "2024-01-01 00:50:00", t0 + 120000)
+    drop("f3.json", 403L, "alpha", "2024-01-01 01:00:00", t0 + 180000)
+    import spark.implicits._
+    val history = Seq((1L, "gamma")).toDF("doc_id", "text")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ingest_ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(dropDir.toString)
+      .withColumn("digest", md5(col("text")))
+      .withWatermark("ingest_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("digest")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Dedup.incrementalNew(batch.drop("digest"), history)
+          .select(md5(col("text")).as("digest"))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val raw = spark.read.parquet(outDir)
+    assert(raw.count() === 4,
+      "expected the watermark-evicted digest to be re-emitted across batches")
+    assert(raw.select("digest").distinct().count() === 3,
+      "terminal DISTINCT must restore digest uniqueness")
+  }
+
   test("block-stream ingest applies the catalog schema to file drops") {
     val stream = WeatherStreams.readBlockStream(spark, TestSpark.fixtures)
     assert(stream.isStreaming)
