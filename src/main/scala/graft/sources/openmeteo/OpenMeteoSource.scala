@@ -187,13 +187,14 @@ object OpenMeteoTable {
 class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownAggregates {
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = OpenMeteoTable.wideSchema(opts)
   private var pushed: Array[Filter] = Array.empty
   private var tsLoMicros: Option[Long] = None
   private var tsHiMicros: Option[Long] = None // EXCLUSIVE upper micro bound
   private var limit: Option[Int] = None
+  private var topN: Option[TopNPush] = None
   private var pushedAggs: Seq[PushedAgg] = Seq.empty
   private var pushedGroupCols: Seq[String] = Seq.empty
 
@@ -204,6 +205,37 @@ class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
     */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY time LIMIT k reaches the scan (the "latest k readings"
+    * shape, `server.py:235-249`'s smallest-possible-fetch semantics):
+    * each partition emits only its time-extreme candidate rows instead
+    * of full histories. Partial pushdown — Spark keeps the global
+    * TakeOrdered — so acceptance only requires the retained candidate
+    * set to be a SUPERSET of any global top-k. That holds for any sort
+    * whose LEADING key is the block time axis, regardless of trailing
+    * tie-break keys: the reader keeps every row tied with the k-th
+    * candidate's time value (see [[OpenMeteoReader]]), and rows beyond
+    * per-block position k are dominated by k same-block rows (block
+    * times are strictly increasing). ts_utc qualifies too — per block
+    * it is `ts_local − offset` with a constant offset, so block-local
+    * monotonicity is preserved and the heap just keys on the UTC value.
+    */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder], n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    val timeAxis: Set[String] =
+      if (opts.granKey == WeatherSchemas.GranDaily) Set("date")
+      else Set("ts_local", "ts_utc")
+    if (pushedAggs.nonEmpty) return false
+    orders.headOption.map(_.expression()).exists {
+      case r: NamedReference
+          if r.fieldNames.length == 1 && timeAxis(r.fieldNames.head) =>
+        topN = Some(TopNPush(r.fieldNames.head,
+          orders.head.direction() == SortDirection.DESCENDING, n))
+        true
+      case _ => false
+    }
+  }
 
   /** Column pruning ⇒ the connector's "variables" request param (P1). */
   override def pruneColumns(required: StructType): Unit =
@@ -386,12 +418,18 @@ class OpenMeteoScanBuilder(opts: OpenMeteoOptions)
       new OpenMeteoAggScan(opts, pushedAggs, tsLoMicros, tsHiMicros,
         pushedGroupCols)
     else
-      new OpenMeteoScan(opts, requiredSchema, pushed, tsLoMicros, tsHiMicros, limit)
+      new OpenMeteoScan(opts, requiredSchema, pushed, tsLoMicros, tsHiMicros,
+        limit, topN)
 }
+
+/** Accepted TopN pushdown: leading sort key (a time-axis column), its
+  * direction, and the limit.
+  */
+final case class TopNPush(keyCol: String, desc: Boolean, k: Int)
 
 class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
     pushed: Array[Filter], lo: Option[Long], hi: Option[Long],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, topN: Option[TopNPush] = None)
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = schema
@@ -445,7 +483,9 @@ class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
     s"openmeteo gran=${opts.granKey} RequestedVariables: [${vars.mkString(",")}] " +
       s"PushedTimeRange: [${lo.getOrElse("-inf")}, ${hi.getOrElse("+inf")}] " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
-      limit.map(n => s" PushedLimit: $n").getOrElse("")
+      limit.map(n => s" PushedLimit: $n").getOrElse("") +
+      topN.map(t => s" PushedTopN: ORDER BY ${t.keyCol} " +
+        s"${if (t.desc) "DESC" else "ASC"} LIMIT ${t.k}").getOrElse("")
   }
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
@@ -499,7 +539,7 @@ class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OpenMeteoReaderFactory(opts, schema, lo, hi, limit)
+    new OpenMeteoReaderFactory(opts, schema, lo, hi, limit, topN)
 }
 
 final case class OpenMeteoPartition(blockIndices: Array[Int],
@@ -515,12 +555,13 @@ final case class ApiCallsTaskMetric(value: Long) extends CustomTaskMetric {
 }
 
 class OpenMeteoReaderFactory(opts: OpenMeteoOptions, schema: StructType,
-    lo: Option[Long], hi: Option[Long], limit: Option[Int] = None)
+    lo: Option[Long], hi: Option[Long], limit: Option[Int] = None,
+    topN: Option[TopNPush] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OpenMeteoPartition]
     // chunk bounds (already intersected with the pushed range at planning)
-    new OpenMeteoReader(opts, schema, p.lo, p.hi, p.blockIndices, limit)
+    new OpenMeteoReader(opts, schema, p.lo, p.hi, p.blockIndices, limit, topN)
   }
 }
 
@@ -535,7 +576,8 @@ class OpenMeteoReaderFactory(opts: OpenMeteoOptions, schema: StructType,
   */
 class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
     lo: Option[Long], hi: Option[Long],
-    blockIndices: Array[Int], limit: Option[Int] = None)
+    blockIndices: Array[Int], limit: Option[Int] = None,
+    topN: Option[TopNPush] = None)
     extends PartitionReader[InternalRow] {
 
   private var blockCursor = 0
@@ -617,7 +659,16 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
     pos = -1
   }
 
-  override def next(): Boolean = {
+  override def next(): Boolean = topN match {
+    case Some(t) =>
+      if (topNRows == null) topNRows = collectTopN(t)
+      val has = topNRows.hasNext
+      if (has) topNCurrent = topNRows.next()
+      has
+    case None => streamNext()
+  }
+
+  private def streamNext(): Boolean = {
     // pushed limit: stop BEFORE fetching further blocks once satisfied
     if (limit.exists(emitted >= _)) return false
     while (true) {
@@ -631,7 +682,57 @@ class OpenMeteoReader(opts: OpenMeteoOptions, schema: StructType,
     false
   }
 
-  override def get(): InternalRow = {
+  // ---- TopN path: per-partition time-extreme candidates only ----
+  private var topNRows: Iterator[InternalRow] = null
+  private var topNCurrent: InternalRow = null
+
+  /** The sort value of the current block's row at `p` for the pushed key:
+    * times(p) for ts_local/date; UTC = local − block offset for ts_utc.
+    * All three are strictly increasing within a block (offset is a
+    * per-block constant), so per-block candidates are a positional
+    * slice of the kept rows.
+    */
+  private def sortVal(p: Int, keyCol: String): Long =
+    if (keyCol == "ts_utc") times(p) - offsetSec * 1000000L else times(p)
+
+  /** Tie-inclusive per-partition top-k: per block take the k extreme
+    * kept positions (rows beyond them are dominated by k same-block
+    * rows), materialize them, then compact the running candidate set to
+    * every row whose key is at least as extreme as the k-th candidate's.
+    * Ties at the boundary are RETAINED — the global top-k under any
+    * refinement of the time ordering (trailing tie-break keys belong to
+    * Spark's kept TakeOrdered) is then always a subset of the emitted
+    * rows. Bounded: with an hourly grid shared across locations the
+    * retained set is ≤ blocksInPartition + k rows, each held as one
+    * materialized row — never a full history.
+    */
+  private def collectTopN(t: TopNPush): Iterator[InternalRow] = {
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]()
+    def compact(): Unit = if (buf.length > t.k) {
+      val sorted =
+        if (t.desc) buf.sortBy(-_._1) else buf.sortBy(_._1)
+      val threshold = sorted(t.k - 1)._1
+      buf.clear()
+      buf ++= sorted.takeWhile(c =>
+        if (t.desc) c._1 >= threshold else c._1 <= threshold)
+    }
+    blockIndices.foreach { bi =>
+      loadBlock(bi)
+      val kept = times.indices.filter(keep)
+      val cand = if (t.desc) kept.takeRight(t.k) else kept.take(t.k)
+      cand.foreach { p =>
+        pos = p
+        buf += ((sortVal(p, t.keyCol), materializeRow()))
+      }
+      compact()
+    }
+    buf.iterator.map(_._2)
+  }
+
+  override def get(): InternalRow =
+    if (topN.isDefined) topNCurrent else materializeRow()
+
+  private def materializeRow(): InternalRow = {
     val values = schema.fields.map { f =>
       f.name match {
         case "latitude"  => lat

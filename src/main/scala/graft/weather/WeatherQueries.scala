@@ -406,6 +406,26 @@ object WeatherQueries {
     // J3 generic as-of: probe points 30 min past each hour joined to the
     // latest at-or-earlier weather observation. DuckDB's native ASOF JOIN
     // is the oracle for the union+window single-shuffle plan.
+    // V2 TopN pushdown (SupportsPushDownTopN): ORDER BY time LIMIT k
+    // reaches the scan — the "latest readings" shape; each partition
+    // emits only its time-extreme candidates (tie-inclusive, so the
+    // trailing lat/lon tie-breaks stay correct) and Spark's kept
+    // TakeOrdered settles the final order. LIMIT 7 lands mid-hour on
+    // the 2-location grid, exercising the tie boundary.
+    "wx19_connector_topn" -> QueryDef.sql(
+      s"""WITH ${wideCte("hourly_7d.json")}
+         |SELECT latitude, longitude, ts_local, temperature_2m
+         |FROM wide
+         |ORDER BY ts_local DESC, latitude, longitude
+         |LIMIT 7""".stripMargin) { (s, _) =>
+      s.read.format("openmeteo")
+        .option("path", s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json")
+        .load()
+        .select("latitude", "longitude", "ts_local", "temperature_2m")
+        .orderBy(col("ts_local").desc, col("latitude"), col("longitude"))
+        .limit(7)
+    },
+
     "wx9_asof_weather" -> QueryDef.sql(
       s"""WITH ${wideCte("hourly_7d.json")},
          |probes AS (SELECT latitude, longitude,

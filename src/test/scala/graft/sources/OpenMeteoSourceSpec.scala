@@ -175,6 +175,70 @@ class OpenMeteoSourceSpec extends AnyFunSuite {
     assert(CallCounters.get("forecast") - before === 1)
   }
 
+  test("TopN pushdown: ORDER BY ts_local DESC LIMIT k equals the full-sort result") {
+    val df = read()
+      .select("latitude", "longitude", "ts_local", "temperature_2m")
+      .orderBy(col("ts_local").desc, col("latitude"))
+      .limit(7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: ORDER BY ts_local DESC LIMIT 7"),
+      s"TopN not pushed:\n$plan")
+    // oracle: same top-7 from the JSON-reader path with a full sort
+    val expected = graft.weather.WeatherOps.toWide(
+      graft.weather.WeatherOps.readBlocks(spark, fixture))
+      .select("latitude", "longitude", "ts_local", "temperature_2m")
+      .orderBy(col("ts_local").desc, col("latitude"))
+      .limit(7)
+    assert(df.collect().map(_.toString).toSeq ===
+      expected.collect().map(_.toString).toSeq)
+  }
+
+  test("TopN pushdown ASC keeps the earliest rows; non-time leading key is rejected") {
+    val asc = read().select("latitude", "ts_local")
+      .orderBy(col("ts_local"), col("latitude")).limit(3)
+    val ascPlan = asc.queryExecution.executedPlan.toString
+    assert(ascPlan.contains("PushedTopN: ORDER BY ts_local ASC LIMIT 3"),
+      s"ASC TopN not pushed:\n$ascPlan")
+    // 3 earliest: hour 0 at both locations + hour 1 at the smaller lat
+    val rows = asc.collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getAs[java.time.LocalDateTime]("ts_local")
+      .toString.startsWith("2024-07-01T0")))
+
+    val rejected = read().select("latitude", "ts_local", "temperature_2m")
+      .orderBy(col("temperature_2m").desc).limit(3)
+    val rejPlan = rejected.queryExecution.executedPlan.toString
+    assert(!rejPlan.contains("PushedTopN"),
+      s"non-time TopN must not push:\n$rejPlan")
+    assert(rejected.count() === 3)
+  }
+
+  test("TopN reader emits only tie-inclusive candidates, never full histories") {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, NullOrdering}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    // one partition → both blocks flow through ONE reader's tie-inclusive
+    // retention (the per-partition guarantee under test)
+    val opts = OpenMeteoOptions(new CaseInsensitiveStringMap(
+      java.util.Map.of("path", fixture, "maxPartitions", "1")))
+    val builder = new OpenMeteoScanBuilder(opts)
+    val order = Expressions.sort(Expressions.column("ts_local"),
+      SortDirection.DESCENDING, NullOrdering.NULLS_LAST)
+    assert(builder.pushTopN(Array(order), 7))
+    val scan = builder.build().asInstanceOf[OpenMeteoScan]
+    val parts = scan.toBatch.planInputPartitions()
+    val factory = scan.toBatch.createReaderFactory()
+    var emitted = 0
+    parts.foreach { p =>
+      val r = factory.createReader(p)
+      while (r.next()) { r.get(); emitted += 1 }
+      r.close()
+    }
+    // 2 blocks share the hourly grid: top-7 by ts spans 4 distinct hours,
+    // tie-inclusive retention keeps 4 hours × ≤2 locations = 8 rows —
+    // versus 336 for the unpushed scan
+    assert(emitted >= 7 && emitted <= 8, s"emitted $emitted candidate rows")
+  }
+
   test("pushed date range splits into date-chunk partitions without dup or loss") {
     val df = spark.read.format("openmeteo")
       .option("path", fixture).option("chunkDays", "2").load()
