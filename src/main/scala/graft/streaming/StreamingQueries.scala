@@ -161,6 +161,63 @@ object StreamingQueries {
         .orderBy("latitude", "longitude", "ts_valid")
     },
 
+    // st1's twin on Spark 4's arbitrary-state API: the SAME feed, oracle,
+    // and winner-reduction, but the upsert runs through
+    // WeatherStreams.latestRevisionsTws (transformWithState + ValueState
+    // + explicit event-time timers) over the RocksDB state store the new
+    // API is built against. Green st1 + green st13 = the two stateful
+    // APIs agree on the revision-upsert contract end-to-end.
+    "st13_stream_upsert_tws" -> QueryDef.sql(
+      s"""WITH $RevCte,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY latitude, longitude, ts_valid
+        |      ORDER BY issued_at DESC) AS rn
+        |  FROM rev)
+        |SELECT latitude, longitude, ts_valid, issued_at,
+        |       round(temperature_2m, 2) AS temperature
+        |FROM ranked WHERE rn = 1
+        |ORDER BY latitude, longitude, ts_valid""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // identical feed to st1 -> shared cache key
+      val dropDir = cachedDrop(s"st1:$d", dir =>
+        revisionFeed(Tables.events(s, d)).repartition(4).write
+          .mode("overwrite").option("timestampFormat", TsFmt).json(dir))
+      val ckDir = tempDir("graft_st13_ck")
+
+      val sinkName = s"graft_st13_sink_${runSeq.incrementAndGet()}"
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      try withStateShuffle(s) {
+        // provider is read at query START (inside this closure), so the
+        // setting cannot leak into other probes' planning
+        s.conf.set(providerKey, "org.apache.spark.sql.execution." +
+          "streaming.state.RocksDBStateStoreProvider")
+        val q = WeatherStreams.latestRevisionsTws(revisionStream(s, dropDir))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("update")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        prevProvider match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None    => s.conf.unset(providerKey)
+        }
+        deleteQuietly(ckDir)
+      }
+
+      val w = Window.partitionBy("latitude", "longitude", "ts_valid")
+        .orderBy(col("issued_at").desc)
+      s.table(sinkName)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("latitude"), col("longitude"), col("ts_valid"),
+          col("issued_at"), round(col("temperature_2m"), 2).as("temperature"))
+        .orderBy("latitude", "longitude", "ts_valid")
+    },
+
     // Stream-stream interval join through the live path: the forecast
     // revision feed joins an observation feed (one observation per
     // (latitude, hour), 30 min into the hour) on location + the valid-hour

@@ -66,6 +66,74 @@ object WeatherStreams {
         })
   }
 
+  /** [[latestRevisions]] re-expressed on Spark 4's arbitrary-state API
+    * ([[org.apache.spark.sql.streaming.StatefulProcessor]] via
+    * `transformWithState`): same key, same strictly-newer-wins upsert
+    * contract, same event-time state expiry — a named [[ValueState]]
+    * replaces `GroupState` and an explicit per-key timer replaces
+    * `setTimeoutTimestamp`. Kept alongside the fMGWS path as its
+    * forward-compatibility twin (the two are parity-tested and share
+    * st1's oracle as st13); requires the RocksDB state store provider,
+    * which the new API is built against.
+    */
+  def latestRevisionsTws(revisions: Dataset[Revision]): Dataset[Revision] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import revisions.sparkSession.implicits._
+    revisions
+      .withWatermark("issued_at", "2 hours")
+      .groupByKey(r => (r.latitude, r.longitude, r.ts_valid.getTime))
+      .transformWithState(new LatestRevisionProcessor,
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
+  /** The transformWithState processor behind [[latestRevisionsTws]]:
+    * keep-max-issued_at per (location, valid hour), emitting only strict
+    * improvements. One live timer per key tracks the CURRENT winner's
+    * expiry (issue time + 4 h): timers are additive — unlike
+    * `GroupState.setTimeoutTimestamp`, which overwrites — so the
+    * superseded expiry is deleted before the new one registers, and a
+    * firing timer therefore always refers to the live winner.
+    */
+  private class LatestRevisionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Double, Double, Long), Revision, Revision] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+
+    @transient private var latest: ValueState[Revision] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState("latest",
+        org.apache.spark.sql.Encoders.product[Revision], TTLConfig.NONE)
+
+    private def expiry(r: Revision): Long =
+      r.issued_at.getTime + 4 * 3600 * 1000L
+
+    override def handleInputRows(key: (Double, Double, Long),
+        rows: Iterator[Revision], timers: TimerValues): Iterator[Revision] = {
+      val newest = rows.reduceOption((a, b) =>
+        if (a.issued_at.after(b.issued_at)) a else b)
+      val current = if (latest.exists()) Some(latest.get()) else None
+      val winner = (current ++ newest).reduceOption((a, b) =>
+        if (a.issued_at.after(b.issued_at)) a else b)
+      if (winner != current) {
+        val w = winner.get
+        current.foreach(c => getHandle.deleteTimer(expiry(c)))
+        latest.update(w)
+        getHandle.registerTimer(expiry(w))
+        Iterator.single(w)
+      } else Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (Double, Double, Long),
+        timers: TimerValues, expired: ExpiredTimerInfo): Iterator[Revision] = {
+      // defensive: only free state the fired timer actually covers
+      if (latest.exists() && expiry(latest.get()) <= expired.getExpiryTimeInMs())
+        latest.clear()
+      Iterator.empty
+    }
+  }
+
   /** Exactly-once-per-revision dedup within the lateness horizon
     * (`dropDuplicatesWithinWatermark`): duplicate deliveries of the same
     * (location, valid, issued) revision collapse to one.

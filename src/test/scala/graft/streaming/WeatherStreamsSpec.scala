@@ -71,6 +71,38 @@ class WeatherStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState upsert twin agrees with the fMGWS path (parity)") {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Revision](spark)
+      val q = WeatherStreams.latestRevisionsTws(input.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      try {
+        input.addData(rev("2024-07-01 06:00:00", "2024-07-01 12:00:00", 20.0))
+        q.processAllAvailable()
+        input.addData(
+          rev("2024-07-01 06:30:00", "2024-07-01 12:00:00", 21.5), // newer → emit
+          rev("2024-07-01 05:00:00", "2024-07-01 12:00:00", 19.0)) // stale → drop
+        q.processAllAvailable()
+        val got = spark.table("tws_out")
+          .select("issued_at", "temperature_2m").collect()
+          .map(r => r.getTimestamp(0).toString -> r.getDouble(1))
+        // identical emission set to the latestRevisions fMGWS test above
+        assert(got.toSet === Set(
+          "2024-07-01 06:00:00.0" -> 20.0,
+          "2024-07-01 06:30:00.0" -> 21.5))
+      } finally q.stop()
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   test("dropDuplicatesWithinWatermark collapses duplicate deliveries") {
     import spark.implicits._
     val input = MemoryStream[Revision](spark)
