@@ -57,6 +57,106 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall too low for nProbe=3/8")
   }
 
+  test("s3 gate: measured multiprobe recall = bucket-coverage prediction ≥ S-curve bound (sf0.1)") {
+    // Two-level quantified gate at the s3 probe's own settings (nBits=8,
+    // k=20) on the 2000-vector sf0.1 corpus:
+    //  1. EXACT structural identity — the probe ranks candidates by true
+    //     cosine, and an exact-top-k member in a probed bucket can be
+    //     outranked by at most k−1 candidates, so measured recall MUST
+    //     equal the deterministic Hamming-≤1 bucket coverage of the
+    //     exact top-k. Any daylight between the two is a bug, not noise.
+    //  2. ANALYTIC floor — per Charikar, a plane agrees on (q, x) with
+    //     p = 1 − θ/π; nBits independent planes give
+    //     P(Ham ≤ 1) = p^b + b·p^(b-1)(1−p). Measured recall over
+    //     5 queries × 20 neighbors must sit within 3σ of that
+    //     prediction (σ from the Bernoulli sum; one fixed seeded
+    //     hyperplane realization, hence the slack).
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val nBits = 8
+    val k = 20
+    val queries = Seq(0L, 400L, 800L, 1200L, 1600L)
+    val buckets = Similarity.annBuckets(emb, nBits)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var structHits = 0
+    var measuredHits = 0
+    var eSum = 0.0
+    var varSum = 0.0
+    queries.foreach { qid =>
+      val exact = Similarity.topKCosine(emb, qid, k).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val approx = Similarity.topKCosineApprox(emb, qid, k, nBits).collect()
+        .map(_.getLong(0)).toSet
+      val qb = buckets(qid)
+      exact.foreach { case (id, sim) =>
+        if (java.lang.Long.bitCount(buckets(id) ^ qb) <= 1) structHits += 1
+        if (approx(id)) measuredHits += 1
+        val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, sim))) / math.Pi
+        val pHit = math.pow(p, nBits) +
+          nBits * math.pow(p, nBits - 1) * (1.0 - p)
+        eSum += pHit
+        varSum += pHit * (1.0 - pHit)
+      }
+    }
+    val n = queries.size * k
+    assert(measuredHits === structHits,
+      s"measured hits $measuredHits != deterministic bucket coverage $structHits")
+    val measured = measuredHits.toDouble / n
+    val predicted = eSum / n
+    val sigma = math.sqrt(varSum) / n
+    assert(measured >= predicted - 3 * sigma,
+      f"s3 recall $measured%.3f below S-curve prediction $predicted%.3f − 3σ " +
+        f"(σ=$sigma%.3f) — multiprobe coverage regressed")
+    assert(measured <= predicted + 3 * sigma,
+      f"s3 recall $measured%.3f above prediction $predicted%.3f + 3σ — " +
+        "suspicious: check the hyperplane/bucket derivation")
+  }
+
+  test("s4 gate: IVF recall = probed-list coverage; probing all lists is exact (sf0.1)") {
+    // Same structural-identity argument as the s3 gate, at the s4
+    // probe's settings (16 lists, nProbe=4, k=20): within probed lists
+    // the scan is exact cosine, so measured recall EQUALS the fraction
+    // of the exact top-k assigned to the nProbe nearest lists — the
+    // probe-count predicted bound is not a floor but an identity. And
+    // nProbe = nLists degenerates to the exact scan: recall must be 1.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val k = 20
+    val nLists = 16
+    val cents = Similarity.ivfCentroids(emb, nCentroids = nLists)
+    val assign = Similarity.ivfAssign(emb, cents)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val queries = Seq(0L, 400L, 800L, 1200L, 1600L)
+    var predictedHits = 0
+    var measuredHits = 0
+    queries.foreach { qid =>
+      val qArr = emb.filter(col("vec_id") === qid)
+        .select(Similarity.asDouble(col("embedding"))).collect()(0)
+        .getSeq[Double](0).toArray
+      val probed = cents.zipWithIndex.sortBy { case (c, _) =>
+        c.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.take(4).map(_._2).toSet
+      val exact = Similarity.topKCosine(emb, qid, k).collect()
+        .map(_.getLong(0))
+      val ivf = Similarity.topKCosineIVF(emb, qid, k, cents, nProbe = 4)
+        .collect().map(_.getLong(0)).toSet
+      predictedHits += exact.count(id => probed(assign(id)))
+      measuredHits += exact.count(ivf)
+    }
+    assert(measuredHits === predictedHits,
+      s"IVF measured hits $measuredHits != probed-list coverage $predictedHits")
+    // coverage sanity: nProbe=4 of 16 lists must still catch a usable
+    // share of the true neighbors on this corpus
+    val recall = measuredHits.toDouble / (queries.size * k)
+    assert(recall >= 0.3, s"IVF nProbe=4/16 recall $recall degenerate")
+
+    // full probe ≡ exact scan
+    val exactIds = Similarity.topKCosine(emb, 0L, k).collect().map(_.getLong(0)).toSeq
+    val fullProbe = Similarity.topKCosineIVF(emb, 0L, k, cents, nProbe = nLists)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fullProbe === exactIds, "nProbe = nLists must reproduce the exact top-k")
+  }
+
   test("int8 quantization: bounded reconstruction error, cosine preserved") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(200)
     val dq = Similarity.dequantizeInt8(Similarity.quantizeInt8(emb))
