@@ -530,10 +530,10 @@ object Corpus {
     * is one exact-dedup agg over the corpus — the 100 TB path.
     */
   def bpeMerges(docs: DataFrame, rounds: Int = 3,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", batchK: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (merges, vocab) = bpeCore(docs, rounds, textCol)
+    val (merges, vocab) = bpeCore(docs, rounds, textCol, batchK)
     Dedup.release(vocab)
     merges.toDF("merge_round", "left_sym", "right_sym", "pair_cnt")
   }
@@ -547,8 +547,8 @@ object Corpus {
     * map-combinable hash agg + TakeOrdered.
     */
   def bpeEncode(docs: DataFrame, rounds: Int = 3, k: Int = 20,
-      textCol: String = "text"): DataFrame = {
-    val (_, vocab) = bpeCore(docs, rounds, textCol)
+      textCol: String = "text", batchK: Int = 1): DataFrame = {
+    val (_, vocab) = bpeCore(docs, rounds, textCol, batchK)
     // NOTE: vocab's checkpoint blocks stay live until process exit — the
     // returned plan reads them lazily and a released localCheckpoint
     // cannot recompute (truncated lineage). Bounded: deduped vocabulary.
@@ -560,10 +560,28 @@ object Corpus {
 
   /** Shared BPE loop: returns (merge table, final merged vocabulary).
     * See [[bpeMerges]] for the per-round shape and determinism rules.
+    *
+    * `batchK` > 1 batches up to k merges per SCAN round — the standard
+    * fast-trainer move that cuts driver round trips from `rounds` to
+    * ≈ `rounds / k` at vocabulary scale. Selection per scan: order
+    * candidates by (pair_cnt DESC, a, b), then greedily keep pairs that
+    * are SYNTACTICALLY INDEPENDENT of everything already selected —
+    * {a, b, a+b} disjoint from all previously used symbols AND all
+    * previously created products (the product check matters: rules
+    * ("a","b") and ("ab","c") interact through the created "ab" even
+    * though their symbol sets are disjoint). Independent rules never
+    * compete for a position, so one combined left-to-right fold equals
+    * applying them sequentially — exactly greedy WHEN each batched pair
+    * would still top the count table at its turn (true whenever merges
+    * touch disjoint regions; pairs created by an earlier batch member
+    * can in principle overtake a later member, which a recount would
+    * catch — that is the k-vs-exactness dial, and `batchK = 1` IS exact
+    * greedy, byte-identical to the unbatched trainer).
     */
-  private def bpeCore(docs: DataFrame, rounds: Int, textCol: String)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
+  private def bpeCore(docs: DataFrame, rounds: Int, textCol: String,
+      batchK: Int = 1): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(rounds >= 1, "rounds must be at least 1")
+    require(batchK >= 1, "batchK must be at least 1")
     var cur = docs
       .select(explode(split(
         regexp_replace(lower(col(textCol)), "^\\s+|\\s+$", ""),
@@ -575,27 +593,42 @@ object Corpus {
         .as("syms"), col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    for (r <- 1 to rounds) {
+    while (merges.length < rounds) {
+      val want = math.min(batchK, rounds - merges.length)
       val pairs = cur.filter(size(col("syms")) > 1)
         .select(col("cnt"), explode(expr(
           "transform(slice(syms, 1, size(syms) - 1), " +
             "(x, i) -> struct(x AS a, element_at(syms, i + 2) AS b))")).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("pair_cnt"))
+      // over-fetch: the independence filter can reject in-prefix rows;
+      // the top-1 always survives, so progress is guaranteed
       val top = pairs.orderBy(col("pair_cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      require(top.nonEmpty, s"bpeCore: no adjacent pairs left at round $r")
-      val (a, b, c) = (top(0).getString(0), top(0).getString(1),
-        top(0).getLong(2))
-      merges += ((r, a, b, c))
+        .limit(want * 8).collect()
+      require(top.nonEmpty,
+        s"bpeCore: no adjacent pairs left after ${merges.length} merges")
+      val blocked = scala.collection.mutable.Set[String]()
+      val sel = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      val it = top.iterator
+      while (sel.length < want && it.hasNext) {
+        val r = it.next()
+        val (a, b) = (r.getString(0), r.getString(1))
+        if (!blocked(a) && !blocked(b) && !blocked(a + b)) {
+          sel += ((a, b, r.getLong(2)))
+          blocked ++= Seq(a, b, a + b)
+        }
+      }
+      sel.foreach { case (a, b, c) => merges += ((merges.length + 1, a, b, c)) }
       val prev = cur
-      val (la, lb, lab) = (lit(a), lit(b), lit(a + b))
       cur = cur.select(aggregate(col("syms"),
           array().cast("array<string>"),
-          (acc, x) => when(size(acc) > 0 &&
-              element_at(acc, -1) === la && x === lb,
-            concat(slice(acc, lit(1), size(acc) - 1), array(lab)))
-            .otherwise(concat(acc, array(x)))).as("syms"),
+          (acc, x) => sel.foldRight(concat(acc, array(x)): Column) {
+            case ((a, b, _), els) =>
+              when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(els)
+          }).as("syms"),
           col("cnt"))
         .localCheckpoint()
       Dedup.release(prev)

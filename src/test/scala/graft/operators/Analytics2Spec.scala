@@ -100,6 +100,84 @@ class Analytics2Spec extends AnyFunSuite {
     assert(out.toSeq === Seq(("a", "b", 2L)))
   }
 
+  test("batched BPE ≡ sequential greedy on independent merges (property sweep)") {
+    // Greedy-equivalence property: when the top merges touch disjoint
+    // symbol regions (two-letter words over disjoint letter pools — a
+    // merge consumes its whole word, so no batch member can create a
+    // pair that overtakes another), one batched scan round MUST produce
+    // the same merge table as k sequential rounds. Five seeded corpora,
+    // each with distinct pair frequencies so the greedy order is unique.
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { case_ =>
+      // six disjoint two-letter words with distinct random frequencies
+      val pool = Seq("ab", "cd", "ef", "gh", "ij", "kl")
+      val freqs = pool.map(_ -> (rnd.nextInt(40) + 10)).sortBy(-_._2)
+      // distinct-ify frequencies so the greedy order is deterministic
+      val uniq = freqs.zipWithIndex.map { case ((w, f), i) => (w, f + (5 - i)) }
+      val corpus = uniq.flatMap { case (w, f) => Seq.fill(f)(w) }
+      val docs = corpus.grouped(7).map(_.mkString(" ")).toSeq.toDF("text")
+      val seq3 = Corpus.bpeMerges(docs, rounds = 3, batchK = 1).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val bat3 = Corpus.bpeMerges(docs, rounds = 3, batchK = 3).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(bat3 === seq3, s"case $case_: batched diverged from greedy\n" +
+        s"seq=$seq3\nbat=$bat3")
+    }
+  }
+
+  test("batched BPE independence filter blocks interacting rules in one batch") {
+    // "aaab"-style corpus: top pair (a,a) creates "aa", and the next
+    // candidates all involve a/b or the created product — nothing is
+    // independent of the first merge, so a batchK=3 scan may apply ONLY
+    // (a,a) in round 1 and must converge to the same 2-merge table as
+    // exact greedy (the k-vs-exactness dial never silently reorders
+    // interacting rules).
+    val docs = Seq("aaab aaab ab", "aaab ab").toDF("text")
+    val seq2 = Corpus.bpeMerges(docs, rounds = 2, batchK = 1).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val bat2 = Corpus.bpeMerges(docs, rounds = 2, batchK = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(seq2 === Seq((1, "a", "a", 6L), (2, "a", "b", 5L)))
+    assert(bat2 === seq2, "interacting rules must not co-batch")
+  }
+
+  test("batched BPE golden at k=8: one-scan batch equals 8 sequential rounds") {
+    // eight disjoint two-letter words with strictly distinct frequencies:
+    // all 8 top pairs are syntactically independent, so the k=8 trainer
+    // resolves them in ONE pair-count scan and must reproduce the exact
+    // greedy table — the rounds/k driver-round-trip saving with zero
+    // divergence on this corpus class.
+    val pool = Seq("ab" -> 90, "cd" -> 82, "ef" -> 75, "gh" -> 61,
+      "ij" -> 54, "kl" -> 47, "mn" -> 33, "op" -> 21)
+    val corpus = pool.flatMap { case (w, f) => Seq.fill(f)(w) }
+    val docs = corpus.grouped(9).map(_.mkString(" ")).toSeq.toDF("text")
+    def run(k: Int) = Corpus.bpeMerges(docs, rounds = 8, batchK = k).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val seq8 = run(1)
+    val bat8 = run(8)
+    assert(seq8 === pool.zipWithIndex.map { case ((w, f), i) =>
+      (i + 1, w.substring(0, 1), w.substring(1), f.toLong) },
+      "sequential greedy must rank the pools by frequency")
+    assert(bat8 === seq8, "k=8 batch diverged from sequential greedy")
+    // determinism across runs (fresh plan, fresh checkpoint chain)
+    assert(run(8) === bat8)
+  }
+
+  test("batched BPE on the sf documents corpus: deterministic and greedy-prefixed") {
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+    def run() = Corpus.bpeMerges(docs, rounds = 8, batchK = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val m1 = run()
+    assert(m1.length === 8)
+    assert(m1.map(_._1) === (1 to 8), "merge_round must be a contiguous sequence")
+    assert(m1.forall(_._4 > 0))
+    assert(run() === m1, "batched trainer not deterministic on real text")
+    // the first batched merge is always the exact greedy first merge
+    val g1 = Corpus.bpeMerges(docs, rounds = 1, batchK = 1).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).head
+    assert((m1.head._2, m1.head._3, m1.head._4) === g1)
+  }
+
   test("joinDelta covers all three delta terms") {
     // state: r1/s1 join in OLD⋈OLD (not in any delta term);
     // r1 ⋈ s2(delta) exercises R_old⋈ΔS; r2(delta) ⋈ s1 exercises
