@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical growth-exponent soak for the iterative / superlinear-risk
+  * query family (VERDICT r7 task 2: "SCALE.md argues each family's
+  * 100 TB shape credibly; the one evidentiary gap is that all claims
+  * are sf0.1-verified plan shapes; no ≥10× datapoint confirms the
+  * growth exponents").
+  *
+  * Protocol: deterministically amplify sf0.1 ×N (default 10) by key
+  * remapping — NO RNG, so the run is reproducible — then time each
+  * soak query at ×1 and ×N (1 discarded cold run + `runs` timed,
+  * median, noop sink: the Bench protocol) and report the measured
+  * growth exponent log(t_N / t_1) / log(N). Sub-quadratic claims
+  * (d9's prefix filter, g2's O(m^1.5) orientation bound) require
+  * exponent < 2; the iterative family (d7 CC, g7 BFS) should hold
+  * near-linear per-round cost with a round count set by structure,
+  * which amplification leaves unchanged.
+  *
+  * Amplification preserves per-copy structure and prevents cross-copy
+  * interaction, so the ×N corpus is N disjoint isomorphic copies of
+  * the original problem (weak scaling — the only regime where a known
+  * ground-truth growth law exists to compare the measurement against):
+  *  - documents: every alnum token gets a copy-specific `zzK` suffix —
+  *    shingle/line/token sets are isomorphic within a copy and
+  *    (effectively) disjoint across copies, so similarity pairs,
+  *    clusters, and dup lines each scale exactly ×N;
+  *  - lineitem: l_orderkey/l_partkey/l_suppkey shift by copy·STEP —
+  *    the co-purchase graph becomes N disjoint copies (triangles,
+  *    BFS reach, edge count all ×N);
+  *  - events: event_id/user_id shift by copy·STEP with STEP % 3 == 0
+  *    so `user_id % 3` derivations (st2's join key) keep their
+  *    per-copy distribution.
+  *
+  * Usage:
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleSoak [factor] [prefix...]"
+  * Output: human table on stderr + one JSON line on stdout; amplified
+  * data cached under /tmp/graft_soak_sf<factor>x (reused if present).
+  */
+object ScaleSoak {
+  private val SoakQueries = Seq(
+    "d7_neardup_clusters", "d9_exact_jaccard_pairs", "t22_line_dedup",
+    "g2_triangles", "g7_bfs_hops", "e7_scd2_merge",
+    "st2_stream_interval_join")
+
+  /** copy-key spacing; one value serves every id column at sf0.1×32
+    * (max ids ≪ 10^9) and is a multiple of 3 for the user_id%3 keys. */
+  private val Step = 3000000000L
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val prefixes = args.drop(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val ampDir = s"/tmp/graft_soak_sf${factor}x"
+    writeAmplified(spark, srcDir, ampDir, factor)
+
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def bench(name: String, dir: String): Double = {
+      def once(): Unit = SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      once()
+      median(Seq.fill(runs)(time(once())))
+    }
+
+    // Disjointness proof: if the ×N corpus really is N non-interacting
+    // copies, these outputs scale EXACTLY ×N. A violation means the
+    // amplifier leaked similarity/edges across copies and every timing
+    // below would be measuring a different problem.
+    def countRows(q: String, dir: String): Long =
+      SparkEntry.queries(q)(spark, dir).count()
+    for (q <- Seq("d9_exact_jaccard_pairs", "g2_triangles")
+         if prefixes.isEmpty || prefixes.exists(q.startsWith)) q match {
+      case "d9_exact_jaccard_pairs" =>
+        val (c1, cN) = (countRows(q, srcDir), countRows(q, ampDir))
+        require(cN == factor * c1,
+          s"amplifier leak: d9 pairs $c1 -> $cN, expected ${factor * c1}")
+        System.err.println(s"[soak] invariant d9 pairs: $c1 -> $cN = x$factor exact")
+      case _ =>
+        val r1 = SparkEntry.queries(q)(spark, srcDir).head()
+        val rN = SparkEntry.queries(q)(spark, ampDir).head()
+        for (i <- 0 until 3) // n_nodes, n_edges, n_triangles
+          require(rN.getLong(i) == factor * r1.getLong(i),
+            s"amplifier leak: g2 col $i ${r1.getLong(i)} -> ${rN.getLong(i)}")
+        System.err.println(s"[soak] invariant g2 (nodes,edges,triangles): " +
+          s"(${r1.getLong(0)},${r1.getLong(1)},${r1.getLong(2)}) x$factor exact")
+    }
+
+    val picked = SoakQueries.filter(q =>
+      prefixes.isEmpty || prefixes.exists(q.startsWith))
+    val rows = picked.map { q =>
+      // ×N first: the ×1 measurement then runs with a fully-warm JIT,
+      // biasing the exponent UP (conservative for sub-quadratic claims).
+      val tN = bench(q, ampDir)
+      val t1 = bench(q, srcDir)
+      val exp = math.log(tN / t1) / math.log(factor.toDouble)
+      System.err.println(f"[soak] $q%-28s x1=$t1%8.2fs  x$factor=$tN%8.2fs  ratio=${tN / t1}%6.2f  exponent=$exp%5.2f")
+      (q, t1, tN, exp)
+    }
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val json = rows.map { case (q, t1, tN, e) =>
+      s""""$q":{"t1":${fmt(t1)},"tN":${fmt(tN)},"exponent":${fmt(e)}}"""
+    }.mkString("{", ",", "}")
+    try spark.stop() catch { case scala.util.control.NonFatal(_) => }
+    println(s"""{"metric":"scale_soak","factor":$factor,"queries":$json}""")
+  }
+
+  /** Deterministic ×factor amplification of documents/lineitem/events
+    * into outDir (other tables are not read by the soak family).
+    * Idempotent: skipped when the _SOAK_DONE marker exists.
+    */
+  def writeAmplified(spark: SparkSession, srcDir: String, outDir: String,
+                     factor: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/_SOAK_DONE")
+    if (marker.exists()) return
+    val copies = broadcast(
+      spark.range(factor.toLong).select(col("id").as("__copy")))
+
+    def shift(df: DataFrame, keys: Seq[String]): DataFrame =
+      keys.foldLeft(df.crossJoin(copies)) { (d, k) =>
+        d.withColumn(k, col(k) + col("__copy") * lit(Step))
+      }
+
+    // documents: suffix every alnum token with zz<copy> (copy 0 keeps
+    // the original text so the ×1 problem embeds verbatim). \w+ keeps
+    // tokens alphanumeric, so the corpus's shingle machinery
+    // (lower + [^a-z0-9]+ split) sees ordinary words.
+    shift(Tables.documents(spark, srcDir), Seq("doc_id"))
+      .withColumn("text", when(col("__copy") === 0, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("(\\w+)"),
+          concat(lit("$1zz"), col("__copy").cast("string")))))
+      .drop("__copy")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+
+    shift(Tables.lineitem(spark, srcDir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      .drop("__copy")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/lineitem.parquet")
+
+    shift(Tables.events(spark, srcDir), Seq("event_id", "user_id"))
+      .drop("__copy")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
+
+    marker.getParentFile.mkdirs()
+    new java.io.PrintWriter(marker) { write("ok\n"); close() }
+    System.err.println(s"[soak] amplified x$factor -> $outDir")
+  }
+}
