@@ -267,6 +267,77 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate join: all (left, right) pairs with
+    * n-gram Jaccard ≥ `threshold` between two DIFFERENT collections —
+    * the near-dup form of benchmark decontamination (d10 flags exact
+    * 8-gram collisions; this catches paraphrased / lightly-edited eval
+    * leakage the exact rule misses), and the train-vs-heldout overlap
+    * audit run before any split ships.
+    *
+    * Same Bayardo/Xiao prefix-filter machinery as
+    * [[exactJaccardPairs]] (8-byte shingle hashes, rarity-ranked
+    * prefixes, length-ratio + positional prune, fused sorted-merge
+    * verify — 100% recall by construction), with two cross-corpus
+    * deltas:
+    *  - ONE global (df, hash) token order computed over the UNION of
+    *    both sides' postings — the shared-prefix guarantee only holds
+    *    when both prefixes rank tokens identically;
+    *  - candidates pair left×right (no `id_a < id_b` dedup triangle —
+    *    the two sides are distinct collections; a doc appearing in
+    *    both pairs with itself at J = 1, which is exactly the leak the
+    *    audit exists to flag).
+    *
+    * Scale shape is d9's: postings shuffle 8-byte hashes keyed by
+    * prefix token, candidates form only inside a token's posting list
+    * (never L×R), and the verify touches candidates alone. The small
+    * side (eval benchmarks are KBs–MBs against a TB train corpus)
+    * keeps its full posting list; skew on a hot prefix token is
+    * AQE-splittable because the join is a plain equi join.
+    */
+  def crossJaccardPairs(left: DataFrame, right: DataFrame,
+      threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    def shingled(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"),
+          TextFunctions.words(col(textCol)).as("w"))
+        .select(col("id"),
+          graft.functions.Sketches.shingleHashArray(col("w"), n).as("g"))
+        .withColumn("sz", size(col("g")))
+        .filter(col("sz") > 0)
+    val shL = shingled(left)
+    val shR = shingled(right)
+    val postL = shL.select(col("id"), col("sz"), explode(col("g")).as("t"))
+    val postR = shR.select(col("id"), col("sz"), explode(col("g")).as("t"))
+    val docFreq = postL.select("t").unionAll(postR.select("t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val Eps = 1e-6 // FP-safe ceil bounds — see exactJaccardPairs
+    def ranked(p: DataFrame): DataFrame = p.join(docFreq, "t")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("t"))))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - Eps) + 1)
+      .select("t", "id", "sz", "rn")
+    val minOverlap =
+      ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - Eps)
+    val cands = ranked(postL).select(col("t"), col("id").as("id_a"),
+        col("sz").as("sz_a"), col("rn").as("rn_a"))
+      .join(ranked(postR).select(col("t"), col("id").as("id_b"),
+        col("sz").as("sz_b"), col("rn").as("rn_b")), Seq("t"))
+      .filter(col("sz_b") >= ceil(col("sz_a") * threshold - Eps) &&
+        col("sz_b") * threshold <= col("sz_a") + Eps &&
+        least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) + 1 >= minOverlap)
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(shL.select(col("id").as("id_a"), col("g").as("g_a")), "id_a")
+      .join(shR.select(col("id").as("id_b"), col("g").as("g_b")), "id_b")
+      .withColumn("j",
+        graft.functions.Sketches.sortedJaccard(col("g_a"), col("g_b")))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+  }
+
   /** Fuzzy string matching: all distinct-value pairs within Levenshtein
     * distance `maxDist` (vocabulary-level fuzzy dedup — titles, names,
     * URLs). Two LOSSLESS equi blocking stages feed the exact

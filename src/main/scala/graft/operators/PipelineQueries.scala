@@ -940,6 +940,40 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // NEAR-dup decontamination (Dedup.crossJaccardPairs): d10's split
+    // (train = doc_id % 7 ≠ 0, eval = the rest), but flagging 3-gram
+    // Jaccard ≥ 0.4 pairs instead of exact 8-gram collisions — the
+    // paraphrase-leak audit. Oracle: quadratic train×eval n-gram
+    // Jaccard (d9's oracle with the self-join triangle replaced by the
+    // cross product) — equality proves the union-df prefix filter is
+    // lossless across two collections, not just within one.
+    "d16_cross_neardup" -> QueryDef.sql(
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END) AS g
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                      x -> x <> '') AS ws
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+        |WHERE len(a.g) > 0 AND len(b.g) > 0
+        |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.crossJaccardPairs(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0), threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
     // d10's contract with phase 1 compressed into a Bloom filter
     // (Dedup.bloomDecontaminate — scan-local BloomFilterMightContain
     // probe instead of the broadcast hash-set semi join). The oracle is

@@ -633,6 +633,66 @@ object StreamingQueries {
       s.table(sinkName).select("nation", "cnt").orderBy("nation")
     },
 
+    // Streaming DECONTAMINATION — the d10 hygiene pass at ingest time:
+    // the train-doc feed replays through a scan-local shingle explode
+    // and a broadcast left-semi join against the static eval 8-gram
+    // set, emitting contamination evidence in APPEND mode with ZERO
+    // streaming state — the static side never enters the state store,
+    // so a 100 TB/day ingest pays only the broadcast (or, at benchmark-
+    // battery scale, d14's scan-local Bloom prefilter in front of the
+    // string verify — same swap, same answer). Per-doc flags are
+    // batch-boundary independent (each decision reads one doc + the
+    // static set), so the oracle is d10's relational hits list
+    // unchanged. The sink read dedups evidence rows to flagged ids.
+    "st14_stream_decontaminate" -> QueryDef.sql(
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(range(len(w) - 7),
+        |                i -> array_to_string(list_slice(w, i + 1, i + 8), ' ')) END) AS g
+        |  FROM ws),
+        |ev AS (SELECT DISTINCT unnest(g) AS t FROM sh WHERE doc_id % 7 = 0)
+        |SELECT DISTINCT p.doc_id
+        |FROM (SELECT doc_id, unnest(g) AS t FROM sh WHERE doc_id % 7 <> 0) p
+        |JOIN ev USING (t)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dropDir = cachedDrop(s"st14:$d", dir =>
+        docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text")
+          .repartition(4).write.mode("overwrite").json(dir))
+      val ckDir = tempDir("graft_st14_ck")
+      val evalSh = docs.filter(col("doc_id") % 7 === 0)
+        .select(explode(array_distinct(
+          graft.functions.TextFunctions.wordShingles(col("text"), 8))).as("g"))
+        .distinct()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val sinkName = s"graft_st14_sink_${runSeq.incrementAndGet()}"
+      try withStateShuffle(s) {
+        val q = s.readStream.schema(schema).json(dropDir)
+          .select(col("doc_id"), explode(array_distinct(
+            graft.functions.TextFunctions.wordShingles(col("text"), 8))).as("g"))
+          .join(broadcast(evalSh), Seq("g"), "left_semi")
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally deleteQuietly(ckDir)
+
+      s.table(sinkName).select("doc_id").distinct().orderBy("doc_id")
+    },
+
     // SESSION windows through the live streaming path: the event feed
     // replays into groupBy(session_window(ts, 30 min), user_id) — the
     // state store MERGES adjacent windows as events arrive, the shape

@@ -210,6 +210,42 @@ class DedupSpec extends AnyFunSuite {
     assert(naive.nonEmpty, "slice should contain at least one near-dup pair")
   }
 
+  test("crossJaccardPairs equals the union self-join restricted to cross pairs") {
+    // two-collection losslessness: running the SELF join over L ∪ R and
+    // keeping only (L, R)-straddling pairs must equal the cross join —
+    // proves the union-df global token order preserves the shared-prefix
+    // guarantee across collections.
+    val corpus = graft.Tables.documents(spark, TestSpark.sfDir)
+      .filter(col("doc_id") < 200)
+    val left = corpus.filter(col("doc_id") % 7 =!= 0)
+    val right = corpus.filter(col("doc_id") % 7 === 0)
+    val tau = 0.35
+    val cross = Dedup.crossJaccardPairs(left, right, threshold = tau)
+      .orderBy("id_a", "id_b").collect()
+    val self = Dedup.exactJaccardPairs(corpus, threshold = tau)
+      // orient every straddling pair as (train, eval) regardless of the
+      // self-join's id_a < id_b triangle
+      .filter((col("id_a") % 7 === 0) =!= (col("id_b") % 7 === 0))
+      .select(
+        when(col("id_a") % 7 =!= 0, col("id_a")).otherwise(col("id_b")).as("id_a"),
+        when(col("id_a") % 7 === 0, col("id_a")).otherwise(col("id_b")).as("id_b"),
+        col("jaccard"))
+      .orderBy("id_a", "id_b").collect()
+    assert(cross.map(_.toString).toSeq === self.map(_.toString).toSeq)
+    assert(cross.nonEmpty, "slice should contain at least one cross pair")
+  }
+
+  test("crossJaccardPairs flags a doc leaked into both collections at J = 1") {
+    val left = docs // contains doc 0 = base
+    val right = Seq((100L, base), (101L, "nothing shared here at all with anyone"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.crossJaccardPairs(left, right, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.count { case (_, b, j) => b == 100L && j == 1.0 } == 2,
+      s"docs 0 and 1 (exact dups of the leaked text) must both flag: ${pairs.toSeq}")
+    assert(!pairs.exists(_._2 == 101L))
+  }
+
   test("bloomDecontaminate ≡ decontaminate (bloom phase 1 changes cost, never the answer)") {
     val docs = graft.Tables.documents(spark, TestSpark.sfDir)
       .filter(col("doc_id") < 250)

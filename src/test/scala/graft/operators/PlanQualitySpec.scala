@@ -103,6 +103,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidate generation should be a hash/merge join:\n$p")
   }
 
+  test("d16 cross-corpus near-dup: candidates form on the prefix token, never L×R") {
+    val df = SparkEntry.queries("d16_cross_neardup")(spark, d)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"cross-corpus candidates must stay equi-join-only (prefix-token key):\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"candidate generation should be a hash/merge join:\n$p")
+  }
+
   test("d10 decontamination: eval hashes broadcast, no nested loop anywhere") {
     // AQE hides the final shapes pre-execution — run it first (CLAUDE.md)
     val df = SparkEntry.queries("d10_decontaminate")(spark, d)
