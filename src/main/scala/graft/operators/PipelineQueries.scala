@@ -530,6 +530,59 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Leakage-FREE train/val/test split: t19's md5 permille gate keyed
+    // by the near-dup CLUSTER representative instead of the doc id, so
+    // every member of a duplicate cluster lands in the SAME split —
+    // the group-aware splitting discipline that keeps eval honest
+    // (splitting near-dups across train/test leaks the answer). The
+    // pipeline composes d7's oracle-checked clustering with t19's
+    // engine-portable gate; singletons key by their own id, making
+    // this a strict generalization of t19.
+    "t49_cluster_safe_split" -> QueryDef.sql(
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END) AS g
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                      x -> x <> '') AS ws
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.g) > 0 AND len(b.g) > 0
+        |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.3),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(id, lab) AS (
+        |    SELECT a, a FROM edges
+        |    UNION
+        |    SELECT e.a, r.lab FROM edges e JOIN r ON e.b = r.id)
+        |  SELECT id, min(lab) AS cluster_id FROM r GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id,
+        |         CAST(coalesce(reach.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        |  FROM documents d LEFT JOIN reach ON reach.id = d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN g < 980 THEN 'train' WHEN g < 990 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, cluster_id,
+        |        CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR) || '#42'), 1, 8) AS UBIGINT) % 1000 AS g
+        |      FROM lab)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val clustered = Dedup.nearDupClustersExact(
+          Tables.documents(s, d), threshold = 0.3)
+        .withColumn("cluster_id", col("cluster_id").cast("long"))
+      Scale.assignSplit(clustered, idCol = "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // Per-source rank normalization: the two-phase distributed rank
     // (groupPercentRank), oracled by the naive per-source window. The
     // pct quotient divides identical integers on both engines —

@@ -246,6 +246,17 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(_._2 == 101L))
   }
 
+  test("t49 cluster-safe split never splits a near-dup cluster across splits") {
+    val out = graft.SparkEntry.queries("t49_cluster_safe_split")(
+      spark, TestSpark.sfDir)
+    val straddling = out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(straddling === 0, "a near-dup cluster straddles train/val/test")
+    assert(out.groupBy("cluster_id").count().filter(col("count") > 1).count() > 0,
+      "fixture should contain at least one multi-doc cluster")
+  }
+
   test("bloomDecontaminate ≡ decontaminate (bloom phase 1 changes cost, never the answer)") {
     val docs = graft.Tables.documents(spark, TestSpark.sfDir)
       .filter(col("doc_id") < 250)
