@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -430,10 +431,65 @@ final case class TopNPush(keyCol: String, desc: Boolean, k: Int)
 class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
     pushed: Array[Filter], lo: Option[Long], hi: Option[Long],
     limit: Option[Int] = None, topN: Option[TopNPush] = None)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Keyed planning gate ([[SupportsReportPartitioning]]): the scan can
+    * promise "all rows of one location live in one partition" only when
+    * (a) every block's coordinates are knowable at planning, (b) the
+    * pruned output still carries latitude AND longitude (the reported
+    * identity transforms must resolve against the scan output), and
+    * (c) a partition-per-block plan respects the parallelism cap (keyed
+    * mode trades the strided block grouping for the key guarantee — at
+    * a million locations the cap wins and the scan reports unknown).
+    */
+  private def keyedCoords: Option[IndexedSeq[(Double, Double)]] =
+    if (schema.fieldNames.contains("latitude") &&
+        schema.fieldNames.contains("longitude") &&
+        opts.blockUnitCount <= opts.maxPartitions &&
+        // chunk fan-out beats the key promise: Spark's partition
+        // grouping would merge one location's date chunks back into a
+        // single task, serializing exactly the long-history reads the
+        // chunking exists to parallelize — so the promise is only made
+        // when the (unpruned) plan wouldn't split chunks anyway
+        chunkBounds(opts.blockUnitCount).size == 1)
+      opts.blockCoordinates.filter(_.length == opts.blockUnitCount)
+    else None
+
+  /** Date-chunk slicing shared by [[planInputPartitions]] and the keyed
+    * gate: `n` is the block count the parallelism-cap check runs
+    * against. Chunking applies only when BOTH time bounds were pushed.
+    */
+  private def chunkBounds(n: Int): Seq[(Option[Long], Option[Long])] = {
+    val chunkMicros = opts.chunkDays.toLong * 24L * 3600L * 1000000L
+    (lo, hi) match {
+      case (Some(l), Some(h)) if opts.chunkDays > 0 && h - l > chunkMicros &&
+          // never exceed the parallelism cap with chunking alone
+          n.toLong * ((h - l + chunkMicros - 1) / chunkMicros) <= opts.maxPartitions =>
+        val bounds = l.until(h, chunkMicros) :+ h
+        bounds.init.zip(bounds.tail).map { case (a, b) => (Some(a), Some(b)) }
+      case _ => Seq((lo, hi))
+    }
+  }
+
+  /** Report per-location clustering so Spark drops the exchange under
+    * any (latitude, longitude)-clustered operator — the generic
+    * `groupBy(lat, lon)` complement to the [[graft.plans.DailyRollupPushdown]]
+    * aggregate pushdown: grouped weather analytics over the connector
+    * then aggregate IN PLACE, zero shuffle (requires
+    * `spark.sql.sources.v2.bucketing.enabled`; gated by PartitioningSpec
+    * on the final adaptive plan). Date-chunked partitions of one
+    * location share a key — Spark's partition grouping merges them.
+    */
+  override def outputPartitioning(): Partitioning = keyedCoords match {
+    case Some(cs) => new KeyGroupedPartitioning(
+      Array(Expressions.identity("latitude"), Expressions.identity("longitude")),
+      cs.length)
+    case None => new UnknownPartitioning(0)
+  }
 
   // Runtime (DPP-style) coordinate pruning: a join against a small
   // location dimension hands the scan the dim side's key set at
@@ -520,22 +576,27 @@ class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
       }
     val n = blocks.length
     if (n == 0) return Array.empty
-    val chunkMicros = opts.chunkDays.toLong * 24L * 3600L * 1000000L
-    val chunks: Seq[(Option[Long], Option[Long])] = (lo, hi) match {
-      case (Some(l), Some(h)) if opts.chunkDays > 0 && h - l > chunkMicros &&
-          // never exceed the parallelism cap with chunking alone
-          n.toLong * ((h - l + chunkMicros - 1) / chunkMicros) <= opts.maxPartitions =>
-        val bounds = l.until(h, chunkMicros) :+ h
-        bounds.init.zip(bounds.tail).map { case (a, b) => (Some(a), Some(b)) }
-      case _ => Seq((lo, hi))
+    val chunks = chunkBounds(n)
+    keyedCoords match {
+      case Some(cs) =>
+        // keyed mode: one partition per (surviving block × chunk), each
+        // carrying its location as the partition key — chunked splits of
+        // one location share the key and regroup on the Spark side
+        (for {
+          b <- blocks.toSeq
+          (cLo, cHi) <- chunks
+        } yield KeyedOpenMeteoPartition(Array(b), cLo, cHi,
+          Array(cs(b)._1, cs(b)._2)): InputPartition).toArray
+      case None =>
+        val parts = math.min(math.max(n, 1),
+          math.max(opts.maxPartitions / chunks.size, 1))
+        (for {
+          p <- 0 until parts
+          (cLo, cHi) <- chunks
+        } yield OpenMeteoPartition((p until n by parts).map(blocks).toArray,
+          cLo, cHi): InputPartition)
+          .toArray
     }
-    val parts = math.min(math.max(n, 1), math.max(opts.maxPartitions / chunks.size, 1))
-    (for {
-      p <- 0 until parts
-      (cLo, cHi) <- chunks
-    } yield OpenMeteoPartition((p until n by parts).map(blocks).toArray,
-      cLo, cHi): InputPartition)
-      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -544,6 +605,20 @@ class OpenMeteoScan(opts: OpenMeteoOptions, schema: StructType,
 
 final case class OpenMeteoPartition(blockIndices: Array[Int],
     lo: Option[Long], hi: Option[Long]) extends InputPartition
+
+/** [[OpenMeteoPartition]] plus its coordinate key — the
+  * [[HasPartitionKey]] half of the keyed-planning contract (the other
+  * half is the scan's reported [[KeyGroupedPartitioning]]). Key layout
+  * must match the reported transforms element-for-element: (latitude,
+  * longitude) doubles for the row scan, the pushed group columns for
+  * the grouped aggregate scan.
+  */
+final case class KeyedOpenMeteoPartition(blockIndices: Array[Int],
+    lo: Option[Long], hi: Option[Long], key: Array[Double])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(key.map(Double.box).toIndexedSeq: _*)
+}
 
 class ApiCallsMetric extends CustomSumMetric {
   override def name(): String = "apiCalls"
@@ -558,11 +633,16 @@ class OpenMeteoReaderFactory(opts: OpenMeteoOptions, schema: StructType,
     lo: Option[Long], hi: Option[Long], limit: Option[Int] = None,
     topN: Option[TopNPush] = None)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[OpenMeteoPartition]
-    // chunk bounds (already intersected with the pushed range at planning)
-    new OpenMeteoReader(opts, schema, p.lo, p.hi, p.blockIndices, limit, topN)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      // chunk bounds already intersected with the pushed range at planning
+      case p: OpenMeteoPartition =>
+        new OpenMeteoReader(opts, schema, p.lo, p.hi, p.blockIndices, limit, topN)
+      case p: KeyedOpenMeteoPartition =>
+        new OpenMeteoReader(opts, schema, p.lo, p.hi, p.blockIndices, limit, topN)
+      case other => throw new IllegalArgumentException(
+        s"unexpected partition type: ${other.getClass}")
+    }
 }
 
 /** Executor-side reader: each block in the partition is one fetch (the

@@ -86,6 +86,35 @@ class PartitioningSpec extends AnyFunSuite {
       s"no layout pruning: z-ordered scanned $zScanned vs random $rScanned")
   }
 
+  test("connector reports per-location partitioning: groupBy(lat, lon) aggregates shuffle-free") {
+    // SupportsReportPartitioning + HasPartitionKey: the scan promises
+    // all rows of one location live in one partition, so the grouped
+    // aggregate needs no exchange (the generic complement to the
+    // DailyRollupPushdown aggregate pushdown). Exchange elision happens
+    // in EnsureRequirements — visible in the pre-AQE physical plan.
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = spark.read.format("openmeteo")
+        .option("path", s"${TestSpark.fixtures}/hourly_7d.json").load()
+        .groupBy("latitude", "longitude")
+        .agg(avg(col("temperature_2m")).as("t"), count(lit(1)).as("n"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"keyed scan should satisfy the grouped distribution in place:\n$p")
+      assert(df.count() > 0)
+      // pruning a key column must DISABLE the promise, not break it:
+      // without longitude in the output the identity transform can't
+      // resolve, so the scan reports unknown and the exchange returns
+      val pruned = spark.read.format("openmeteo")
+        .option("path", s"${TestSpark.fixtures}/hourly_7d.json").load()
+        .select("latitude", "temperature_2m")
+        .groupBy("latitude").agg(count(lit(1)).as("n"))
+      assert(pruned.queryExecution.executedPlan.toString.contains("Exchange"),
+        "lat-only grouping over a lat+lon-keyed scan must still shuffle")
+      assert(pruned.count() > 0)
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("AQE splits skewed join partitions at runtime") {
     import spark.implicits._
     // no manual repartition: AQE only rewrites ENSURE_REQUIREMENTS shuffles

@@ -378,8 +378,10 @@ class OpenMeteoSourceSpec extends AnyFunSuite {
       Some(IndexedSeq((50.08, 14.43), (49.19, 16.61))))
 
     def blockSet(scan: OpenMeteoScan): Set[Int] =
-      scan.planInputPartitions()
-        .flatMap(_.asInstanceOf[OpenMeteoPartition].blockIndices).toSet
+      scan.planInputPartitions().flatMap {
+        case p: OpenMeteoPartition => p.blockIndices
+        case p: KeyedOpenMeteoPartition => p.blockIndices
+      }.toSet
 
     val schema = OpenMeteoTable.wideSchema(opts)
     val s1 = new OpenMeteoScan(opts, schema, Array.empty, None, None)
