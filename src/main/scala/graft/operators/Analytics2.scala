@@ -947,6 +947,39 @@ object Analytics2 {
         .orderBy("node")
     },
 
+    // ---- exact-integer EWMA (decayed activity feature) ----
+    // Per-user exponentially-decayed value with halving decay over the
+    // last 16 events, kept EXACT: cents × 2^(15−age) summed as longs —
+    // halving weights are powers of two, so the "float EWMA" is really
+    // integer bit-shift arithmetic and the result hash-matches across
+    // engines (no pow, no summation-order sensitivity; the e21
+    // discipline windowed). Expressed as 16 anchored lag terms on ONE
+    // window spec — a single exchange + sort, no self-joins; ages
+    // beyond the series start contribute 0 (truncated-EWMA semantics).
+    "w17_ewma" -> QueryDef.sql({
+      val terms = (0 until 16).map(k =>
+        s"coalesce(lag(c, $k) OVER w, 0) * ${1L << (15 - k)}")
+        .mkString("\n        |    + ")
+      s"""WITH e AS (
+        |  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS c,
+        |         CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  ($terms) AS ewma_scaled
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin
+    }) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val c = round(col("value") * 100).cast("long")
+      val ewma = (0 until 16).map(k =>
+        coalesce(lag(c, k).over(w), lit(0L)) * lit(1L << (15 - k)))
+        .reduce(_ + _)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), ewma.as("ewma_scaled"))
+        .orderBy("event_id")
+    },
+
     // ---- week-over-week growth ----
     "w16_wow_growth" -> QueryDef.sql(
       """WITH wk AS (

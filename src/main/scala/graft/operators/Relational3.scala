@@ -280,6 +280,51 @@ object Relational3 {
         .orderBy("wp50")
     },
 
+    // ---- robust outlier detection: median absolute deviation ------------
+    // The MAD robust z-score is the curation-grade outlier rule (mean/
+    // stddev break under the very outliers being hunted; e5's rolling z
+    // is the non-robust cousin). Exact-integer discipline end-to-end:
+    // values → cents (exact longs), median + MAD via TWO
+    // histogram-refinement selections (a26's bounded-memory machinery —
+    // each pass a ≤4096-row hash agg, never a global sort), deviations
+    // and the 5×MAD cut compared as longs — every emitted number a
+    // BIGINT, hash-exact by construction. The oracle reads the same
+    // ⌊q·(n−1)⌋ sorted positions directly.
+    "a33_mad_outliers" -> QueryDef.sql(
+      """WITH c AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |s AS (SELECT c, row_number() OVER (ORDER BY c) AS rn,
+        |             count(*) OVER () AS n FROM c),
+        |m AS (SELECT max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+        |          THEN c END) AS med FROM s),
+        |d AS (SELECT abs(c - (SELECT med FROM m)) AS dv FROM c),
+        |s2 AS (SELECT dv, row_number() OVER (ORDER BY dv) AS rn,
+        |              count(*) OVER () AS n FROM d),
+        |m2 AS (SELECT max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+        |           THEN dv END) AS mad FROM s2)
+        |SELECT (SELECT med FROM m) AS med_cents,
+        |  (SELECT mad FROM m2) AS mad_cents,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c
+        |   WHERE abs(c - (SELECT med FROM m)) > 5 * (SELECT mad FROM m2)) AS n_outliers,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n
+        |ORDER BY med_cents""".stripMargin) { (s, d) =>
+      val cents = Tables.events(s, d)
+        .select(round(col("value") * 100).cast("long").as("c"))
+      val med = Scale.exactOrderStatistic(
+        cents.select(col("c").cast("double").as("v")), "v", 0.5,
+        tailLimit = 1024).toLong
+      val mad = Scale.exactOrderStatistic(
+        cents.select(abs(col("c") - lit(med)).cast("double").as("v")), "v",
+        0.5, tailLimit = 1024).toLong
+      cents.agg(
+          sum(when(abs(col("c") - lit(med)) > lit(5L) * lit(mad), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .select(lit(med).as("med_cents"), lit(mad).as("mad_cents"),
+          col("n_outliers"), col("n"))
+        .orderBy("med_cents")
+    },
+
     // ---- approximate count-distinct (HLL++): rows-only check ------------
     // (approx result is engine-specific; the ScalaTest asserts the ±5%
     // error bound against the exact count instead)

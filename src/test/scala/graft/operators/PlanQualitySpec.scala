@@ -103,6 +103,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"candidate generation should be a hash/merge join:\n$p")
   }
 
+  test("w17 EWMA: all 16 lag terms share one Window operator") {
+    val p = plan("w17_ewma")
+    val windows = p.sliding("Window [".length).count(_ == "Window [")
+    assert(windows == 1,
+      s"expected the 16 anchored lags to collapse into ONE window:\n$p")
+  }
+
   test("d16 cross-corpus near-dup: candidates form on the prefix token, never L×R") {
     val df = SparkEntry.queries("d16_cross_neardup")(spark, d)
     df.write.mode("overwrite").format("noop").save()
