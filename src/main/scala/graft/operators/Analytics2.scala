@@ -947,6 +947,56 @@ object Analytics2 {
         .orderBy("node")
     },
 
+    // ---- hop-bounded weighted shortest paths ----
+    // Bellman-Ford distances from the smallest node of the support-2
+    // co-purchase graph, edge weight 11 − min(support, 10) (strong
+    // co-purchase = cheap hop — the recommendation-distance metric).
+    // Spark runs 6 synchronous relaxation rounds (Graph.ssspRounds);
+    // the oracle unrolls the SAME 6 rounds as MATERIALIZED CTEs (the
+    // g4 lesson: an inlined chain re-evaluates e0 exponentially).
+    // Exact long arithmetic end-to-end — equality is bit-trivial.
+    "g9_weighted_sssp" -> QueryDef.sql({
+      val chain = (1 to 6).map(i =>
+        s"d$i AS MATERIALIZED (\n" +
+        s"        |  SELECT node, min(dist) AS dist FROM (\n" +
+        s"        |    SELECT node, dist FROM d${i - 1}\n" +
+        s"        |    UNION ALL\n" +
+        s"        |    SELECT e.dst, d.dist + e.w\n" +
+        s"        |    FROM d${i - 1} d JOIN es e ON e.src = d.node) u\n" +
+        s"        |  GROUP BY node)").mkString(",\n        |")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ew AS MATERIALIZED (
+        |  SELECT a, b, CAST(11 - least(supp, 10) AS BIGINT) AS w FROM (
+        |    SELECT o1.l_partkey AS a, o2.l_partkey AS b, count(*) AS supp
+        |    FROM op o1 JOIN op o2
+        |      ON o1.l_orderkey = o2.l_orderkey AND o1.l_partkey < o2.l_partkey
+        |    GROUP BY 1, 2 HAVING count(*) >= 2) s0),
+        |es AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst, w FROM ew
+        |  UNION ALL SELECT b, a, w FROM ew),
+        |seed AS (SELECT min(src) AS s FROM es),
+        |d0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM seed),
+        |$chain
+        |SELECT node, CAST(dist AS BIGINT) AS dist FROM d6
+        |ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      val ew = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
+            struct(x.as("src"), y.as("dst")))))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("supp"))
+        .filter(col("supp") >= 2)
+        .select(col("src"), col("dst"),
+          (lit(11L) - least(col("supp"), lit(10L))).as("w"))
+      val seed = ew.agg(least(min(col("src")), min(col("dst")))).head.getLong(0)
+      Graph.ssspRounds(ew, seed, rounds = 6)
+        .select(col("node"), col("dist").cast("long").as("dist"))
+        .orderBy("node")
+    },
+
     // ---- exact-integer EWMA (decayed activity feature) ----
     // Per-user exponentially-decayed value with halving decay over the
     // last 16 events, kept EXACT: cents × 2^(15−age) summed as longs —

@@ -216,6 +216,47 @@ object Graph {
     visited
   }
 
+  /** Hop-bounded weighted shortest paths (synchronous Bellman-Ford):
+    * `rounds` relaxation rounds from `source` over undirected weighted
+    * edges (src, dst, w) — after round k every node holds the exact
+    * minimum-weight distance over paths of ≤ k edges, the well-defined
+    * finite semantics for cyclic graphs (full SSSP = run to fixpoint;
+    * the round-bounded form is what an oracle can unroll). Each round
+    * is ONE equi join (dist ⋈ edges) + ONE min agg keyed by node —
+    * shuffle volume is O(m) per round with 16-byte rows, the d7/g7
+    * checkpoint-per-round discipline bounds lineage, and negative
+    * weights are rejected up front (min-relaxation is only monotone
+    * without them). Production frontier pruning (relax only improved
+    * nodes) drops per-round work to the changed set; the full relax
+    * here keeps the probe byte-identical to the unrolled oracle.
+    */
+  def ssspRounds(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be at least 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("w").cast("long").as("w")))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .localCheckpoint()
+    require(e.filter(col("w") < 0).isEmpty, "negative edge weights")
+    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val relaxed = e
+        .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val prev = dist
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      Dedup.release(prev)
+      r += 1
+    }
+    Dedup.release(e)
+    dist
+  }
+
   /** Materialize an edge list as a BUCKETED parquet table (external
     * path, in-memory catalog): repeated graph analytics (triangles,
     * k-core, link prediction, PageRank all re-derive edges from the

@@ -120,6 +120,22 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kCore(path, k = 2, maxRounds = 8).count() === 0L)
   }
 
+  test("ssspRounds: cheaper long path overtakes the direct edge as rounds grow") {
+    // 1-3 direct w=100; 1-2-3 costs 20 (2 hops); 1-4-5-3 costs 3 (3 hops)
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 100L),
+      (1L, 4L, 1L), (4L, 5L, 1L), (5L, 3L, 1L)).toDF("src", "dst", "w")
+    def distTo3(rounds: Int): Long =
+      Graph.ssspRounds(e, 1L, rounds).filter($"node" === 3L)
+        .head.getLong(1)
+    assert(distTo3(1) === 100L, "one round sees only the direct edge")
+    assert(distTo3(2) === 20L, "two rounds find the 2-hop path")
+    assert(distTo3(3) === 3L, "three rounds find the cheapest path")
+    assert(distTo3(6) === 3L, "extra rounds past the fixpoint are identity")
+    // undirected: the source is reachable back at twice the min edge
+    assert(Graph.ssspRounds(e, 3L, 6).filter($"node" === 1L)
+      .head.getLong(1) === 3L)
+  }
+
   test("labelPropagation: majority wins, ties go low, isolated keep their label") {
     // star: center 1 (label 9) with leaves 2,3,4 labeled 5,5,7 → center
     // adopts 5 in round 1; leaves all adopt the center's CURRENT label 9
