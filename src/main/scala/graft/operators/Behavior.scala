@@ -432,6 +432,77 @@ object Behavior {
         .orderBy("node")
     },
 
+    // Kaplan-Meier churn survival: per-user lifetime in days (first→last
+    // activity), churned iff inactive ≥ 14 days before the corpus max ts
+    // (else right-censored — the e11 censoring discipline). Per distinct
+    // lifetime day t: at-risk n(t) = users with lifetime ≥ t, events
+    // d(t) = churners AT t; hazard d/n is an identical-operand quotient
+    // (bit-exact unrounded), survival Π(1 − d/n) is computed as
+    // exp(Σ ln(1 − d/n)) over the SAME deterministic t-order in both
+    // engines and rounded 6 d.p. (the t33/t34 ln recipe — absorbs libm
+    // ulp drift). The ordered window runs over the DISTINCT-day table —
+    // bounded by the observation span, never data-sized, so the
+    // single-partition window is safe at any corpus scale.
+    "e26_survival_curve" -> QueryDef.sql(
+      """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events),
+        |life AS (
+        |  SELECT user_id,
+        |    date_diff('day', CAST(min(CAST(ts AS TIMESTAMP)) AS DATE),
+        |              CAST(max(CAST(ts AS TIMESTAMP)) AS DATE)) AS t,
+        |    CASE WHEN max(CAST(ts AS TIMESTAMP)) <
+        |              (SELECT m FROM mx) - INTERVAL 14 DAY
+        |         THEN 1 ELSE 0 END AS churned
+        |  FROM events GROUP BY user_id),
+        |tot AS (SELECT count(*) AS n FROM life),
+        |byt AS (
+        |  SELECT t, count(*) AS ending, sum(churned) AS churned
+        |  FROM life GROUP BY t),
+        |curve AS (
+        |  SELECT t, ending, churned,
+        |    (SELECT n FROM tot)
+        |      - sum(ending) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      + ending AS n_at_risk
+        |  FROM byt)
+        |SELECT CAST(t AS BIGINT) AS t,
+        |  CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |  CAST(churned AS BIGINT) AS churned,
+        |  CAST(churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard,
+        |  round(exp(sum(ln(greatest(1e-300,
+        |          1.0 - CAST(churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE))))
+        |    OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) AS survival
+        |FROM curve
+        |ORDER BY t""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+      val mx = broadcast(e.agg(max(col("ts")).as("m")))
+      val life = e.groupBy("user_id")
+        .agg(min(col("ts")).as("first"), max(col("ts")).as("last"))
+        .join(mx)
+        .select(
+          datediff(col("last").cast("date"), col("first").cast("date")).as("t"),
+          (col("last") < col("m") - expr("INTERVAL 14 DAYS"))
+            .cast("int").as("churned"))
+      val tot = broadcast(life.agg(count(lit(1)).as("n")))
+      val byt = life.groupBy("t")
+        .agg(count(lit(1)).as("ending"), sum("churned").as("churned"))
+      val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+      val hazard = col("churned").cast("double") / col("n_at_risk").cast("double")
+      byt.join(tot)
+        .withColumn("n_at_risk",
+          col("n") - sum("ending").over(w) + col("ending"))
+        .select(col("t").cast("long").as("t"),
+          col("n_at_risk").cast("long").as("n_at_risk"),
+          col("churned").cast("long").as("churned"),
+          hazard.as("hazard"),
+          // greatest floors a hazard of exactly 1 (all remaining at-risk
+          // churn at t): Spark ln(0) is NULL where DuckDB gives -inf —
+          // the floor makes both engines carry a finite log whose exp
+          // rounds to 0.0 identically
+          round(exp(sum(log(greatest(lit(1e-300), lit(1.0) - hazard)))
+            .over(w)), 6).as("survival"))
+        .orderBy("t")
+    },
+
     "e2_retention" -> QueryDef.sql(
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |f AS (SELECT user_id, min(ts) AS t0 FROM e GROUP BY user_id)

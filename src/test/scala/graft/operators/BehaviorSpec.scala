@@ -10,6 +10,24 @@ class BehaviorSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("e26 survival curve: KM invariants hold on the sf corpus") {
+    val rows = graft.SparkEntry.queries("e26_survival_curve")(
+      spark, graft.TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    // at-risk counts strictly decrease, hazards sit in [0, 1], survival
+    // is non-increasing and starts from ≤ 1
+    val atRisk = rows.map(_.getLong(1))
+    assert(atRisk.zip(atRisk.tail).forall { case (a, b) => b < a })
+    assert(rows.forall { r =>
+      val h = r.getDouble(3); h >= 0.0 && h <= 1.0 })
+    val surv = rows.map(_.getDouble(4))
+    assert(surv.head <= 1.0 + 1e-9)
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-9 })
+    // censoring exists: the user anchoring the corpus max ts never churns
+    assert(rows.map(r => r.getLong(2)).sum < atRisk.head,
+      "every user churned — censoring rule broken")
+  }
+
   test("funnel requires strict step ordering per user") {
     val events = Seq(
       // user 1 completes view → click → purchase in order
