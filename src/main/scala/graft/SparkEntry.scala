@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Relational5.defs ++ operators.Interval.defs ++
       PipelineQueries.defs ++ operators.CorpusQueries.defs ++
       operators.Analytics.defs ++ operators.Analytics2.defs ++
+      operators.Analytics3.defs ++
       operators.Behavior.defs ++ operators.Incremental.defs ++
       WeatherQueries.defs ++ operators.Multimodal.defs ++
       streaming.StreamingQueries.defs

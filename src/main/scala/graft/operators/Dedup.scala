@@ -515,6 +515,51 @@ object Dedup {
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 
+  /** Per-document contamination FRACTION against a benchmark/eval set:
+    * |distinct n-gram shingles of doc ∩ eval shingles| over
+    * |distinct n-gram shingles of doc| — the graded form of
+    * [[decontaminate]]'s boolean flag, the statistic n-gram-overlap
+    * decontamination studies threshold on (e.g. "drop if >X% of
+    * 8-grams appear in the benchmark").
+    *
+    * Same two-phase shape as [[decontaminate]]: phase 1 narrows to
+    * candidate docs via the 8-byte hashed-shingle broadcast semi join
+    * (collisions only ADD candidates), and shingle STRINGS materialize
+    * only for candidates + the eval set, where the exact semi join
+    * COUNTS per-doc matches. Non-candidates score 0 without ever
+    * exploding their shingles — at corpus scale the expensive exact leg
+    * touches only the (rare) overlapping docs. The denominator is a
+    * scan-local in-row count (no shuffle). The emitted fraction is one
+    * IEEE division of exact BIGINT operands — bit-identical
+    * cross-engine, no rounding needed.
+    */
+  def contaminationScore(corpus: DataFrame, evalDocs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashes = Sketches.shingleHashArray(
+      TextFunctions.words(col(textCol)), n)
+    val evalHashes = evalDocs.select(explode(hashes).as("h")).distinct()
+    val candIds = corpus.select(col(idCol), explode(hashes).as("h"))
+      .join(broadcast(evalHashes), Seq("h"), "left_semi")
+      .select(idCol).distinct()
+    val evalSh = evalDocs.select(explode(array_distinct(
+      TextFunctions.wordShingles(col(textCol), n))).as("g")).distinct()
+    val hits = corpus.join(candIds, idCol)
+      .select(col(idCol), explode(array_distinct(
+        TextFunctions.wordShingles(col(textCol), n))).as("g"))
+      .join(evalSh, Seq("g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    corpus
+      .select(col(idCol), size(array_distinct(
+        TextFunctions.wordShingles(col(textCol), n))).cast("long")
+        .as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_shingles") === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double")).as("contamination"))
+  }
+
   /** [[decontaminate]] with the phase-1 candidate filter compressed into
     * a Bloom filter — the 100 TB form of the hygiene pass. The broadcast
     * hash-set semi join ships every distinct eval shingle hash (8 B each

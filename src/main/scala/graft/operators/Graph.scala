@@ -129,6 +129,80 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs and authorities (Kleinberg, JACM 1999) by `iterations`
+    * rounds of the coupled power iteration over weighted directed edges
+    * (src, dst, weight), with SUM (L1) normalization each half-step —
+    * the normalization common library practice uses (any positive
+    * rescaling preserves HITS's fixed-point direction; L1 keeps the
+    * recurrence division-only, no sqrt, so the cross-engine float
+    * contract below holds).
+    *
+    * a₀ = h₀ = 1/N; per round:
+    *   a'(v) = Σ_{u→v} w·h(u),  a = a' / Σ_v a'(v)
+    *   h'(u) = Σ_{u→v} w·a(v),  h = h' / Σ_u h'(u)
+    *
+    * Determinism: each per-node weighted sum AND each normalization
+    * total is rounded to `syncDecimals` before the quotient, so
+    * summation-order ulps re-synchronize every half-step and the
+    * quotient is a fixed IEEE division of identical operands on every
+    * engine (the g1 per-round rounding contract). Nodes with no
+    * in-edges hold authority 0, no out-edges hub 0 (coalesce) — mass
+    * concentrates on the connected structure, as HITS defines.
+    *
+    * Scale: each half-step is one equi join (scores ⋈ edges) + one hash
+    * agg on the opposite endpoint + one broadcast total — O(m) shuffle
+    * rows per round, partitioning reused across rounds; the d7/g1
+    * checkpoint-per-round discipline bounds lineage growth.
+    */
+  def hits(edges: DataFrame, iterations: Int = 3,
+      syncDecimals: Int = 12): DataFrame = {
+    require(iterations >= 1, "iterations must be at least 1")
+    val e = edges.select(col("src"), col("dst"),
+        col("weight").cast("double").as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nDf = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
+    var hubs = nodes.join(nDf)
+      .select(col("node"), (lit(1.0) / col("n")).as("h"))
+      .localCheckpoint()
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      // authority half-step: pull hub mass along in-edges
+      val aRaw = nodes.join(
+          e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+            .groupBy(col("dst").as("node"))
+            .agg(round(sum(col("w") * col("h")), syncDecimals).as("ar")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("ar"), lit(0.0)).as("ar"))
+      val aTot = broadcast(
+        aRaw.agg(round(sum(col("ar")), syncDecimals).as("at")))
+      val nextA = aRaw.join(aTot)
+        .select(col("node"),
+          round(col("ar") / col("at"), syncDecimals).as("a"))
+        .localCheckpoint()
+      if (auths != null) Dedup.release(auths)
+      auths = nextA
+      // hub half-step: pull the fresh authority mass along out-edges
+      val hRaw = nodes.join(
+          e.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+            .groupBy(col("src").as("node"))
+            .agg(round(sum(col("w") * col("a")), syncDecimals).as("hr")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("hr"), lit(0.0)).as("hr"))
+      val hTot = broadcast(
+        hRaw.agg(round(sum(col("hr")), syncDecimals).as("ht")))
+      val nextH = hRaw.join(hTot)
+        .select(col("node"),
+          round(col("hr") / col("ht"), syncDecimals).as("h"))
+        .localCheckpoint()
+      Dedup.release(hubs)
+      hubs = nextH
+    }
+    auths.join(hubs, Seq("node"))
+      .select(col("node"), col("a").as("auth"), col("h").as("hub"))
+  }
+
   /** Newman modularity per community: for a label assignment over the
     * undirected edge list, each community c contributes
     * Q_c = m_c/m − (d_c/2m)², where m_c counts intra-community edges,

@@ -173,4 +173,54 @@ class GraphSpec extends AnyFunSuite {
     val uncapped = Graph.linkPrediction(hub, maxDegree = 64, topK = 100)
     assert(uncapped.filter(col("a") === 5L || col("b") === 5L).count() > 0)
   }
+
+  /** Driver-side HITS reference: the identical L1-normalized coupled
+    * recurrence with 12-d.p. HALF_UP rounding at every half-step. */
+  private def refHits(edges: Seq[(String, String, Double)], iterations: Int)
+      : Map[String, (Double, Double)] = {
+    def rnd(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var h = nodes.map(_ -> 1.0 / nodes.size).toMap
+    var a = Map.empty[String, Double]
+    for (_ <- 1 to iterations) {
+      val ar = nodes.map { v =>
+        v -> rnd(edges.filter(_._2 == v).map { case (s, _, w) => w * h(s) }
+          .foldLeft(0.0)(_ + _))
+      }.toMap
+      val at = rnd(ar.values.sum)
+      a = nodes.map(v => v -> rnd(ar(v) / at)).toMap
+      val hr = nodes.map { v =>
+        v -> rnd(edges.filter(_._1 == v).map { case (_, d, w) => w * a(d) }
+          .foldLeft(0.0)(_ + _))
+      }.toMap
+      val ht = rnd(hr.values.sum)
+      h = nodes.map(v => v -> rnd(hr(v) / ht)).toMap
+    }
+    nodes.map(v => v -> (a(v), h(v))).toMap
+  }
+
+  test("hits matches the reference recurrence; mass normalizes; pure-source has auth 0") {
+    val edges = Seq(
+      ("a", "x", 2.0), ("b", "x", 1.0), ("c", "x", 1.0),
+      ("a", "y", 1.0), ("x", "y", 1.0))
+      .toDF("src", "dst", "weight")
+    val out = Graph.hits(edges, iterations = 4).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val ref = refHits(Seq(("a", "x", 2.0), ("b", "x", 1.0), ("c", "x", 1.0),
+      ("a", "y", 1.0), ("x", "y", 1.0)), 4)
+    assert(out.keySet === ref.keySet)
+    out.foreach { case (n, (av, hv)) =>
+      assert(math.abs(av - ref(n)._1) < 1e-9, s"auth $n: $av vs ${ref(n)._1}")
+      assert(math.abs(hv - ref(n)._2) < 1e-9, s"hub $n: $hv vs ${ref(n)._2}")
+    }
+    // each score vector is L1-normalized
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-6)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-6)
+    // x receives every hub's endorsement → top authority; b and c have
+    // no in-edges → authority exactly 0; y never links out → hub 0
+    assert(out.maxBy(_._2._1)._1 === "x")
+    assert(out("b")._1 === 0.0 && out("c")._1 === 0.0)
+    assert(out("y")._2 === 0.0)
+  }
 }
