@@ -867,6 +867,17 @@ object PipelineQueries {
       Similarity.topKCosineIVF(emb, queryId = 0L, k = 20, centroids, nProbe = 4)
     },
 
+    // product quantization (the memory-bound billion-scale ANN form):
+    // ADC code scan + exact cosine rerank over L2-normalized vectors.
+    // No SQL twin (codebooks are trained); the SimilarityAsOfSpec gate
+    // pins the candidate-coverage identity (measured hits = exact ∩
+    // ADC candidates) and the rerank*k ≥ N exact-scan degeneracy.
+    "s19_pq_topk" -> QueryDef.noOracle { (s, d) =>
+      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
+      val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+      Similarity.pqTopK(emb, queryId = 0L, k = 20, books, rerank = 4)
+    },
+
     // compressed-index search: int8-quantized vectors (4× smaller),
     // reconstructed on the fly for the cosine ranking. Quantize →
     // dequantize → cosine is exact arithmetic, so DuckDB mirrors it.

@@ -543,4 +543,113 @@ object Similarity {
       .select(col(idCol), posexplode(projArr).as(Seq("__j0", "proj")))
       .select(col(idCol), (col("__j0") + 1).cast("long").as("j"), col("proj"))
   }
+
+  /** The embedding column L2-normalized (zero vectors pass through
+    * unchanged). Normalize BEFORE [[pqCodebooks]]/[[pqEncode]] when the
+    * retrieval metric is cosine: on unit vectors L2² = 2 − 2·cos, so
+    * PQ's L2 machinery ranks identically to cosine and the exact rerank
+    * can stay in cosine without mixing metrics.
+    */
+  def l2Normalized(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame =
+    embeddings.withColumn(vecCol, {
+      val v = asDouble(col(vecCol))
+      val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+      transform(v, x => when(n === 0.0, x).otherwise(x / n))
+    })
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
+    * 2011): the vector splits into `m` contiguous sub-blocks and each
+    * block gets its own `ksub`-centroid KMeans codebook, so a vector
+    * compresses to m small codes (m bytes at ksub ≤ 256) — the
+    * billion-scale memory form of ANN (IVF-PQ is faiss's default at
+    * that regime; 64 float dims → 8 bytes is 32×).
+    *
+    * Training cost is corpus-independent: ONE bounded [[ivfFitSample]]
+    * (ksub × pointsPerCentroid rows), localCheckpointed so the m
+    * per-block fits re-read the materialized sample instead of
+    * re-scanning the corpus m times. Returned driver-side
+    * (m × ksub × dsub doubles — KBs) to re-enter plans as literals,
+    * the ivfCentroids discipline.
+    */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+      seed: Long = 42L, pointsPerCentroid: Int = 256,
+      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(m >= 1 && ksub >= 2, "need m >= 1 sub-blocks and ksub >= 2")
+    val dim = embeddings.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-blocks")
+    val dsub = dim / m
+    val sample = ivfFitSample(embeddings, ksub, pointsPerCentroid, seed)
+      .select(asDouble(col(vecCol)).as("v")).localCheckpoint()
+    try {
+      (0 until m).map { j =>
+        val feats = sample.select(
+          array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("features"))
+        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10)
+          .fit(feats).clusterCenters.map(_.toArray)
+      }.toArray
+    } finally Dedup.release(sample)
+  }
+
+  /** Rows plus their PQ code (`pq_code`, array<int> of length m): per
+    * block, the [[nearestCentroid]] argmin over that block's codebook —
+    * all in-row, no UDF, no shuffle; the expression tree is linear in
+    * m × ksub. At scale this is the write-side of the index: persist
+    * (id, pq_code) — m bytes a row — and drop the raw vectors from the
+    * search path.
+    */
+  def pqEncode(embeddings: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      vecCol: String = "embedding"): DataFrame = {
+    val dsub = codebooks(0)(0).length
+    val codes = codebooks.toIndexedSeq.zipWithIndex.map { case (book, j) =>
+      nearestCentroid(slice(asDouble(col(vecCol)), j * dsub + 1, dsub), book)
+    }
+    embeddings.withColumn("pq_code", array(codes: _*))
+  }
+
+  /** PQ top-k with exact rerank: asymmetric-distance (ADC) scan over
+    * the codes — per row, m table lookups into the query's
+    * per-block distance tables (literals; never a join) summed in-row —
+    * keeps the `rerank × k` best candidates via TakeOrdered, then ranks
+    * ONLY those by exact cosine. Scan cost is m lookups per row instead
+    * of dim multiplies, and at scale the scan reads the m-byte code
+    * column, not the vector column. `rerank × k ≥ N` degenerates to the
+    * exact scan (every row is a candidate and the rerank is exact) —
+    * the s4-style identity the golden gate pins. Pass [[l2Normalized]]
+    * inputs so ADC's L2 ordering matches the cosine rerank.
+    */
+  def pqTopK(embeddings: DataFrame, queryId: Long, k: Int,
+      codebooks: Array[Array[Array[Double]]], rerank: Int = 4): DataFrame = {
+    require(k >= 1 && rerank >= 1, "k and rerank must be at least 1")
+    val qRows = embeddings.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv")).limit(1).collect()
+    if (qRows.isEmpty)
+      return embeddings.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val qArr = qRows(0).getSeq[Double](0).toArray
+    val dsub = codebooks(0)(0).length
+    // per-block ADC lookup tables: distance from the query's j-th block
+    // to each centroid of book j, shipped as literal arrays
+    val luts = codebooks.toIndexedSeq.zipWithIndex.map { case (book, j) =>
+      val qBlock = qArr.slice(j * dsub, (j + 1) * dsub)
+      array(book.toIndexedSeq.map { c =>
+        lit(c.zip(qBlock).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }: _*)
+    }
+    val adist = luts.zipWithIndex.map { case (lut, j) =>
+      element_at(lut, element_at(col("pq_code"), j + 1) + 1)
+    }.reduce(_ + _)
+    val qLit = array(qArr.toIndexedSeq.map(lit(_)): _*)
+    pqEncode(embeddings, codebooks)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"), adist.as("adist"))
+      .orderBy(col("adist").asc, col("vec_id"))
+      .limit(rerank * k)
+      .select(col("vec_id"),
+        round(cosine(asDouble(col("embedding")), qLit), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -157,6 +157,101 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     assert(fullProbe === exactIds, "nProbe = nLists must reproduce the exact top-k")
   }
 
+  test("PQ: deterministic codes, finer codebooks cut ADC error, absent query is empty") {
+    val emb = Similarity.l2Normalized(Tables.embeddings(spark, TestSpark.sfDir))
+    val coarse = Similarity.pqCodebooks(emb, m = 8, ksub = 2)
+    val fine = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+
+    // codes are a pure function of (vector, codebooks)
+    val c1 = Similarity.pqEncode(emb, fine).select("vec_id", "pq_code")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val c2 = Similarity.pqEncode(emb.repartition(7), fine)
+      .select("vec_id", "pq_code")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1 === c2)
+
+    // mean |ADC − true L2²| to a fixed query shrinks as ksub grows
+    val vecs = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q = vecs(0L)
+    def adcError(books: Array[Array[Array[Double]]],
+        codes: Map[Long, Seq[Int]]): Double = {
+      val dsub = books(0)(0).length
+      val errs = vecs.collect { case (id, v) if id != 0L =>
+        val trueD = v.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum
+        val adc = books.zipWithIndex.map { case (book, j) =>
+          val c = book(codes(id)(j))
+          c.zip(q.slice(j * dsub, (j + 1) * dsub))
+            .map { case (x, y) => (x - y) * (x - y) }.sum
+        }.sum
+        math.abs(adc - trueD)
+      }
+      errs.sum / errs.size
+    }
+    val coarseCodes = Similarity.pqEncode(emb, coarse).select("vec_id", "pq_code")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val eCoarse = adcError(coarse, coarseCodes)
+    val eFine = adcError(fine, c1)
+    assert(eFine < eCoarse,
+      f"ksub=16 ADC error $eFine%.4f not below ksub=2's $eCoarse%.4f")
+
+    assert(Similarity.pqTopK(emb, queryId = -999L, k = 5, fine).count() === 0L)
+  }
+
+  test("s19 gate: PQ hits = exact ∩ ADC candidates; full rerank is the exact scan (sf0.1)") {
+    // The s3/s4 identity argument, PQ form: the rerank leg is exact
+    // cosine over the ADC candidate set, and a true top-k member among
+    // the candidates is outranked by at most k−1 vectors anywhere — so
+    // measured recall EQUALS candidate coverage of the exact top-k. The
+    // candidate set is recomputed here DRIVER-SIDE from the codes and
+    // lookup tables, so the identity also cross-checks the in-row ADC
+    // expression against an independent implementation.
+    val emb = Similarity.l2Normalized(
+      Tables.embeddings(spark, "/root/testdata/sf0.1"))
+    val k = 20
+    val rerank = 4
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+    val dsub = books(0)(0).length
+    val codes = Similarity.pqEncode(emb, books).select("vec_id", "pq_code")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val n = codes.size
+    var predictedHits = 0
+    var measuredHits = 0
+    Seq(0L, 400L, 800L, 1200L, 1600L).foreach { qid =>
+      val qArr = emb.filter(col("vec_id") === qid)
+        .select(Similarity.asDouble(col("embedding"))).collect()(0)
+        .getSeq[Double](0).toArray
+      // driver-side ADC with the same literal tables and sum order
+      val luts = books.zipWithIndex.map { case (book, j) =>
+        val qb = qArr.slice(j * dsub, (j + 1) * dsub)
+        book.map(c => c.zip(qb).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }
+      val cands = codes.iterator.collect { case (id, code) if id != qid =>
+        id -> luts.zipWithIndex
+          .map { case (lut, j) => lut(code(j)) }.reduce(_ + _)
+      }.toSeq.sortBy { case (id, d) => (d, id) }.take(rerank * k)
+        .map(_._1).toSet
+      val exact = Similarity.topKCosine(emb, qid, k).collect().map(_.getLong(0))
+      val pq = Similarity.pqTopK(emb, qid, k, books, rerank)
+        .collect().map(_.getLong(0)).toSet
+      predictedHits += exact.count(cands)
+      measuredHits += exact.count(pq)
+    }
+    assert(measuredHits === predictedHits,
+      s"PQ measured hits $measuredHits != ADC candidate coverage $predictedHits")
+    val recall = measuredHits.toDouble / (5 * k)
+    // the same usable-share floor as the s3/s4 gates — this corpus is
+    // near-uniform (the hard case for ANN); measured ≈ 0.41 here
+    assert(recall >= 0.3, s"PQ rerank=4 recall $recall degenerate for m=8/ksub=16")
+
+    // rerank*k covering the corpus degenerates to the exact scan
+    val exactIds = Similarity.topKCosine(emb, 0L, k).collect()
+      .map(_.getLong(0)).toSeq
+    val full = Similarity.pqTopK(emb, 0L, k, books,
+        rerank = n / k + 1).collect().map(_.getLong(0)).toSeq
+    assert(full === exactIds, "rerank*k >= N must reproduce the exact top-k")
+  }
+
   test("int8 quantization: bounded reconstruction error, cosine preserved") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(200)
     val dq = Similarity.dequantizeInt8(Similarity.quantizeInt8(emb))
