@@ -57,6 +57,104 @@ object Analytics3 {
           .as("cusum_rel"))
   }
 
+  /** Theil-Sen robust trend per event type (Theil 1950 / Sen 1968): the
+    * median of all pairwise slopes between daily volumes — immune to the
+    * outlier days that wreck an OLS fit (a23's complement for dirty
+    * telemetry). Runs on the (type, day) GRID, so the pair self-join is
+    * observation-span-bounded (days² per type), never event-sized; the
+    * only event-sized pass is the daily groupBy. Slopes are single IEEE
+    * divisions of exact integer deltas (Δcount/Δdays) — bit-identical
+    * cross-engine — and the median is the DISCRETE lower-median order
+    * statistic (rank ⌊(n+1)/2⌋ under the total (slope, d1, d2) order),
+    * never an interpolated average (the a14 trap).
+    */
+  def theilSenDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          .as("di"),
+        col("cnt"))
+    val a = daily.select(col("event_type"), col("di").as("d1"),
+      col("cnt").as("c1"))
+    val b = daily.select(col("event_type"), col("di").as("d2"),
+      col("cnt").as("c2"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        ((col("c2") - col("c1")).cast("double") /
+          (col("d2") - col("d1")).cast("double")).as("slope"),
+        col("d1"), col("d2"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"), col("d1"), col("d2"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === floor((col("np") + 1) / lit(2)))
+      .select(col("event_type"), col("np").cast("long").as("n_pairs"),
+        col("slope"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov drift statistic, each source vs the
+    * rest of the corpus, over the doc-length distribution: D_s =
+    * sup_t |ECDF_s(t) − ECDF_rest(t)| — the distribution-shape
+    * complement to t34's KL-over-buckets (KS needs no binning choice
+    * and catches shifts KL's coarse buckets blur). The sup is exact:
+    * both ECDFs are step functions, so it is attained on the pooled
+    * distinct-value grid. Everything rides that (source × distinct
+    * value) grid — value-cardinality-bounded, never doc-sized — and the
+    * per-source cumulative windows are distinct-value-length. Each ECDF
+    * is an exact-BIGINT quotient and the max runs over identically-
+    * computed doubles: no rounding needed (identical operands, identical
+    * single division, cross-engine).
+    */
+  def ksSourceDrift(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val valTot = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("ct"))
+    val srcTot = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val nAll = broadcast(docs.agg(count(lit(1)).as("n")))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    broadcast(srcTot).crossJoin(valTot)
+      .join(counts, Seq("source", "n_chars"), "left")
+      .withColumn("cs", sum(coalesce(col("c"), lit(0L))).over(w))
+      .withColumn("ca", sum(col("ct")).over(w))
+      .join(nAll)
+      .withColumn("diff", abs(
+        col("cs").cast("double") / col("ns").cast("double") -
+          (col("ca") - col("cs")).cast("double") /
+            (col("n") - col("ns")).cast("double")))
+      .groupBy(col("source"), col("ns"))
+      .agg(max(col("diff")).as("d_stat"))
+      .select(col("source"), col("ns").cast("long").as("n_docs"),
+        col("d_stat"))
+  }
+
+  /** Gini coefficient of per-user event volume — the engagement-
+    * inequality scalar (0 = uniform, →1 = one user generates
+    * everything; the source-balance / power-user diagnostic). Uses the
+    * prefix-sum identity Σᵢ i·xᵢ = (n+1)·T − Σᵢ cumᵢ so the only
+    * ordered pass is ONE [[Scale.groupRunningSum]] (the two-phase
+    * distributed prefix sum — no single-task global window), and
+    * G = ((n+1)·T − 2·Σ cum) / (n·T) comes out as one IEEE division of
+    * exact BIGINTs. Ties in x rank arbitrarily by user_id — Gini is
+    * invariant to the order within a tie. Overflow envelope: (n+1)·T
+    * must stay under 2^63 (n·T < 9·10¹⁸ — 10⁶ users × 10¹² events);
+    * beyond that, lift the three scalars to decimal(38,0).
+    */
+  def giniEngagement(events: DataFrame): DataFrame = {
+    val per = events.groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      .withColumn("__g", lit(1))
+    Scale.groupRunningSum(per, "__g", orderCol = "x", idCol = "user_id",
+        weightCol = "x", outCol = "cum")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("t"),
+        sum(col("cum")).as("s"))
+      .select(col("n").cast("long").as("n_users"),
+        col("t").cast("long").as("total_events"),
+        (((col("n") + 1) * col("t") - lit(2L) * col("s")).cast("double") /
+          (col("n") * col("t")).cast("double")).as("gini"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // HITS hubs/authorities over the event-transition graph — the same
@@ -157,6 +255,73 @@ object Analytics3 {
         |FROM r
         |ORDER BY event_type, day""".stripMargin) { (s, d) =>
       cusumDaily(Tables.events(s, d)).orderBy("event_type", "day")
+    },
+
+    // robust daily-volume trend per event type — pairwise-slope lower
+    // median on the (type, day) grid (theilSenDaily).
+    "e28_theilsen_trend" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS di, cnt
+        |  FROM d),
+        |p AS (
+        |  SELECT a.event_type,
+        |    CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.di - a.di AS DOUBLE) AS slope,
+        |    a.di AS d1, b.di AS d2
+        |  FROM dd a JOIN dd b
+        |    ON a.event_type = b.event_type AND a.di < b.di),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY slope, d1, d2) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS np
+        |  FROM p)
+        |SELECT event_type, CAST(np AS BIGINT) AS n_pairs, slope FROM r
+        |WHERE rn = (np + 1) // 2
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      theilSenDaily(Tables.events(s, d)).orderBy("event_type")
+    },
+
+    // per-source distribution drift: exact two-sample KS statistic of
+    // each source's doc-length ECDF against the rest (ksSourceDrift).
+    "a34_ks_drift" -> QueryDef.sql(
+      """WITH counts AS (
+        |  SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+        |vt AS (SELECT n_chars, count(*) AS ct FROM documents GROUP BY 1),
+        |st AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |grid AS (SELECT s.source, s.ns, v.n_chars, v.ct
+        |         FROM st s CROSS JOIN vt v),
+        |cum AS (
+        |  SELECT g.source, g.ns, g.n_chars,
+        |    sum(coalesce(c.c, 0)) OVER w AS cs,
+        |    sum(g.ct) OVER w AS ca
+        |  FROM grid g LEFT JOIN counts c
+        |    ON c.source = g.source AND c.n_chars = g.n_chars
+        |  WINDOW w AS (PARTITION BY g.source ORDER BY g.n_chars))
+        |SELECT source, CAST(ns AS BIGINT) AS n_docs,
+        |  max(abs(CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)
+        |      - CAST(ca - cs AS DOUBLE) / CAST(n - ns AS DOUBLE))) AS d_stat
+        |FROM cum, nn GROUP BY source, ns
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      ksSourceDrift(Tables.documents(s, d)).orderBy("source")
+    },
+
+    // engagement-inequality Gini over per-user event volume via the
+    // prefix-sum identity (giniEngagement — one distributed prefix sum).
+    "a35_gini_engagement" -> QueryDef.sql(
+      """WITH per AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        |c AS (SELECT x, sum(x) OVER (ORDER BY x, user_id) AS cum FROM per),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t,
+        |        CAST(sum(cum) AS BIGINT) AS s FROM c)
+        |SELECT n AS n_users, t AS total_events,
+        |  CAST((n + 1) * t - 2 * s AS DOUBLE) / CAST(n * t AS DOUBLE) AS gini
+        |FROM a""".stripMargin) { (s, d) =>
+      giniEngagement(Tables.events(s, d))
     },
 
     // graded contamination: fraction of each corpus doc's distinct
