@@ -142,7 +142,81 @@ object Multimodal {
           lit(0.0f), (acc, x) => acc + x) / k))
   }
 
+  /** Perceptual hash over the codec seam's pooled features: bit j set
+    * iff histogram bin j exceeds the uniform level (the sign-of-
+    * deviation construction every pHash variant shares; on a real
+    * decoder the bins would be DCT/pooled-patch responses). The bits
+    * derive from INTEGER bin counts recovered from the normalized float
+    * feature exactly as mm2 does (round(f_j · n_bytes) — error < 0.5),
+    * so the hash is integer-exact and cross-engine reproducible:
+    * bit_j = [bins · c_j > n_bytes].
+    */
+  def perceptualHash(media: DataFrame, codec: MediaCodec = MediaCodec.Stub,
+      bins: Int = 16): DataFrame = {
+    require(bins <= 62, "phash bits must fit a BIGINT")
+    val n = media.select(col("media_id"), col("kind"),
+      length(col("bytes")).cast("long").as("n_bytes"))
+    val cnt = (j: Int) =>
+      round(element_at(col("features"), j + 1).cast("double") *
+        col("n_bytes")).cast("long")
+    val phash = (0 until bins).map { j =>
+      when(cnt(j) * bins > col("n_bytes"), lit(1L) * (1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    extractFeatures(media, codec, bins).join(n, "media_id")
+      .select(col("media_id"), col("kind"), phash.as("phash"))
+  }
+
+  /** Near-dup grouping by perceptual hash within each modality:
+    * keep-first semantics (the d6 rule — the group representative is
+    * the minimum media id; later members flag `is_dup`). Only the
+    * 8-byte hash and ids shuffle — payloads stay partition-local in the
+    * decode pass; the representative table is group-count-sized and
+    * joins back on the (kind, phash) key. Hamming-radius > 0 matching
+    * composes the existing SimHash band machinery over the same hash;
+    * exact-bucket (radius 0) is the production default for pHash dedup.
+    */
+  def phashDupGroups(media: DataFrame, codec: MediaCodec = MediaCodec.Stub,
+      bins: Int = 16): DataFrame = {
+    val h = perceptualHash(media, codec, bins)
+    val reps = h.groupBy(col("kind"), col("phash"))
+      .agg(min(col("media_id")).as("group_rep"))
+    h.join(reps, Seq("kind", "phash"))
+      .select(col("media_id"), col("kind"), col("phash"),
+        col("group_rep"), (col("group_rep") < col("media_id")).as("is_dup"))
+  }
+
+  /** mm5's DuckDB twin, generated: per-bin ascii counts (the mm2
+    * character-wise recovery — documents are ASCII) power the same
+    * integer bit rule, then the min-id grouping. */
+  private def phashOracleSql(bins: Int): String = {
+    val bits = (0 until bins).map { j =>
+      s"""CASE WHEN $bins * len(list_filter(string_split(text, ''),
+         |      c -> c <> '' AND ascii(c) % $bins = $j)) >
+         |      octet_length(encode(text)) THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString(" +\n      ")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+       |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    CAST($bits AS BIGINT) AS phash
+       |  FROM documents),
+       |r AS (SELECT kind, phash, min(media_id) AS group_rep
+       |      FROM m GROUP BY 1, 2)
+       |SELECT m.media_id, m.kind, m.phash, r.group_rep,
+       |  r.group_rep < m.media_id AS is_dup
+       |FROM m JOIN r ON r.kind = m.kind AND r.phash = m.phash
+       |ORDER BY m.media_id""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    // perceptual-hash near-dup over the codec seam — modality-scoped
+    // keep-first grouping on the integer-exact 16-bit pHash.
+    "mm5_phash_dedup" -> QueryDef.sql(phashOracleSql(16)) { (s, d) =>
+      phashDupGroups(mediaFromDocuments(graft.Tables.documents(s, d)))
+        .orderBy("media_id")
+    },
+
     // binary-column stats with a DuckDB oracle (octet_length over the
     // same utf-8 payload)
     "mm1_media_stats" -> QueryDef.sql(

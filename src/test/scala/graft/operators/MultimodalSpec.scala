@@ -63,4 +63,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!byId.contains(1L), "short payload must produce no frames")
     assert(byId(2L) === 2L) // floor((500-64)/256)+1
   }
+
+  test("phash dedup: identical payloads group under the min id, skew-free payloads differ") {
+    import spark.implicits._
+    // ids 3 and 9 share a kind (doc_id % 3 = 0) and an identical
+    // payload; 6 shares the kind but skews toward different bins; 4 is
+    // another kind entirely; 12 is empty (all-zero hash, still grouped)
+    val docs = Seq(
+      (3L, "aaaa bbbb aaaa bbbb"), (9L, "aaaa bbbb aaaa bbbb"),
+      (6L, "zzzzzzzz yyyyyyyy zzzz"), (4L, "aaaa bbbb aaaa bbbb"),
+      (12L, "")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Multimodal.phashDupGroups(Multimodal.mediaFromDocuments(docs))
+      .collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("kind"), r.getAs[Long]("phash"),
+          r.getAs[Long]("group_rep"), r.getAs[Boolean]("is_dup")))).toMap
+    // identical payloads, same modality → one group, keep-first
+    assert(got(3L)._2 === got(9L)._2)
+    assert(got(3L)._3 === 3L && !got(3L)._4)
+    assert(got(9L)._3 === 3L && got(9L)._4)
+    // same modality, different byte distribution → different hash
+    assert(got(6L)._2 !== got(3L)._2)
+    assert(!got(6L)._4)
+    // same payload in ANOTHER modality never joins the group
+    assert(got(4L)._1 !== got(3L)._1)
+    assert(got(4L)._3 === 4L && !got(4L)._4)
+    // empty payload: all bins at zero, no bit set
+    assert(got(12L)._2 === 0L)
+  }
 }
