@@ -38,12 +38,20 @@ object Analytics3 {
     * events per type. Beyond that, scale y by 4 only (k becomes T/n·¼
     * rounded) or bucket coarser.
     */
-  def cusumDaily(events: DataFrame): DataFrame = {
+  def cusumDaily(events: DataFrame): DataFrame =
+    cusumFromDaily(events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** [[cusumDaily]]'s finisher over an already-materialized
+    * (event_type, day, cnt) grid — the shape an incremental view
+    * maintains (st15 merges per-batch count partials into generations
+    * and runs this on the final one; count-sum merging is associative,
+    * so the streamed statistic equals the batch recompute). */
+  def cusumFromDaily(daily: DataFrame): DataFrame = {
     val per = Window.partitionBy(col("event_type"))
     val ord = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    events
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).as("cnt"))
+    daily
       .withColumn("n", count(lit(1)).over(per))
       .withColumn("t", sum(col("cnt")).over(per))
       .withColumn("y",

@@ -936,6 +936,92 @@ object StreamingQueries {
         .orderBy("user_id", "event_type")
     },
 
+    // Streaming CUSUM volume monitor — e27 running LIVE: each
+    // micro-batch's per-(type, day) count partial merges into the
+    // previous parquet generation (st11's sink; count-sum merging is
+    // associative, so the final grid equals the batch groupBy no matter
+    // how AvailableNow slices the feed), and the exact-integer CUSUM
+    // closed form (Analytics3.cusumFromDaily) runs over the FINAL
+    // generation — grid-sized, never event-sized. The oracle is e27's:
+    // the green row proves the streamed changepoint statistic is
+    // batch-boundary independent.
+    "st15_stream_cusum" -> QueryDef.sql(
+      """WITH d AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, cnt,
+        |    count(*) OVER p AS n, sum(cnt) OVER p AS t
+        |  FROM d WINDOW p AS (PARTITION BY event_type)),
+        |y AS (
+        |  SELECT *, 4 * n * cnt - 5 * t AS y FROM w),
+        |pp AS (
+        |  SELECT *, sum(y) OVER (PARTITION BY event_type ORDER BY day) AS p
+        |  FROM y),
+        |r AS (
+        |  SELECT *, least(0, min(p)
+        |    OVER (PARTITION BY event_type ORDER BY day)) AS mn
+        |  FROM pp)
+        |SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(p - mn AS BIGINT) AS cusum,
+        |  (p - mn) >= 8 * t AS alarm,
+        |  CAST(p - mn AS DOUBLE) / CAST(4 * t AS DOUBLE) AS cusum_rel
+        |FROM r
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val dropDir = cachedDrop(s"st15:$d", dir =>
+        Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("event_type"))
+          .repartition(4).write.mode("overwrite")
+          .option("timestampFormat", TsFmt).json(dir))
+      val ckDir = tempDir("graft_st15_ck")
+      val tableDir = tempDir("graft_st15_table")
+      deleteOnExit(tableDir)
+
+      val evSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType)))
+      try withStateShuffle(s) {
+        val q = s.readStream.schema(evSchema)
+          .option("timestampFormat", TsFmt).json(dropDir)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val partial = batch
+              .groupBy(col("event_type"),
+                date_trunc("day", col("ts")).as("day"))
+              .agg(count(lit(1)).as("cnt"))
+            val prev = new java.io.File(s"$tableDir/gen=${batchId - 1}")
+            require(batchId == 0 || prev.isDirectory,
+              s"st15: missing generation ${batchId - 1} under $tableDir")
+            val state =
+              if (prev.isDirectory) s.read.parquet(prev.toString)
+              else partial.limit(0)
+            state.unionByName(partial)
+              .groupBy(col("event_type"), col("day"))
+              .agg(sum(col("cnt")).as("cnt"))
+              .write.mode("overwrite").parquet(s"$tableDir/gen=$batchId")
+          }
+          .option("checkpointLocation", ckDir)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally deleteQuietly(ckDir)
+
+      val gens = new java.io.File(tableDir).listFiles()
+        .filter(_.getName.startsWith("gen="))
+        .map(_.getName.stripPrefix("gen=").toLong)
+      val lastGen = gens.sorted.lastOption.getOrElse(
+        sys.error(s"st15: replay committed no batches (empty feed in $dropDir)"))
+      graft.operators.Analytics3.cusumFromDaily(
+          s.read.parquet(s"$tableDir/gen=$lastGen"))
+        .orderBy("event_type", "day")
+    },
+
     // Streaming JOIN-view maintenance — e23's live form: orders arrive
     // as a stream, each micro-batch joins the STATIC lineitem table
     // (the st8 stream-static broadcast-dimension pattern, inverted:

@@ -29,7 +29,9 @@ class SqlParitySpec extends AnyFunSuite {
     // round-10 additions (CAST-only float handling, no :: or epoch_us)
     "q23_volume_shipping", "q24_market_share", "w15_ratio_to_report",
     "o3_keyset_page", "u6_except_all", "u7_intersect_all", "a30_profile",
-    "a32_corr_matrix", "e20_incremental_agg", "e23_incremental_join_view")
+    "a32_corr_matrix", "e20_incremental_agg", "e23_incremental_join_view",
+    // round-11 additions (CAST-only, shared window/date_trunc surface)
+    "e27_cusum", "a34_ks_drift", "a35_gini_engagement")
 
   private def registerViews(): Unit =
     Tables.names.foreach { t =>
