@@ -33,10 +33,11 @@ object Analytics3 {
     * mean-days-of-excess units as a cast-then-divide of identical
     * integers on every engine.
     *
-    * Overflow envelope: |P| ≤ 5·T·n², so BIGINT holds while n²·T <
-    * 1.8e18 — years of daily partitions (n ≤ 4·10³) at up to 10¹¹
-    * events per type. Beyond that, scale y by 4 only (k becomes T/n·¼
-    * rounded) or bucket coarser.
+    * Overflow envelope: P_t = 4n·X_t − 5T·t with X_t ≤ T and t ≤ n, so
+    * |P| ≤ 5·T·n (LINEAR in n) and BIGINT holds while n·T < 1.8e18 —
+    * years of daily partitions (n ≤ 4·10³) at up to 10¹⁴ events per
+    * type. Beyond that, scale y by 4 only (k becomes T/n·¼ rounded) or
+    * bucket coarser.
     */
   def cusumDaily(events: DataFrame): DataFrame =
     cusumFromDaily(events

@@ -878,6 +878,23 @@ object PipelineQueries {
       Similarity.pqTopK(emb, queryId = 0L, k = 20, books, rerank = 4)
     },
 
+    // IVFADC — s4's coarse-quantizer prune composed with s19's ADC code
+    // scan (the faiss billion-scale default): the scan reads
+    // ≈ nProbe/nLists of the corpus as m-byte codes, never raw vectors.
+    // No SQL twin (both quantizers are trained); the SimilarityAsOfSpec
+    // s20 gate pins the two-stage coverage identity (measured hits =
+    // exact ∩ probed-list ADC candidates) and the nProbe=nLists ∧
+    // rerank·k≥N exact-scan degeneracy. Bench note: the timed run
+    // includes BOTH index fits (IVF KMeans + 8 PQ block fits), the s4/s19
+    // convention — scan cost is the small remainder.
+    "s20_ivfadc_topk" -> QueryDef.noOracle { (s, d) =>
+      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
+      val cents = Similarity.ivfCentroids(emb, nCentroids = 16)
+      val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+      Similarity.ivfAdcTopK(emb, queryId = 0L, k = 20, cents, books,
+        nProbe = 4, rerank = 4)
+    },
+
     // compressed-index search: int8-quantized vectors (4× smaller),
     // reconstructed on the fly for the cosine ranking. Quantize →
     // dequantize → cosine is exact arithmetic, so DuckDB mirrors it.

@@ -555,7 +555,9 @@ object Similarity {
     embeddings.withColumn(vecCol, {
       val v = asDouble(col(vecCol))
       val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
-      transform(v, x => when(n === 0.0, x).otherwise(x / n))
+      // zero-branch hoisted OUTSIDE the lambda: the norm subexpression
+      // evaluates once per row, not once per element (O(d), not O(d²))
+      when(n === 0.0, v).otherwise(transform(v, x => x / n))
     })
 
   /** Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
@@ -629,6 +631,20 @@ object Similarity {
     if (qRows.isEmpty)
       return embeddings.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
     val qArr = qRows(0).getSeq[Double](0).toArray
+    adcScanRerank(
+      pqEncode(embeddings, codebooks).filter(col("vec_id") =!= queryId),
+      qArr, codebooks, k, rerank)
+  }
+
+  /** Shared ADC tail for [[pqTopK]] and [[ivfAdcTopK]]: asymmetric-
+    * distance scan over `pq_code` — per row, m lookups into the query's
+    * per-block distance tables (literal arrays; never a join) summed
+    * in-row — TakeOrdered keeps the `rerank × k` best, then exact cosine
+    * ranks ONLY those. `encoded` must carry `vec_id`, `embedding`,
+    * `pq_code` and already exclude the query row.
+    */
+  private def adcScanRerank(encoded: DataFrame, qArr: Array[Double],
+      codebooks: Array[Array[Array[Double]]], k: Int, rerank: Int): DataFrame = {
     val dsub = codebooks(0)(0).length
     // per-block ADC lookup tables: distance from the query's j-th block
     // to each centroid of book j, shipped as literal arrays
@@ -642,14 +658,62 @@ object Similarity {
       element_at(lut, element_at(col("pq_code"), j + 1) + 1)
     }.reduce(_ + _)
     val qLit = array(qArr.toIndexedSeq.map(lit(_)): _*)
-    pqEncode(embeddings, codebooks)
-      .filter(col("vec_id") =!= queryId)
+    encoded
       .select(col("vec_id"), col("embedding"), adist.as("adist"))
       .orderBy(col("adist").asc, col("vec_id"))
       .limit(rerank * k)
+      // nanvl: an all-zero embedding survives l2Normalized unchanged and
+      // its cosine is 0/0 = NaN, which Spark sorts ABOVE every real value
+      // in desc order — score it 0.0 so it can never claim a top-k slot
       .select(col("vec_id"),
-        round(cosine(asDouble(col("embedding")), qLit), 6).as("sim"))
+        nanvl(round(cosine(asDouble(col("embedding")), qLit), 6),
+          lit(0.0)).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** IVFADC (Jégou, Douze & Schmid, TPAMI 2011 §V — faiss's default at
+    * billion scale): [[topKCosineIVF]]'s coarse-quantizer prune COMPOSED
+    * with [[pqTopK]]'s ADC code scan. The query ranks its `nProbe`
+    * nearest IVF lists driver-side (centroids are in hand), the ADC scan
+    * touches ONLY rows in those lists, and the exact cosine rerank sees
+    * `rerank × k` survivors.
+    *
+    * Why this is THE 100 TB ANN: per query the scan reads
+    * ≈ nProbe/nLists × N rows of m-byte codes — both factors compound
+    * (16 lists / 4 probes × 32-byte→8-byte codes = 16× less IO than
+    * IVF-Flat, 64× less than the flat exact scan) — and with the index
+    * persisted `partitionBy(centroid_id)` the `isin` probe filter prunes
+    * whole partitions at the source (PartitioningSpec gates this for the
+    * s4 layout; the same layout serves both). Recall factorizes exactly:
+    * a true neighbor is found iff its list is probed AND it survives the
+    * ADC cut — the two-stage coverage identity the s20 gate pins.
+    * Degeneracy: nProbe = nLists ∧ rerank·k ≥ N reproduces the exact
+    * scan. Pass [[l2Normalized]] inputs so ADC's L2 ordering matches the
+    * cosine rerank.
+    */
+  def ivfAdcTopK(embeddings: DataFrame, queryId: Long, k: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int = 4, rerank: Int = 4): DataFrame = {
+    require(k >= 1 && rerank >= 1 && nProbe >= 1,
+      "k, rerank and nProbe must be at least 1")
+    val qRows = embeddings.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv")).limit(1).collect()
+    if (qRows.isEmpty)
+      return embeddings.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val qArr = qRows(0).getSeq[Double](0).toArray
+    def dist(c: Array[Double]): Double =
+      c.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probeLists = centroids.zipWithIndex.sortBy { case (c, _) => dist(c) }
+      .take(nProbe).map(_._2)
+    // prune FIRST, encode the survivors: the m×ksub argmin expression
+    // runs only on probed-list rows (on a persisted index both
+    // centroid_id and pq_code are precomputed columns and this is a
+    // partition-pruned scan of the code column alone)
+    val probed = ivfAssign(embeddings, centroids)
+      .filter(col("vec_id") =!= queryId &&
+        col("centroid_id").isin(probeLists.toIndexedSeq.map(Int.box): _*))
+    adcScanRerank(pqEncode(probed, codebooks), qArr, codebooks, k, rerank)
   }
 }

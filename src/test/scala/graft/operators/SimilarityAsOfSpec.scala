@@ -252,6 +252,76 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     assert(full === exactIds, "rerank*k >= N must reproduce the exact top-k")
   }
 
+  test("s20 gate: IVFADC hits = exact ∩ probed-list ADC candidates; full probe+rerank is exact (sf0.1)") {
+    // The s4 and s19 identities COMPOSED: a true top-k neighbor is
+    // returned iff its IVF list is probed AND it survives the ADC cut
+    // within the probed subset (the rerank leg is exact cosine). Both
+    // stages are recomputed driver-side from the same centroids, codes
+    // and lookup tables, so the identity cross-checks the in-row
+    // prune+ADC pipeline against an independent implementation.
+    val emb = Similarity.l2Normalized(
+      Tables.embeddings(spark, "/root/testdata/sf0.1"))
+    val k = 20
+    val rerank = 4
+    val nProbe = 4
+    val nLists = 16
+    val cents = Similarity.ivfCentroids(emb, nCentroids = nLists)
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+    val dsub = books(0)(0).length
+    val assign = Similarity.ivfAssign(emb, cents)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val codes = Similarity.pqEncode(emb, books).select("vec_id", "pq_code")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val n = codes.size
+    var predictedHits = 0
+    var measuredHits = 0
+    Seq(0L, 400L, 800L, 1200L, 1600L).foreach { qid =>
+      val qArr = emb.filter(col("vec_id") === qid)
+        .select(Similarity.asDouble(col("embedding"))).collect()(0)
+        .getSeq[Double](0).toArray
+      val probed = cents.zipWithIndex.sortBy { case (c, _) =>
+        c.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.take(nProbe).map(_._2).toSet
+      // driver-side ADC over probed-list members ONLY, same sum order
+      val luts = books.zipWithIndex.map { case (book, j) =>
+        val qb = qArr.slice(j * dsub, (j + 1) * dsub)
+        book.map(c => c.zip(qb).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }
+      val cands = codes.iterator.collect {
+        case (id, code) if id != qid && probed(assign(id)) =>
+          id -> luts.zipWithIndex
+            .map { case (lut, j) => lut(code(j)) }.reduce(_ + _)
+      }.toSeq.sortBy { case (id, d) => (d, id) }.take(rerank * k)
+        .map(_._1).toSet
+      val exact = Similarity.topKCosine(emb, qid, k).collect().map(_.getLong(0))
+      val got = Similarity.ivfAdcTopK(emb, qid, k, cents, books,
+        nProbe, rerank).collect().map(_.getLong(0)).toSet
+      predictedHits += exact.count(cands)
+      measuredHits += exact.count(got)
+    }
+    assert(measuredHits === predictedHits,
+      s"IVFADC measured hits $measuredHits != two-stage coverage $predictedHits")
+    // composed recall ≤ min(s4 list coverage, s19 ADC survival); still a
+    // usable share on this near-uniform corpus or the composition is
+    // degenerate (e.g. the prune dropping everything before the ADC cut)
+    val recall = measuredHits.toDouble / (5 * k)
+    assert(recall >= 0.1,
+      s"IVFADC nProbe=$nProbe/$nLists rerank=$rerank recall $recall degenerate")
+
+    // probing every list with a corpus-covering rerank IS the exact scan
+    val exactIds = Similarity.topKCosine(emb, 0L, k).collect()
+      .map(_.getLong(0)).toSeq
+    val full = Similarity.ivfAdcTopK(emb, 0L, k, cents, books,
+        nProbe = nLists, rerank = n / k + 1).collect().map(_.getLong(0)).toSeq
+    assert(full === exactIds,
+      "nProbe = nLists ∧ rerank·k ≥ N must reproduce the exact top-k")
+
+    // absent query keeps the empty-result contract of both parents
+    assert(Similarity.ivfAdcTopK(emb, queryId = -999L, k = 5, cents, books)
+      .count() === 0L)
+  }
+
   test("int8 quantization: bounded reconstruction error, cosine preserved") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(200)
     val dq = Similarity.dequantizeInt8(Similarity.quantizeInt8(emb))
