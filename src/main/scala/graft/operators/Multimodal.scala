@@ -186,28 +186,86 @@ object Multimodal {
         col("group_rep"), (col("group_rep") < col("media_id")).as("is_dup"))
   }
 
-  /** mm5's DuckDB twin, generated: per-bin ascii counts (the mm2
-    * character-wise recovery — documents are ASCII) power the same
-    * integer bit rule, then the min-id grouping. */
-  private def phashOracleSql(bins: Int): String = {
+  /** Same-modality media pairs within Hamming `radius` on the pHash —
+    * EXACT, not approximate: the `bins` hash bits slice into `radius+1`
+    * contiguous bands, and a pair differing in ≤ radius bits must agree
+    * EXACTLY on at least one band (pigeonhole: radius differing bits
+    * cannot touch all radius+1 bands). Candidates are the banded equi
+    * self-join on (kind, band, band-bits) — the d4 SimHash machinery
+    * composed over the media hash, as the mm5 doc promised — and the
+    * `bit_count(xor)` filter verifies true distance, so the band stage
+    * bounds COST only, never the answer. Shuffle traffic is (kind, band
+    * id, 8-byte sliced hash, 8-byte media id) tuples; payloads were
+    * consumed at the decode pass and never travel. radius=0 degenerates
+    * to [[phashDupGroups]]'s exact-bucket semantics, pair form.
+    */
+  def phashNearDupPairs(media: DataFrame, codec: MediaCodec = MediaCodec.Stub,
+      bins: Int = 16, radius: Int = 1): DataFrame = {
+    require(radius >= 0 && radius < bins, "need 0 <= radius < bins")
+    val nSlices = radius + 1
+    val width = (bins + nSlices - 1) / nSlices
+    val h = perceptualHash(media, codec, bins)
+    val slices = (0 until nSlices).map { s =>
+      val lo = s * width
+      val mask = ((1L << math.min(width, bins - lo)) - 1) << lo
+      struct(lit(s).as("band"), col("phash").bitwiseAND(lit(mask)).as("bv"))
+    }
+    val posted = h.select(col("kind"), col("media_id"), col("phash"),
+        explode(array(slices: _*)).as("sl"))
+      .select(col("kind"), col("media_id"), col("phash"),
+        col("sl.band").as("band"), col("sl.bv").as("bv"))
+    val a = posted.select(col("kind"), col("band"), col("bv"),
+      col("media_id").as("id_a"), col("phash").as("ha"))
+    val b = posted.select(col("kind"), col("band"), col("bv"),
+      col("media_id").as("id_b"), col("phash").as("hb"))
+    a.join(b, Seq("kind", "band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("kind"), col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
+
+  /** The generated phash relation both mm5/mm6 oracles share: per-bin
+    * ascii counts (the mm2 character-wise recovery — documents are
+    * ASCII) power the same integer bit rule the Stub codec induces;
+    * MultimodalSpec pins this bit rule against hand-computed hashes
+    * independently of this SQL. */
+  private def phashCte(bins: Int): String = {
     val bits = (0 until bins).map { j =>
       s"""CASE WHEN $bins * len(list_filter(string_split(text, ''),
          |      c -> c <> '' AND ascii(c) % $bins = $j)) >
          |      octet_length(encode(text)) THEN ${1L << j} ELSE 0 END""".stripMargin
     }.mkString(" +\n      ")
-    s"""WITH m AS (
+    s"""m AS (
        |  SELECT doc_id AS media_id,
        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        |    CAST($bits AS BIGINT) AS phash
-       |  FROM documents),
+       |  FROM documents)""".stripMargin
+  }
+
+  /** mm5's DuckDB twin, generated: [[phashCte]] + the min-id grouping. */
+  private def phashOracleSql(bins: Int): String =
+    s"""WITH ${phashCte(bins)},
        |r AS (SELECT kind, phash, min(media_id) AS group_rep
        |      FROM m GROUP BY 1, 2)
        |SELECT m.media_id, m.kind, m.phash, r.group_rep,
        |  r.group_rep < m.media_id AS is_dup
        |FROM m JOIN r ON r.kind = m.kind AND r.phash = m.phash
        |ORDER BY m.media_id""".stripMargin
-  }
+
+  /** mm6's DuckDB twin: [[phashCte]] + the quadratic same-kind pair
+    * join with a popcount-of-xor distance filter — a REAL oracle (the
+    * Spark side is pigeonhole-exact, so the answers must be identical),
+    * quadratic only at oracle scale. */
+  private def phashPairsOracleSql(bins: Int, radius: Int): String =
+    s"""WITH ${phashCte(bins)}
+       |SELECT a.kind, a.media_id AS id_a, b.media_id AS id_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM m a JOIN m b ON a.kind = b.kind AND a.media_id < b.media_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $radius
+       |ORDER BY a.kind, id_a, id_b""".stripMargin
 
   def defs: Map[String, QueryDef] = Map(
     // perceptual-hash near-dup over the codec seam — modality-scoped
@@ -215,6 +273,15 @@ object Multimodal {
     "mm5_phash_dedup" -> QueryDef.sql(phashOracleSql(16)) { (s, d) =>
       phashDupGroups(mediaFromDocuments(graft.Tables.documents(s, d)))
         .orderBy("media_id")
+    },
+
+    // Hamming-radius-1 media near-dup pairs: pigeonhole band join +
+    // exact popcount verify (EXACT, so the quadratic DuckDB twin is a
+    // real oracle, not a golden).
+    "mm6_phash_radius" -> QueryDef.sql(phashPairsOracleSql(16, 1)) { (s, d) =>
+      phashNearDupPairs(mediaFromDocuments(graft.Tables.documents(s, d)),
+          bins = 16, radius = 1)
+        .orderBy("kind", "id_a", "id_b")
     },
 
     // binary-column stats with a DuckDB oracle (octet_length over the

@@ -93,4 +93,70 @@ class MultimodalSpec extends AnyFunSuite {
     // empty payload: all bins at zero, no bit set
     assert(got(12L)._2 === 0L)
   }
+
+  test("phash bit rule: hand-computed golden, independent of the generated oracle SQL") {
+    import spark.implicits._
+    // Hand-computed hashes (bins=16, bit j set iff 16·count_j > n):
+    //   "aaaa"             — 'a'=97, 97%16=1, c1=4, n=4  → bit 1    → 2
+    //   "abcdefgh"         — bytes 97..104 → bins 1..8, c=1 each,
+    //                        16·1 > 8 → bits 1..8                   → 510
+    //   "0123456789ABCDEF" — '0'→bin 0 (c=1), digits+hex letters
+    //                        double up bins 1..6 (c=2), bins 7..9
+    //                        c=1; n=16, bit iff c ≥ 2 → bits 1..6   → 126
+    val expected = Map(1L -> 2L, 2L -> 510L, 3L -> 126L)
+    val texts = Map(1L -> "aaaa", 2L -> "abcdefgh", 3L -> "0123456789ABCDEF")
+    val fixture = texts.toSeq.map { case (id, t) => (id, "image", t) }
+      .toDF("media_id", "kind", "txt")
+      .select(col("media_id"), col("kind"), col("txt").cast("binary").as("bytes"))
+    val got = Multimodal.perceptualHash(fixture).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("phash")).toMap
+    assert(got === expected, "Spark perceptualHash diverges from the hand golden")
+    // the character-wise rule the DuckDB twin encodes, re-derived here
+    // independently — a shared-formula bug in the generated SQL cannot
+    // hide behind the implementation agreeing with itself
+    def charRule(text: String): Long = (0 until 16).map { j =>
+      val c = text.count(ch => ch.toInt % 16 == j)
+      if (16 * c > text.length) 1L << j else 0L
+    }.sum
+    texts.foreach { case (id, t) =>
+      assert(charRule(t) === expected(id),
+        s"oracle-side character rule diverges from the hand golden for '$t'")
+    }
+  }
+
+  test("phash radius-1 pairs: planted near-dup found at radius 1, not radius 0") {
+    import spark.implicits._
+    // phashes: 1→{bit1}=2, 2→{bits1,2}=6, 3→{bit10}=1024, 4→{bit1}=2
+    // hamming: (1,2)=1  (1,4)=0  (2,4)=1  (x,3)≥2
+    val fixture = Seq((1L, "aaaa"), (2L, "aabb"), (3L, "zzzz"), (4L, "aaaa"))
+      .toDF("media_id", "txt")
+      .select(col("media_id"), lit("image").as("kind"),
+        col("txt").cast("binary").as("bytes"))
+    def pairs(radius: Int): Set[(Long, Long, Long)] =
+      Multimodal.phashNearDupPairs(fixture, radius = radius).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("hamming"))).toSet
+    assert(pairs(0) === Set((1L, 4L, 0L)),
+      "radius 0 must keep exact-hash pairs only")
+    assert(pairs(1) === Set((1L, 2L, 1L), (1L, 4L, 0L), (2L, 4L, 1L)),
+      "radius 1 must add exactly the 1-bit-perturbed pairs")
+  }
+
+  test("phash radius-1 pairs: pigeonhole bands are complete vs brute force on the corpus") {
+    val hashes = Multimodal.perceptualHash(media).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+        r.getAs[Long]("phash")))
+    val brute = (for {
+      (ia, ka, ha) <- hashes; (ib, kb, hb) <- hashes
+      if ka == kb && ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 1
+    } yield (ka, ia, ib, d.toLong)).toSet
+    val banded = Multimodal.phashNearDupPairs(media, radius = 1).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("id_a"),
+        r.getAs[Long]("id_b"), r.getAs[Long]("hamming"))).toSet
+    assert(banded === brute,
+      s"banded ${banded.size} pairs != brute-force ${brute.size}")
+    assert(brute.nonEmpty, "corpus fixture should contain radius-1 pairs")
+  }
 }
