@@ -56,6 +56,14 @@ object DailyRollupPushdown extends Rule[LogicalPlan] {
     "precipitation" -> "precipitation_sum",
     "rain" -> "rain_sum",
     "snowfall" -> "snowfall_sum")
+  // A7: `mode() WITHIN GROUP (ORDER BY weather_code)` — the ASC
+  // within-group form resolves to Mode(child, _, _, Some(true)) and
+  // returns the SMALLEST value among the most frequent, which is exactly
+  // the deterministic dominant-code rule the native rollup implements
+  // (WeatherOps.dailyRollup's count-then-rank). Plain `mode(col)`
+  // (reverseOpt = None) breaks ties nondeterministically and must NOT
+  // ride the rewrite: pushed ≡ native only holds for the ASC form.
+  private val modeVars = Map("weather_code" -> "weather_code")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(groupingExprs, aggExprs, child, _) =>
@@ -202,6 +210,9 @@ object DailyRollupPushdown extends Rule[LogicalPlan] {
         maxVars.get(a.name)
       case AggregateExpression(Min(a: AttributeReference), _, false, None, _) =>
         minVars.get(a.name)
+      case AggregateExpression(Mode(a: AttributeReference, _, _, Some(true)),
+          _, false, None, _) =>
+        modeVars.get(a.name)
       case r: Round => ((r.child, r.scale) match {
         case (AggregateExpression(Sum(a: AttributeReference, _), _, false, None, _),
             Literal(2, _)) => sumVars.get(a.name)

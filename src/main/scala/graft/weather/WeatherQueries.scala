@@ -341,6 +341,44 @@ object WeatherQueries {
         .orderBy("latitude", "date")
     },
 
+    // §4 A7 mode-pushdown leg: the dominant daily weather_code asked as
+    // `mode() WITHIN GROUP (ORDER BY weather_code)` (ASC ⇒ smallest on
+    // ties — the native count-then-rank rule) over the HOURLY connector
+    // scan; DailyRollupPushdown rewrites it onto the source's daily
+    // weather_code block, so the hourly rows are never fetched. The
+    // oracle recomputes the dominant code natively from the hourly
+    // arrays — this row IS the pushed ≡ native equivalence for A7,
+    // driver-checked (DailyRollupPushdownSpec carries the plan gate).
+    "wx20_connector_daily_mode" -> QueryDef.sql(
+      s"""WITH ${wideCte("hourly_7d.json")},
+         |keyed AS (SELECT *, CAST(ts_local AS DATE) AS date FROM wide),
+         |a AS (SELECT latitude, longitude, date,
+         |        max(temperature_2m) AS temperature_2m_max
+         |      FROM keyed GROUP BY 1, 2, 3),
+         |dom AS (
+         |  SELECT latitude, longitude, date, weather_code FROM (
+         |    SELECT latitude, longitude, date, weather_code,
+         |      row_number() OVER (PARTITION BY latitude, longitude, date
+         |                         ORDER BY count(*) DESC, weather_code) AS rn
+         |    FROM keyed WHERE weather_code IS NOT NULL
+         |    GROUP BY latitude, longitude, date, weather_code) WHERE rn = 1)
+         |SELECT a.latitude, a.longitude, a.date, d.weather_code,
+         |  a.temperature_2m_max
+         |FROM a LEFT JOIN dom d USING (latitude, longitude, date)
+         |ORDER BY a.latitude, a.date""".stripMargin) { (s, _) =>
+      s.read.format("openmeteo")
+        .option("path", s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json")
+        .load()
+        .groupBy(col("latitude"), col("longitude"),
+          to_date(col("ts_local")).as("date"))
+        .agg(expr("mode() within group (order by weather_code)")
+            .as("weather_code"),
+          max("temperature_2m").as("temperature_2m_max"))
+        .select("latitude", "longitude", "date", "weather_code",
+          "temperature_2m_max")
+        .orderBy("latitude", "date")
+    },
+
     // §4 aggregate pushdown: a global MIN/MAX through the connector is
     // answered from the source's DAILY pre-aggregates (PushedAggregates
     // in the plan, asserted in OpenMeteoSourceSpec); the oracle computes

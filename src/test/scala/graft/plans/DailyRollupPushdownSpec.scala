@@ -83,6 +83,52 @@ class DailyRollupPushdownSpec extends AnyFunSuite {
     assert(pushed.map(_.toString).toSeq === native.map(_.toString).toSeq)
   }
 
+  test("A7 dominant weather_code (mode within group, ASC) pushes down to the daily block") {
+    // the ASC within-group form is deterministic (smallest code on
+    // ties) — exactly the native count-then-rank rule — so pushed ≡
+    // native must hold value-for-value
+    def shaped(df: DataFrame) = df
+      .groupBy(col("latitude"), col("longitude"),
+        to_date(col("ts_local")).as("date"))
+      .agg(expr("mode() within group (order by weather_code)").as("weather_code"),
+        max("temperature_2m").as("temperature_2m_max"))
+    val pushed = shaped(hourly())
+    assert(scanGrans(pushed) === Seq(WeatherSchemas.GranDaily),
+      s"mode within group not recognized:\n${pushed.queryExecution.optimizedPlan}")
+    assert(scanTables(pushed).flatMap(_.opts.variables).toSet ===
+      Set("weather_code", "temperature_2m_max"))
+    val native = shaped(
+      WeatherOps.toWide(WeatherOps.readBlocks(spark, fixture)))
+      .orderBy("latitude", "date").collect()
+    val got = pushed.orderBy("latitude", "date").collect()
+    assert(got.length === 14)
+    assert(got.map(_.toString).toSeq === native.map(_.toString).toSeq)
+    // and both match the count-then-rank rule dailyRollup implements
+    val rollup = WeatherOps.dailyRollup(
+      WeatherOps.toWide(WeatherOps.readBlocks(spark, fixture)))
+      .select("latitude", "longitude", "date", "weather_code")
+      .orderBy("latitude", "date").collect().map(_.toString).toSeq
+    assert(got.map(r => s"[${r.getDouble(0)},${r.getDouble(1)},${r.getDate(2)},${r.getInt(3)}]")
+      .toSeq === rollup)
+  }
+
+  test("plain mode(weather_code) — nondeterministic ties — bails out") {
+    val df = hourly()
+      .groupBy(col("latitude"), col("longitude"),
+        to_date(col("ts_local")).as("date"))
+      .agg(expr("mode(weather_code)").as("weather_code"))
+    assert(scanGrans(df) === Seq(WeatherSchemas.GranHourly))
+  }
+
+  test("mode within group DESC (largest-on-ties) bails out") {
+    val df = hourly()
+      .groupBy(col("latitude"), col("longitude"),
+        to_date(col("ts_local")).as("date"))
+      .agg(expr("mode() within group (order by weather_code desc)")
+        .as("weather_code"))
+    assert(scanGrans(df) === Seq(WeatherSchemas.GranHourly))
+  }
+
   test("15-minute slot multiplier is NOT recognized (daily block is hourly-derived)") {
     val df = hourly()
       .groupBy(col("latitude"), col("longitude"),
