@@ -241,6 +241,80 @@ class WeatherStreamsSpec extends AnyFunSuite {
       "terminal DISTINCT must restore digest uniqueness")
   }
 
+  test("tws state-schema evolution: avro checkpoint restarts after an additive ValueState field") {
+    // st13's forward-compatibility claim, proven: run 1 is the REAL
+    // production path (latestRevisionsTws) writing an avro-encoded
+    // RocksDB checkpoint; run 2 restarts from that checkpoint with a
+    // processor whose ValueState adds a nullable field (RevisionV2) and
+    // is fed ONLY a stale revision — dropping it requires decoding the
+    // run-1 state value through the evolved schema (a lost state would
+    // wrongly crown the stale row); run 3 feeds a strict improvement,
+    // proving the evolved state still updates and emits.
+    import spark.implicits._
+    import org.apache.spark.sql.Dataset
+    import org.apache.spark.sql.streaming.Trigger
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val encodingKey = "spark.sql.streaming.stateStore.encodingFormat"
+    val prevProvider = spark.conf.getOption(providerKey)
+    val prevEncoding = spark.conf.getOption(encodingKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(encodingKey, "avro")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tws_evo")
+    val dropDir = new java.io.File(dir.toFile, "drop"); dropDir.mkdirs()
+    val outDir = new java.io.File(dir.toFile, "out").toString
+    val ckDir = new java.io.File(dir.toFile, "ck").toString
+    def drop(name: String, issued: String, valid: String, temp: Double): Unit = {
+      val json = s"""{"latitude":50.0,"longitude":14.0,"ts_valid":"$valid",""" +
+        s""""issued_at":"$issued","temperature_2m":$temp,"precipitation":0.0}"""
+      java.nio.file.Files.write(new java.io.File(dropDir, name).toPath,
+        (json + "\n").getBytes("UTF-8")): Unit
+    }
+    val schema = implicitly[org.apache.spark.sql.Encoder[Revision]].schema
+    def run(evolved: Boolean): Unit = {
+      val src = spark.readStream.schema(schema).json(dropDir.toString)
+        .as[Revision]
+      val out =
+        if (evolved) WeatherStreamsSpec.evolvedUpsert(src)
+        else WeatherStreams.latestRevisionsTws(src)
+      val q = out.writeStream
+        .foreachBatch { (b: Dataset[Revision], _: Long) =>
+          b.toDF().write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckDir)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    try {
+      drop("f0.json", "2024-07-01 06:00:00", "2024-07-01 12:00:00", 20.0)
+      run(evolved = false) // production schema commits the checkpoint
+      drop("f1.json", "2024-07-01 05:00:00", "2024-07-01 12:00:00", 19.0)
+      run(evolved = true)  // stale vs RESTORED state → must NOT emit
+      drop("f2.json", "2024-07-01 06:30:00", "2024-07-01 12:00:00", 21.5)
+      run(evolved = true)  // strict improvement → must emit
+      val got = spark.read.parquet(outDir)
+        .select("issued_at", "temperature_2m").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getDouble(1))
+      assert(got.toSet === Set(
+        "2024-07-01 06:00:00.0" -> 20.0,
+        "2024-07-01 06:30:00.0" -> 21.5),
+        s"schema-evolved restart broke the upsert contract: ${got.toSeq}")
+      assert(!got.exists(_._2 == 19.0),
+        "stale revision emitted — run-1 state was not decoded after evolution")
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      prevEncoding match {
+        case Some(v) => spark.conf.set(encodingKey, v)
+        case None    => spark.conf.unset(encodingKey)
+      }
+    }
+  }
+
   test("block-stream ingest applies the catalog schema to file drops") {
     val stream = WeatherStreams.readBlockStream(spark, TestSpark.fixtures)
     assert(stream.isStreaming)
@@ -253,5 +327,83 @@ class WeatherStreamsSpec extends AnyFunSuite {
       // daily-only and 15-min files contribute null/empty hourly structs.
       assert(spark.table("ingest_out").count() >= 2 * 7 * 24)
     } finally q.stop()
+  }
+}
+
+object WeatherStreamsSpec {
+  import org.apache.spark.sql.Dataset
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+
+  /** [[WeatherStreams.Revision]] plus an ADDITIVE nullable field — the
+    * avro state-schema-evolution scenario the tws test restarts into.
+    */
+  final case class RevisionV2(
+      latitude: Double, longitude: Double,
+      ts_valid: java.sql.Timestamp, issued_at: java.sql.Timestamp,
+      temperature_2m: Double, precipitation: Double,
+      n_revisions: Option[Long])
+
+  /** `latestRevisionsTws`'s exact pipeline shape with the evolved
+    * processor swapped in (checkpoint compatibility requires the same
+    * operators and watermark).
+    */
+  def evolvedUpsert(revisions: Dataset[Revision]): Dataset[Revision] = {
+    import revisions.sparkSession.implicits._
+    revisions
+      .withWatermark("issued_at", "2 hours")
+      .groupByKey(r => (r.latitude, r.longitude, r.ts_valid.getTime))
+      .transformWithState(new EvolvedLatestRevisionProcessor,
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
+  /** The production processor's logic verbatim, but the "latest"
+    * ValueState holds [[RevisionV2]]: restoring a run-1 checkpoint makes
+    * the store evolve the value schema (nullable add — avro-legal) and
+    * old values decode with `n_revisions = None`.
+    */
+  class EvolvedLatestRevisionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Double, Double, Long), Revision, Revision] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+
+    @transient private var latest: ValueState[RevisionV2] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState("latest",
+        org.apache.spark.sql.Encoders.product[RevisionV2], TTLConfig.NONE)
+
+    private def expiry(r: Revision): Long =
+      r.issued_at.getTime + 4 * 3600 * 1000L
+    private def toRev(v: RevisionV2): Revision =
+      Revision(v.latitude, v.longitude, v.ts_valid, v.issued_at,
+        v.temperature_2m, v.precipitation)
+
+    override def handleInputRows(key: (Double, Double, Long),
+        rows: Iterator[Revision], timers: TimerValues): Iterator[Revision] = {
+      val newest = rows.reduceOption((a, b) =>
+        if (a.issued_at.after(b.issued_at)) a else b)
+      val currentV2 = if (latest.exists()) Some(latest.get()) else None
+      val current = currentV2.map(toRev)
+      val winner = (current ++ newest).reduceOption((a, b) =>
+        if (a.issued_at.after(b.issued_at)) a else b)
+      if (winner != current) {
+        val w = winner.get
+        current.foreach(c => getHandle.deleteTimer(expiry(c)))
+        latest.update(RevisionV2(w.latitude, w.longitude, w.ts_valid,
+          w.issued_at, w.temperature_2m, w.precipitation,
+          Some(currentV2.flatMap(_.n_revisions).getOrElse(0L) + 1L)))
+        getHandle.registerTimer(expiry(w))
+        Iterator.single(w)
+      } else Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (Double, Double, Long),
+        timers: TimerValues, expired: ExpiredTimerInfo): Iterator[Revision] = {
+      if (latest.exists() &&
+          expiry(toRev(latest.get())) <= expired.getExpiryTimeInMs())
+        latest.clear()
+      Iterator.empty
+    }
   }
 }
