@@ -43,11 +43,16 @@ object ScaleSoak {
   private val SoakQueries = Seq(
     "d7_neardup_clusters", "d9_exact_jaccard_pairs", "t22_line_dedup",
     "g2_triangles", "g7_bfs_hops", "e7_scd2_merge",
-    "st2_stream_interval_join")
+    "st2_stream_interval_join",
+    // round-9 extension: the round-8 heavy family
+    "s19_pq_topk", "d17_contamination_frac", "s12_semantic_dedup",
+    "g9_weighted_sssp", "t49_cluster_safe_split")
 
   /** copy-key spacing; one value serves every id column at sf0.1×32
-    * (max ids ≪ 10^9) and is a multiple of 3 for the user_id%3 keys. */
-  private val Step = 3000000000L
+    * (max ids ≪ 10^9), a multiple of 3 for the user_id%3 keys AND of 7
+    * for d17's doc_id%7 corpus/benchmark split (3000000003 = 21 ×
+    * 142857143), so every residue-class derivation is copy-invariant. */
+  private val Step = 3000000003L
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -85,14 +90,16 @@ object ScaleSoak {
     // below would be measuring a different problem.
     def countRows(q: String, dir: String): Long =
       SparkEntry.queries(q)(spark, dir).count()
-    for (q <- Seq("d9_exact_jaccard_pairs", "g2_triangles")
+    for (q <- Seq("d9_exact_jaccard_pairs", "g2_triangles",
+           "d17_contamination_frac", "t49_cluster_safe_split",
+           "g9_weighted_sssp", "s12_semantic_dedup")
          if prefixes.isEmpty || prefixes.exists(q.startsWith)) q match {
       case "d9_exact_jaccard_pairs" =>
         val (c1, cN) = (countRows(q, srcDir), countRows(q, ampDir))
         require(cN == factor * c1,
           s"amplifier leak: d9 pairs $c1 -> $cN, expected ${factor * c1}")
         System.err.println(s"[soak] invariant d9 pairs: $c1 -> $cN = x$factor exact")
-      case _ =>
+      case "g2_triangles" =>
         val r1 = SparkEntry.queries(q)(spark, srcDir).head()
         val rN = SparkEntry.queries(q)(spark, ampDir).head()
         for (i <- 0 until 3) // n_nodes, n_edges, n_triangles
@@ -100,6 +107,24 @@ object ScaleSoak {
             s"amplifier leak: g2 col $i ${r1.getLong(i)} -> ${rN.getLong(i)}")
         System.err.println(s"[soak] invariant g2 (nodes,edges,triangles): " +
           s"(${r1.getLong(0)},${r1.getLong(1)},${r1.getLong(2)}) x$factor exact")
+      case "d17_contamination_frac" | "t49_cluster_safe_split" =>
+        // Step ≡ 0 (mod 7) keeps the %-derived corpus/benchmark split
+        // copy-invariant, so per-doc outputs replicate exactly ×N.
+        val (c1, cN) = (countRows(q, srcDir), countRows(q, ampDir))
+        require(cN == factor * c1,
+          s"amplifier leak: $q rows $c1 -> $cN, expected ${factor * c1}")
+        System.err.println(s"[soak] invariant $q rows: $c1 -> $cN = x$factor exact")
+      case _ =>
+        // g9 seeds at the GLOBAL min node (copy 0) and s12 caps at
+        // vec_id < 200 (copy 0): the answer must be bit-identical at
+        // ×N — any difference means cross-copy edges/pairs leaked in.
+        // The ×N cost these probes measure is the scan/join over the
+        // amplified table, not a bigger answer.
+        val r1 = SparkEntry.queries(q)(spark, srcDir).collect().map(_.toString).toSeq
+        val rN = SparkEntry.queries(q)(spark, ampDir).collect().map(_.toString).toSeq
+        require(r1 == rN, s"amplifier leak: $q output changed at x$factor " +
+          s"(${r1.size} vs ${rN.size} rows)")
+        System.err.println(s"[soak] invariant $q: output identical at x$factor (${r1.size} rows)")
     }
 
     val picked = SoakQueries.filter(q =>
@@ -128,7 +153,9 @@ object ScaleSoak {
     */
   def writeAmplified(spark: SparkSession, srcDir: String, outDir: String,
                      factor: Int): Unit = {
-    val marker = new java.io.File(s"$outDir/_SOAK_DONE")
+    // v2: adds embeddings + the mod-21 Step (a v1 cache would silently
+    // miss both — regenerate)
+    val marker = new java.io.File(s"$outDir/_SOAK_DONE_v2")
     if (marker.exists()) return
     val copies = broadcast(
       spark.range(factor.toLong).select(col("id").as("__copy")))
@@ -160,6 +187,15 @@ object ScaleSoak {
       .drop("__copy")
       .repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/events.parquet")
+
+    // embeddings: shift vec_id only. Vectors replicate verbatim — the
+    // soaked probes are scan-shaped (s19 ADC top-k) or copy-0-capped
+    // (s12), so cross-copy vector equality cannot change any answer,
+    // and the invariant block proves it per run.
+    shift(Tables.embeddings(spark, srcDir), Seq("vec_id"))
+      .drop("__copy")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
 
     marker.getParentFile.mkdirs()
     new java.io.PrintWriter(marker) { write("ok\n"); close() }

@@ -872,6 +872,9 @@ object PipelineQueries {
     // No SQL twin (codebooks are trained); the SimilarityAsOfSpec gate
     // pins the candidate-coverage identity (measured hits = exact ∩
     // ADC candidates) and the rerank*k ≥ N exact-scan degeneracy.
+    // Bench note: every timed run INCLUDES the 8 seeded per-block
+    // KMeans fits (the s4 convention — index build is part of the
+    // probe); the ADC scan itself is the small remainder.
     "s19_pq_topk" -> QueryDef.noOracle { (s, d) =>
       val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
       val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
