@@ -408,30 +408,133 @@ object Similarity {
     embeddings.orderBy(xxhash64(lit(seed), col("embedding")).asc).limit(target)
   }
 
-  /** Train the IVF coarse quantizer: seeded KMeans (Spark MLlib) over a
+  /** Collect a fit sample to the driver in a CONTENT-deterministic
+    * order: [[ivfFitSample]]'s TakeOrdered returns rows hash-ordered,
+    * but duplicate vectors tie on the hash key and tie order is
+    * partition-dependent — a final in-memory lexicographic sort makes
+    * the array (hence every downstream fit) a pure function of corpus
+    * content + seed. Bounded: nCentroids × pointsPerCentroid rows
+    * (the audited driver-metadata collect class — 4096 × 64 doubles
+    * ≈ 2 MB at the probe settings).
+    */
+  private def collectFitSample(embeddings: DataFrame, nCentroids: Int,
+      pointsPerCentroid: Int, seed: Long,
+      vecCol: String): Array[Array[Double]] = {
+    val rows = ivfFitSample(embeddings, nCentroids, pointsPerCentroid, seed)
+      .select(asDouble(col(vecCol)).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    scala.util.Sorting.stableSort(rows,
+      (a: Array[Double], b: Array[Double]) => {
+        var i = 0
+        while (i < a.length && i < b.length && a(i) == b(i)) i += 1
+        if (i < a.length && i < b.length) a(i) < b(i)
+        else a.length < b.length
+      })
+    rows
+  }
+
+  /** Seeded Lloyd's k-means with k-means++ initialization (Arthur &
+    * Vassilvitskii, SODA'07) over an in-memory sample. Used for the
+    * IVF/PQ quantizer fits: the sample is bounded
+    * (k × pointsPerCentroid rows — KBs), so a cluster-wide KMeans job
+    * per fit is pure overhead — measured 6+ s of the s19 probe was m
+    * MLlib fits whose actual arithmetic is ~40 MFLOP. Deterministic
+    * for a fixed (points, k, seed); empty clusters keep their previous
+    * center (MLlab's convention as well).
+    */
+  private[operators] def lloydFit(points: Array[Array[Double]], k: Int,
+      seed: Long, maxIter: Int = 10): Array[Array[Double]] = {
+    require(points.nonEmpty && k >= 1, "need points and k >= 1")
+    val dim = points(0).length
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding: next center drawn ∝ squared distance to the
+    // nearest already-chosen center
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Double]](
+      points(rnd.nextInt(points.length)).clone())
+    val minD = Array.fill(points.length)(Double.MaxValue)
+    while (centers.size < k) {
+      val last = centers.last
+      var total = 0.0
+      var i = 0
+      while (i < points.length) {
+        val d = d2(points(i), last)
+        if (d < minD(i)) minD(i) = d
+        total += minD(i); i += 1
+      }
+      if (total == 0) // fewer distinct points than centers: duplicate one
+        centers += points(rnd.nextInt(points.length)).clone()
+      else {
+        var r = rnd.nextDouble() * total
+        var j = 0
+        while (j < points.length - 1 && r >= minD(j)) { r -= minD(j); j += 1 }
+        centers += points(j).clone()
+      }
+    }
+    var cents = centers.toArray
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < points.length) {
+        val p = points(i)
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          val d = d2(p, cents(c)); if (d < bd) { bd = d; best = c }; c += 1
+        }
+        val s = sums(best); var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      moved = false
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val m = sums(c).map(_ / counts(c))
+          if (!java.util.Arrays.equals(m, cents(c))) moved = true
+          m
+        }
+      }
+      iter += 1
+    }
+    cents
+  }
+
+  /** Train the IVF coarse quantizer: seeded driver-side Lloyd's over a
     * bounded [[ivfFitSample]] of the embedding column (full corpus only
-    * when it is already smaller than the sample target). Deterministic
-    * for a fixed seed. The centroid table is tiny (nCentroids × dim
-    * doubles) and returned driver-side to be embedded as plan literals.
+    * when it is already smaller than the sample target). The ONLY
+    * cluster job is the sample's TakeOrdered scan; the fit itself runs
+    * on the driver over k × pointsPerCentroid rows (the faiss training
+    * model — coarse-quantizer quality plateaus a few hundred points
+    * per centroid in, and a distributed KMeans over KBs of sample is
+    * pure scheduling overhead). Deterministic for a fixed seed. The
+    * centroid table is tiny (nCentroids × dim doubles) and returned
+    * driver-side to be embedded as plan literals.
     */
   def ivfCentroids(embeddings: DataFrame, nCentroids: Int = 16,
       seed: Long = 42L, pointsPerCentroid: Int = 256): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feats = ivfFitSample(embeddings, nCentroids, pointsPerCentroid, seed)
-      .select(array_to_vector(asDouble(col("embedding"))).as("features"))
-    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
-      .fit(feats)
-    model.clusterCenters.map(_.toArray)
+    val sample = collectFitSample(embeddings, nCentroids, pointsPerCentroid,
+      seed, "embedding")
+    lloydFit(sample, nCentroids, seed)
   }
 
   /** Embeddings with their IVF list id (`centroid_id`). Persist/bucket by
     * this column once and every subsequent query touches only nProbe
     * lists — the classic IVF-Flat layout, here as plain partitioning.
+    * [[oncePerRow]] barrier: the k-centroid argmin must not be inlined
+    * into every downstream consumer (a pushed `isin` filter would
+    * otherwise re-derive it inside the predicate).
     */
   def ivfAssign(embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame =
-    embeddings.withColumn("centroid_id",
-      nearestCentroid(asDouble(col("embedding")), centroids))
+    oncePerRow(embeddings,
+      "centroid_id" -> nearestCentroid(asDouble(col("embedding")), centroids))
 
   /** IVF approximate top-k: rank the query's nProbe nearest lists
     * driver-side (centroids are in hand), then exact cosine only over
@@ -544,21 +647,48 @@ object Similarity {
       .select(col(idCol), (col("__j0") + 1).cast("long").as("j"), col("proj"))
   }
 
+  /** Evaluate `derived` exactly ONCE per row behind a Generate barrier.
+    *
+    * Why this exists: a plain `withColumn` makes the derivation an
+    * alias in a Project, and the optimizer's substitution rules inline
+    * aliases into their consumers — PushDownPredicates rewrites a
+    * pushed filter by substituting the full defining expression into
+    * the predicate, and CollapseProject merges it into downstream
+    * projections. For an O(d) vector subexpression consumed by k-way
+    * argmin trees that inlining is catastrophic: the s20 probe's
+    * normalization re-evaluated at ~150 sites per row (measured 10.1 s
+    * → 1.4 s once materialized). `explode` of a one-element array adds
+    * a Generate node — whose output is an opaque attribute no rule
+    * substitutes through — at zero row-count cost; filters on
+    * pass-through columns still push below it.
+    */
+  private def oncePerRow(df: DataFrame,
+      derived: (String, Column)*): DataFrame = {
+    val s = struct(derived.map { case (n, c) => c.as(n) }: _*)
+    val g = df.withColumn("__once", explode(array(s)))
+    derived.foldLeft(g) { case (d, (n, _)) =>
+      d.withColumn(n, col(s"__once.$n"))
+    }.drop("__once")
+  }
+
   /** The embedding column L2-normalized (zero vectors pass through
     * unchanged). Normalize BEFORE [[pqCodebooks]]/[[pqEncode]] when the
     * retrieval metric is cosine: on unit vectors L2² = 2 − 2·cos, so
     * PQ's L2 machinery ranks identically to cosine and the exact rerank
-    * can stay in cosine without mixing metrics.
+    * can stay in cosine without mixing metrics. The normalized vector
+    * is computed behind a [[oncePerRow]] barrier — its consumers are
+    * exactly the argmin-heavy quantizer expressions the barrier doc
+    * describes.
     */
   def l2Normalized(embeddings: DataFrame,
-      vecCol: String = "embedding"): DataFrame =
-    embeddings.withColumn(vecCol, {
-      val v = asDouble(col(vecCol))
-      val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
-      // zero-branch hoisted OUTSIDE the lambda: the norm subexpression
-      // evaluates once per row, not once per element (O(d), not O(d²))
-      when(n === 0.0, v).otherwise(transform(v, x => x / n))
-    })
+      vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    // zero-branch hoisted OUTSIDE the lambda: the norm subexpression
+    // evaluates once per row, not once per element (O(d), not O(d²))
+    oncePerRow(embeddings,
+      vecCol -> when(n === 0.0, v).otherwise(transform(v, x => x / n)))
+  }
 
   /** Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
     * 2011): the vector splits into `m` contiguous sub-blocks and each
@@ -568,31 +698,26 @@ object Similarity {
     * that regime; 64 float dims → 8 bytes is 32×).
     *
     * Training cost is corpus-independent: ONE bounded [[ivfFitSample]]
-    * (ksub × pointsPerCentroid rows), localCheckpointed so the m
-    * per-block fits re-read the materialized sample instead of
-    * re-scanning the corpus m times. Returned driver-side
+    * scan (ksub × pointsPerCentroid rows), collected once; the m
+    * per-block [[lloydFit]]s then run driver-side over the in-memory
+    * sample's slices — one cluster job total instead of 1 + m MLlib
+    * fits (which cost the s19 probe ~6 s of pure job scheduling for
+    * ~40 MFLOP of arithmetic). Returned driver-side
     * (m × ksub × dsub doubles — KBs) to re-enter plans as literals,
     * the ivfCentroids discipline.
     */
   def pqCodebooks(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
       seed: Long = 42L, pointsPerCentroid: Int = 256,
       vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(m >= 1 && ksub >= 2, "need m >= 1 sub-blocks and ksub >= 2")
-    val dim = embeddings.select(size(col(vecCol)).as("d")).head.getInt(0)
+    val sample = collectFitSample(embeddings, ksub, pointsPerCentroid,
+      seed, vecCol)
+    val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m sub-blocks")
     val dsub = dim / m
-    val sample = ivfFitSample(embeddings, ksub, pointsPerCentroid, seed)
-      .select(asDouble(col(vecCol)).as("v")).localCheckpoint()
-    try {
-      (0 until m).map { j =>
-        val feats = sample.select(
-          array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("features"))
-        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10)
-          .fit(feats).clusterCenters.map(_.toArray)
-      }.toArray
-    } finally Dedup.release(sample)
+    (0 until m).map { j =>
+      lloydFit(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, seed + j)
+    }.toArray
   }
 
   /** Rows plus their PQ code (`pq_code`, array<int> of length m): per
@@ -609,7 +734,9 @@ object Similarity {
     val codes = codebooks.toIndexedSeq.zipWithIndex.map { case (book, j) =>
       nearestCentroid(slice(asDouble(col(vecCol)), j * dsub + 1, dsub), book)
     }
-    embeddings.withColumn("pq_code", array(codes: _*))
+    // oncePerRow: the ADC scan reads element_at(pq_code, j) m times —
+    // inlining would re-run the full m×ksub argmin per lookup
+    oncePerRow(embeddings, "pq_code" -> array(codes: _*))
   }
 
   /** PQ top-k with exact rerank: asymmetric-distance (ADC) scan over

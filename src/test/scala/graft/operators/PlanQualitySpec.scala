@@ -284,4 +284,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"),
       s"lexical diversity must be scan-local (zero shuffles):\n$p")
   }
+
+  test("s20 IVFADC: heavy vector derivations stay behind Generate barriers (no inlining blowup)") {
+    // Regression gate for the oncePerRow barrier: without it,
+    // PushDownPredicates substitutes the full L2-normalization +
+    // k-centroid argmin expressions into the pushed isin Filter and
+    // CollapseProject merges them into the ADC projection — measured
+    // ~150 re-evaluations of the O(d) norm per row (10.1 s → 1.4 s for
+    // the bare query once fixed). The inlining signature is an
+    // ArrayAggregate appearing inside a Filter condition; with the
+    // barriers, filters see only opaque generated attributes.
+    import org.apache.spark.sql.catalyst.expressions.ArrayAggregate
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Generate}
+    val opt = SparkEntry.queries("s20_ivfadc_topk")(spark, d)
+      .queryExecution.optimizedPlan
+    val aggsInFilters = opt.collect { case f: LFilter =>
+      f.condition.collect { case a: ArrayAggregate => a }.size
+    }.sum
+    assert(aggsInFilters === 0,
+      s"vector derivations inlined into a Filter ($aggsInFilters ArrayAggregates) — " +
+        "the oncePerRow barrier regressed")
+    val generates = opt.collect { case g: Generate => g }.size
+    assert(generates >= 3, // l2Normalized + ivfAssign + pqEncode
+      s"expected the three oncePerRow Generate barriers, found $generates")
+  }
 }
