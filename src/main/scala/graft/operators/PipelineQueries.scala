@@ -898,6 +898,19 @@ object PipelineQueries {
         nProbe = 4, rerank = 4)
     },
 
+    // the FULL Jégou IVFADC: PQ codes of coarse-quantizer RESIDUALS
+    // with per-probed-list ADC tables — strictly tighter quantization
+    // at the same m-byte budget (spec asserts the ADC-error drop vs
+    // s20's raw encoding). Golden gates: s20-style two-stage coverage
+    // identity + exact-scan degeneracy (SimilarityAsOfSpec).
+    "s21_ivfadc_residual" -> QueryDef.noOracle { (s, d) =>
+      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
+      val cents = Similarity.ivfCentroids(emb, nCentroids = 16)
+      val books = Similarity.pqCodebooksResidual(emb, cents, m = 8, ksub = 16)
+      Similarity.ivfAdcResidualTopK(emb, queryId = 0L, k = 20, cents, books,
+        nProbe = 4, rerank = 4)
+    },
+
     // compressed-index search: int8-quantized vectors (4× smaller),
     // reconstructed on the fly for the cosine ranking. Quantize →
     // dequantize → cosine is exact arithmetic, so DuckDB mirrors it.

@@ -771,19 +771,33 @@ object Similarity {
     * `pq_code` and already exclude the query row.
     */
   private def adcScanRerank(encoded: DataFrame, qArr: Array[Double],
-      codebooks: Array[Array[Array[Double]]], k: Int, rerank: Int): DataFrame = {
+      codebooks: Array[Array[Array[Double]]], k: Int, rerank: Int): DataFrame =
+    adcRerankTail(encoded, rawAdcDist(codebooks, qArr), qArr, k, rerank)
+
+  /** The raw-vector ADC distance column: per-block lookup tables hold
+    * the distance from the query's j-th block to every centroid of
+    * book j (literal arrays; never a join), summed in-row over
+    * `pq_code`.
+    */
+  private def rawAdcDist(codebooks: Array[Array[Array[Double]]],
+      qArr: Array[Double]): Column = {
     val dsub = codebooks(0)(0).length
-    // per-block ADC lookup tables: distance from the query's j-th block
-    // to each centroid of book j, shipped as literal arrays
     val luts = codebooks.toIndexedSeq.zipWithIndex.map { case (book, j) =>
       val qBlock = qArr.slice(j * dsub, (j + 1) * dsub)
       array(book.toIndexedSeq.map { c =>
         lit(c.zip(qBlock).map { case (x, y) => (x - y) * (x - y) }.sum)
       }: _*)
     }
-    val adist = luts.zipWithIndex.map { case (lut, j) =>
+    luts.zipWithIndex.map { case (lut, j) =>
       element_at(lut, element_at(col("pq_code"), j + 1) + 1)
     }.reduce(_ + _)
+  }
+
+  /** TakeOrdered the `rerank × k` best rows of `adist`, then rank ONLY
+    * those by exact cosine against the query.
+    */
+  private def adcRerankTail(encoded: DataFrame, adist: Column,
+      qArr: Array[Double], k: Int, rerank: Int): DataFrame = {
     val qLit = array(qArr.toIndexedSeq.map(lit(_)): _*)
     encoded
       .select(col("vec_id"), col("embedding"), adist.as("adist"))
@@ -842,5 +856,121 @@ object Similarity {
       .filter(col("vec_id") =!= queryId &&
         col("centroid_id").isin(probeLists.toIndexedSeq.map(Int.box): _*))
     adcScanRerank(pqEncode(probed, codebooks), qArr, codebooks, k, rerank)
+  }
+
+  // ---- residual-encoded IVFADC (the full Jégou §V formulation) --------
+
+  /** Driver-side nearest-centroid index (L2), the in-row
+    * [[nearestCentroid]]'s twin for bounded driver data. */
+  private def nearestIdx(v: Array[Double],
+      centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < centroids.length) {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - centroids(c)(i); s += d * d; i += 1 }
+      if (s < bd) { bd = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** PQ codebooks trained on COARSE-QUANTIZER RESIDUALS
+    * r(x) = x − c(x) — the full IVFADC of Jégou §V, vs the simpler
+    * raw-vector encoding [[pqCodebooks]] trains. Residuals concentrate
+    * near the origin with far less spread than raw vectors (the coarse
+    * quantizer has already explained the between-list variance), so
+    * the SAME m × ksub byte budget quantizes them with strictly less
+    * error — SimilarityAsOfSpec asserts the mean |ADC − true L2²| drop
+    * on the corpus. Training: one bounded [[collectFitSample]]; sample
+    * points assign to their nearest centroid driver-side and the m
+    * block fits run on the subtracted residuals.
+    */
+  def pqCodebooksResidual(embeddings: DataFrame,
+      centroids: Array[Array[Double]], m: Int = 8, ksub: Int = 16,
+      seed: Long = 42L, pointsPerCentroid: Int = 256,
+      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 2, "need m >= 1 sub-blocks and ksub >= 2")
+    val sample = collectFitSample(embeddings, ksub, pointsPerCentroid,
+      seed, vecCol)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-blocks")
+    val dsub = dim / m
+    val residuals = sample.map { v =>
+      val c = centroids(nearestIdx(v, centroids))
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    (0 until m).map { j =>
+      lloydFit(residuals.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, seed + j)
+    }.toArray
+  }
+
+  /** Rows with `centroid_id` AND the PQ code of their RESIDUAL —
+    * the write-side of the residual index: persist
+    * (vec_id, centroid_id, pq_code) partitioned by list, m bytes a
+    * row, raw vectors off the search path. The residual subtracts
+    * in-row (`element_at` into the literal centroid table keyed by the
+    * assigned list — no join), behind a [[oncePerRow]] barrier so the
+    * m × ksub encode argmin consumes an attribute, not the
+    * subtraction expression.
+    */
+  def pqEncodeResidual(embeddings: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      vecCol: String = "embedding"): DataFrame = {
+    val centLit = array(centroids.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+    val resid = zip_with(asDouble(col(vecCol)),
+      element_at(centLit, col("centroid_id") + 1), (x, c) => x - c)
+    pqEncode(oncePerRow(ivfAssign(embeddings, centroids), "__resid" -> resid),
+      codebooks, "__resid").drop("__resid")
+  }
+
+  /** [[ivfAdcTopK]] with residual encoding: within probed list L the
+    * true distance is ‖q − x‖² = ‖(q − c_L) − r(x)‖², so the ADC
+    * lookup tables are PER-LIST — built from the query's residual
+    * against each probed centroid (nProbe × m × ksub literals; for
+    * nProbe=4, m=8, ksub=16 that is 512 doubles — still plan
+    * literals, never a join) and selected in-row by the row's
+    * `centroid_id`. Same two-stage coverage identity and
+    * nProbe = nLists ∧ rerank·k ≥ N exact-scan degeneracy as the raw
+    * composition; the accuracy gain at equal bytes is the point.
+    */
+  def ivfAdcResidualTopK(embeddings: DataFrame, queryId: Long, k: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int = 4, rerank: Int = 4): DataFrame = {
+    require(k >= 1 && rerank >= 1 && nProbe >= 1,
+      "k, rerank and nProbe must be at least 1")
+    val qRows = embeddings.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv")).limit(1).collect()
+    if (qRows.isEmpty)
+      return embeddings.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val qArr = qRows(0).getSeq[Double](0).toArray
+    def dist(c: Array[Double]): Double =
+      c.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probeLists = centroids.zipWithIndex.sortBy { case (c, _) => dist(c) }
+      .take(nProbe).map(_._2)
+    val dsub = codebooks(0)(0).length
+    val m = codebooks.length
+    // per-probed-list ADC tables from the query residual q − c_L
+    val lutsLit = array(probeLists.toIndexedSeq.map { lid =>
+      val qRes = qArr.zip(centroids(lid)).map { case (x, c) => x - c }
+      array((0 until m).map { j =>
+        val qBlock = qRes.slice(j * dsub, (j + 1) * dsub)
+        array(codebooks(j).toIndexedSeq.map { c =>
+          lit(c.zip(qBlock).map { case (x, y) => (x - y) * (x - y) }.sum)
+        }: _*)
+      }: _*)
+    }: _*)
+    val probeArr = array(probeLists.toIndexedSeq.map(i => lit(i)): _*)
+    val pos = array_position(probeArr, col("centroid_id")) // 1-based
+    val adist = (1 to m).map { j =>
+      element_at(element_at(element_at(lutsLit, pos.cast("int")), j),
+        element_at(col("pq_code"), j) + 1)
+    }.reduce(_ + _)
+    val probed = pqEncodeResidual(embeddings, centroids, codebooks)
+      .filter(col("vec_id") =!= queryId &&
+        col("centroid_id").isin(probeLists.toIndexedSeq.map(Int.box): _*))
+    adcRerankTail(probed, adist, qArr, k, rerank)
   }
 }

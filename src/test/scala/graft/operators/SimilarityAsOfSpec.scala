@@ -322,6 +322,95 @@ class SimilarityAsOfSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("s21 gate: residual encoding cuts ADC error; coverage identity + degeneracy hold (sf0.1)") {
+    val emb = Similarity.l2Normalized(
+      Tables.embeddings(spark, "/root/testdata/sf0.1"))
+    val k = 20
+    val rerank = 4
+    val nProbe = 4
+    val nLists = 16
+    val cents = Similarity.ivfCentroids(emb, nCentroids = nLists)
+    val rawBooks = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+    val resBooks = Similarity.pqCodebooksResidual(emb, cents, m = 8, ksub = 16)
+    val dsub = rawBooks(0)(0).length
+    val vecs = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val assign = Similarity.ivfAssign(emb, cents)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val resCodes = Similarity.pqEncodeResidual(emb, cents, resBooks)
+      .select("vec_id", "pq_code")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val rawCodes = Similarity.pqEncode(emb, rawBooks).select("vec_id", "pq_code")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val q = vecs(0L)
+
+    // 1) residuals quantize tighter: mean |ADC − true L2²| to query 0
+    //    drops vs the raw encoding at the identical byte budget
+    def err(id: Long): (Double, Double) = {
+      val v = vecs(id)
+      val trueD = v.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum
+      val rawAdc = rawBooks.zipWithIndex.map { case (book, j) =>
+        val c = book(rawCodes(id)(j))
+        c.zip(q.slice(j * dsub, (j + 1) * dsub))
+          .map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+      val cl = cents(assign(id))
+      val qRes = q.zip(cl).map { case (x, c) => x - c }
+      val resAdc = resBooks.zipWithIndex.map { case (book, j) =>
+        val c = book(resCodes(id)(j))
+        c.zip(qRes.slice(j * dsub, (j + 1) * dsub))
+          .map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+      (math.abs(rawAdc - trueD), math.abs(resAdc - trueD))
+    }
+    val errs = vecs.keys.filter(_ != 0L).map(err)
+    val (rawErr, resErr) = (errs.map(_._1).sum / errs.size,
+      errs.map(_._2).sum / errs.size)
+    assert(resErr < rawErr,
+      f"residual ADC error $resErr%.5f not below raw $rawErr%.5f at equal bytes")
+
+    // 2) two-stage coverage identity, per-list residual tables
+    var predictedHits = 0
+    var measuredHits = 0
+    Seq(0L, 400L, 800L, 1200L, 1600L).foreach { qid =>
+      val qArr = vecs(qid)
+      val probed = cents.zipWithIndex.sortBy { case (c, _) =>
+        c.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.take(nProbe).map(_._2).toSet
+      val cands = resCodes.iterator.collect {
+        case (id, code) if id != qid && probed(assign(id)) =>
+          val qRes = qArr.zip(cents(assign(id))).map { case (x, c) => x - c }
+          id -> resBooks.zipWithIndex.map { case (book, j) =>
+            val c = book(code(j))
+            c.zip(qRes.slice(j * dsub, (j + 1) * dsub))
+              .map { case (x, y) => (x - y) * (x - y) }.sum
+          }.sum
+      }.toSeq.sortBy { case (id, dv) => (dv, id) }.take(rerank * k)
+        .map(_._1).toSet
+      val exact = Similarity.topKCosine(emb, qid, k).collect().map(_.getLong(0))
+      val got = Similarity.ivfAdcResidualTopK(emb, qid, k, cents, resBooks,
+        nProbe, rerank).collect().map(_.getLong(0)).toSet
+      predictedHits += exact.count(cands)
+      measuredHits += exact.count(got)
+    }
+    assert(measuredHits === predictedHits,
+      s"residual IVFADC hits $measuredHits != two-stage coverage $predictedHits")
+
+    // 3) full probe + corpus-covering rerank degenerates to the exact scan
+    val exactIds = Similarity.topKCosine(emb, 0L, k).collect()
+      .map(_.getLong(0)).toSeq
+    val full = Similarity.ivfAdcResidualTopK(emb, 0L, k, cents, resBooks,
+        nProbe = nLists, rerank = vecs.size / k + 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full === exactIds,
+      "nProbe = nLists ∧ rerank·k ≥ N must reproduce the exact top-k")
+
+    // 4) absent query → empty
+    assert(Similarity.ivfAdcResidualTopK(emb, -999L, 5, cents, resBooks)
+      .count() === 0L)
+  }
+
   test("int8 quantization: bounded reconstruction error, cosine preserved") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(200)
     val dq = Similarity.dequantizeInt8(Similarity.quantizeInt8(emb))
