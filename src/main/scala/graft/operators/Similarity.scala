@@ -858,6 +858,50 @@ object Similarity {
     adcScanRerank(pqEncode(probed, codebooks), qArr, codebooks, k, rerank)
   }
 
+  /** [[ivfAdcTopK]] over a PERSISTED index — the production read path.
+    * `index` is the written form of [[pqEncode]]∘[[ivfAssign]]
+    * ((vec_id, centroid_id, pq_code), `partitionBy(centroid_id)`): the
+    * ADC candidate scan touches ONLY the index — probed partitions of
+    * an m-byte code column, the raw vector column never read — and the
+    * exact rerank re-attaches vectors for the `rerank × k` survivors
+    * alone, via a broadcast of the tiny candidate-id set against the
+    * vector table (Spark's scannable form of a point lookup; a keyed
+    * store would serve the same 80 ids directly). Output is
+    * EXACTLY [[ivfAdcTopK]]'s for the same quantizers — same ADC
+    * ranking, same tie rule, same rerank — which PartitioningSpec
+    * asserts alongside the pruned-partition + code-only-ReadSchema
+    * plan gates.
+    */
+  def ivfAdcTopKIndexed(index: DataFrame, embeddings: DataFrame,
+      queryId: Long, k: Int, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int = 4, rerank: Int = 4): DataFrame = {
+    require(k >= 1 && rerank >= 1 && nProbe >= 1,
+      "k, rerank and nProbe must be at least 1")
+    val qRows = embeddings.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv")).limit(1).collect()
+    if (qRows.isEmpty)
+      return embeddings.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val qArr = qRows(0).getSeq[Double](0).toArray
+    def dist(c: Array[Double]): Double =
+      c.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probeLists = centroids.zipWithIndex.sortBy { case (c, _) => dist(c) }
+      .take(nProbe).map(_._2)
+    val cands = index
+      .filter(col("vec_id") =!= queryId &&
+        col("centroid_id").isin(probeLists.toIndexedSeq.map(Int.box): _*))
+      .select(col("vec_id"), rawAdcDist(codebooks, qArr).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id"))
+      .limit(rerank * k)
+    val qLit = array(qArr.toIndexedSeq.map(lit(_)): _*)
+    broadcast(cands).join(embeddings, "vec_id")
+      .select(col("vec_id"),
+        nanvl(round(cosine(asDouble(col("embedding")), qLit), 6),
+          lit(0.0)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   // ---- residual-encoded IVFADC (the full Jégou §V formulation) --------
 
   /** Driver-side nearest-centroid index (L2), the in-row

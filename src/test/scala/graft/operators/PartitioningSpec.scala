@@ -50,6 +50,34 @@ class PartitioningSpec extends AnyFunSuite {
       s"probe-list filter not pruning partitions:\n$plan")
   }
 
+  test("persisted IVFADC index: probed scan reads m-byte codes only; result == inline") {
+    val emb = Similarity.l2Normalized(Tables.embeddings(spark, TestSpark.sfDir))
+    val cents = Similarity.ivfCentroids(emb, nCentroids = 8)
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+    val dir = graft.TestSpark.tempDir("graft_ivfadc_idx")
+    Similarity.pqEncode(Similarity.ivfAssign(emb, cents), books)
+      .select("vec_id", "centroid_id", "pq_code")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val got = Similarity.ivfAdcTopKIndexed(index, emb, 0L, 10, cents, books,
+      nProbe = 3, rerank = 4)
+    val rows = got.collect()
+    val inline = Similarity.ivfAdcTopK(emb, 0L, 10, cents, books,
+      nProbe = 3, rerank = 4).collect()
+    assert(rows.map(_.toString).toSeq === inline.map(_.toString).toSeq,
+      "persisted-index path must reproduce the inline composition exactly")
+    // plan asserted AFTER execution (final adaptive plan — CLAUDE.md rule)
+    val plan = got.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [centroid_id") ||
+      plan.contains("PartitionFilters: [isnotnull(centroid_id"),
+      s"probe-list filter not pruning index partitions:\n$plan")
+    // the index scan reads ONLY (vec_id, pq_code) — never a vector
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.exists(s => s.contains("pq_code") && !s.contains("embedding")),
+      s"no code-only index scan found in:\n$plan")
+  }
+
   test("Z-order (morton) layout prunes 2-D box scans via row-group stats") {
     import spark.implicits._
     // 200k deterministic pseudo-random geo points
