@@ -186,6 +186,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Exactly-k weighted sample WITHOUT replacement (A-Res exponential
+    // races, Efraimidis & Spirakis 2006): key = ln(u)/w, top-k desc.
+    // u = (13-hex-md5 + 0.5)/2^52 is EXACT IEEE double on both engines
+    // (52-bit integer, half-spacing add, power-of-two divide); the
+    // emitted columns are int-only, so the oracle is ulp-safe unless
+    // two keys collide within ~2^-50 (not a realistic hazard).
+    "t50_weighted_reservoir" -> QueryDef.sql(
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars FROM documents WHERE n_chars > 0
+        |  ORDER BY ln((CAST('0x' || substring(md5('wres' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |                 AS UBIGINT)::DOUBLE + 0.5::DOUBLE) / 4503599627370496::DOUBLE)
+        |           / CAST(n_chars AS DOUBLE) DESC, doc_id
+        |  LIMIT 100)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Scale.weightedReservoir(Tables.documents(s, d), k = 100,
+          weightCol = "n_chars")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // corpus vocabulary: explode → hash-agg → top-k. At 100 TB this is the
     // classic word-count shape: Generate (no shuffle) → partial agg on
     // every mapper → single narrow final agg → TakeOrdered.

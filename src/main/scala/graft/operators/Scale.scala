@@ -334,6 +334,40 @@ object Scale {
     * at scale. Strata absent from `rates` are dropped, matching the
     * sampleBy contract. No shuffle: a scan-local filter.
     */
+  /** Exactly-k weighted sample WITHOUT replacement (A-Res / exponential
+    * races — Efraimidis & Spirakis, IPL 2006): item i gets key
+    * ln(u_i)/w_i with u_i uniform in (0,1); the k LARGEST keys are the
+    * sample, whose inclusion law is exactly k sequential
+    * probability-proportional-to-weight draws without replacement.
+    * Complements [[hashStratifiedSample]]/temperature sampling (rate
+    * gates — output SIZE is binomial): here the size is exactly k, the
+    * knob training-mix budgets usually need.
+    *
+    * Engine-portable determinism: u_i = (U_i + 0.5) / 2^52 with U_i the
+    * first 13 md5 hex digits of (salt, id) — 52 bits, so U_i, the +0.5
+    * (double spacing at [2^51, 2^52) is 0.5) and the power-of-two
+    * division are all EXACT in IEEE double and bit-identical on every
+    * engine; ln() may differ in its final ulp across libm
+    * implementations, but a rank flip would need two keys within
+    * ~2^-50 — not a realistic hazard, and the emitted columns carry no
+    * float derived from the key. Plan shape: TakeOrderedAndProject
+    * (per-partition k-heaps, no full sort), scan-local otherwise —
+    * the o1 cost model at any corpus size.
+    */
+  def weightedReservoir(df: DataFrame, k: Int, weightCol: String,
+      idCol: String = "doc_id", salt: String = "wres"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val u = (conv(substring(md5(concat(lit(salt),
+        col(idCol).cast("string"))), 1, 13), 16, 10).cast("double") +
+      lit(0.5)) / lit(4503599627370496.0) // 2^52, exact
+    val key = log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol) > 0)
+      .withColumn("__ares_key", key)
+      .orderBy(col("__ares_key").desc, col(idCol))
+      .limit(k)
+      .drop("__ares_key")
+  }
+
   def hashStratifiedSample(df: DataFrame, strataCol: String,
       rates: Map[String, Double], idCol: String = "doc_id",
       seed: Long = 42L): DataFrame = {

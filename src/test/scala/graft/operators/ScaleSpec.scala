@@ -556,4 +556,30 @@ class ScaleSpec extends AnyFunSuite {
     // doc 5: no chunks
     assert(!out.exists(_._1 == 5L))
   }
+  test("weightedReservoir: exact k, repartition-stable, heavy weights dominate, TakeOrdered plan") {
+    import spark.implicits._
+    // 999 weight-1 items + one weight-10^9 item: A-Res includes the
+    // heavy item except with probability ~(1-u)^1e9 ≈ 0 — and for this
+    // fixed salt the outcome is deterministic, so assert it outright
+    val df = ((1L to 999L).map(i => (i, 1L)) :+ (1000L, 1000000000L))
+      .toDF("doc_id", "w")
+    val s1 = Scale.weightedReservoir(df, k = 10, weightCol = "w")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Scale.weightedReservoir(df.repartition(7), k = 10, weightCol = "w")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.size === 10)
+    assert(s1 === s2, "sample must be partitioning-independent")
+    assert(s1.contains(1000L), "the 10^9-weight item must be sampled")
+    // zero/negative weights are excluded, k larger than corpus truncates
+    val tiny = Seq((1L, 5L), (2L, 0L), (3L, -1L)).toDF("doc_id", "w")
+    val got = Scale.weightedReservoir(tiny, k = 10, weightCol = "w")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L))
+    // plan: per-partition heaps, never a global sort
+    val q = Scale.weightedReservoir(df, k = 10, weightCol = "w")
+    q.write.mode("overwrite").format("noop").save()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted reservoir should be a TakeOrdered top-k:\n$plan")
+  }
 }
