@@ -206,6 +206,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // per-source exact-k weighted draws (the training-budget shape):
+    // the t50 A-Res key through topKPerGroup's salted two-stage window
+    "t51_group_weighted_reservoir" -> QueryDef.sql(
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ln((CAST('0x' || substring(md5('wres' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |            AS UBIGINT)::DOUBLE + 0.5::DOUBLE) / 4503599627370496::DOUBLE)
+        |      / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
+        |  FROM documents WHERE n_chars > 0)
+        |WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+      Scale.weightedReservoirPerGroup(Tables.documents(s, d),
+          groupCol = "source", k = 10, weightCol = "n_chars")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("source", "doc_id")
+    },
+
     // corpus vocabulary: explode → hash-agg → top-k. At 100 TB this is the
     // classic word-count shape: Generate (no shuffle) → partial agg on
     // every mapper → single narrow final agg → TakeOrdered.

@@ -368,6 +368,28 @@ object Scale {
       .drop("__ares_key")
   }
 
+  /** [[weightedReservoir]] per stratum: exactly k weighted draws
+    * without replacement WITHIN each group — the per-source training
+    * budget ("best k docs per source, weighted by length/quality"). The
+    * A-Res key is identical; the top-k runs through [[topKPerGroup]]'s
+    * salted two-stage window, so a dominant source fans out over salt
+    * buckets instead of serializing one window task.
+    */
+  def weightedReservoirPerGroup(df: DataFrame, groupCol: String, k: Int,
+      weightCol: String, idCol: String = "doc_id",
+      salt: String = "wres"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val u = (conv(substring(md5(concat(lit(salt),
+        col(idCol).cast("string"))), 1, 13), 16, 10).cast("double") +
+      lit(0.5)) / lit(4503599627370496.0) // 2^52, exact
+    topKPerGroup(
+      df.filter(col(weightCol) > 0)
+        .withColumn("__ares_key", log(u) / col(weightCol).cast("double")),
+      groupCol, Seq(col("__ares_key").desc, col(idCol)), k,
+      saltOn = col(idCol))
+      .drop("__ares_key")
+  }
+
   def hashStratifiedSample(df: DataFrame, strataCol: String,
       rates: Map[String, Double], idCol: String = "doc_id",
       seed: Long = 42L): DataFrame = {

@@ -582,4 +582,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"weighted reservoir should be a TakeOrdered top-k:\n$plan")
   }
+  test("weightedReservoirPerGroup: exact k per stratum, equals the serial window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 600L).map(i => (i, s"src_${i % 3}", 1L + i % 7))
+      .toDF("doc_id", "source", "w")
+    val got = Scale.weightedReservoirPerGroup(df, "source", k = 5,
+      weightCol = "w").collect()
+      .map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got.groupBy(_._1).forall(_._2.size == 5), s"not 5 per group: $got")
+    // serial-window twin over the identical key
+    val u = (conv(substring(md5(concat(lit("wres"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("double") +
+      lit(0.5)) / lit(4503599627370496.0)
+    val key = log(u) / col("w").cast("double")
+    val serial = df.withColumn("__k", key)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("__k").desc, col("doc_id"))))
+      .filter(col("__rn") <= 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got === serial, "salted two-stage must equal the serial window")
+  }
 }
