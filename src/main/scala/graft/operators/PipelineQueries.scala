@@ -936,6 +936,34 @@ object PipelineQueries {
         nProbe = 4, rerank = 4)
     },
 
+    // IVF drift monitor — per-list occupancy + mean squared distance
+    // against a data-defined frozen quantizer (centroids = the 16
+    // lowest-id embeddings, so the oracle can join them relationally).
+    // ORACLE-CHECKED: the rare ANN-family probe with SQL ground truth,
+    // because assignment against a centroid TABLE is pure relational
+    // argmin (6-d.p.-rounded d², ties to the lowest centroid id).
+    "s22_ivf_drift" -> QueryDef.sql(
+      """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings WHERE vec_id < 16),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT e.vec_id, c.centroid_id,
+        |        round(list_sum(list_transform(range(len(v)),
+        |          i -> (v[i+1] - cv[i+1]) * (v[i+1] - cv[i+1]))), 6) AS d2
+        |      FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, centroid_id, d2,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY d2 ASC, centroid_id) AS rn
+        |      FROM d)
+        |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_assigned,
+        |  round(sum(d2), 2) / count(*) AS mean_d2
+        |FROM a WHERE rn = 1 GROUP BY 1
+        |ORDER BY centroid_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      Similarity.ivfDriftStats(emb, cents).orderBy("centroid_id")
+    },
+
     // the FULL Jégou IVFADC: PQ codes of coarse-quantizer RESIDUALS
     // with per-probed-list ADC tables — strictly tighter quantization
     // at the same m-byte budget (spec asserts the ADC-error drop vs

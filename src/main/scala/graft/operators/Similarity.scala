@@ -902,6 +902,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** Append-side of the persisted IVFADC index: encode a delta batch
+    * against the FROZEN quantizers and append its
+    * (vec_id, centroid_id, pq_code) rows to the list-partitioned
+    * table. Freezing is the faiss operational model — codes stay
+    * comparable across batches and queries never see a mixed index;
+    * [[ivfDriftStats]] is the monitor that decides when the frozen
+    * coarse quantizer has drifted enough to warrant an offline
+    * retrain+rebuild. PartitioningSpec proves build(half)+append(half)
+    * serves bit-identical top-k to an inline query over the union.
+    */
+  def ivfIndexAppend(delta: DataFrame, dir: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Unit =
+    pqEncode(ivfAssign(delta, centroids), codebooks)
+      .select("vec_id", "centroid_id", "pq_code")
+      .write.mode("append").partitionBy("centroid_id").parquet(dir)
+
+  /** IVF drift monitor: per-list occupancy and mean squared distance of
+    * an embedding batch against an id-keyed centroid TABLE
+    * (`(centroid_id, cv)` rows — a frozen quantizer persisted as data,
+    * which is how index metadata actually lives at scale). Rising mean
+    * residual energy or skewing occupancy means the frozen coarse
+    * quantizer no longer fits the data distribution — the retrain
+    * trigger for [[ivfIndexAppend]]'s freeze-and-append regime.
+    *
+    * Shape: k-row broadcast cross join + map-combinable per-vector
+    * argmin (the s13 assignment shape in L2), then one k-row agg — the
+    * corpus crosses no exchange except the argmin's partial agg. Float
+    * discipline: per-pair d² rounds to 6 d.p. before the argmin (ties
+    * to the LOWEST centroid_id via the min-struct order) and the
+    * per-list mean is round(sum, 2)/count — identical dividend and
+    * divisor on every engine, so the s22 DuckDB twin hash-matches.
+    */
+  def ivfDriftStats(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val c = broadcast(centroids.select(col("centroid_id"),
+      asDouble(col("cv")).as("cv")))
+    val d2 = round(aggregate(zip_with(col("v"), col("cv"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x), 6)
+    e.crossJoin(c)
+      .select(col("vec_id"), col("centroid_id"), d2.as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("centroid_id"))).as("m"))
+      .select(col("m.centroid_id").as("centroid_id"), col("m.d2").as("d2"))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_assigned"),
+        (round(sum("d2"), 2) / count(lit(1))).as("mean_d2"))
+  }
+
   // ---- residual-encoded IVFADC (the full Jégou §V formulation) --------
 
   /** Driver-side nearest-centroid index (L2), the in-row

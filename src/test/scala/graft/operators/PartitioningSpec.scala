@@ -78,6 +78,29 @@ class PartitioningSpec extends AnyFunSuite {
       s"no code-only index scan found in:\n$plan")
   }
 
+  test("IVFADC index append: frozen-quantizer delta encode == full rebuild") {
+    val emb = Similarity.l2Normalized(Tables.embeddings(spark, TestSpark.sfDir))
+    val cents = Similarity.ivfCentroids(emb, nCentroids = 8)
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+    val dir = graft.TestSpark.tempDir("graft_ivfadc_append")
+    // build from the first half, append the second half as a delta
+    Similarity.pqEncode(Similarity.ivfAssign(
+        emb.filter(col("vec_id") < 250), cents), books)
+      .select("vec_id", "centroid_id", "pq_code")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    Similarity.ivfIndexAppend(emb.filter(col("vec_id") >= 250), dir,
+      cents, books)
+    val index = spark.read.parquet(dir)
+    assert(index.count() === emb.count())
+    // the appended index serves bit-identical top-k to the inline path
+    val got = Similarity.ivfAdcTopKIndexed(index, emb, 0L, 10, cents, books,
+      nProbe = 3, rerank = 4).collect().map(_.toString).toSeq
+    val inline = Similarity.ivfAdcTopK(emb, 0L, 10, cents, books,
+      nProbe = 3, rerank = 4).collect().map(_.toString).toSeq
+    assert(got === inline,
+      "append-built index must serve the same results as a full rebuild")
+  }
+
   test("Z-order (morton) layout prunes 2-D box scans via row-group stats") {
     import spark.implicits._
     // 200k deterministic pseudo-random geo points
