@@ -371,6 +371,19 @@ object Similarity {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
+  /** [[nearestCentroid]] under the s22 oracle's float contract: each
+    * per-centroid d² rounds to 6 d.p. BEFORE the argmin (so a DuckDB
+    * relational-argmin twin ranks identically ulp-for-ulp), ties to
+    * the lowest index. Use for oracle-checked assignment probes; the
+    * production [[ivfAssign]] path stays unrounded.
+    */
+  def nearestCentroidRounded(v: Column,
+      centroids: Array[Array[Double]]): Column = {
+    val dists = array(centroids.toIndexedSeq.map(c =>
+      round(l2sq(v, c), 6)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
   /** Derive the IVF list count from the corpus size instead of
     * hand-tuning: query cost ≈ nProbe·N/nLists scan + nLists centroid
     * ranks, minimized around nLists ≈ √N (the standard IVF-Flat sizing

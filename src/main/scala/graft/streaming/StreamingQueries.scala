@@ -945,6 +945,67 @@ object StreamingQueries {
     // generation — grid-sized, never event-sized. The oracle is e27's:
     // the green row proves the streamed changepoint statistic is
     // batch-boundary independent.
+    // streaming ANN index ingest: a file-drop feed of embeddings is
+    // assigned to FROZEN coarse-quantizer lists in-row — the
+    // ivfIndexAppend encode shape as a stream, ZERO streaming state, so
+    // the outcome is batch-boundary independent by construction.
+    // Centroids are data-defined (the 16 lowest-id embeddings) so the
+    // oracle is the s22 relational argmin; the stream side uses
+    // nearestCentroidRounded (6-d.p. d², lowest-id ties) to match the
+    // oracle's float contract exactly. The feed is double-cast BEFORE
+    // the JSON drop: double → shortest-repr text → double roundtrips
+    // exactly, while float text re-read as double would NOT (the
+    // nearest double to "0.4" is not (double)0.4f).
+    "st16_stream_ivf_assign" -> QueryDef.sql(
+      """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings WHERE vec_id < 16),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT e.vec_id, c.centroid_id,
+        |        round(list_sum(list_transform(range(len(v)),
+        |          i -> (v[i+1] - cv[i+1]) * (v[i+1] - cv[i+1]))), 6) AS d2
+        |      FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, centroid_id,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY d2 ASC, centroid_id) AS rn
+        |      FROM d)
+        |SELECT vec_id, CAST(centroid_id AS INTEGER) AS centroid_id
+        |FROM a WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      val dropDir = cachedDrop(s"st16:$d", dir =>
+        emb.select(col("vec_id"),
+            Similarity.asDouble(col("embedding")).as("embedding"))
+          .repartition(4).write.mode("overwrite").json(dir))
+      val ckDir = tempDir("graft_st16_ck")
+      val centRows = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1)
+      val cents = centRows.map(_._2)
+      val centIds = array(centRows.toIndexedSeq.map(p => lit(p._1)): _*)
+      val eSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+      val sinkName = s"graft_st16_sink_${runSeq.incrementAndGet()}"
+      try withStateShuffle(s) {
+        val q = s.readStream.schema(eSchema).json(dropDir)
+          .select(col("vec_id"),
+            element_at(centIds, Similarity.nearestCentroidRounded(
+              col("embedding"), cents) + 1).cast("int").as("centroid_id"))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally deleteQuietly(ckDir)
+      s.table(sinkName).orderBy("vec_id")
+    },
+
     "st15_stream_cusum" -> QueryDef.sql(
       """WITH d AS (
         |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,

@@ -315,6 +315,56 @@ class WeatherStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("st16 contract: streamed IVF assignment is batch-count independent (zero state)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Similarity
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_st16_contract")
+    val dropDir = new java.io.File(dir.toFile, "drop").toString
+    val ckDir = new java.io.File(dir.toFile, "ck").toString
+    emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("embedding"))
+      .repartition(4).write.mode("overwrite").json(dropDir)
+    val centRows = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val cents = centRows.map(_._2)
+    val centIds = org.apache.spark.sql.functions.array(
+      centRows.toIndexedSeq.map(p => lit(p._1)): _*)
+    val eSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    // FORCE one file per micro-batch: 4 files → 4 batches; the in-row
+    // assignment carries no state, so the union of batch outputs must
+    // equal the single-batch replay AND the batch-side expression
+    val q = spark.readStream.schema(eSchema)
+      .option("maxFilesPerTrigger", 1).json(dropDir)
+      .select(col("vec_id"),
+        element_at(centIds, Similarity.nearestCentroidRounded(
+          col("embedding"), cents) + 1).cast("int").as("centroid_id"))
+      .writeStream.format("memory").queryName("st16_contract")
+      .outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("st16_contract").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = emb
+      .select(col("vec_id"),
+        element_at(centIds, Similarity.nearestCentroidRounded(
+          Similarity.asDouble(col("embedding")), cents) + 1)
+          .cast("int").as("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed.size === emb.count())
+    assert(streamed === batch,
+      "multi-batch streamed assignment must equal the batch expression")
+  }
+
   test("block-stream ingest applies the catalog schema to file drops") {
     val stream = WeatherStreams.readBlockStream(spark, TestSpark.fixtures)
     assert(stream.isStreaming)
