@@ -433,7 +433,8 @@ object Similarity {
   private def collectFitSample(embeddings: DataFrame, nCentroids: Int,
       pointsPerCentroid: Int, seed: Long,
       vecCol: String): Array[Array[Double]] = {
-    val rows = ivfFitSample(embeddings, nCentroids, pointsPerCentroid, seed)
+    val rows = ivfFitSample(embeddings.filter(col(vecCol).isNotNull),
+        nCentroids, pointsPerCentroid, seed)
       .select(asDouble(col(vecCol)).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
     scala.util.Sorting.stableSort(rows,
@@ -813,17 +814,38 @@ object Similarity {
       qArr: Array[Double], k: Int, rerank: Int): DataFrame = {
     val qLit = array(qArr.toIndexedSeq.map(lit(_)): _*)
     encoded
+      // a NULL embedding yields an all-null code, and element_at with a
+      // NULL index reads the LAST lut entry (null index ≡ -1), i.e. the
+      // row would get a GARBAGE ADC score, not a null — drop degenerate
+      // rows before scoring
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"), adist.as("adist"))
+      .filter(col("adist").isNotNull)
       .orderBy(col("adist").asc, col("vec_id"))
       .limit(rerank * k)
-      // nanvl: an all-zero embedding survives l2Normalized unchanged and
-      // its cosine is 0/0 = NaN, which Spark sorts ABOVE every real value
-      // in desc order — score it 0.0 so it can never claim a top-k slot
-      .select(col("vec_id"),
-        nanvl(round(cosine(asDouble(col("embedding")), qLit), 6),
-          lit(0.0)).as("sim"))
+      .select(col("vec_id"), guardedCosine(qArr, qLit).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Rerank cosine against `embedding`, hardened for degenerate rows:
+    * an all-zero embedding survives [[l2Normalized]] unchanged and its
+    * cosine is 0/0 — under Spark 4's default ANSI mode that THROWS
+    * (DIVIDE_BY_ZERO), and with ANSI off it is a NaN that desc-sorts
+    * above every real value. Guard the norm first (CASE branches are
+    * lazy, so the division never executes for zero rows) and score
+    * such rows 0.0; a zero-norm QUERY makes every cosine degenerate,
+    * so all scores collapse to 0.0 and ranking falls to the id
+    * tie-break.
+    */
+  private def guardedCosine(qArr: Array[Double], qLit: Column): Column = {
+    val qn = math.sqrt(qArr.map(x => x * x).sum)
+    if (qn == 0.0) lit(0.0)
+    else {
+      val v = asDouble(col("embedding"))
+      when(norm(v) > 0,
+        nanvl(round(cosine(v, qLit), 6), lit(0.0))).otherwise(lit(0.0))
+    }
   }
 
   /** IVFADC (Jégou, Douze & Schmid, TPAMI 2011 §V — faiss's default at
@@ -903,14 +925,16 @@ object Similarity {
     val cands = index
       .filter(col("vec_id") =!= queryId &&
         col("centroid_id").isin(probeLists.toIndexedSeq.map(Int.box): _*))
+      // null-code rows (a NULL embedding at write time) must not be
+      // scored: element_at's null index reads the LAST lut entry
+      .filter(element_at(col("pq_code"), 1).isNotNull)
       .select(col("vec_id"), rawAdcDist(codebooks, qArr).as("adist"))
+      .filter(col("adist").isNotNull)
       .orderBy(col("adist").asc, col("vec_id"))
       .limit(rerank * k)
     val qLit = array(qArr.toIndexedSeq.map(lit(_)): _*)
     broadcast(cands).join(embeddings, "vec_id")
-      .select(col("vec_id"),
-        nanvl(round(cosine(asDouble(col("embedding")), qLit), 6),
-          lit(0.0)).as("sim"))
+      .select(col("vec_id"), guardedCosine(qArr, qLit).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }

@@ -411,6 +411,27 @@ class SimilarityAsOfSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("null and zero embeddings never claim ADC top-k slots") {
+    import spark.implicits._
+    // id 2 is NULL (null code → null adist; ASC sorts nulls FIRST, so
+    // without the tail filter it would burn a rerank slot), id 3 is the
+    // all-zero vector (cosine 0/0 = NaN → nanvl 0.0), id 4 is opposite
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val emb = Similarity.l2Normalized(df)
+    val books = Similarity.pqCodebooks(emb, m = 2, ksub = 2)
+    val top = Similarity.pqTopK(emb, 0L, k = 2, books, rerank = 3).collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(1L, 3L),
+      s"expected (similar, zero-vector-at-0.0), got ${top.toSeq}")
+    assert(top(1).getDouble(1) === 0.0,
+      "zero vector must score exactly 0.0 (NaN guarded)")
+    assert(!top.exists(_.getLong(0) == 2L), "null embedding leaked into top-k")
+  }
+
   test("int8 quantization: bounded reconstruction error, cosine preserved") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(200)
     val dq = Similarity.dequantizeInt8(Similarity.quantizeInt8(emb))
