@@ -24,7 +24,17 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity, total over degenerate inputs: a zero-norm
+    * vector would make the plain quotient THROW under Spark 4's
+    * default ANSI mode (DIVIDE_BY_ZERO) and a NaN component would
+    * poison any descending rank (NaN sorts above every real value) —
+    * both score 0.0 instead, as do NULL vectors. Non-degenerate values
+    * are bit-identical to the plain quotient (`try_divide` ≡ `/` when
+    * the divisor is nonzero), so every existing oracle is unaffected.
+    */
+  def cosine(a: Column, b: Column): Column =
+    coalesce(nanvl(try_divide(dot(a, b), norm(a) * norm(b)), lit(0.0)),
+      lit(0.0))
 
   /** Assign every vector to its nearest centroid by cosine — the
     * assignment step of Lloyd's k-means (and the exact form of the IVF
