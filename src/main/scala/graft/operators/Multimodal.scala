@@ -106,6 +106,31 @@ object Multimodal {
     }(encoder)
   }
 
+  /** [[extractFeatures]] with the cheap payload metadata the downstream
+    * hash/stats stages need emitted from the SAME decode pass:
+    * (media_id, kind, n_bytes, features). The payload is in hand while
+    * it is decoded — deriving n_bytes here instead of a second media
+    * scan + media_id join halves the passes over the binary column for
+    * mm2/mm5/mm6 (the join also forced a shuffle of the id axis).
+    */
+  def extractFeaturesWithMeta(media: DataFrame,
+      codec: MediaCodec = MediaCodec.Stub, bins: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "kind", "bytes").mapPartitions { rows =>
+      val localCodec = codec
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("bytes")).getOrElse(Array.empty)
+        Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+          bytes.length.toLong, localCodec.decodeFeatures(bytes, bins).toSeq)
+      }
+    }(encoder)
+  }
+
   /** Frame sampling as native expressions: every `stride` bytes yields a
     * `frameLen`-byte "frame" (the chunking pattern of video frame
     * extraction), exploded to (media_id, frame_idx, frame_bytes). Pure
@@ -154,8 +179,6 @@ object Multimodal {
   def perceptualHash(media: DataFrame, codec: MediaCodec = MediaCodec.Stub,
       bins: Int = 16): DataFrame = {
     require(bins <= 62, "phash bits must fit a BIGINT")
-    val n = media.select(col("media_id"), col("kind"),
-      length(col("bytes")).cast("long").as("n_bytes"))
     val cnt = (j: Int) =>
       round(element_at(col("features"), j + 1).cast("double") *
         col("n_bytes")).cast("long")
@@ -163,7 +186,9 @@ object Multimodal {
       when(cnt(j) * bins > col("n_bytes"), lit(1L) * (1L << j))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-    extractFeatures(media, codec, bins).join(n, "media_id")
+    // one decode pass carries n_bytes along — no second media scan, no
+    // media_id join/shuffle before the hash
+    extractFeaturesWithMeta(media, codec, bins)
       .select(col("media_id"), col("kind"), phash.as("phash"))
   }
 
@@ -311,9 +336,7 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
       val media = mediaFromDocuments(graft.Tables.documents(s, d))
-      extractFeatures(media)
-        .join(media.select(col("media_id"),
-          length(col("bytes")).cast("long").as("n_bytes")), "media_id")
+      extractFeaturesWithMeta(media)
         .select(col("media_id"),
           round(element_at(col("features"), 1).cast("double") * col("n_bytes"))
             .cast("long").as("f0_count"),
