@@ -112,6 +112,13 @@ object Multimodal {
     * it is decoded — deriving n_bytes here instead of a second media
     * scan + media_id join halves the passes over the binary column for
     * mm2/mm5/mm6 (the join also forced a shuffle of the id axis).
+    *
+    * NULL payloads are canonicalized to EMPTY at the decode seam
+    * (n_bytes = 0, the empty-payload feature vector) — a deliberate
+    * divergence from what a `length(bytes)` join would emit (NULL):
+    * downstream hash/pairing stages then treat null and genuinely
+    * empty payloads as the same degenerate group instead of silently
+    * dropping null rows at the first null-rejecting filter.
     */
   def extractFeaturesWithMeta(media: DataFrame,
       codec: MediaCodec = MediaCodec.Stub, bins: Int = 16): DataFrame = {
@@ -228,11 +235,19 @@ object Multimodal {
       bins: Int = 16, radius: Int = 1): DataFrame = {
     require(radius >= 0 && radius < bins, "need 0 <= radius < bins")
     val nSlices = radius + 1
-    val width = (bins + nSlices - 1) / nSlices
     val h = perceptualHash(media, codec, bins)
+    // Bits distribute EVENLY across bands (band s covers
+    // [s·bins/nSlices, (s+1)·bins/nSlices)): radius < bins ⇒ nSlices ≤
+    // bins ⇒ every band holds ≥ 1 bit. A ceil-width layout instead
+    // leaves trailing bands EMPTY once radius+1 exceeds bins/width —
+    // an empty band's mask is 0, its equi join degenerates to all-pairs
+    // same-kind (quadratic candidates, silently), and dropping empty
+    // bands would break the pigeonhole completeness proof (radius
+    // differing bits CAN touch all of fewer-than-radius+1 bands).
     val slices = (0 until nSlices).map { s =>
-      val lo = s * width
-      val mask = ((1L << math.min(width, bins - lo)) - 1) << lo
+      val lo = (s.toLong * bins / nSlices).toInt
+      val width = ((s + 1).toLong * bins / nSlices).toInt - lo
+      val mask = ((1L << width) - 1) << lo
       struct(lit(s).as("band"), col("phash").bitwiseAND(lit(mask)).as("bv"))
     }
     val posted = h.select(col("kind"), col("media_id"), col("phash"),

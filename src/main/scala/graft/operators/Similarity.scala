@@ -824,10 +824,10 @@ object Similarity {
       qArr: Array[Double], k: Int, rerank: Int): DataFrame = {
     val qLit = array(qArr.toIndexedSeq.map(lit(_)): _*)
     encoded
-      // a NULL embedding yields an all-null code, and element_at with a
-      // NULL index reads the LAST lut entry (null index ≡ -1), i.e. the
-      // row would get a GARBAGE ADC score, not a null — drop degenerate
-      // rows before scoring
+      // a NULL embedding yields an all-null code; element_at with a
+      // NULL index returns NULL, so the row's adist is NULL — which
+      // ASC-sorts FIRST and would burn rerank slots on garbage rows.
+      // Drop degenerate rows before scoring.
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"), adist.as("adist"))
       .filter(col("adist").isNotNull)
@@ -936,7 +936,8 @@ object Similarity {
       .filter(col("vec_id") =!= queryId &&
         col("centroid_id").isin(probeLists.toIndexedSeq.map(Int.box): _*))
       // null-code rows (a NULL embedding at write time) must not be
-      // scored: element_at's null index reads the LAST lut entry
+      // scored: element_at's null index yields a NULL adist, which
+      // ASC-sorts first and would burn rerank slots
       .filter(element_at(col("pq_code"), 1).isNotNull)
       .select(col("vec_id"), rawAdcDist(codebooks, qArr).as("adist"))
       .filter(col("adist").isNotNull)

@@ -159,4 +159,25 @@ class MultimodalSpec extends AnyFunSuite {
       s"banded ${banded.size} pairs != brute-force ${brute.size}")
     assert(brute.nonEmpty, "corpus fixture should contain radius-1 pairs")
   }
+
+  test("phash pairs: large radius keeps every band non-empty (no all-pairs band)") {
+    // radius 9 on 16 bits: a ceil-width layout (width 2) leaves bands
+    // 8 and 9 past bit 16 with mask 0 — an all-pairs candidate band.
+    // The even-split layout gives every band ≥ 1 real bit; completeness
+    // (banded ≡ brute force) must still hold at this radius.
+    val hashes = Multimodal.perceptualHash(media).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+        r.getAs[Long]("phash")))
+    val brute = (for {
+      (ia, ka, ha) <- hashes; (ib, kb, hb) <- hashes
+      if ka == kb && ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 9
+    } yield (ka, ia, ib, d.toLong)).toSet
+    val banded = Multimodal.phashNearDupPairs(media, radius = 9).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("id_a"),
+        r.getAs[Long]("id_b"), r.getAs[Long]("hamming"))).toSet
+    assert(banded === brute,
+      s"radius-9 banded ${banded.size} pairs != brute-force ${brute.size}")
+  }
 }
