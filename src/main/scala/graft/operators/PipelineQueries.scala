@@ -977,6 +977,26 @@ object PipelineQueries {
         nProbe = 4, rerank = 4)
     },
 
+    // BATCHED IVFADC — the production retrieval read path: a query SET
+    // against ONE scan of the code index (per-query probe lists, ADC
+    // tables and candidacy all ride a broadcast |Q|·nProbe-row probe
+    // relation; per-query top-k via the salted two-stage window). No
+    // SQL twin (trained quantizers); the SimilarityAsOfSpec s23 gates
+    // pin per-query BIT-equality with the single-query indexed path,
+    // the per-query two-stage coverage identity, the one-scan+DPP plan
+    // shape, and the exact-scan degeneracy. Bench note: the timed run
+    // includes both index fits (the s19/s20 convention).
+    "s23_ivfadc_batch" -> QueryDef.noOracle { (s, d) =>
+      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
+      val cents = Similarity.ivfCentroids(emb, nCentroids = 16)
+      val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+      val index = Similarity.pqEncode(Similarity.ivfAssign(emb, cents), books)
+        .select("vec_id", "centroid_id", "pq_code")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.ivfAdcTopKBatch(index, emb, queries, k = 10, cents, books,
+        nProbe = 4, rerank = 4)
+    },
+
     // compressed-index search: int8-quantized vectors (4× smaller),
     // reconstructed on the fly for the cosine ranking. Quantize →
     // dequantize → cosine is exact arithmetic, so DuckDB mirrors it.

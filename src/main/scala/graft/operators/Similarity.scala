@@ -1114,4 +1114,111 @@ object Similarity {
         col("centroid_id").isin(probeLists.toIndexedSeq.map(Int.box): _*))
     adcRerankTail(probed, adist, qArr, k, rerank)
   }
+
+  /** BATCHED IVFADC — the production retrieval read path: a query SET
+    * (RAG serving, hard-negative mining) against ONE scan of the
+    * persisted index, instead of a per-query job loop. Per query the
+    * result is EXACTLY [[ivfAdcTopKIndexed]]'s (same probe ranking, ADC
+    * arithmetic, tie rules and rerank — SimilarityAsOfSpec asserts
+    * bit-equality), but every per-query scalar the single-query path
+    * computes driver-side moves in-row onto the tiny query relation:
+    *
+    *  1. probe lists: each query row ranks the literal centroid table
+    *     in-row (array_sort of (d2, cid) structs — ties to the lower
+    *     list id, the driver sort's stable order) and keeps `nProbe`;
+    *  2. ADC lookup tables: the m × ksub table built per query row from
+    *     the literal codebooks (behind the [[oncePerRow]] barrier so
+    *     the O(m·ksub·dsub) build is materialized once per query, never
+    *     inlined into the m scan-side lookups);
+    *  3. the (qid, probed list, qlut) relation — |Q| × nProbe rows —
+    *     BROADCASTS against the index on `centroid_id`: one pass over
+    *     the probed partitions serves every query, each candidate row
+    *     scoring adist via m lookups into its query's qlut attribute;
+    *  4. per-query shortlist and final top-k ride
+    *     [[Scale.topKPerGroup]] (salted two-stage — no single-reducer
+    *     per-query sort at scale); the exact-cosine rerank re-attaches
+    *     vectors for the ≤ |Q| · rerank · k survivors alone via a
+    *     broadcast join, the indexed path's point-lookup shape.
+    *
+    * At 100 TB this turns per-query index scans into one: the scan cost
+    * is ≈ (∪ probed lists)/nLists × N m-byte code rows regardless of
+    * |Q|, and everything per-query is broadcast-sized. `queries` must
+    * be a SMALL relation ((vec_id, embedding) rows, same vector space —
+    * pass [[l2Normalized]] embeddings on both sides); queries whose
+    * vec_id also appears in the index exclude the self-match, the
+    * single-query contract. Returns (qid, vec_id, sim).
+    */
+  def ivfAdcTopKBatch(index: DataFrame, embeddings: DataFrame,
+      queries: DataFrame, k: Int, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int = 4, rerank: Int = 4,
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && rerank >= 1 && nProbe >= 1 &&
+      nProbe <= centroids.length,
+      "need 1 <= nProbe <= nLists and positive k, rerank")
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val centLit = array(centroids.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+    // (1) in-row probe ranking: d2 to every centroid, array_sort on
+    // (d2, cid) structs — field order gives the (distance, lower id)
+    // tie rule the driver path's stable sortBy produces
+    val probeStructs = transform(
+      sequence(lit(0), lit(centroids.length - 1)), cid =>
+        struct(
+          aggregate(zip_with(col("qv"), element_at(centLit, cid + 1),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("d2"),
+          cid.as("cid")))
+    val probes = slice(array_sort(probeStructs), 1, nProbe)
+    // (2) per-query ADC tables from the literal codebooks — the exact
+    // arithmetic rawAdcDist runs driver-side, element order preserved
+    val qlut = array((0 until m).map { j =>
+      val bookLit = array(codebooks(j).toIndexedSeq.map(c =>
+        array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+      transform(bookLit, c =>
+        aggregate(zip_with(c, slice(col("qv"), j * dsub + 1, dsub),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+    }: _*)
+    val q = queries.select(col("vec_id").cast("long").as("qid"),
+      asDouble(col(vecCol)).as("qv"))
+    val probePairs = oncePerRow(q, "qlut" -> qlut, "probes" -> probes)
+      .select(col("qid"), col("qlut"), explode(col("probes")).as("pr"))
+      .select(col("qid"), col("qlut"), col("pr.cid").as("centroid_id"))
+    // (3) ONE index scan serves all queries: the |Q|·nProbe-row probe
+    // relation broadcasts onto the code scan; the inner join IS the
+    // union-of-probed-lists filter (partition-prunable on a persisted
+    // list-partitioned index) and the per-query candidacy assignment
+    val adist = (1 to m).map { j =>
+      element_at(element_at(col("qlut"), j),
+        element_at(col("pq_code"), j) + 1)
+    }.reduce(_ + _)
+    val cands = index
+      .join(broadcast(probePairs), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      // a null code yields a NULL adist (null element_at index), which
+      // ASC-sorts first and would burn rerank slots — drop before scoring
+      .filter(element_at(col("pq_code"), 1).isNotNull)
+      .select(col("qid"), col("vec_id"), adist.as("adist"))
+      .filter(col("adist").isNotNull)
+    val short = Scale.topKPerGroup(cands, "qid",
+        Seq(col("adist").asc, col("vec_id")), rerank * k,
+        saltOn = col("vec_id"))
+      .select("qid", "vec_id")
+    // (4) exact rerank: vectors re-attach for the shortlist alone
+    // (broadcast point lookup against the vector table), scored by the
+    // guarded cosine — batch twin of guardedCosine with the query norm
+    // as a column branch instead of a driver branch
+    val withVec = broadcast(short)
+      .join(embeddings.select(col("vec_id"),
+        asDouble(col(vecCol)).as("__v")), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+    val sim = when(norm(col("qv")) > 0 && norm(col("__v")) > 0,
+      nanvl(round(cosine(col("__v"), col("qv")), 6), lit(0.0)))
+      .otherwise(lit(0.0))
+    Scale.topKPerGroup(
+        withVec.select(col("qid"), col("vec_id"), sim.as("sim")),
+        "qid", Seq(col("sim").desc, col("vec_id")), k,
+        saltOn = col("vec_id"))
+      .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+  }
 }

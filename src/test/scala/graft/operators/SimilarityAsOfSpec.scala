@@ -432,6 +432,116 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     assert(!top.exists(_.getLong(0) == 2L), "null embedding leaked into top-k")
   }
 
+  test("s23 gate: batched IVFADC == indexed single-query path per query; one scan serves all (sf0.1)") {
+    val emb = Similarity.l2Normalized(
+      Tables.embeddings(spark, "/root/testdata/sf0.1"))
+    val k = 20
+    val rerank = 4
+    val nProbe = 4
+    val nLists = 16
+    val cents = Similarity.ivfCentroids(emb, nCentroids = nLists)
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+    val dir = graft.TestSpark.tempDir("graft_ivfadc_batch")
+    Similarity.pqEncode(Similarity.ivfAssign(emb, cents), books)
+      .select("vec_id", "centroid_id", "pq_code")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val qids = Seq(0L, 400L, 800L, 1200L, 1600L)
+    val queries = emb.filter(col("vec_id").isin(qids.map(Long.box): _*))
+    val batch = Similarity.ivfAdcTopKBatch(index, emb, queries, k, cents,
+      books, nProbe, rerank)
+    val rows = batch.collect()
+
+    // 1) per-query BIT-equality with the single-query indexed path:
+    //    same probe ranking, ADC arithmetic, tie rules, rerank
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    qids.foreach { qid =>
+      val single = Similarity.ivfAdcTopKIndexed(index, emb, qid, k, cents,
+          books, nProbe, rerank).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+      val got = byQ.getOrElse(qid, Array.empty[org.apache.spark.sql.Row])
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+      assert(got === single,
+        s"batch result for query $qid diverges from the indexed path")
+    }
+
+    // 2) the s20 two-stage coverage identity PER QUERY: a true top-k
+    //    neighbor is returned iff its list is probed AND it survives
+    //    the ADC cut (driver-recomputed from the same quantizers)
+    val dsub = books(0)(0).length
+    val assign = Similarity.ivfAssign(emb, cents)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val codes = Similarity.pqEncode(emb, books).select("vec_id", "pq_code")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    qids.foreach { qid =>
+      val qArr = emb.filter(col("vec_id") === qid)
+        .select(Similarity.asDouble(col("embedding"))).collect()(0)
+        .getSeq[Double](0).toArray
+      val probed = cents.zipWithIndex.sortBy { case (c, _) =>
+        c.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.take(nProbe).map(_._2).toSet
+      val luts = books.zipWithIndex.map { case (book, j) =>
+        val qb = qArr.slice(j * dsub, (j + 1) * dsub)
+        book.map(c => c.zip(qb).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }
+      val cands = codes.iterator.collect {
+        case (id, code) if id != qid && probed(assign(id)) =>
+          id -> luts.zipWithIndex
+            .map { case (lut, j) => lut(code(j)) }.reduce(_ + _)
+      }.toSeq.sortBy { case (id, d) => (d, id) }.take(rerank * k)
+        .map(_._1).toSet
+      val exact = Similarity.topKCosine(emb, qid, k).collect().map(_.getLong(0))
+      val got = byQ(qid).map(_.getAs[Long]("vec_id")).toSet
+      assert(exact.count(got) === exact.count(cands),
+        s"query $qid: measured hits != two-stage coverage prediction")
+    }
+
+    // 3) ONE scan of the index serves every query (no per-query job
+    //    loop) — the FINAL adaptive plan (the toString also prints the
+    //    Initial Plan section; cut it) references the index exactly
+    //    once, with the probed lists partition-pruned at that scan by
+    //    the broadcast join's dynamic pruning
+    val plan = batch.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    val scanLines = plan.split("\n").filter(l =>
+      l.contains("Location") && l.contains(new java.io.File(dir).getName))
+    assert(scanLines.length === 1,
+      s"expected exactly 1 index scan, found ${scanLines.length} in:\n$plan")
+    assert(scanLines(0).contains("dynamicpruning"),
+      "probed lists must partition-prune the index scan (DPP) — got:\n" +
+        scanLines(0))
+
+    // 4) empty query set → empty result, same schema
+    val empty = Similarity.ivfAdcTopKBatch(index, emb,
+      queries.limit(0), k, cents, books, nProbe, rerank)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("qid", "vec_id", "sim"))
+  }
+
+  test("s23 degeneracy: full probe + corpus-covering rerank reproduces the exact scan per query") {
+    val emb = Similarity.l2Normalized(Tables.embeddings(spark, TestSpark.sfDir))
+    val n = emb.count().toInt
+    val k = 10
+    val nLists = 8
+    val cents = Similarity.ivfCentroids(emb, nCentroids = nLists)
+    val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+    val index = Similarity.pqEncode(Similarity.ivfAssign(emb, cents), books)
+      .select("vec_id", "centroid_id", "pq_code")
+    val qids = Seq(0L, 100L)
+    val queries = emb.filter(col("vec_id").isin(qids.map(Long.box): _*))
+    val batch = Similarity.ivfAdcTopKBatch(index, emb, queries, k, cents,
+        books, nProbe = nLists, rerank = n / k + 1).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    qids.foreach { qid =>
+      val exact = Similarity.topKCosine(emb, qid, k).collect()
+        .map(_.getLong(0)).toSeq
+      val got = batch(qid).map(_.getAs[Long]("vec_id")).toSeq
+      assert(got === exact,
+        s"query $qid: nProbe=nLists ∧ rerank·k ≥ N must be the exact scan")
+    }
+  }
+
   test("int8 quantization: bounded reconstruction error, cosine preserved") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(200)
     val dq = Similarity.dequantizeInt8(Similarity.quantizeInt8(emb))
