@@ -997,6 +997,70 @@ object PipelineQueries {
         nProbe = 4, rerank = 4)
     },
 
+    // END-TO-END index lifecycle (the s22 machinery composed into the
+    // operational scenario): build the list-partitioned ADC index from
+    // the even half, APPEND the odd half against the FROZEN quantizers,
+    // take drift stats + the occupancy-skew retrain decision on the
+    // appended batch, and prove the appended index serves BIT-identical
+    // top-k to a full rebuild (`topk_match` — computed Spark-side over
+    // both persisted indexes; a broken append/merge flips it to false
+    // and the oracle hash catches it). ORACLE-CHECKED: the coarse
+    // quantizer is data-defined (the 16 lowest-id embeddings, the s22
+    // trick), so the drift/decision legs are pure relational argmin;
+    // the retrain rule is integer arithmetic (n·nLists > 2·total — no
+    // float boundary).
+    "s24_index_lifecycle" -> QueryDef.sql(
+      """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings WHERE vec_id < 16),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |      WHERE vec_id % 2 = 1),
+        |d AS (SELECT e.vec_id, c.centroid_id,
+        |        round(list_sum(list_transform(range(len(v)),
+        |          i -> (v[i+1] - cv[i+1]) * (v[i+1] - cv[i+1]))), 6) AS d2
+        |      FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, centroid_id, d2,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY d2 ASC, centroid_id) AS rn
+        |      FROM d)
+        |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_assigned,
+        |  round(sum(d2), 2) / count(*) AS mean_d2,
+        |  count(*) * 16 > 2 * (SELECT count(*) FROM e) AS drifted,
+        |  TRUE AS topk_match
+        |FROM a WHERE rn = 1 GROUP BY centroid_id
+        |ORDER BY centroid_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(Similarity.asDouble(col("embedding"))).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+      val build = emb.filter(col("vec_id") % 2 === 0)
+      val delta = emb.filter(col("vec_id") % 2 === 1)
+      val dirA = java.nio.file.Files.createTempDirectory("graft_s24_app")
+        .toString
+      val dirB = java.nio.file.Files.createTempDirectory("graft_s24_full")
+        .toString
+      Similarity.pqEncode(Similarity.ivfAssign(build, cents), books)
+        .select("vec_id", "centroid_id", "pq_code")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(dirA)
+      Similarity.ivfIndexAppend(delta, dirA, cents, books)
+      Similarity.pqEncode(Similarity.ivfAssign(emb, cents), books)
+        .select("vec_id", "centroid_id", "pq_code")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(dirB)
+      def topk(dir: String): Seq[(Long, Double)] =
+        Similarity.ivfAdcTopKIndexed(s.read.parquet(dir), emb, 0L, 10,
+            cents, books, nProbe = 4, rerank = 4).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val matches = topk(dirA) == topk(dirB)
+      val total = delta.count()
+      val centsTable = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      Similarity.ivfDriftStats(delta, centsTable)
+        .withColumn("drifted",
+          col("n_assigned") * 16 > lit(2L * total))
+        .withColumn("topk_match", lit(matches))
+        .orderBy("centroid_id")
+    },
+
     // compressed-index search: int8-quantized vectors (4× smaller),
     // reconstructed on the fly for the cosine ranking. Quantize →
     // dequantize → cosine is exact arithmetic, so DuckDB mirrors it.

@@ -379,6 +379,57 @@ object WeatherQueries {
         .orderBy("latitude", "date")
     },
 
+    // S2d exercised by an ORACLE row, not only by PartitioningSpec: the
+    // connector's reported per-location partitioning
+    // (KeyGroupedPartitioning on (latitude, longitude)) lets the
+    // grouped fleet aggregate run WITHOUT an exchange, and the
+    // aggregated per-location table then serves as the grid side of
+    // the J4 nearest-grid enrichment (query points → nearest reporting
+    // location + its climate summary). avg is the CLAUDE-safe
+    // round(sum,4)/count form (identical dividend/divisor ⇒
+    // bit-identical IEEE quotient on both engines). The v2-bucketing
+    // conf matters at PLANNING time only: the plan is forced inside
+    // the closure (localCheckpoint) and the conf restored in finally —
+    // the conf-leak discipline. PartitioningSpec holds the no-exchange
+    // plan gate for this exact composition.
+    "wx21_connector_grid_enrich" -> QueryDef.sql(
+      s"""WITH ${wideCte("hourly_7d.json")},
+         |g AS (SELECT latitude AS g_lat, longitude AS g_lon,
+         |        round(sum(temperature_2m), 4) / count(*) AS avg_temp,
+         |        CAST(count(*) AS BIGINT) AS n_hours
+         |      FROM wide GROUP BY latitude, longitude),
+         |q AS (SELECT unnest([50.0, 49.3, 49.9]) AS latitude,
+         |             unnest([14.5, 16.5, 18.0]) AS longitude),
+         |j AS (SELECT q.latitude, q.longitude, g.g_lat, g.g_lon,
+         |        g.avg_temp, g.n_hours,
+         |        ${hav("q.latitude", "q.longitude", "g.g_lat", "g.g_lon")} AS h
+         |      FROM q LEFT JOIN g
+         |        ON ${hav("q.latitude", "q.longitude", "g.g_lat", "g.g_lon")} <= 100.0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY latitude, longitude
+         |        ORDER BY h ASC NULLS LAST, g_lat, g_lon) AS rn FROM j)
+         |SELECT latitude, longitude, g_lat, g_lon, avg_temp, n_hours,
+         |  round(h, 3) AS grid_dist_km
+         |FROM r WHERE rn = 1 ORDER BY latitude""".stripMargin) { (s, _) =>
+      import s.implicits._
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      try {
+        val fleet = s.read.format("openmeteo")
+          .option("path", s"${WeatherEngine.defaultFixtureDir}/hourly_7d.json")
+          .load()
+          .groupBy("latitude", "longitude")
+          .agg((round(sum("temperature_2m"), 4) / count(lit(1)))
+              .as("avg_temp"),
+            count(lit(1)).as("n_hours"))
+        val queryPoints = Seq((50.0, 14.5), (49.3, 16.5), (49.9, 18.0))
+          .toDF("latitude", "longitude")
+        Geo.nearestGridPoint(queryPoints, fleet)
+          .select("latitude", "longitude", "g_lat", "g_lon",
+            "avg_temp", "n_hours", "grid_dist_km")
+          .localCheckpoint()
+          .orderBy("latitude")
+      } finally s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    },
+
     // §4 aggregate pushdown: a global MIN/MAX through the connector is
     // answered from the source's DAILY pre-aggregates (PushedAggregates
     // in the plan, asserted in OpenMeteoSourceSpec); the oracle computes

@@ -166,6 +166,32 @@ class PartitioningSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
+  test("wx21 composition: keyed connector scan feeds the fleet agg exchange-free; grid join broadcasts") {
+    // the wx21 probe's exact shape: per-location agg through the
+    // KeyGroupedPartitioning-reporting scan (no exchange), then the J4
+    // nearest-grid join against the aggregated fleet table (broadcast,
+    // never a shuffle of the fleet side)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      import spark.implicits._
+      val fleet = spark.read.format("openmeteo")
+        .option("path", s"${TestSpark.fixtures}/hourly_7d.json").load()
+        .groupBy("latitude", "longitude")
+        .agg((round(sum("temperature_2m"), 4) / count(lit(1))).as("avg_temp"),
+          count(lit(1)).as("n_hours"))
+      assert(fleet.count() > 0)
+      val aggPlan = fleet.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"fleet agg over the keyed scan must not shuffle:\n$aggPlan")
+      val q = Seq((50.0, 14.5), (49.3, 16.5)).toDF("latitude", "longitude")
+      val enriched = graft.weather.Geo.nearestGridPoint(q, fleet)
+      assert(enriched.count() === 2)
+      val plan = enriched.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"grid join must broadcast the fleet side:\n$plan")
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("AQE splits skewed join partitions at runtime") {
     import spark.implicits._
     // no manual repartition: AQE only rewrites ENSURE_REQUIREMENTS shuffles
