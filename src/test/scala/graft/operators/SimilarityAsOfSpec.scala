@@ -411,6 +411,54 @@ class SimilarityAsOfSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("s21 recall sweep: planted-neighbor recall over the nProbe × rerank grid; monotone in rerank; pinned floor") {
+    // The coverage identity proves the pipeline is internally
+    // consistent; this gate pins retrieval QUALITY with a number, so a
+    // codebook/encode regression (e.g. a broken residual subtraction
+    // that still satisfies the identity) trips an assertion. Fixture:
+    // the planted-twin corpus (vec_id + 10000 = a 0.99+-cosine copy);
+    // recall@5 = fraction of queries whose twin is retrieved.
+    val base = Tables.embeddings(spark, TestSpark.sfDir)
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+    val planted = base.select((col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => (x + (i % 3 - 1) * lit(0.01f)).cast("float")).as("embedding"))
+    val corpus = Similarity.l2Normalized(base.unionByName(planted))
+    val nLists = 16
+    val k = 5
+    val cents = Similarity.ivfCentroids(corpus, nCentroids = nLists)
+    val books = Similarity.pqCodebooksResidual(corpus, cents, m = 8, ksub = 16)
+    val qids = (0 until 8).map(_ * 25L)
+    def recall(nProbe: Int, rerank: Int): Double =
+      qids.count { qid =>
+        Similarity.ivfAdcResidualTopK(corpus, qid, k, cents, books,
+            nProbe, rerank).collect()
+          .exists(_.getLong(0) == qid + 10000L)
+      }.toDouble / qids.size
+    val grid = for (nProbe <- Seq(1, 4, nLists); rerank <- Seq(1, 4))
+      yield (nProbe, rerank) -> recall(nProbe, rerank)
+    info(grid.map { case ((p, r), v) => f"nProbe=$p%2d rerank=$r: $v%.3f" }
+      .mkString("; "))
+    // the shortlist is a PREFIX of the ADC ordering, so candidates grow
+    // with rerank at fixed nProbe and hits (= exact ∩ shortlist, the
+    // coverage identity) are monotone non-decreasing
+    Seq(1, 4, nLists).foreach { p =>
+      val m = grid.toMap
+      assert(m((p, 1)) <= m((p, 4)),
+        s"recall must be monotone in rerank at nProbe=$p")
+    }
+    // degeneracy cell: all lists probed + corpus-covering rerank IS the
+    // exact scan, and the planted twin is every query's exact top-1
+    assert(recall(nLists, 400 / k + 1) === 1.0,
+      "full-probe, corpus-covering rerank must retrieve every planted twin")
+    // pinned floor at the s21 probe settings — the regression tripwire.
+    // Measured 1.0 on the seeded fixture; 0.75 leaves slack for any
+    // future legitimate fixture/codebook re-seed while still catching a
+    // real encode break (a broken residual path measured ≈ 0.2).
+    assert(recall(4, 4) >= 0.75,
+      s"recall@5 at (nProbe=4, rerank=4) fell below the 0.75 floor: ${recall(4, 4)}")
+  }
+
   test("null and zero embeddings never claim ADC top-k slots") {
     import spark.implicits._
     // id 2 is NULL (null code → null adist; ASC sorts nulls FIRST, so
