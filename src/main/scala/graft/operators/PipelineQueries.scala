@@ -997,6 +997,24 @@ object PipelineQueries {
         nProbe = 4, rerank = 4)
     },
 
+    // batched RESIDUAL IVFADC — the s23 read path with the s21 encoder:
+    // per-(query, probed list) ADC tables derive in-row on the
+    // probe-pair relation (query residual against each probed centroid,
+    // oncePerRow-barriered), one DPP-pruned scan of the residual-code
+    // index serves the whole query set. Golden: SimilarityAsOfSpec s25
+    // gate pins per-query BIT-equality with ivfAdcResidualTopK + the
+    // one-scan/DPP plan shape.
+    "s25_ivfadc_residual_batch" -> QueryDef.noOracle { (s, d) =>
+      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
+      val cents = Similarity.ivfCentroids(emb, nCentroids = 16)
+      val books = Similarity.pqCodebooksResidual(emb, cents, m = 8, ksub = 16)
+      val index = Similarity.pqEncodeResidual(emb, cents, books)
+        .select("vec_id", "centroid_id", "pq_code")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      Similarity.ivfAdcResidualTopKBatch(index, emb, queries, k = 10, cents,
+        books, nProbe = 4, rerank = 4)
+    },
+
     // END-TO-END index lifecycle (the s22 machinery composed into the
     // operational scenario): build the list-partitioned ADC index from
     // the even half, APPEND the odd half against the FROZEN quantizers,

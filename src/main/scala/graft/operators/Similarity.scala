@@ -1184,10 +1184,75 @@ object Similarity {
     val probePairs = oncePerRow(q, "qlut" -> qlut, "probes" -> probes)
       .select(col("qid"), col("qlut"), explode(col("probes")).as("pr"))
       .select(col("qid"), col("qlut"), col("pr.cid").as("centroid_id"))
-    // (3) ONE index scan serves all queries: the |Q|·nProbe-row probe
-    // relation broadcasts onto the code scan; the inner join IS the
-    // union-of-probed-lists filter (partition-prunable on a persisted
-    // list-partitioned index) and the per-query candidacy assignment
+    adcBatchTail(index, embeddings, probePairs, q, k, rerank, m, vecCol)
+  }
+
+  /** [[ivfAdcTopKBatch]] with RESIDUAL encoding — the batched twin of
+    * [[ivfAdcResidualTopK]] over a persisted [[pqEncodeResidual]]
+    * index. The per-(query, probed list) ADC tables the single-query
+    * path builds driver-side (nProbe × m × ksub literals) become an
+    * in-row derivation ON the |Q| × nProbe probe-pair relation: each
+    * pair row subtracts its list's centroid from its query vector
+    * (literal centroid table, no join) and builds that list's m × ksub
+    * table behind the [[oncePerRow]] barrier — the same arithmetic in
+    * the same order, so per-query results are BIT-identical to the
+    * single-query path. The scan side is unchanged from the raw batch:
+    * one DPP-pruned pass over the m-byte codes serves every query.
+    */
+  def ivfAdcResidualTopKBatch(index: DataFrame, embeddings: DataFrame,
+      queries: DataFrame, k: Int, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int = 4, rerank: Int = 4,
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && rerank >= 1 && nProbe >= 1 &&
+      nProbe <= centroids.length,
+      "need 1 <= nProbe <= nLists and positive k, rerank")
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val centLit = array(centroids.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+    val probeStructs = transform(
+      sequence(lit(0), lit(centroids.length - 1)), cid =>
+        struct(
+          aggregate(zip_with(col("qv"), element_at(centLit, cid + 1),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("d2"),
+          cid.as("cid")))
+    val probes = slice(array_sort(probeStructs), 1, nProbe)
+    val q = queries.select(col("vec_id").cast("long").as("qid"),
+      asDouble(col(vecCol)).as("qv"))
+    // the query residual against THIS row's probed list, then that
+    // list's ADC table — both on the exploded (qid, list) relation, so
+    // each pair row carries exactly the table its candidates need
+    val qres = zip_with(col("qv"),
+      element_at(centLit, col("centroid_id") + 1), (x, c) => x - c)
+    val qlut = array((0 until m).map { j =>
+      val bookLit = array(codebooks(j).toIndexedSeq.map(c =>
+        array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+      transform(bookLit, c =>
+        aggregate(zip_with(c, slice(col("__qres"), j * dsub + 1, dsub),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+    }: _*)
+    val pairs = oncePerRow(q, "probes" -> probes)
+      .select(col("qid"), col("qv"), explode(col("probes")).as("pr"))
+      .select(col("qid"), col("qv"), col("pr.cid").as("centroid_id"))
+    val probePairs = oncePerRow(
+        oncePerRow(pairs, "__qres" -> qres), "qlut" -> qlut)
+      .select("qid", "centroid_id", "qlut")
+    adcBatchTail(index, embeddings, probePairs, q, k, rerank, m, vecCol)
+  }
+
+  /** Shared tail of the batched ADC read paths: (3) the probe relation
+    * — (qid, centroid_id, qlut) — broadcasts onto ONE scan of the code
+    * index (the inner join IS the union-of-probed-lists filter,
+    * partition-prunable via DPP on a persisted list-partitioned index,
+    * AND the per-query candidacy assignment); (4) per-query shortlist
+    * and final top-k ride [[Scale.topKPerGroup]], with the exact
+    * guarded-cosine rerank re-attaching vectors for the shortlist
+    * alone via broadcast point-lookup joins.
+    */
+  private def adcBatchTail(index: DataFrame, embeddings: DataFrame,
+      probePairs: DataFrame, q: DataFrame, k: Int, rerank: Int, m: Int,
+      vecCol: String): DataFrame = {
     val adist = (1 to m).map { j =>
       element_at(element_at(col("qlut"), j),
         element_at(col("pq_code"), j) + 1)
@@ -1204,7 +1269,7 @@ object Similarity {
         Seq(col("adist").asc, col("vec_id")), rerank * k,
         saltOn = col("vec_id"))
       .select("qid", "vec_id")
-    // (4) exact rerank: vectors re-attach for the shortlist alone
+    // exact rerank: vectors re-attach for the shortlist alone
     // (broadcast point lookup against the vector table), scored by the
     // guarded cosine — batch twin of guardedCosine with the query norm
     // as a column branch instead of a driver branch

@@ -411,6 +411,49 @@ class SimilarityAsOfSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("s25 gate: batched residual IVFADC == single-query path per query; one scan serves all (sf0.1)") {
+    // the residual twin of the s23 gate: per-(query, list) ADC tables
+    // move from driver literals to an in-row derivation on the
+    // probe-pair relation — same arithmetic in the same order, so
+    // per-query results must be BIT-identical to ivfAdcResidualTopK
+    val emb = Similarity.l2Normalized(
+      Tables.embeddings(spark, "/root/testdata/sf0.1"))
+    val k = 20
+    val rerank = 4
+    val nProbe = 4
+    val nLists = 16
+    val cents = Similarity.ivfCentroids(emb, nCentroids = nLists)
+    val books = Similarity.pqCodebooksResidual(emb, cents, m = 8, ksub = 16)
+    val dir = graft.TestSpark.tempDir("graft_ivfadc_res_batch")
+    Similarity.pqEncodeResidual(emb, cents, books)
+      .select("vec_id", "centroid_id", "pq_code")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val qids = Seq(0L, 400L, 800L, 1200L, 1600L)
+    val queries = emb.filter(col("vec_id").isin(qids.map(Long.box): _*))
+    val batch = Similarity.ivfAdcResidualTopKBatch(index, emb, queries, k,
+      cents, books, nProbe, rerank)
+    val rows = batch.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    qids.foreach { qid =>
+      val single = Similarity.ivfAdcResidualTopK(emb, qid, k, cents, books,
+          nProbe, rerank).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+      val got = byQ.getOrElse(qid, Array.empty[org.apache.spark.sql.Row])
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+      assert(got === single,
+        s"residual batch for query $qid diverges from the single-query path")
+    }
+    val plan = batch.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    val scanLines = plan.split("\n").filter(l =>
+      l.contains("Location") && l.contains(new java.io.File(dir).getName))
+    assert(scanLines.length === 1,
+      s"expected exactly 1 index scan, found ${scanLines.length}")
+    assert(scanLines(0).contains("dynamicpruning"),
+      "probed lists must partition-prune the index scan (DPP)")
+  }
+
   test("s21 recall sweep: planted-neighbor recall over the nProbe × rerank grid; monotone in rerank; pinned floor") {
     // The coverage identity proves the pipeline is internally
     // consistent; this gate pins retrieval QUALITY with a number, so a
