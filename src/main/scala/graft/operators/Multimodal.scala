@@ -324,6 +324,20 @@ object Multimodal {
         .orderBy("kind", "id_a", "id_b")
     },
 
+    // the same pigeonhole machinery at the PRODUCTION hash width — 62
+    // bits, the BIGINT ceiling — where band buckets stay sparse and
+    // candidate generation is occupancy-bounded as the corpus grows
+    // (the mm6 soak caveat: a FIXED 16-bit space saturates under
+    // growth — birthday pairs accumulate superlinearly — while a wide
+    // hash keeps per-bucket occupancy O(1)). radius 2 → three even
+    // bands of 21/21/20 bits; oracle = the same quadratic popcount
+    // twin at oracle scale.
+    "mm7_phash_radius_wide" -> QueryDef.sql(phashPairsOracleSql(62, 2)) { (s, d) =>
+      phashNearDupPairs(mediaFromDocuments(graft.Tables.documents(s, d)),
+          bins = 62, radius = 2)
+        .orderBy("kind", "id_a", "id_b")
+    },
+
     // binary-column stats with a DuckDB oracle (octet_length over the
     // same utf-8 payload)
     "mm1_media_stats" -> QueryDef.sql(

@@ -930,8 +930,7 @@ object PipelineQueries {
     // convention — scan cost is the small remainder.
     "s20_ivfadc_topk" -> QueryDef.noOracle { (s, d) =>
       val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
-      val cents = Similarity.ivfCentroids(emb, nCentroids = 16)
-      val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+      val (cents, books) = Similarity.annQuantizers(emb)
       Similarity.ivfAdcTopK(emb, queryId = 0L, k = 20, cents, books,
         nProbe = 4, rerank = 4)
     },
@@ -971,8 +970,7 @@ object PipelineQueries {
     // identity + exact-scan degeneracy (SimilarityAsOfSpec).
     "s21_ivfadc_residual" -> QueryDef.noOracle { (s, d) =>
       val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
-      val cents = Similarity.ivfCentroids(emb, nCentroids = 16)
-      val books = Similarity.pqCodebooksResidual(emb, cents, m = 8, ksub = 16)
+      val (cents, books) = Similarity.annQuantizers(emb, residual = true)
       Similarity.ivfAdcResidualTopK(emb, queryId = 0L, k = 20, cents, books,
         nProbe = 4, rerank = 4)
     },
@@ -988,8 +986,7 @@ object PipelineQueries {
     // includes both index fits (the s19/s20 convention).
     "s23_ivfadc_batch" -> QueryDef.noOracle { (s, d) =>
       val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
-      val cents = Similarity.ivfCentroids(emb, nCentroids = 16)
-      val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+      val (cents, books) = Similarity.annQuantizers(emb)
       val index = Similarity.pqEncode(Similarity.ivfAssign(emb, cents), books)
         .select("vec_id", "centroid_id", "pq_code")
       val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -1006,8 +1003,7 @@ object PipelineQueries {
     // one-scan/DPP plan shape.
     "s25_ivfadc_residual_batch" -> QueryDef.noOracle { (s, d) =>
       val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
-      val cents = Similarity.ivfCentroids(emb, nCentroids = 16)
-      val books = Similarity.pqCodebooksResidual(emb, cents, m = 8, ksub = 16)
+      val (cents, books) = Similarity.annQuantizers(emb, residual = true)
       val index = Similarity.pqEncodeResidual(emb, cents, books)
         .select("vec_id", "centroid_id", "pq_code")
       val queries = emb.filter(col("vec_id") % 100 === 0)

@@ -549,6 +549,43 @@ object Similarity {
     lloydFit(sample, nCentroids, seed)
   }
 
+  /** BOTH IVFADC quantizers from ONE fit-sample collection. Calling
+    * [[ivfCentroids]] then [[pqCodebooks]]/[[pqCodebooksResidual]]
+    * separately runs two IDENTICAL TakeOrdered sample jobs over the
+    * corpus (same k, seed, column ⇒ same sample) — this entry point
+    * collects once and reuses it, producing BIT-identical quantizers
+    * to the separate calls (asserted in SimilarityAsOfSpec), so every
+    * golden/coverage gate downstream is unaffected. Requires
+    * nCentroids == ksub (the probe configuration) precisely so the
+    * shared sample IS the sample each separate fit would have drawn.
+    */
+  def annQuantizers(embeddings: DataFrame, nCentroids: Int = 16,
+      m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+      pointsPerCentroid: Int = 256, vecCol: String = "embedding",
+      residual: Boolean = false)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(nCentroids == ksub,
+      "shared-sample fit needs nCentroids == ksub (else the two fits " +
+        "draw different samples — call the separate entry points)")
+    require(m >= 1 && ksub >= 2, "need m >= 1 sub-blocks and ksub >= 2")
+    val sample = collectFitSample(embeddings, nCentroids, pointsPerCentroid,
+      seed, vecCol)
+    val cents = lloydFit(sample, nCentroids, seed)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-blocks")
+    val dsub = dim / m
+    val base =
+      if (!residual) sample
+      else sample.map { v =>
+        val c = cents(nearestIdx(v, cents))
+        Array.tabulate(dim)(i => v(i) - c(i))
+      }
+    val books = (0 until m).map { j =>
+      lloydFit(base.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, seed + j)
+    }.toArray
+    (cents, books)
+  }
+
   /** Embeddings with their IVF list id (`centroid_id`). Persist/bucket by
     * this column once and every subsequent query touches only nProbe
     * lists — the classic IVF-Flat layout, here as plain partitioning.

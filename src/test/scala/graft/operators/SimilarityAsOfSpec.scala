@@ -502,6 +502,24 @@ class SimilarityAsOfSpec extends AnyFunSuite {
       s"recall@5 at (nProbe=4, rerank=4) fell below the 0.75 floor: ${recall(4, 4)}")
   }
 
+  test("annQuantizers: shared-sample fits are bit-identical to the separate entry points") {
+    val emb = Similarity.l2Normalized(Tables.embeddings(spark, TestSpark.sfDir))
+    val (cents, books) = Similarity.annQuantizers(emb)
+    assert(cents.map(_.toSeq).toSeq ===
+      Similarity.ivfCentroids(emb, nCentroids = 16).map(_.toSeq).toSeq,
+      "shared-sample centroids diverge from ivfCentroids")
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq ===
+      Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+        .map(_.map(_.toSeq).toSeq).toSeq,
+      "shared-sample codebooks diverge from pqCodebooks")
+    val (rCents, rBooks) = Similarity.annQuantizers(emb, residual = true)
+    assert(rCents.map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq)
+    assert(rBooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      Similarity.pqCodebooksResidual(emb, cents, m = 8, ksub = 16)
+        .map(_.map(_.toSeq).toSeq).toSeq,
+      "shared-sample residual codebooks diverge from pqCodebooksResidual")
+  }
+
   test("null and zero embeddings never claim ADC top-k slots") {
     import spark.implicits._
     // id 2 is NULL (null code → null adist; ASC sorts nulls FIRST, so
