@@ -220,6 +220,50 @@ object Corpus {
       .select(col("qid"), col("qlabel"), col("neg_id"), col("neg_label"), col("sim"))
   }
 
+  /** [[hardNegatives]] with the BATCHED ANN candidate generator — the
+    * production form of hard-negative mining at corpus scale: instead
+    * of scoring every (query, corpus) pair exactly (one corpus scan
+    * per mining run, O(|Q| · N) cosine evaluations), candidates come
+    * from ONE [[Similarity.ivfAdcTopKBatch]] pass over the m-byte code
+    * index (per-query `poolK` nearest by the ANN pipeline), labels
+    * attach to the |Q| · poolK-bounded pool via a broadcast join, and
+    * the per-query top-k different-label rows keep the
+    * [[hardNegatives]] contract (6-d.p. cosine, ties to the lower
+    * candidate id). Approximation is confined to the candidate stage:
+    * with nProbe = nLists and rerank · poolK ≥ N the pool is the full
+    * exact ranking and the output EQUALS [[hardNegatives]]
+    * (spec-gated degeneracy); at production settings poolK simply
+    * bounds how deep below the query's true neighborhood mining can
+    * reach — the standard ANN-mining accuracy/cost dial (the same
+    * two knobs as every other read of this index).
+    * Returns (qid, qlabel, neg_id, neg_label, sim).
+    */
+  def hardNegativesAnn(embeddings: DataFrame, index: DataFrame,
+      queryCap: Long, k: Int, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], poolK: Int = 50,
+      nProbe: Int = 4, rerank: Int = 4): DataFrame = {
+    require(k >= 1 && poolK >= k, "need poolK >= k >= 1")
+    val labels = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("label"))
+    val queries = embeddings.filter(col("vec_id") < queryCap)
+    val pool = Similarity.ivfAdcTopKBatch(index, embeddings, queries,
+      poolK, centroids, codebooks, nProbe, rerank)
+    val qLab = broadcast(labels.filter(col("vec_id") < queryCap)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel")))
+    // the pool is |Q| × poolK rows — BROADCAST IT against the
+    // corpus-sized label relation (the point-lookup shape the indexed
+    // rerank uses), never the reverse
+    val scored = broadcast(pool.join(qLab, Seq("qid")))
+      .join(labels.select(col("vec_id"), col("label").as("neg_label")),
+        Seq("vec_id"))
+      .filter(col("neg_label") =!= col("qlabel"))
+      .select(col("qid"), col("qlabel"), col("vec_id").as("neg_id"),
+        col("neg_label"), col("sim"))
+    Scale.topKPerGroup(scored, "qid",
+        Seq(col("sim").desc, col("neg_id")), k, saltOn = col("neg_id"))
+      .orderBy(col("qid"), col("sim").desc, col("neg_id"))
+  }
+
   /** Retrieval-quality evaluation — the metrics loop every embedding
     * model ships through: for each query vector, rank the corpus by
     * cosine, take the top `k`, and score hits@k, recall@k

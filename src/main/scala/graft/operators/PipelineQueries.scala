@@ -1011,6 +1011,22 @@ object PipelineQueries {
         books, nProbe = 4, rerank = 4)
     },
 
+    // ANN-accelerated hard-negative mining — the batch read path
+    // composed into the training-data shape that motivated it:
+    // candidates from ONE ivfAdcTopKBatch pass over the code index,
+    // labels attached to the |Q|·poolK pool via a broadcast join,
+    // per-query different-label top-k under the exact-miner contract.
+    // Golden (trained quantizers); CorpusSpec pins the
+    // full-probe/corpus-pool degeneracy ≡ exact hardNegatives.
+    "s26_hard_negatives_ann" -> QueryDef.noOracle { (s, d) =>
+      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
+      val (cents, books) = Similarity.annQuantizers(emb)
+      val index = Similarity.pqEncode(Similarity.ivfAssign(emb, cents), books)
+        .select("vec_id", "centroid_id", "pq_code")
+      Corpus.hardNegativesAnn(emb, index, queryCap = 20L, k = 5, cents,
+        books, poolK = 50, nProbe = 4, rerank = 4)
+    },
+
     // END-TO-END index lifecycle (the s22 machinery composed into the
     // operational scenario): build the list-partitioned ADC index from
     // the even half, APPEND the odd half against the FROZEN quantizers,

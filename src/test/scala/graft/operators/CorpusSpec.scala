@@ -116,6 +116,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(sims.sorted.reverse.toSeq === sims.toSeq)
   }
 
+  test("hardNegativesAnn: degenerate settings reproduce exact hardNegatives; pooled settings stay valid") {
+    val emb = Similarity.l2Normalized(
+      graft.Tables.embeddings(spark, graft.TestSpark.sfDir))
+    val n = emb.count().toInt
+    val (cents, books) = Similarity.annQuantizers(emb)
+    val index = Similarity.pqEncode(Similarity.ivfAssign(emb, cents), books)
+      .select("vec_id", "centroid_id", "pq_code")
+    val queryCap = 3L
+    val k = 5
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("qid"), -r.getAs[Double]("sim"), r.getAs[Long]("neg_id"))
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("qid"), r.getAs[Long]("qlabel"), r.getAs[Long]("neg_id"),
+        r.getAs[Long]("neg_label"), r.getAs[Double]("sim"))
+    // full probe + corpus-covering pool → the candidate stage is the
+    // full exact ranking and the output must EQUAL the exact miner
+    val exact = Corpus.hardNegatives(emb, queryCap, k).collect()
+      .sortBy(key).map(tup).toSeq
+    val ann = Corpus.hardNegativesAnn(emb, index, queryCap, k, cents, books,
+        poolK = n, nProbe = 16, rerank = 1).collect()
+      .sortBy(key).map(tup).toSeq
+    assert(ann === exact,
+      "degenerate ANN mining must reproduce the exact hard negatives")
+    // production settings: output still k different-label rows per
+    // query, descending sims, drawn from the ANN pool
+    val pooled = Corpus.hardNegativesAnn(emb, index, queryCap, k, cents,
+      books, poolK = 50, nProbe = 4, rerank = 4).collect()
+    assert(pooled.groupBy(_.getAs[Long]("qid")).forall(_._2.length <= k))
+    assert(pooled.forall(r =>
+      r.getAs[Long]("neg_label") != r.getAs[Long]("qlabel")))
+    pooled.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      val sims = rs.sortBy(key).map(_.getAs[Double]("sim")).toSeq
+      assert(sims.sorted.reverse === sims, "pool sims must be descending")
+    }
+  }
+
   // ---- sourceReport / shingleOverlapMatrix --------------------------------
 
   test("sourceReport aggregates docs, tokens, and quality per source") {
