@@ -53,7 +53,11 @@ object ScaleSoak {
     // frozen ×1-fit quantizers, persisted list-partitioned index built
     // outside the timed window, only the probe+scan+rerank timed.
     "s20_ivfadc_topk", "s20_indexed_read", "mm6_phash_radius",
-    "t50_weighted_reservoir", "t51_group_weighted_reservoir")
+    "t50_weighted_reservoir", "t51_group_weighted_reservoir",
+    // r10: the 62-bit production-width phash pairing — the regime
+    // where band buckets stay occupancy-bounded as the corpus grows
+    // (its 16-bit twin above saturates by construction)
+    "mm7_phash_radius_wide")
 
   /** Frozen quantizers for [[s20_indexed_read]]: fit ONCE per source
     * corpus (the freeze-and-append operational model — nLists and
@@ -134,8 +138,8 @@ object ScaleSoak {
     for (q <- Seq("d9_exact_jaccard_pairs", "g2_triangles",
            "d17_contamination_frac", "t49_cluster_safe_split",
            "g9_weighted_sssp", "s12_semantic_dedup",
-           "mm6_phash_radius", "t50_weighted_reservoir",
-           "t51_group_weighted_reservoir")
+           "mm6_phash_radius", "mm7_phash_radius_wide",
+           "t50_weighted_reservoir", "t51_group_weighted_reservoir")
          if prefixes.isEmpty || prefixes.exists(q.startsWith)) q match {
       case "d9_exact_jaccard_pairs" =>
         val (c1, cN) = (countRows(q, srcDir), countRows(q, ampDir))
@@ -157,6 +161,16 @@ object ScaleSoak {
         require(cN == factor * c1,
           s"amplifier leak: $q rows $c1 -> $cN, expected ${factor * c1}")
         System.err.println(s"[soak] invariant $q rows: $c1 -> $cN = x$factor exact")
+      case "mm7_phash_radius_wide" =>
+        // 62-bit space: cross-copy collisions are rare, so pairs grow
+        // close to ×N (within-copy pairs replicate exactly; copies
+        // only ADD) — the occupancy-bounded contrast to mm6 below
+        val (c1, cN) = (countRows(q, srcDir), countRows(q, ampDir))
+        require(cN >= factor * c1,
+          s"amplifier anomaly: mm7 pairs $c1 -> $cN < x$factor")
+        val outExp = math.log(cN.toDouble / c1) / math.log(factor.toDouble)
+        System.err.println(f"[soak] invariant mm7 pairs: $c1 -> $cN " +
+          f"(output exponent $outExp%.2f at the production width)")
       case "mm6_phash_radius" =>
         // The phash space is FIXED (16 bits) while media count scales
         // ×N, so the ANSWER grows superlinearly (birthday pairs across

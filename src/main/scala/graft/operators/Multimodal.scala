@@ -325,13 +325,15 @@ object Multimodal {
     },
 
     // the same pigeonhole machinery at the PRODUCTION hash width — 62
-    // bits, the BIGINT ceiling — where band buckets stay sparse and
-    // candidate generation is occupancy-bounded as the corpus grows
-    // (the mm6 soak caveat: a FIXED 16-bit space saturates under
-    // growth — birthday pairs accumulate superlinearly — while a wide
-    // hash keeps per-bucket occupancy O(1)). radius 2 → three even
-    // bands of 21/21/20 bits; oracle = the same quadratic popcount
-    // twin at oracle scale.
+    // bits (the BIGINT ceiling), radius 2 → three even 21/21/20-bit
+    // bands; oracle = the same quadratic popcount twin at oracle
+    // scale. Soak-measured honesty note (SCALE.md): width alone does
+    // NOT bound pair growth under the Stub codec (sparse byte
+    // histograms on short texts collide at any width — output
+    // exponent 1.67 at ×10) but the banded machinery stays
+    // sub-output-proportional (time exponent 0.52); the textbook
+    // O(1)-occupancy claim belongs to a real decoder's uniform
+    // DCT-style bits, which the codec seam accepts unchanged.
     "mm7_phash_radius_wide" -> QueryDef.sql(phashPairsOracleSql(62, 2)) { (s, d) =>
       phashNearDupPairs(mediaFromDocuments(graft.Tables.documents(s, d)),
           bins = 62, radius = 2)
