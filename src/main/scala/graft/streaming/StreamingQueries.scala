@@ -956,6 +956,69 @@ object StreamingQueries {
     // the JSON drop: double → shortest-repr text → double roundtrips
     // exactly, while float text re-read as double would NOT (the
     // nearest double to "0.4" is not (double)0.4f).
+    // Streaming retrieval SERVING: query vectors arrive as a stream and
+    // each micro-batch is served exact top-k against the STATIC corpus
+    // inside foreachBatch (the stream-static serving composition every
+    // retrieval deployment runs). Per-query results are batch-boundary
+    // independent — each query is scored in exactly one micro-batch
+    // against the immutable corpus — so the replayed output is
+    // deterministic and the relational per-query top-k is a REAL
+    // oracle. Scoring is the s1 contract (round(cosine, 6), ties to
+    // the lower vec_id; batch side BROADCASTS against the corpus
+    // scan); the ANN-accelerated swap-in at scale is s23/s26's
+    // ivfAdcTopKBatch — identical shape, golden-gated there.
+    "st17_stream_topk_serve" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |s AS (SELECT q.qid, e.vec_id,
+        |        round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+        |      FROM q JOIN e ON e.vec_id <> q.qid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, vec_id) AS rn FROM s)
+        |SELECT qid, vec_id, sim FROM r WHERE rn <= 10
+        |ORDER BY qid, sim DESC, vec_id""".stripMargin) { (s, d) =>
+      import graft.operators.{Scale, Similarity}
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      val dropDir = cachedDrop(s"st17:$d", dir =>
+        emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"),
+            Similarity.asDouble(col("embedding")).as("qv"))
+          .repartition(4).write.mode("overwrite").json(dir))
+      val ckDir = tempDir("graft_st17_ck")
+      val outDir = tempDir("graft_st17_out")
+      deleteOnExit(outDir)
+      val qSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+      try withStateShuffle(s) {
+        val q = s.readStream.schema(qSchema).json(dropDir)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val scored = corpus.join(broadcast(batch),
+                col("vec_id") =!= col("qid"))
+              .select(col("qid"), col("vec_id"),
+                round(Similarity.cosine(col("v"), col("qv")), 6).as("sim"))
+            Scale.topKPerGroup(scored, "qid",
+                Seq(col("sim").desc, col("vec_id")), 10,
+                saltOn = col("vec_id"))
+              .write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckDir)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally deleteQuietly(ckDir)
+      s.read.parquet(outDir)
+        .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+    },
+
     "st16_stream_ivf_assign" -> QueryDef.sql(
       """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
         |           FROM embeddings WHERE vec_id < 16),
