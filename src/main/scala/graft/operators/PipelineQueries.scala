@@ -1091,6 +1091,66 @@ object PipelineQueries {
         .orderBy("centroid_id")
     },
 
+    // index DELETE lifecycle (s24's sibling): build the full index,
+    // tombstone every vec_id ≡ 3 (mod 10), run the partition-selective
+    // compaction, and emit drift stats over the REMAINING rows against
+    // the frozen data-defined quantizer + the remaining-row count +
+    // `topk_match` (compacted index serves BIT-identical top-k to a
+    // full rebuild without the deleted rows — computed over both
+    // persisted indexes inside the probe; a compaction that leaks a
+    // stale partition or drops a live row flips the count or the
+    // boolean and the oracle hash catches it). The relational legs are
+    // pure SQL over `embeddings WHERE vec_id % 10 <> 3`.
+    "s27_index_delete" -> QueryDef.sql(
+      """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings WHERE vec_id < 16),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |      WHERE vec_id % 10 <> 3),
+        |d AS (SELECT e.vec_id, c.centroid_id,
+        |        round(list_sum(list_transform(range(len(v)),
+        |          i -> (v[i+1] - cv[i+1]) * (v[i+1] - cv[i+1]))), 6) AS d2
+        |      FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, centroid_id, d2,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY d2 ASC, centroid_id) AS rn
+        |      FROM d)
+        |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_assigned,
+        |  round(sum(d2), 2) / count(*) AS mean_d2,
+        |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_index_rows,
+        |  TRUE AS topk_match
+        |FROM a WHERE rn = 1 GROUP BY centroid_id
+        |ORDER BY centroid_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(Similarity.asDouble(col("embedding"))).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+      val dir = java.nio.file.Files.createTempDirectory("graft_s27").toString
+      Similarity.pqEncode(Similarity.ivfAssign(emb, cents), books)
+        .select("vec_id", "centroid_id", "pq_code")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+      val tombstones = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+      Similarity.ivfIndexCompact(s, dir, tombstones)
+      val remaining = emb.filter(col("vec_id") % 10 =!= 3)
+      val rebuilt = java.nio.file.Files.createTempDirectory("graft_s27_rb")
+        .toString
+      Similarity.pqEncode(Similarity.ivfAssign(remaining, cents), books)
+        .select("vec_id", "centroid_id", "pq_code")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(rebuilt)
+      def topk(idx: String): Seq[(Long, Double)] =
+        Similarity.ivfAdcTopKIndexed(s.read.parquet(idx), emb, 1L, 10,
+            cents, books, nProbe = 4, rerank = 4).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val matches = topk(dir) == topk(rebuilt)
+      val nRows = s.read.parquet(dir).count()
+      val centsTable = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      Similarity.ivfDriftStats(remaining, centsTable)
+        .withColumn("n_index_rows", lit(nRows))
+        .withColumn("topk_match", lit(matches))
+        .orderBy("centroid_id")
+    },
+
     // compressed-index search: int8-quantized vectors (4× smaller),
     // reconstructed on the fly for the cosine ranking. Quantize →
     // dequantize → cosine is exact arithmetic, so DuckDB mirrors it.

@@ -1004,6 +1004,60 @@ object Similarity {
       .select("vec_id", "centroid_id", "pq_code")
       .write.mode("append").partitionBy("centroid_id").parquet(dir)
 
+  /** DELETE-side of the persisted index lifecycle. Immutable parquet
+    * cannot delete in place, and at 100 TB rewriting the whole index
+    * for a handful of removals (GDPR erasure, dedup retractions) is
+    * absurd — the operational pattern is a tiny TOMBSTONE relation
+    * applied at read time (`index.join(tombstones, "vec_id",
+    * "left_anti")` — broadcast-sized, composes with every indexed read
+    * path unchanged) plus a periodic COMPACTION that rewrites ONLY the
+    * list partitions actually containing tombstoned rows:
+    *
+    *  1. affected lists come from the index itself (one pruned probe
+    *     of the tombstoned ids — bounded by nLists);
+    *  2. those partitions rewrite through dynamic partition overwrite,
+    *     so untouched lists keep their files byte-for-byte;
+    *  3. a list whose EVERY row is tombstoned produces no output rows
+    *     — dynamic overwrite would silently leave the stale partition
+    *     behind, so emptied list directories are removed explicitly
+    *     (the spec gates this edge).
+    *
+    * The rewritten rows are materialized (localCheckpoint) before the
+    * write because Spark refuses to overwrite a path it is reading
+    * from; the checkpoint blocks are released once written. Returns
+    * the affected list ids (empty ⇒ no tombstoned row was in the
+    * index and nothing was touched).
+    */
+  def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tombstones: DataFrame): Seq[Int] = {
+    val ids = broadcast(tombstones.select(col("vec_id")))
+    val index = spark.read.parquet(dir)
+    val affected = index.join(ids, Seq("vec_id"))
+      .select("centroid_id").distinct().collect().map(_.getInt(0)).toSeq
+    if (affected.nonEmpty) {
+      val remaining = index
+        .filter(col("centroid_id").isin(affected.map(Int.box): _*))
+        .join(ids, Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      try {
+        val kept = remaining.select("centroid_id").distinct()
+          .collect().map(_.getInt(0)).toSet
+        remaining.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("centroid_id").parquet(dir)
+        // lists emptied entirely: no output partition replaced them —
+        // drop the stale directories
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        affected.filterNot(kept).foreach { cid =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"centroid_id=$cid"),
+            true)
+        }
+      } finally remaining.rdd.unpersist(false)
+    }
+    affected
+  }
+
   /** IVF drift monitor: per-list occupancy and mean squared distance of
     * an embedding batch against an id-keyed centroid TABLE
     * (`(centroid_id, cv)` rows — a frozen quantizer persisted as data,

@@ -101,6 +101,75 @@ class PartitioningSpec extends AnyFunSuite {
       "append-built index must serve the same results as a full rebuild")
   }
 
+  test("IVFADC index deletes: tombstone read == compacted read == rebuild; untouched partitions keep their files") {
+    val emb = Similarity.l2Normalized(Tables.embeddings(spark, TestSpark.sfDir))
+    val (cents, books) = Similarity.annQuantizers(emb, nCentroids = 16)
+    val dir = graft.TestSpark.tempDir("graft_ivfadc_delete")
+    Similarity.pqEncode(Similarity.ivfAssign(emb, cents), books)
+      .select("vec_id", "centroid_id", "pq_code")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val total = index.count()
+    // tombstone every row of ONE list (the dynamic-overwrite edge that
+    // would silently leave a stale partition) plus a spread of ids
+    val lists = index.groupBy("centroid_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val wipedList = lists.head._1
+    import spark.implicits._
+    val wipedIds = index.filter(col("centroid_id") === wipedList)
+      .select("vec_id").as[Long].collect().toSeq
+    val spreadIds = Seq(0L, 7L, 42L, 99L).filterNot(wipedIds.contains)
+    val tombstones = (wipedIds ++ spreadIds).toDF("vec_id")
+    val nDeleted = wipedIds.size + spreadIds.size
+
+    def topk(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAdcTopKIndexed(idx, emb, 1L, 10, cents, books,
+        nProbe = 16, rerank = 50).collect().map(_.toString).toSeq
+
+    // read-path deletes: caller-side broadcast anti-join
+    val tombstoneRead = topk(
+      index.join(broadcast(tombstones), Seq("vec_id"), "left_anti"))
+
+    // file mtimes of an untouched partition, before compaction
+    val untouchedList = lists.map(_._1).filterNot(_ == wipedList).max
+    def partFiles(cid: Int) = {
+      val d = new java.io.File(s"$dir/centroid_id=$cid")
+      if (!d.exists()) Map.empty[String, Long]
+      else d.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = partFiles(untouchedList)
+    assert(before.nonEmpty)
+
+    val affected = Similarity.ivfIndexCompact(spark, dir, tombstones)
+    assert(affected.contains(wipedList))
+    assert(affected.size < lists.length,
+      "compaction must not touch every list for a localized delete set")
+
+    val compacted = spark.read.parquet(dir)
+    assert(compacted.count() === total - nDeleted)
+    assert(compacted.filter(col("centroid_id") === wipedList).count() === 0L)
+    assert(!new java.io.File(s"$dir/centroid_id=$wipedList").exists(),
+      "fully-tombstoned list must not leave a stale partition behind")
+    assert(partFiles(untouchedList) === before,
+      "unaffected partitions must keep their files byte-for-byte")
+
+    // compacted read == tombstone read == full rebuild without the rows
+    val rebuilt = graft.TestSpark.tempDir("graft_ivfadc_delete_rb")
+    Similarity.pqEncode(Similarity.ivfAssign(
+        emb.join(broadcast(tombstones), Seq("vec_id"), "left_anti"), cents),
+        books)
+      .select("vec_id", "centroid_id", "pq_code")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(rebuilt)
+    val expected = topk(spark.read.parquet(rebuilt))
+    assert(topk(compacted) === expected,
+      "compacted index must serve the rebuild-without-deletes result")
+    assert(tombstoneRead === expected,
+      "tombstone read path must serve the rebuild-without-deletes result")
+    // idempotence: compacting the same tombstones again is a no-op...
+    // (the tombstoned rows are gone, so no list is affected)
+    assert(Similarity.ivfIndexCompact(spark, dir, tombstones).isEmpty)
+  }
+
   test("Z-order (morton) layout prunes 2-D box scans via row-group stats") {
     import spark.implicits._
     // 200k deterministic pseudo-random geo points
