@@ -12,6 +12,24 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** Scratch index directory for the lifecycle probes (s24/s27),
+    * removed recursively at JVM shutdown — a full Bench run invokes
+    * each probe several times and would otherwise strand dozens of
+    * written indexes in /tmp (the StreamingQueries deleteOnExit
+    * convention).
+    */
+  private def tempIndexDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }))
+    dir
+  }
+
   def defs: Map[String, QueryDef] = Map(
     // ---- text analysis ----------------------------------------------------
     "t1_text_stats" -> QueryDef.sql(
@@ -1065,10 +1083,8 @@ object PipelineQueries {
       val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
       val build = emb.filter(col("vec_id") % 2 === 0)
       val delta = emb.filter(col("vec_id") % 2 === 1)
-      val dirA = java.nio.file.Files.createTempDirectory("graft_s24_app")
-        .toString
-      val dirB = java.nio.file.Files.createTempDirectory("graft_s24_full")
-        .toString
+      val dirA = tempIndexDir("graft_s24_app")
+      val dirB = tempIndexDir("graft_s24_full")
       Similarity.pqEncode(Similarity.ivfAssign(build, cents), books)
         .select("vec_id", "centroid_id", "pq_code")
         .write.mode("overwrite").partitionBy("centroid_id").parquet(dirA)
@@ -1089,6 +1105,20 @@ object PipelineQueries {
           col("n_assigned") * 16 > lit(2L * total))
         .withColumn("topk_match", lit(matches))
         .orderBy("centroid_id")
+    },
+
+    // OPQ (Ge et al., CVPR 2013): learned orthogonal rotation before
+    // PQ — redistributes within-block variance so the SAME m × ksub
+    // byte budget quantizes with lower error (spec-measured drop vs
+    // plain PQ; training objective provably ≤ plain PQ's). The probe
+    // is s19's shape over the rotated space: rotation in-row behind
+    // the oncePerRow barrier, ADC scan + exact rerank unchanged.
+    // Golden (trained rotation + codebooks).
+    "s28_opq_topk" -> QueryDef.noOracle { (s, d) =>
+      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
+      val (r, books) = Similarity.opqQuantizers(emb, m = 8, ksub = 16)
+      Similarity.pqTopK(Similarity.rotated(emb, r), queryId = 0L, k = 20,
+        books, rerank = 4)
     },
 
     // index DELETE lifecycle (s24's sibling): build the full index,
@@ -1125,15 +1155,14 @@ object PipelineQueries {
         .select(Similarity.asDouble(col("embedding"))).collect()
         .map(_.getSeq[Double](0).toArray)
       val books = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
-      val dir = java.nio.file.Files.createTempDirectory("graft_s27").toString
+      val dir = tempIndexDir("graft_s27")
       Similarity.pqEncode(Similarity.ivfAssign(emb, cents), books)
         .select("vec_id", "centroid_id", "pq_code")
         .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
       val tombstones = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
       Similarity.ivfIndexCompact(s, dir, tombstones)
       val remaining = emb.filter(col("vec_id") % 10 =!= 3)
-      val rebuilt = java.nio.file.Files.createTempDirectory("graft_s27_rb")
-        .toString
+      val rebuilt = tempIndexDir("graft_s27_rb")
       Similarity.pqEncode(Similarity.ivfAssign(remaining, cents), books)
         .select("vec_id", "centroid_id", "pq_code")
         .write.mode("overwrite").partitionBy("centroid_id").parquet(rebuilt)

@@ -1090,6 +1090,119 @@ object Similarity {
         (round(sum("d2"), 2) / count(lit(1))).as("mean_d2"))
   }
 
+  // ---- OPQ: optimized product quantization (Ge et al., CVPR 2013) -----
+
+  /** Orthogonal rotation + codebooks minimizing PQ quantization error —
+    * the non-parametric OPQ alternation, entirely driver-side on the
+    * bounded fit sample (the lloydFit discipline): starting from
+    * R = I (iteration 0 ≡ plain PQ), alternately (a) fit per-block
+    * codebooks on the rotated sample and (b) solve the orthogonal
+    * Procrustes problem R ← argmin_R ‖R·x − y(R·x)‖²_F for the fixed
+    * codebooks — the SVD of the reconstruction cross-covariance
+    * Y·Xᵀ (d × d, breeze on Spark's bundled LAPACK), R = U·Vᵀ. PQ's
+    * independent-block assumption is worst when variance concentrates
+    * inside blocks; the learned rotation redistributes it, buying
+    * lower ADC error at the SAME m × ksub byte budget.
+    *
+    * Each iteration's training objective (mean sample quantization
+    * error) is tracked and the BEST (R, codebooks) pair returns, so
+    * the result is never worse than plain PQ on that objective —
+    * raw alternation alone is not strictly monotone here because
+    * refits reseed k-means++ rather than warm-starting.
+    * Returns (R as row-major d × d, codebooks in the rotated space).
+    */
+  def opqQuantizers(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 5, seed: Long = 42L, pointsPerCentroid: Int = 256,
+      vecCol: String = "embedding")
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(m >= 1 && ksub >= 2 && iters >= 1,
+      "need m >= 1, ksub >= 2, iters >= 1")
+    val sample = collectFitSample(embeddings, ksub, pointsPerCentroid,
+      seed, vecCol)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-blocks")
+    val dsub = dim / m
+
+    def rotate(r: Array[Array[Double]], x: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += r(i)(j) * x(j); j += 1 }
+        s
+      }
+    def fitBooks(pts: Array[Array[Double]]): Array[Array[Array[Double]]] =
+      (0 until m).map { j =>
+        lloydFit(pts.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, seed + j)
+      }.toArray
+    def reconstruct(p: Array[Double],
+        books: Array[Array[Array[Double]]]): Array[Double] = {
+      val y = new Array[Double](dim)
+      var j = 0
+      while (j < m) {
+        val block = p.slice(j * dsub, (j + 1) * dsub)
+        val c = books(j)(nearestIdx(block, books(j)))
+        System.arraycopy(c, 0, y, j * dsub, dsub)
+        j += 1
+      }
+      y
+    }
+    def objective(rot: Array[Array[Double]],
+        books: Array[Array[Array[Double]]]): Double =
+      sample.map { x =>
+        val rx = rotate(rot, x)
+        val y = reconstruct(rx, books)
+        var s = 0.0; var i = 0
+        while (i < dim) { val d0 = rx(i) - y(i); s += d0 * d0; i += 1 }
+        s
+      }.sum / sample.length
+
+    var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var bestR = r
+    var bestBooks: Array[Array[Array[Double]]] = null
+    var bestObj = Double.MaxValue
+    var it = 0
+    while (it < iters) {
+      val rotatedSample = sample.map(rotate(r, _))
+      val books = fitBooks(rotatedSample)
+      val obj = objective(r, books)
+      if (obj < bestObj) { bestObj = obj; bestR = r; bestBooks = books }
+      // Procrustes update: M = Σ y_i·x_iᵀ over the sample, R = U·Vᵀ
+      val mMat = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+      sample.foreach { x =>
+        val y = reconstruct(rotate(r, x), books)
+        var i = 0
+        while (i < dim) {
+          var j = 0
+          while (j < dim) { mMat(i, j) += y(i) * x(j); j += 1 }
+          i += 1
+        }
+      }
+      val svd = breeze.linalg.svd(mMat)
+      val rNew = svd.U * svd.Vt
+      r = Array.tabulate(dim, dim)((i, j) => rNew(i, j))
+      it += 1
+    }
+    (bestR, bestBooks)
+  }
+
+  /** The embedding column rotated by the OPQ matrix — in-row d² literal
+    * dot products behind the [[oncePerRow]] barrier (same left-fold
+    * element order as the driver-side trainer, so in-row codes match
+    * the driver recomputation bit-for-bit). Apply before
+    * [[pqEncode]]/[[pqTopK]] with [[opqQuantizers]]' codebooks; an
+    * orthogonal rotation preserves norms and inner products, so the
+    * exact cosine rerank in the rotated space ranks identically (up
+    * to fp) to the original.
+    */
+  def rotated(embeddings: DataFrame, r: Array[Array[Double]],
+      vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val rows = r.toIndexedSeq.map { row =>
+      val rl = array(row.toIndexedSeq.map(lit(_)): _*)
+      aggregate(zip_with(v, rl, (x, w) => x * w), lit(0.0), (a, x) => a + x)
+    }
+    oncePerRow(embeddings, vecCol -> array(rows: _*))
+  }
+
   // ---- residual-encoded IVFADC (the full Jégou §V formulation) --------
 
   /** Driver-side nearest-centroid index (L2), the in-row

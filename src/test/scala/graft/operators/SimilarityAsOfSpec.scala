@@ -520,6 +520,50 @@ class SimilarityAsOfSpec extends AnyFunSuite {
       "shared-sample residual codebooks diverge from pqCodebooksResidual")
   }
 
+  test("s28 gate: OPQ rotation is orthogonal; training objective <= plain PQ; corpus ADC error drops") {
+    val emb = Similarity.l2Normalized(
+      Tables.embeddings(spark, "/root/testdata/sf0.1"))
+    val (r, opqBooks) = Similarity.opqQuantizers(emb, m = 8, ksub = 16)
+    val dim = r.length
+
+    // 1) R is orthogonal: R·Rᵀ = I to fp precision
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val dot = (0 until dim).map(k => r(i)(k) * r(j)(k)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9,
+        s"R·Rᵀ[$i][$j] = $dot, expected $expect — rotation not orthogonal")
+    }
+
+    // 2) training objective never worse than plain PQ (iteration 0 is
+    //    plain PQ and the best iterate is returned)
+    val rawBooks = Similarity.pqCodebooks(emb, m = 8, ksub = 16)
+    val dsub = rawBooks(0)(0).length
+    val vecs = emb.select(col("vec_id"), Similarity.asDouble(col("embedding")))
+      .collect().map(rw => rw.getLong(0) -> rw.getSeq[Double](1).toArray).toMap
+    def rotate(x: Array[Double]) =
+      Array.tabulate(dim)(i => (0 until dim).map(j => r(i)(j) * x(j)).sum)
+    def qErr(x: Array[Double], books: Array[Array[Array[Double]]]): Double =
+      (0 until 8).map { j =>
+        val block = x.slice(j * dsub, (j + 1) * dsub)
+        books(j).map(c => c.zip(block).map { case (a, b) =>
+          (a - b) * (a - b) }.sum).min
+      }.sum
+    val rawObj = vecs.values.map(qErr(_, rawBooks)).sum / vecs.size
+    val opqObj = vecs.values.map(x => qErr(rotate(x), opqBooks)).sum / vecs.size
+    info(f"corpus quantization error: plain PQ $rawObj%.6f, OPQ $opqObj%.6f")
+    assert(opqObj <= rawObj,
+      f"OPQ corpus quantization error $opqObj%.6f above plain PQ $rawObj%.6f " +
+        "— the learned rotation must not hurt at equal bytes")
+
+    // 3) the rotated-space exact rerank ranks like the original space:
+    //    orthogonal rotations preserve cosines (up to fp + the 6-d.p.
+    //    contract round)
+    val rotEmb = Similarity.rotated(emb, r)
+    val a = Similarity.topKCosine(emb, 0L, 10).collect().map(_.getLong(0)).toSeq
+    val b = Similarity.topKCosine(rotEmb, 0L, 10).collect().map(_.getLong(0)).toSeq
+    assert(a === b, "rotation must preserve the exact cosine ranking")
+  }
+
   test("null and zero embeddings never claim ADC top-k slots") {
     import spark.implicits._
     // id 2 is NULL (null code → null adist; ASC sorts nulls FIRST, so
