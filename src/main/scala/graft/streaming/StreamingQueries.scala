@@ -956,6 +956,79 @@ object StreamingQueries {
     // the JSON drop: double → shortest-repr text → double roundtrips
     // exactly, while float text re-read as double would NOT (the
     // nearest double to "0.4" is not (double)0.4f).
+    // Streaming INDEX BUILD — the ingest side of the ANN lifecycle run
+    // as a stream: embedding batches arrive, each row is assigned to
+    // its frozen IVF list in-row (st16's nearestCentroidRounded against
+    // the data-defined 16-centroid quantizer, whose relational-argmin
+    // equivalence st16's oracle proves), and the stream SINKS INTO THE
+    // INDEX ITSELF — a parquet file sink partitioned by centroid_id,
+    // producing exactly the list-partitioned physical layout the
+    // s22/s24/s27 maintenance machinery and the indexed read paths
+    // consume. The probe then reads the streamed index back and emits
+    // per-list occupancy + the total row count; the oracle recomputes
+    // both relationally. Exactly-once: the file sink's commit log makes
+    // the replay idempotent; per-list counts are batch-boundary
+    // independent by construction.
+    "st18_stream_index_build" -> QueryDef.sql(
+      """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings WHERE vec_id < 16),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT e.vec_id, c.centroid_id,
+        |        round(list_sum(list_transform(range(len(v)),
+        |          i -> (v[i+1] - cv[i+1]) * (v[i+1] - cv[i+1]))), 6) AS d2
+        |      FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, centroid_id,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY d2 ASC, centroid_id) AS rn
+        |      FROM d)
+        |SELECT CAST(centroid_id AS INTEGER) AS centroid_id,
+        |  CAST(count(*) AS BIGINT) AS n_assigned,
+        |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_index_rows
+        |FROM a WHERE rn = 1 GROUP BY centroid_id
+        |ORDER BY centroid_id""".stripMargin) { (s, d) =>
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d)
+      val dropDir = cachedDrop(s"st18:$d", dir =>
+        emb.select(col("vec_id"),
+            Similarity.asDouble(col("embedding")).as("embedding"))
+          .repartition(4).write.mode("overwrite").json(dir))
+      val ckDir = tempDir("graft_st18_ck")
+      val idxDir = tempDir("graft_st18_idx")
+      deleteOnExit(idxDir)
+      val centRows = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1)
+      val cents = centRows.map(_._2)
+      val centIds = array(centRows.toIndexedSeq.map(p => lit(p._1)): _*)
+      val eSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+      try withStateShuffle(s) {
+        val q = s.readStream.schema(eSchema).json(dropDir)
+          .select(col("vec_id"), col("embedding"),
+            element_at(centIds, Similarity.nearestCentroidRounded(
+              col("embedding"), cents) + 1).cast("int").as("centroid_id"))
+          .writeStream.format("parquet")
+          .partitionBy("centroid_id")
+          .option("path", idxDir)
+          .option("checkpointLocation", ckDir)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally deleteQuietly(ckDir)
+      val index = s.read.parquet(idxDir)
+      val total = index.count()
+      index.groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_assigned"))
+        .withColumn("n_index_rows", lit(total))
+        .orderBy("centroid_id")
+    },
+
     // Streaming retrieval SERVING: query vectors arrive as a stream and
     // each micro-batch is served exact top-k against the STATIC corpus
     // inside foreachBatch (the stream-static serving composition every
