@@ -1121,6 +1121,22 @@ object PipelineQueries {
         books, rerank = 4)
     },
 
+    // the FULL faiss default encoder stack composed — OPQ rotation +
+    // IVF coarse quantizer + residual PQ (OPQ{m}_{d},IVF{n},PQ{m} in
+    // faiss index-factory terms): rotate in-row, fit both quantizers
+    // on the rotated space from one shared sample, search via the
+    // per-list residual ADC path. Golden; SimilarityAsOfSpec's s29
+    // encode-quality ladder pins raw ≥ residual ≥ OPQ+residual ADC
+    // error at the identical byte budget (0.583/0.538/0.527 measured).
+    "s29_opq_ivfadc_topk" -> QueryDef.noOracle { (s, d) =>
+      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
+      val (r, _) = Similarity.opqQuantizers(emb, m = 8, ksub = 16)
+      val rot = Similarity.rotated(emb, r)
+      val (cents, books) = Similarity.annQuantizers(rot, residual = true)
+      Similarity.ivfAdcResidualTopK(rot, queryId = 0L, k = 20, cents, books,
+        nProbe = 4, rerank = 4)
+    },
+
     // index DELETE lifecycle (s24's sibling): build the full index,
     // tombstone every vec_id ≡ 3 (mod 10), run the partition-selective
     // compaction, and emit drift stats over the REMAINING rows against

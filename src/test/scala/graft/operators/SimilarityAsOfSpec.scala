@@ -564,6 +564,67 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     assert(a === b, "rotation must preserve the exact cosine ranking")
   }
 
+  test("s29 gate: the encode-quality ladder — OPQ+residual <= residual <= raw ADC error at equal bytes") {
+    // the three encoders at the IDENTICAL m × ksub byte budget, each
+    // measured as mean |ADC − true L2²| to query 0 over the corpus:
+    // raw PQ (s19/s20), coarse-residual PQ (s21), and the faiss
+    // OPQ+IVF+residual-PQ default (s29 — rotation redistributes
+    // within-block variance BEFORE the residual fit). Each rung must
+    // not be worse than the one above it on this corpus.
+    val emb = Similarity.l2Normalized(
+      Tables.embeddings(spark, "/root/testdata/sf0.1"))
+    val m = 8
+    val dim = 64
+    def adcErr(frame: org.apache.spark.sql.DataFrame,
+        cents: Array[Array[Double]],
+        books: Array[Array[Array[Double]]], residual: Boolean): Double = {
+      val dsub = books(0)(0).length
+      val vecs = frame.select(col("vec_id"),
+          Similarity.asDouble(col("embedding")))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val q = vecs(0L)
+      val assign: Map[Long, Int] =
+        if (residual) Similarity.ivfAssign(frame, cents)
+          .select("vec_id", "centroid_id").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        else Map.empty
+      val codesDf =
+        if (residual) Similarity.pqEncodeResidual(frame, cents, books)
+        else Similarity.pqEncode(frame, books)
+      val codes = codesDf.select("vec_id", "pq_code").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val errs = vecs.keys.filter(_ != 0L).map { id =>
+        val v = vecs(id)
+        val trueD = v.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum
+        val qEff =
+          if (residual) q.zip(cents(assign(id))).map { case (x, c) => x - c }
+          else q
+        val adc = books.zipWithIndex.map { case (book, j) =>
+          val c = book(codes(id)(j))
+          c.zip(qEff.slice(j * dsub, (j + 1) * dsub))
+            .map { case (x, y) => (x - y) * (x - y) }.sum
+        }.sum
+        math.abs(adc - trueD)
+      }
+      errs.sum / errs.size
+    }
+    val rawBooks = Similarity.pqCodebooks(emb, m = m, ksub = 16)
+    val rawErr = adcErr(emb, Array.empty, rawBooks, residual = false)
+    val (cents, resBooks) = Similarity.annQuantizers(emb, residual = true)
+    val resErr = adcErr(emb, cents, resBooks, residual = true)
+    val (r, _) = Similarity.opqQuantizers(emb, m = m, ksub = 16)
+    val rot = Similarity.rotated(emb, r)
+    val (rotCents, rotBooks) = Similarity.annQuantizers(rot, residual = true)
+    val opqResErr = adcErr(rot, rotCents, rotBooks, residual = true)
+    info(f"ADC error ladder: raw $rawErr%.6f >= residual $resErr%.6f >= " +
+      f"OPQ+residual $opqResErr%.6f")
+    assert(resErr < rawErr, "residual encoding must beat raw at equal bytes")
+    assert(opqResErr <= resErr * 1.02,
+      f"OPQ+residual $opqResErr%.6f materially worse than residual " +
+        f"$resErr%.6f — the rotation must not hurt the composed encoder")
+    assert(dim == r.length)
+  }
+
   test("null and zero embeddings never claim ADC top-k slots") {
     import spark.implicits._
     // id 2 is NULL (null code → null adist; ASC sorts nulls FIRST, so
