@@ -83,7 +83,11 @@ object ScaleSoak {
         Similarity.pqCodebooks(fitEmb, m = 8, ksub = 16))
     })
     val emb = Similarity.l2Normalized(Tables.embeddings(spark, dir))
-    val idxDir = "/tmp/graft_soak_ivfidx_" +
+    // cache keyed on the SAME amplifier version as the data marker: an
+    // AmpVersion bump regenerates ampDir, and an index built from the
+    // previous corpus must not survive it (its vec_ids/codes would
+    // silently mismatch the new data)
+    val idxDir = s"/tmp/graft_soak_ivfidx_${AmpVersion}_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_")
     if (!new java.io.File(s"$idxDir/_SUCCESS").exists())
       Similarity.pqEncode(Similarity.ivfAssign(emb, cents), books)
@@ -92,6 +96,12 @@ object ScaleSoak {
     Similarity.ivfAdcTopKIndexed(spark.read.parquet(idxDir), emb, 0L, 20,
       cents, books, nProbe = 4, rerank = 4)
   }
+
+  /** Amplifier cache version — shared by the data marker
+    * (`_SOAK_DONE_<v>`) and every derived on-disk cache (the
+    * s20_indexed_read index), so a version bump invalidates them
+    * TOGETHER. */
+  private val AmpVersion = "v2"
 
   /** copy-key spacing; one value serves every id column at sf0.1×32
     * (max ids ≪ 10^9), a multiple of 3 for the user_id%3 keys AND of 7
@@ -161,30 +171,24 @@ object ScaleSoak {
         require(cN == factor * c1,
           s"amplifier leak: $q rows $c1 -> $cN, expected ${factor * c1}")
         System.err.println(s"[soak] invariant $q rows: $c1 -> $cN = x$factor exact")
-      case "mm7_phash_radius_wide" =>
-        // 62-bit space: cross-copy collisions are rare, so pairs grow
-        // close to ×N (within-copy pairs replicate exactly; copies
-        // only ADD) — the occupancy-bounded contrast to mm6 below
+      case "mm6_phash_radius" | "mm7_phash_radius_wide" =>
+        // The construction-guaranteed bound for phash is MONOTONICITY
+        // only (cN ≥ c1): copy 0 embeds verbatim so its pairs persist,
+        // but copies 1..N−1 are zz-suffixed — the suffix changes every
+        // byte histogram, so copy k's phashes are NOT an isomorphic
+        // image of copy 0's and per-copy pair counts need not
+        // replicate (a ≥ ×N require would be asserting luck, not
+        // construction). In practice pairs grow SUPERlinearly
+        // (birthday collisions across the fresh codes — mm6's 16-bit
+        // space saturates, mm7's 62-bit space measured exponent 1.67
+        // from sparse-histogram collisions); the timing claim is
+        // OUTPUT-PROPORTIONALITY (time exponent ≤ the printed pair
+        // exponent), never a fixed growth law.
         val (c1, cN) = (countRows(q, srcDir), countRows(q, ampDir))
-        require(cN >= factor * c1,
-          s"amplifier anomaly: mm7 pairs $c1 -> $cN < x$factor")
+        require(cN >= c1,
+          s"amplifier anomaly: $q pairs shrank $c1 -> $cN (copy-0 pairs lost)")
         val outExp = math.log(cN.toDouble / c1) / math.log(factor.toDouble)
-        System.err.println(f"[soak] invariant mm7 pairs: $c1 -> $cN " +
-          f"(output exponent $outExp%.2f at the production width)")
-      case "mm6_phash_radius" =>
-        // The phash space is FIXED (16 bits) while media count scales
-        // ×N, so the ANSWER grows superlinearly (birthday pairs across
-        // copies — the zz-suffixed texts hash to fresh codes). Copies
-        // only ADD pairs (within-copy pairs replicate exactly), so the
-        // count must be ≥ ×N; the timing claim for mm6 is
-        // OUTPUT-PROPORTIONALITY (time exponent ≤ pair exponent), not
-        // a fixed growth law — at production scale the 64-bit hash
-        // keeps bucket occupancy O(1) where 16 bits here cannot.
-        val (c1, cN) = (countRows(q, srcDir), countRows(q, ampDir))
-        require(cN >= factor * c1,
-          s"amplifier anomaly: mm6 pairs $c1 -> $cN < x$factor")
-        val outExp = math.log(cN.toDouble / c1) / math.log(factor.toDouble)
-        System.err.println(f"[soak] invariant mm6 pairs: $c1 -> $cN " +
+        System.err.println(f"[soak] invariant $q pairs: $c1 -> $cN " +
           f"(output exponent $outExp%.2f — compare the TIME exponent to this, not to 1)")
       case "t50_weighted_reservoir" | "t51_group_weighted_reservoir" =>
         // exact-k (per group): the output SIZE is scale-invariant by
@@ -232,9 +236,9 @@ object ScaleSoak {
     */
   def writeAmplified(spark: SparkSession, srcDir: String, outDir: String,
                      factor: Int): Unit = {
-    // v2: adds embeddings + the mod-21 Step (a v1 cache would silently
-    // miss both — regenerate)
-    val marker = new java.io.File(s"$outDir/_SOAK_DONE_v2")
+    // AmpVersion v2: adds embeddings + the mod-21 Step (a v1 cache
+    // would silently miss both — regenerate)
+    val marker = new java.io.File(s"$outDir/_SOAK_DONE_$AmpVersion")
     if (marker.exists()) return
     val copies = broadcast(
       spark.range(factor.toLong).select(col("id").as("__copy")))

@@ -18,15 +18,24 @@ object PipelineQueries {
     * written indexes in /tmp (the StreamingQueries deleteOnExit
     * convention).
     */
-  private def tempIndexDir(prefix: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  // ONE hook draining the shared list — a per-call hook would
+  // accumulate a live Thread (holding its closure) for every probe
+  // invocation across a full Bench run
+  private lazy val scratchHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(); ()
       }
-      rm(new java.io.File(dir))
+      scratchDirs.forEach(d => rm(new java.io.File(d)))
     }))
+
+  private def tempIndexDir(prefix: String): String = {
+    scratchHook
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    scratchDirs.add(dir)
     dir
   }
 

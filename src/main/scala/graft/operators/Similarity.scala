@@ -1058,6 +1058,48 @@ object Similarity {
     affected
   }
 
+  /** Handoff of a STREAM-BUILT index (st18's parquet file sink) to the
+    * batch maintenance machinery. The file sink writes a
+    * `_spark_metadata` commit log, and every later batch read of the
+    * directory resolves through it (MetadataLogFileIndex, sink-committed
+    * files ONLY): files a subsequent [[ivfIndexAppend]] adds are
+    * silently invisible to reads, and [[ivfIndexCompact]]'s partition
+    * rewrite deletes files the log still references — later reads then
+    * FileNotFound. The log is the right thing DURING the build (it is
+    * what makes the streamed write exactly-once across replays); once
+    * the build stream terminates, call this ONCE to hand the directory
+    * over: enumerate the sink-committed files via the log-resolved
+    * listing (`spark.read.parquet(dir).inputFiles`), delete any orphan
+    * part file a failed task left outside the log, then drop the log
+    * itself — leaving the plain list-partitioned layout batch
+    * maintenance owns. The sweep preserves EXACTLY the committed view:
+    * a file outside the log was never visible to any log-resolved
+    * read, so removing it loses nothing observable — which also means
+    * batch appends belong AFTER the handoff, never between build and
+    * finalize (the spec gates both orderings).
+    */
+  def finalizeStreamedIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val meta = new java.io.File(dir, "_spark_metadata")
+    if (!meta.exists()) return // already a plain batch-owned directory
+    val committed = spark.read.parquet(dir).inputFiles
+      .map(p => new java.io.File(new java.net.URI(p)).getAbsolutePath)
+      .toSet
+    def sweep(f: java.io.File): Unit = {
+      val cs = f.listFiles()
+      if (cs != null) cs.foreach { c =>
+        if (c.isDirectory) { if (c.getName != "_spark_metadata") sweep(c) }
+        else if (c.getName.startsWith("part-") &&
+                 !committed.contains(c.getAbsolutePath)) { c.delete(); () }
+      }
+    }
+    sweep(new java.io.File(dir))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(meta)
+  }
+
   /** IVF drift monitor: per-list occupancy and mean squared distance of
     * an embedding batch against an id-keyed centroid TABLE
     * (`(centroid_id, cv)` rows — a frozen quantizer persisted as data,
@@ -1145,30 +1187,31 @@ object Similarity {
       }
       y
     }
-    def objective(rot: Array[Array[Double]],
-        books: Array[Array[Array[Double]]]): Double =
-      sample.map { x =>
-        val rx = rotate(rot, x)
-        val y = reconstruct(rx, books)
-        var s = 0.0; var i = 0
-        while (i < dim) { val d0 = rx(i) - y(i); s += d0 * d0; i += 1 }
-        s
-      }.sum / sample.length
-
     var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
     var bestR = r
     var bestBooks: Array[Array[Array[Double]]] = null
     var bestObj = Double.MaxValue
     var it = 0
     while (it < iters) {
+      // one rotation pass and one reconstruction pass per iteration,
+      // shared by the objective and the Procrustes accumulation (the
+      // O(n·d²) rotate and O(n·m·ksub·dsub) reconstruct are the fit's
+      // dominant terms; identical arithmetic order, so the returned
+      // best iterate is unchanged)
       val rotatedSample = sample.map(rotate(r, _))
       val books = fitBooks(rotatedSample)
-      val obj = objective(r, books)
+      val recon = rotatedSample.map(reconstruct(_, books))
+      val obj = rotatedSample.indices.map { n =>
+        val rx = rotatedSample(n); val y = recon(n)
+        var s = 0.0; var i = 0
+        while (i < dim) { val d0 = rx(i) - y(i); s += d0 * d0; i += 1 }
+        s
+      }.sum / sample.length
       if (obj < bestObj) { bestObj = obj; bestR = r; bestBooks = books }
       // Procrustes update: M = Σ y_i·x_iᵀ over the sample, R = U·Vᵀ
       val mMat = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
-      sample.foreach { x =>
-        val y = reconstruct(rotate(r, x), books)
+      sample.indices.foreach { n =>
+        val x = sample(n); val y = recon(n)
         var i = 0
         while (i < dim) {
           var j = 0
@@ -1191,7 +1234,11 @@ object Similarity {
     * [[pqEncode]]/[[pqTopK]] with [[opqQuantizers]]' codebooks; an
     * orthogonal rotation preserves norms and inner products, so the
     * exact cosine rerank in the rotated space ranks identically (up
-    * to fp) to the original.
+    * to fp) to the original. A NULL embedding stays NULL (the
+    * engine-wide seam [[l2Normalized]]/[[pqEncode]] rely on) — without
+    * the guard each rotated element would be NULL inside a NON-null
+    * array, which `isNotNull` filters no longer drop and the fit
+    * sample collector would NPE on.
     */
   def rotated(embeddings: DataFrame, r: Array[Array[Double]],
       vecCol: String = "embedding"): DataFrame = {
@@ -1200,7 +1247,8 @@ object Similarity {
       val rl = array(row.toIndexedSeq.map(lit(_)): _*)
       aggregate(zip_with(v, rl, (x, w) => x * w), lit(0.0), (a, x) => a + x)
     }
-    oncePerRow(embeddings, vecCol -> array(rows: _*))
+    oncePerRow(embeddings,
+      vecCol -> when(v.isNotNull, array(rows: _*)))
   }
 
   // ---- residual-encoded IVFADC (the full Jégou §V formulation) --------

@@ -961,14 +961,19 @@ object StreamingQueries {
     // its frozen IVF list in-row (st16's nearestCentroidRounded against
     // the data-defined 16-centroid quantizer, whose relational-argmin
     // equivalence st16's oracle proves), and the stream SINKS INTO THE
-    // INDEX ITSELF — a parquet file sink partitioned by centroid_id,
-    // producing exactly the list-partitioned physical layout the
-    // s22/s24/s27 maintenance machinery and the indexed read paths
-    // consume. The probe then reads the streamed index back and emits
-    // per-list occupancy + the total row count; the oracle recomputes
-    // both relationally. Exactly-once: the file sink's commit log makes
-    // the replay idempotent; per-list counts are batch-boundary
-    // independent by construction.
+    // INDEX ITSELF — a parquet file sink partitioned by centroid_id:
+    // an IVF-Flat index (raw embeddings; the pq_code lifecycle of
+    // s22/s24/s27 shares the same list-partitioned layout with a
+    // code-only schema). Exactly-once DURING the build: the sink's
+    // _spark_metadata commit log makes the replay idempotent. That
+    // same log would pin every later batch read to build-time files
+    // (appends invisible, compaction corrupting), so after the stream
+    // terminates the probe runs Similarity.finalizeStreamedIndex —
+    // the explicit handoff that drops the log and any orphan files,
+    // leaving the plain batch-owned layout. The probe then reads the
+    // finalized index back and emits per-list occupancy + the total
+    // row count; the oracle recomputes both relationally (per-list
+    // counts are batch-boundary independent by construction).
     "st18_stream_index_build" -> QueryDef.sql(
       """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
         |           FROM embeddings WHERE vec_id < 16),
@@ -1021,6 +1026,7 @@ object StreamingQueries {
           .start()
         q.awaitTermination()
       } finally deleteQuietly(ckDir)
+      Similarity.finalizeStreamedIndex(s, idxDir)
       val index = s.read.parquet(idxDir)
       val total = index.count()
       index.groupBy("centroid_id")

@@ -327,4 +327,56 @@ class PartitioningSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS g_edges_bucketed_test"): Unit
     }
   }
+
+  test("stream-built index handoff: finalizeStreamedIndex makes batch appends visible and compaction safe") {
+    import org.apache.spark.sql.streaming.Trigger
+    val feedDir = TestSpark.tempDir("graft_sfin_feed")
+    val ckDir = TestSpark.tempDir("graft_sfin_ck")
+    val idxDir = TestSpark.tempDir("graft_sfin_idx")
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    emb.filter(col("vec_id") < 40)
+      .select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("embedding"))
+      .write.mode("overwrite").json(feedDir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", "long").add("embedding", "array<double>")
+    val q = spark.readStream.schema(schema).json(feedDir)
+      .withColumn("centroid_id", (col("vec_id") % 4).cast("int"))
+      .writeStream.format("parquet").partitionBy("centroid_id")
+      .option("path", idxDir).option("checkpointLocation", ckDir)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val built = spark.read.parquet(idxDir).count()
+    assert(built === 40L)
+
+    def delta = emb.filter(col("vec_id") >= 40 && col("vec_id") < 50)
+      .select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("embedding"))
+      .withColumn("centroid_id", (col("vec_id") % 4).cast("int"))
+
+    // THE HAZARD: a batch append lands files outside the sink's commit
+    // log, so the log-resolved read cannot see them
+    delta.write.mode("append").partitionBy("centroid_id").parquet(idxDir)
+    assert(spark.read.parquet(idxDir).count() === built,
+      "batch append unexpectedly visible through the sink metadata log")
+
+    // the handoff preserves exactly the committed view: never-visible
+    // pre-finalize files are swept as orphans
+    Similarity.finalizeStreamedIndex(spark, idxDir)
+    assert(spark.read.parquet(idxDir).count() === built,
+      "finalize must preserve exactly the sink-committed row set")
+
+    // appends AFTER the handoff are plain batch writes — fully visible
+    delta.write.mode("append").partitionBy("centroid_id").parquet(idxDir)
+    assert(spark.read.parquet(idxDir).count() === built + 10)
+
+    // and compaction (a partition rewrite that deletes replaced files)
+    // is safe on the finalized dir — on the raw sink dir it would strand
+    // the metadata log pointing at deleted files
+    import spark.implicits._
+    val affected = Similarity.ivfIndexCompact(spark, idxDir,
+      Seq(0L, 41L).toDF("vec_id"))
+    assert(affected.nonEmpty)
+    assert(spark.read.parquet(idxDir).count() === built + 10 - 2)
+  }
 }

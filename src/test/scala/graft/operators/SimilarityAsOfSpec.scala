@@ -497,9 +497,12 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     // pinned floor at the s21 probe settings — the regression tripwire.
     // Measured 1.0 on the seeded fixture; 0.75 leaves slack for any
     // future legitimate fixture/codebook re-seed while still catching a
-    // real encode break (a broken residual path measured ≈ 0.2).
-    assert(recall(4, 4) >= 0.75,
-      s"recall@5 at (nProbe=4, rerank=4) fell below the 0.75 floor: ${recall(4, 4)}")
+    // real encode break (a broken residual path measured ≈ 0.2). Read
+    // from the grid already computed above — recall() runs 8 full
+    // retrieval jobs per call.
+    val r44 = grid.toMap.apply((4, 4))
+    assert(r44 >= 0.75,
+      s"recall@5 at (nProbe=4, rerank=4) fell below the 0.75 floor: $r44")
   }
 
   test("annQuantizers: shared-sample fits are bit-identical to the separate entry points") {
@@ -551,9 +554,14 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     val rawObj = vecs.values.map(qErr(_, rawBooks)).sum / vecs.size
     val opqObj = vecs.values.map(x => qErr(rotate(x), opqBooks)).sum / vecs.size
     info(f"corpus quantization error: plain PQ $rawObj%.6f, OPQ $opqObj%.6f")
-    assert(opqObj <= rawObj,
+    // the best-iterate guarantee (iteration 0 ≡ plain PQ) holds on the
+    // TRAINING SAMPLE objective; this measures the full CORPUS, where a
+    // sample-winning rotation admits a generalization gap — same 1.02
+    // slack convention as the s29 encode-quality ladder gate
+    assert(opqObj <= rawObj * 1.02,
       f"OPQ corpus quantization error $opqObj%.6f above plain PQ $rawObj%.6f " +
-        "— the learned rotation must not hurt at equal bytes")
+        "(beyond the 2% generalization slack) — the learned rotation must " +
+        "not hurt at equal bytes")
 
     // 3) the rotated-space exact rerank ranks like the original space:
     //    orthogonal rotations preserve cosines (up to fp + the 6-d.p.
@@ -562,6 +570,25 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     val a = Similarity.topKCosine(emb, 0L, 10).collect().map(_.getLong(0)).toSeq
     val b = Similarity.topKCosine(rotEmb, 0L, 10).collect().map(_.getLong(0)).toSeq
     assert(a === b, "rotation must preserve the exact cosine ranking")
+  }
+
+  test("rotated: a NULL embedding stays NULL and the downstream fit path filters it") {
+    val emb = Similarity.l2Normalized(Tables.embeddings(spark, TestSpark.sfDir))
+      .select(col("vec_id"), col("embedding"))
+    val dim = emb.head().getSeq[Double](1).length
+    val withNull = emb.unionByName(
+      Seq(99999L).toDF("vec_id")
+        .withColumn("embedding", lit(null).cast("array<double>")))
+    val ident = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    val rot = Similarity.rotated(withNull, ident)
+    // without the NULL guard each element would be NULL inside a
+    // NON-null array — isNotNull filters stop dropping the row and the
+    // fit collector NPEs on getSeq(...).toArray
+    assert(rot.filter(col("vec_id") === 99999L).head().isNullAt(1),
+      "rotated must preserve the NULL-embedding seam, not emit array(NULL,…)")
+    val books = Similarity.pqCodebooks(rot, m = 8, ksub = 16)
+    assert(books.length === 8,
+      "fit over a rotated corpus containing a NULL embedding must succeed")
   }
 
   test("s29 gate: the encode-quality ladder — OPQ+residual <= residual <= raw ADC error at equal bytes") {
