@@ -83,11 +83,24 @@ object ScaleSoak {
         Similarity.pqCodebooks(fitEmb, m = 8, ksub = 16))
     })
     val emb = Similarity.l2Normalized(Tables.embeddings(spark, dir))
-    // cache keyed on the SAME amplifier version as the data marker: an
+    // cache keyed on the SAME amplifier version as the data marker (an
     // AmpVersion bump regenerates ampDir, and an index built from the
-    // previous corpus must not survive it (its vec_ids/codes would
-    // silently mismatch the new data)
-    val idxDir = s"/tmp/graft_soak_ivfidx_${AmpVersion}_" +
+    // previous corpus must not survive it) PLUS a fingerprint of the
+    // fitted quantizers themselves: a fit change (seed, nCentroids,
+    // ksub, encoder code) without an AmpVersion bump must not score a
+    // stale index's pq_codes against freshly-fit LUTs — silently wrong
+    // adist, the same mismatch class as stale data.
+    val fitFp = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bb = java.nio.ByteBuffer.allocate(8)
+      def put(d: Double): Unit = {
+        bb.clear(); bb.putDouble(d); md.update(bb.array()); ()
+      }
+      cents.foreach(_.foreach(put))
+      books.foreach(_.foreach(_.foreach(put)))
+      md.digest().take(6).map("%02x".format(_)).mkString
+    }
+    val idxDir = s"/tmp/graft_soak_ivfidx_${AmpVersion}_${fitFp}_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_")
     if (!new java.io.File(s"$idxDir/_SUCCESS").exists())
       Similarity.pqEncode(Similarity.ivfAssign(emb, cents), books)

@@ -999,10 +999,16 @@ object Similarity {
     */
   def ivfIndexAppend(delta: DataFrame, dir: String,
       centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]]): Unit =
+      codebooks: Array[Array[Array[Double]]]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    requireBatchOwned(
+      root.getFileSystem(
+        delta.sparkSession.sparkContext.hadoopConfiguration),
+      root, "ivfIndexAppend")
     pqEncode(ivfAssign(delta, centroids), codebooks)
       .select("vec_id", "centroid_id", "pq_code")
       .write.mode("append").partitionBy("centroid_id").parquet(dir)
+  }
 
   /** DELETE-side of the persisted index lifecycle. Immutable parquet
     * cannot delete in place, and at 100 TB rewriting the whole index
@@ -1028,8 +1034,27 @@ object Similarity {
     * the affected list ids (empty ⇒ no tombstoned row was in the
     * index and nothing was touched).
     */
+  /** Fail fast when a batch maintenance op targets a directory still
+    * owned by a streaming file sink: with `_spark_metadata` present,
+    * appended files are invisible to log-resolved reads and a partition
+    * rewrite deletes files the log still references (FileNotFound on
+    * later reads). Spec discipline is not enough — the guard makes the
+    * ordering a hard API contract. Storage-agnostic (Hadoop FileSystem,
+    * like the lifecycle ops it protects). */
+  private def requireBatchOwned(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, op: String): Unit =
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
+      s"$op: $root still carries a streaming _spark_metadata commit log — " +
+        "call finalizeStreamedIndex(dir) once the build stream terminates " +
+        "before any batch append/compaction")
+
   def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession,
       dir: String, tombstones: DataFrame): Seq[Int] = {
+    val root0 = new org.apache.hadoop.fs.Path(dir)
+    requireBatchOwned(
+      root0.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      root0, "ivfIndexCompact")
     val ids = broadcast(tombstones.select(col("vec_id")))
     val index = spark.read.parquet(dir)
     val affected = index.join(ids, Seq("vec_id"))
@@ -1080,24 +1105,36 @@ object Similarity {
     */
   def finalizeStreamedIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    val meta = new java.io.File(dir, "_spark_metadata")
-    if (!meta.exists()) return // already a plain batch-owned directory
+    // Hadoop FileSystem throughout (like ivfIndexCompact): the handoff
+    // must work wherever the index lives (hdfs://, s3a://, file:) — a
+    // java.io.File probe is silently false on any non-local URI, which
+    // would no-op the finalize and leave exactly the hazard it exists
+    // to prevent.
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = new Path(root, "_spark_metadata")
+    if (!fs.exists(meta)) return // already a plain batch-owned directory
+    // scheme/authority-normalized so inputFiles ("file:/a/b") and the
+    // recursive listing ("file:///a/b") compare equal
+    def norm(p: Path): String =
+      Path.getPathWithoutSchemeAndAuthority(p).toUri.getPath
     val committed = spark.read.parquet(dir).inputFiles
-      .map(p => new java.io.File(new java.net.URI(p)).getAbsolutePath)
-      .toSet
-    def sweep(f: java.io.File): Unit = {
-      val cs = f.listFiles()
-      if (cs != null) cs.foreach { c =>
-        if (c.isDirectory) { if (c.getName != "_spark_metadata") sweep(c) }
-        else if (c.getName.startsWith("part-") &&
-                 !committed.contains(c.getAbsolutePath)) { c.delete(); () }
-      }
+      .map(p => norm(new Path(p))).toSet
+    val metaPrefix = norm(meta) + "/"
+    val orphans = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val n = norm(p)
+      if (st.isFile && !n.startsWith(metaPrefix) &&
+          p.getName.startsWith("part-") && !committed.contains(n))
+        orphans += p
     }
-    sweep(new java.io.File(dir))
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(meta)
+    orphans.foreach(fs.delete(_, false))
+    fs.delete(meta, true)
+    ()
   }
 
   /** IVF drift monitor: per-list occupancy and mean squared distance of
@@ -1207,6 +1244,14 @@ object Similarity {
         while (i < dim) { val d0 = rx(i) - y(i); s += d0 * d0; i += 1 }
         s
       }.sum / sample.length
+      // NaN/Inf sample components propagate through rotate/reconstruct
+      // into obj; `obj < bestObj` is then false forever, leaving
+      // bestBooks null (a far-from-cause NPE at the caller) and bestR
+      // silently identity. A non-finite objective means the fit sample
+      // is corrupt — fail here with the cause.
+      require(java.lang.Double.isFinite(obj),
+        s"opqQuantizers: non-finite fit objective at iteration $it — " +
+          "the fit sample contains NaN/Inf embedding components")
       if (obj < bestObj) { bestObj = obj; bestR = r; bestBooks = books }
       // Procrustes update: M = Σ y_i·x_iᵀ over the sample, R = U·Vᵀ
       val mMat = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)

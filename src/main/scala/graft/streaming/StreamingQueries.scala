@@ -1078,15 +1078,20 @@ object StreamingQueries {
       try withStateShuffle(s) {
         val q = s.readStream.schema(qSchema).json(dropDir)
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val scored = corpus.join(broadcast(batch),
                 col("vec_id") =!= col("qid"))
               .select(col("qid"), col("vec_id"),
                 round(Similarity.cosine(col("v"), col("qv")), 6).as("sim"))
+            // batchId-keyed OVERWRITE, not a bare append: if a batch
+            // completes the write but fails before the checkpoint
+            // commit, the replayed batch rewrites the same subdir
+            // instead of appending duplicate (qid, vec_id) rows — the
+            // idempotent-foreachBatch convention the gen= probes use.
             Scale.topKPerGroup(scored, "qid",
                 Seq(col("sim").desc, col("vec_id")), 10,
                 saltOn = col("vec_id"))
-              .write.mode("append").parquet(outDir)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
           }
           .option("checkpointLocation", ckDir)
           .outputMode("append")
@@ -1095,6 +1100,7 @@ object StreamingQueries {
         q.awaitTermination()
       } finally deleteQuietly(ckDir)
       s.read.parquet(outDir)
+        .select("qid", "vec_id", "sim") // drop the batch= partition key
         .orderBy(col("qid"), col("sim").desc, col("vec_id"))
     },
 

@@ -360,6 +360,20 @@ class PartitioningSpec extends AnyFunSuite {
     assert(spark.read.parquet(idxDir).count() === built,
       "batch append unexpectedly visible through the sink metadata log")
 
+    // the lifecycle APIs themselves refuse to touch the dir while the
+    // sink log is present — forgetting the handoff is a hard error, not
+    // a silent corruption
+    import spark.implicits._
+    val preCompact = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexCompact(spark, idxDir, Seq(0L).toDF("vec_id"))
+    }
+    assert(preCompact.getMessage.contains("_spark_metadata"))
+    val preAppend = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(delta.drop("centroid_id"), idxDir,
+        Array(Array(0.0)), Array(Array(Array(0.0))))
+    }
+    assert(preAppend.getMessage.contains("finalizeStreamedIndex"))
+
     // the handoff preserves exactly the committed view: never-visible
     // pre-finalize files are swept as orphans
     Similarity.finalizeStreamedIndex(spark, idxDir)

@@ -572,6 +572,23 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     assert(a === b, "rotation must preserve the exact cosine ranking")
   }
 
+  test("opqQuantizers fails fast on a NaN-poisoned fit sample") {
+    // a single NaN component propagates through rotate/reconstruct into
+    // every iteration's objective; without the finite guard bestBooks
+    // stays null and the caller NPEs far from the cause
+    val poisoned = Seq(
+      (1L, Array(Double.NaN, 0.1, 0.2, 0.3)),
+      (2L, Array(0.4, 0.5, 0.6, 0.7)),
+      (3L, Array(0.8, 0.9, 1.0, 1.1)),
+      (4L, Array(1.2, 1.3, 1.4, 1.5))
+    ).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.opqQuantizers(poisoned, m = 2, ksub = 2, iters = 2)
+    }
+    assert(e.getMessage.contains("non-finite"),
+      s"expected the non-finite objective error, got: ${e.getMessage}")
+  }
+
   test("rotated: a NULL embedding stays NULL and the downstream fit path filters it") {
     val emb = Similarity.l2Normalized(Tables.embeddings(spark, TestSpark.sfDir))
       .select(col("vec_id"), col("embedding"))
