@@ -86,16 +86,19 @@ object ScaleSoak {
     // cache keyed on the SAME amplifier version as the data marker (an
     // AmpVersion bump regenerates ampDir, and an index built from the
     // previous corpus must not survive it) PLUS a fingerprint of the
-    // fitted quantizers themselves: a fit change (seed, nCentroids,
-    // ksub, encoder code) without an AmpVersion bump must not score a
-    // stale index's pq_codes against freshly-fit LUTs — silently wrong
-    // adist, the same mismatch class as stale data.
+    // fitted quantizer VALUES (so a fit change — seed, nCentroids,
+    // ksub — without an AmpVersion bump cannot score a stale index's
+    // pq_codes against freshly-fit LUTs) PLUS Similarity.EncoderVersion
+    // (values alone miss an ivfAssign/pqEncode CODE change that leaves
+    // the fit identical but alters the persisted codes — the encoder
+    // constant is bumped with any such change).
     val fitFp = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val bb = java.nio.ByteBuffer.allocate(8)
       def put(d: Double): Unit = {
         bb.clear(); bb.putDouble(d); md.update(bb.array()); ()
       }
+      md.update(Similarity.EncoderVersion.toByte)
       cents.foreach(_.foreach(put))
       books.foreach(_.foreach(_.foreach(put)))
       md.digest().take(6).map("%02x".format(_)).mkString

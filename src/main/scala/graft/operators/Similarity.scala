@@ -781,6 +781,16 @@ object Similarity {
     }.toArray
   }
 
+  /** Version of the ENCODING code paths ([[ivfAssign]], [[pqEncode]],
+    * [[pqEncodeResidual]]): bump whenever a code change alters the
+    * bytes an index persists for UNCHANGED fitted quantizers. Caches
+    * that key persisted indexes on a fingerprint of the fitted VALUES
+    * (ScaleSoak, IndexCache) fold this in, so an encoder change
+    * invalidates them even though the fit is identical — without it a
+    * stale index's pq_codes would score against freshly-derived LUTs.
+    */
+  val EncoderVersion: Int = 1
+
   /** Rows plus their PQ code (`pq_code`, array<int> of length m): per
     * block, the [[nearestCentroid]] argmin over that block's codebook —
     * all in-row, no UDF, no shuffle; the expression tree is linear in
@@ -1010,6 +1020,21 @@ object Similarity {
       .write.mode("append").partitionBy("centroid_id").parquet(dir)
   }
 
+  /** Fail fast when a batch maintenance op targets a directory still
+    * owned by a streaming file sink: with `_spark_metadata` present,
+    * appended files are invisible to log-resolved reads and a partition
+    * rewrite deletes files the log still references (FileNotFound on
+    * later reads). Spec discipline is not enough — the guard makes the
+    * ordering a hard API contract. Storage-agnostic (Hadoop FileSystem,
+    * like the lifecycle ops it protects). */
+  private def requireBatchOwned(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, op: String): Unit =
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
+      s"$op: $root still carries a streaming _spark_metadata commit log — " +
+        "call finalizeStreamedIndex(dir) once the build stream terminates " +
+        "before any batch append/compaction")
+
   /** DELETE-side of the persisted index lifecycle. Immutable parquet
     * cannot delete in place, and at 100 TB rewriting the whole index
     * for a handful of removals (GDPR erasure, dedup retractions) is
@@ -1034,21 +1059,6 @@ object Similarity {
     * the affected list ids (empty ⇒ no tombstoned row was in the
     * index and nothing was touched).
     */
-  /** Fail fast when a batch maintenance op targets a directory still
-    * owned by a streaming file sink: with `_spark_metadata` present,
-    * appended files are invisible to log-resolved reads and a partition
-    * rewrite deletes files the log still references (FileNotFound on
-    * later reads). Spec discipline is not enough — the guard makes the
-    * ordering a hard API contract. Storage-agnostic (Hadoop FileSystem,
-    * like the lifecycle ops it protects). */
-  private def requireBatchOwned(
-      fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, op: String): Unit =
-    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
-      s"$op: $root still carries a streaming _spark_metadata commit log — " +
-        "call finalizeStreamedIndex(dir) once the build stream terminates " +
-        "before any batch append/compaction")
-
   def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession,
       dir: String, tombstones: DataFrame): Seq[Int] = {
     val root0 = new org.apache.hadoop.fs.Path(dir)
@@ -1095,7 +1105,7 @@ object Similarity {
     * the build stream terminates, call this ONCE to hand the directory
     * over: enumerate the sink-committed files via the log-resolved
     * listing (`spark.read.parquet(dir).inputFiles`), delete any orphan
-    * part file a failed task left outside the log, then drop the log
+    * data file a failed task left outside the log, then drop the log
     * itself — leaving the plain list-partitioned layout batch
     * maintenance owns. The sweep preserves EXACTLY the committed view:
     * a file outside the log was never visible to any log-resolved
@@ -1122,17 +1132,42 @@ object Similarity {
     val committed = spark.read.parquet(dir).inputFiles
       .map(p => norm(new Path(p))).toSet
     val metaPrefix = norm(meta) + "/"
+    // Orphan = any VISIBLE data file the sink log never committed — not
+    // just `part-*` names (a customized writer prefix or a stray manual
+    // copy is exactly as invisible to log-resolved reads, so sweeping it
+    // loses nothing observable either). Hidden names (`_`/`.` prefix,
+    // the FileOutputCommitter convention: _SUCCESS, .crc) are markers,
+    // not data — parquet reads already ignore them; leave them alone.
+    def hidden(p: Path): Boolean = {
+      val n = p.getName; n.startsWith("_") || n.startsWith(".")
+    }
     val orphans = scala.collection.mutable.ArrayBuffer.empty[Path]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath
       val n = norm(p)
-      if (st.isFile && !n.startsWith(metaPrefix) &&
-          p.getName.startsWith("part-") && !committed.contains(n))
+      if (st.isFile && !n.startsWith(metaPrefix) && !hidden(p) &&
+          !committed.contains(n))
         orphans += p
     }
-    orphans.foreach(fs.delete(_, false))
+    // Delete cost is driver-side O(orphans) RPCs in the worst case; at
+    // a large index an aborted build can leave a whole list partition
+    // of orphans, so batch those: a parent directory whose files are
+    // ALL orphans (and which shelters no committed file anywhere below
+    // it) goes in ONE recursive delete instead of per-file calls. The
+    // listing pass itself is the floor — one recursive enumeration of
+    // the directory, same order as the read path's own file listing
+    // (bound recorded in SCALE.md §index lifecycle).
+    val byParent = orphans.groupBy(p => norm(p.getParent))
+    byParent.foreach { case (parentN, files) =>
+      val parent = files.head.getParent
+      val parentPrefix = parentN + "/"
+      val wholeDir = parentN != norm(root) &&
+        !committed.exists(_.startsWith(parentPrefix))
+      if (wholeDir) fs.delete(parent, true)
+      else files.foreach(fs.delete(_, false))
+    }
     fs.delete(meta, true)
     ()
   }

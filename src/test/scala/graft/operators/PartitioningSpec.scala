@@ -328,11 +328,22 @@ class PartitioningSpec extends AnyFunSuite {
     }
   }
 
-  test("stream-built index handoff: finalizeStreamedIndex makes batch appends visible and compaction safe") {
+  /** The stream→batch handoff scenario, parameterized over how the
+    * index directory is SPELLED (`mkPath`): Spark's own `inputFiles`
+    * reports "file:/a/b" while a recursive listing of a qualified
+    * "file:///a/b" root yields a different textual form of the same
+    * path — finalizeStreamedIndex's scheme/authority normalization is
+    * exactly what makes the two compare equal, and running the whole
+    * flow under a qualified URI pins it (an un-normalized compare
+    * would classify EVERY committed file as an orphan and sweep the
+    * index — loudly caught below).
+    */
+  private def streamedHandoffScenario(mkPath: String => String): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val feedDir = TestSpark.tempDir("graft_sfin_feed")
     val ckDir = TestSpark.tempDir("graft_sfin_ck")
-    val idxDir = TestSpark.tempDir("graft_sfin_idx")
+    val idxRaw = TestSpark.tempDir("graft_sfin_idx")
+    val idxDir = mkPath(idxRaw)
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     emb.filter(col("vec_id") < 40)
       .select(col("vec_id"),
@@ -360,6 +371,19 @@ class PartitioningSpec extends AnyFunSuite {
     assert(spark.read.parquet(idxDir).count() === built,
       "batch append unexpectedly visible through the sink metadata log")
 
+    // orphans that are NOT part-* files: a customized writer prefix at
+    // the root, and a whole partition directory holding only strays
+    // (the batched per-directory delete path) — both invisible to
+    // log-resolved reads, both must be swept; a hidden marker must NOT
+    val strayRoot = new java.io.File(idxRaw, "writer-custom-0001.parquet")
+    val strayDirF = new java.io.File(idxRaw, "centroid_id=99")
+    strayDirF.mkdir()
+    val strayInDir = new java.io.File(strayDirF, "stray-task-0007.parquet")
+    java.nio.file.Files.write(strayRoot.toPath, Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(strayInDir.toPath, Array[Byte](4, 5, 6))
+    val hiddenMarker = new java.io.File(idxRaw, "_custom_marker")
+    java.nio.file.Files.write(hiddenMarker.toPath, Array[Byte](7))
+
     // the lifecycle APIs themselves refuse to touch the dir while the
     // sink log is present — forgetting the handoff is a hard error, not
     // a silent corruption
@@ -375,10 +399,15 @@ class PartitioningSpec extends AnyFunSuite {
     assert(preAppend.getMessage.contains("finalizeStreamedIndex"))
 
     // the handoff preserves exactly the committed view: never-visible
-    // pre-finalize files are swept as orphans
+    // pre-finalize files are swept as orphans, whatever their name
     Similarity.finalizeStreamedIndex(spark, idxDir)
     assert(spark.read.parquet(idxDir).count() === built,
       "finalize must preserve exactly the sink-committed row set")
+    assert(!strayRoot.exists(), "non-part-prefixed root orphan not swept")
+    assert(!strayDirF.exists(),
+      "all-orphan partition directory should go in one batched delete")
+    assert(hiddenMarker.exists(),
+      "hidden marker files are not data and must survive the sweep")
 
     // appends AFTER the handoff are plain batch writes — fully visible
     delta.write.mode("append").partitionBy("centroid_id").parquet(idxDir)
@@ -387,10 +416,17 @@ class PartitioningSpec extends AnyFunSuite {
     // and compaction (a partition rewrite that deletes replaced files)
     // is safe on the finalized dir — on the raw sink dir it would strand
     // the metadata log pointing at deleted files
-    import spark.implicits._
     val affected = Similarity.ivfIndexCompact(spark, idxDir,
       Seq(0L, 41L).toDF("vec_id"))
     assert(affected.nonEmpty)
     assert(spark.read.parquet(idxDir).count() === built + 10 - 2)
+  }
+
+  test("stream-built index handoff: finalizeStreamedIndex makes batch appends visible and compaction safe") {
+    streamedHandoffScenario(identity)
+  }
+
+  test("stream-built index handoff under a qualified file:// URI (scheme/authority normalization)") {
+    streamedHandoffScenario(raw => s"file://$raw")
   }
 }

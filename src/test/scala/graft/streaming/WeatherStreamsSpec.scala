@@ -378,9 +378,92 @@ class WeatherStreamsSpec extends AnyFunSuite {
       assert(spark.table("ingest_out").count() >= 2 * 7 * 24)
     } finally q.stop()
   }
+
+  test("st17 crash-replay: batchId-keyed overwrite is idempotent when the sink write commits but the checkpoint does not") {
+    // The exact failure window the st17 fix targets: foreachBatch
+    // completes its parquet write, then the driver dies BEFORE the
+    // batch's checkpoint commit (offset log ahead of commit log). On
+    // restart Spark re-executes the SAME batchId — a bare append would
+    // duplicate every (qid, vec_id) row; the batch=<id> subdir
+    // OVERWRITE must rewrite in place. The crash is injected by
+    // throwing AFTER the write inside foreachBatch: the write is
+    // durably committed, the checkpoint commit never happens — the
+    // same on-disk state a kill -9 in that window leaves.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    import graft.operators.{Scale, Similarity}
+    val dir = java.nio.file.Files.createTempDirectory("graft_st17_replay")
+    val dropDir = new java.io.File(dir.toFile, "drop"); dropDir.mkdirs()
+    val outDir = new java.io.File(dir.toFile, "out").toString
+    val ckDir = new java.io.File(dir.toFile, "ck").toString
+    val emb = graft.Tables.embeddings(spark, TestSpark.sfDir)
+    val corpus = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+      .coalesce(1).write.mode("overwrite").json(dropDir.toString)
+    val qSchema = new org.apache.spark.sql.types.StructType()
+      .add("qid", "long").add("qv", "array<double>")
+    WeatherStreamsSpec.st17CrashArmed = true
+    def serve(): Unit = {
+      val q = spark.readStream.schema(qSchema).json(dropDir.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val scored = corpus.join(broadcast(batch),
+              col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"),
+              round(Similarity.cosine(col("v"), col("qv")), 6).as("sim"))
+          Scale.topKPerGroup(scored, "qid",
+              Seq(col("sim").desc, col("vec_id")), 10,
+              saltOn = col("vec_id"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          if (WeatherStreamsSpec.st17CrashArmed) {
+            WeatherStreamsSpec.st17CrashArmed = false
+            throw new RuntimeException(
+              "injected crash between sink write and checkpoint commit")
+          }
+        }
+        .option("checkpointLocation", ckDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val crash = intercept[StreamingQueryException](serve())
+    assert(crash.getMessage.contains("injected crash"))
+    // the batch's output is durably on disk, its checkpoint commit is not
+    assert(spark.read.parquet(outDir).count() > 0,
+      "crash must land AFTER the sink write committed")
+    serve() // restart from the same checkpoint: replays the same batchId
+    val out = spark.read.parquet(outDir).select("qid", "vec_id", "sim")
+    val dups = out.groupBy("qid", "vec_id").count()
+      .filter(col("count") > 1).count()
+    assert(dups === 0L,
+      "replayed batch appended duplicate (qid, vec_id) rows — " +
+        "batchId-keyed overwrite is not idempotent")
+    // and the replayed output IS the batch-side answer, exactly once
+    val expected = Scale.topKPerGroup(
+      corpus.join(broadcast(corpus.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))),
+        col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("v"), col("qv")), 6).as("sim")),
+      "qid", Seq(col("sim").desc, col("vec_id")), 10,
+      saltOn = col("vec_id"))
+    assert(out.count() === expected.count())
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty,
+      "replayed serve output must equal the batch top-k exactly once")
+  }
 }
 
 object WeatherStreamsSpec {
+  /** Arms the st17 crash-replay injection: reset by the first batch
+    * that fires it (driver-side — foreachBatch bodies run on the
+    * driver, so a plain volatile flag is visible to the query thread).
+    */
+  @volatile var st17CrashArmed: Boolean = false
+
   import org.apache.spark.sql.Dataset
   import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 
