@@ -73,6 +73,40 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // dataset-version diff: two snapshots derived from the documents
+    // table by the engine-portable md5 permille gate on the id (A = 90%
+    // low gate, B = 90% high gate, a 10% mid-band re-edited in B), so
+    // both engines build byte-identical snapshots and every status leg
+    // (added / removed / changed / unchanged) is populated.
+    "d19_snapshot_diff" -> QueryDef.sql(
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substring(md5(doc_id::VARCHAR || '#diff'), 1, 8))::UBIGINT
+        |      % 1000 AS u
+        |  FROM documents),
+        |a AS (SELECT doc_id, md5(text) AS h FROM g WHERE u < 900),
+        |b AS (SELECT doc_id,
+        |        md5(CASE WHEN u BETWEEN 450 AND 549 THEN text || ' [rev2]'
+        |                 ELSE text END) AS h
+        |      FROM g WHERE u >= 100)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.h = b.h THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def u = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("#diff"))), 1, 8),
+        16, 10).cast("long") % 1000
+      val a = docs.filter(u < 900).select(col("doc_id"), col("text"))
+      val b = docs.filter(u >= 100).select(col("doc_id"),
+        when(u.between(450, 549), concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+      Corpus.snapshotDiff(a, b).orderBy("doc_id")
+    },
+
     "t23_top_bigrams" -> QueryDef.sql(
       s"""WITH sh AS (
         |  SELECT CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])

@@ -72,6 +72,40 @@ object Dedup {
     docs.join(keep, idCol)
   }
 
+  /** The full ingest step [[incrementalNew]]'s contract points at —
+    * `exact ∘ incrementalNew`, fused so the batch digest is computed
+    * once. `delta` is a freshly crawled batch; `corpus` the standing
+    * already-deduplicated corpus. Returns the delta rows that survive:
+    * not an exact duplicate of any corpus document, and the lowest-id
+    * representative of each distinct text *within* the delta (a recrawl
+    * batch carries internal re-fetch copies; [[incrementalNew]] alone
+    * keeps them all).
+    *
+    * Scale notes (the shape that makes dedup O(|Δ|) per ingestion round
+    * instead of O(|corpus|²) re-runs):
+    *  - the corpus is touched only as its 16-byte digest column — at
+    *    100 TB that column is a maintained digest INDEX (one bucketed
+    *    parquet column, the freeze-and-append regime
+    *    [[Similarity.ivfIndexAppend]] uses for vectors); with both
+    *    sides bucketed on `digest` the anti join is exchange-free,
+    *    otherwise it shuffles 16 B/row, never document text
+    *    ([[incrementalNewBloom]] is the same step with a Bloom
+    *    pre-filter when |corpus| ≫ |Δ|);
+    *  - delta-internal dedup is the [[exact]] hash-agg shape (map-side
+    *    partial min over the digest);
+    *  - appending the survivors' digests to the index closes the loop:
+    *    the next batch's anti join sees them with no corpus rescan.
+    */
+  def deltaExact(corpus: DataFrame, delta: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val corpusDigests = withDigest(corpus, textCol).select("digest").distinct()
+    val keep = withDigest(delta, textCol)
+      .join(corpusDigests, Seq("digest"), "left_anti")
+      .groupBy("digest").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    delta.join(keep, idCol)
+  }
+
   /** (id, MinHash signature) per document — one imperative expression
     * evaluation per row.
     */

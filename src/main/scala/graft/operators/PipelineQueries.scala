@@ -837,6 +837,41 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // incremental dedup: a recrawl delta (overlapping the corpus AND
+    // carrying internal re-fetch copies) deduped against the frozen
+    // corpus in O(|delta|) — the continuous-ingestion shape. The delta
+    // is derived via the engine-portable md5 permille gate on the text,
+    // so both engines build the byte-identical batch.
+    "d18_delta_dedup" -> QueryDef.sql(
+      """WITH g AS (
+        |  SELECT doc_id, text, source,
+        |    ('0x' || substring(md5(text), 1, 8))::UBIGINT % 1000 AS u
+        |  FROM documents),
+        |corpus AS (SELECT * FROM g WHERE u < 500),
+        |delta AS (
+        |  SELECT doc_id, text, source FROM g WHERE u >= 350
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text, source FROM g
+        |  WHERE u BETWEEN 600 AND 699),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM delta
+        |  WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)
+        |  GROUP BY md5(text))
+        |SELECT d.doc_id, d.source FROM delta d JOIN keep USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def u = conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long") % 1000
+      val corpus = docs.filter(u < 500)
+      val delta = docs.filter(u >= 350)
+        .select(col("doc_id"), col("text"), col("source"))
+        .unionAll(docs.filter(u.between(600, 699))
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+            col("source")))
+      Dedup.deltaExact(corpus, delta)
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
     // ---- similarity search -------------------------------------------------
     "s1_cosine_topk" -> QueryDef.sql(
       """SELECT vec_id, round(list_cosine_similarity(

@@ -325,4 +325,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(kl("alien") > kl("same") + 0.5,
       s"disjoint vocabulary must diverge: $kl")
   }
+
+  // ---- snapshotDiff -------------------------------------------------------
+
+  test("snapshotDiff classifies added / removed / changed / unchanged") {
+    import spark.implicits._
+    val a = Seq((0L, "same"), (1L, "old"), (2L, "gone")).toDF("doc_id", "text")
+    val b = Seq((0L, "same"), (1L, "new"), (3L, "fresh")).toDF("doc_id", "text")
+    val m = Corpus.snapshotDiff(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(0L -> "unchanged", 1L -> "changed",
+      2L -> "removed", 3L -> "added"))
+  }
+
+  test("snapshotDiff against an empty snapshot: all added / all removed") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val s = Seq((7L, "x"), (8L, "y")).toDF("doc_id", "text")
+    val added = Corpus.snapshotDiff(empty, s).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(added === Map(7L -> "added", 8L -> "added"))
+    val removed = Corpus.snapshotDiff(s, empty).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(removed === Map(7L -> "removed", 8L -> "removed"))
+  }
 }

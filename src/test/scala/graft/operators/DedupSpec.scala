@@ -452,4 +452,44 @@ class DedupSpec extends AnyFunSuite {
         s"$lang: sampled $got vs expected ~$expect")
     }
   }
+
+  // ---- deltaExact (incremental dedup) -------------------------------------
+
+  test("deltaExact drops corpus dups and keeps lowest-id within-delta rep") {
+    val corpus = Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha"),      // exact dup of corpus doc 0 → dropped
+      (11L, "gamma"),      // fresh → kept
+      (12L, "gamma"),      // within-delta re-fetch → dropped (11 is rep)
+      (13L, "alpha"),      // second corpus dup → dropped (never revives 10)
+      (14L, "epsilon")     // fresh → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.deltaExact(corpus, delta)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(11L, 14L)))
+  }
+
+  test("deltaExact ≡ exact(corpus ∪ delta) restricted to delta ids") {
+    // The incremental contract: with the corpus already deduped and its
+    // ids below the delta's, one delta round must produce exactly what a
+    // full re-dedup of the union would have kept from the delta.
+    val corpus = Dedup.exact(Seq(
+      (0L, "alpha"), (1L, "beta"), (2L, "gamma")).toDF("doc_id", "text"))
+    val delta = Seq(
+      (10L, "beta"), (11L, "zeta"), (12L, "zeta"), (13L, "eta"), (14L, "alpha")
+    ).toDF("doc_id", "text")
+    val incremental = Dedup.deltaExact(corpus, delta)
+      .select("doc_id").as[Long].collect().toSet
+    val full = Dedup.exact(corpus.unionByName(delta))
+      .select("doc_id").as[Long].collect().toSet.filter(_ >= 10L)
+    assert(incremental === full)
+  }
+
+  test("deltaExact with an empty corpus degenerates to exact dedup") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val delta = Seq((5L, "x"), (6L, "x"), (7L, "y")).toDF("doc_id", "text")
+    val kept = Dedup.deltaExact(corpus, delta)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(5L, 7L)))
+  }
 }
