@@ -536,11 +536,13 @@ object Dedup {
     */
   private def exactContaminationVerify(corpus: DataFrame, evalDocs: DataFrame,
       candIds: DataFrame, n: Int, idCol: String, textCol: String): DataFrame = {
+    // fused imperative shingle kernel, not the interpreted HOF build —
+    // the t23 lesson; same shingle rule (spec-gated HOF ≡ fused)
     val evalSh = evalDocs.select(explode(array_distinct(
-      TextFunctions.wordShingles(col(textCol), n))).as("g")).distinct()
+      Sketches.wordShinglesText(col(textCol), n))).as("g")).distinct()
     val confirmed = corpus.join(candIds, idCol)
       .select(col(idCol), explode(array_distinct(
-        TextFunctions.wordShingles(col(textCol), n))).as("g"))
+        Sketches.wordShinglesText(col(textCol), n))).as("g"))
       .join(evalSh, Seq("g"), "left_semi")
       .select(idCol).distinct()
     corpus.select(col(idCol))
@@ -575,16 +577,19 @@ object Dedup {
     val candIds = corpus.select(col(idCol), explode(hashes).as("h"))
       .join(broadcast(evalHashes), Seq("h"), "left_semi")
       .select(idCol).distinct()
+    // fused imperative shingle kernel throughout (the t23 lesson): the
+    // denominator leg below runs over EVERY corpus row, where the
+    // interpreted HOF build dominated the probe's cost
     val evalSh = evalDocs.select(explode(array_distinct(
-      TextFunctions.wordShingles(col(textCol), n))).as("g")).distinct()
+      Sketches.wordShinglesText(col(textCol), n))).as("g")).distinct()
     val hits = corpus.join(candIds, idCol)
       .select(col(idCol), explode(array_distinct(
-        TextFunctions.wordShingles(col(textCol), n))).as("g"))
+        Sketches.wordShinglesText(col(textCol), n))).as("g"))
       .join(evalSh, Seq("g"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
     corpus
       .select(col(idCol), size(array_distinct(
-        TextFunctions.wordShingles(col(textCol), n))).cast("long")
+        Sketches.wordShinglesText(col(textCol), n))).cast("long")
         .as("n_shingles"))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), col("n_shingles"),

@@ -669,7 +669,7 @@ object StreamingQueries {
       val ckDir = tempDir("graft_st14_ck")
       val evalSh = docs.filter(col("doc_id") % 7 === 0)
         .select(explode(array_distinct(
-          graft.functions.TextFunctions.wordShingles(col("text"), 8))).as("g"))
+          graft.functions.Sketches.wordShinglesText(col("text"), 8))).as("g"))
         .distinct()
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -680,7 +680,7 @@ object StreamingQueries {
       try withStateShuffle(s) {
         val q = s.readStream.schema(schema).json(dropDir)
           .select(col("doc_id"), explode(array_distinct(
-            graft.functions.TextFunctions.wordShingles(col("text"), 8))).as("g"))
+            graft.functions.Sketches.wordShinglesText(col("text"), 8))).as("g"))
           .join(broadcast(evalSh), Seq("g"), "left_semi")
           .writeStream.format("memory").queryName(sinkName)
           .outputMode("append")
