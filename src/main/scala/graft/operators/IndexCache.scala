@@ -54,6 +54,34 @@ object IndexCache {
       Similarity.pqCodebooks(emb(s, dir, normalized = false), m = 8, ksub = 16)
     }
 
+  /** Memoized [[Similarity.pqCodebooks]] over the L2-normalized
+    * embeddings — the s19 plain-PQ configuration. */
+  def pqCodebooksNorm(s: SparkSession, dir: String)
+      : Array[Array[Array[Double]]] =
+    memo(s"pqnorm:$dir") {
+      Similarity.pqCodebooks(emb(s, dir, normalized = true), m = 8, ksub = 16)
+    }
+
+  /** Memoized [[Similarity.opqQuantizers]] (rotation + codebooks) over
+    * the L2-normalized embeddings — the s28/s29 OPQ configuration. */
+  def opqQuantizers(s: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    memo(s"opq:$dir") {
+      Similarity.opqQuantizers(emb(s, dir, normalized = true), m = 8, ksub = 16)
+    }
+
+  /** Memoized residual [[Similarity.annQuantizers]] fit on the
+    * OPQ-ROTATED L2-normalized embeddings — the s29 composed-stack
+    * configuration (depends on [[opqQuantizers]]' rotation). */
+  def annQuantizersOpqRotated(s: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    memo(s"annopqrot:$dir") {
+      val (r, _) = opqQuantizers(s, dir)
+      Similarity.annQuantizers(
+        Similarity.rotated(emb(s, dir, normalized = true), r),
+        residual = true)
+    }
+
   /** MD5-hex fingerprint of fitted quantizer values + the encoder
     * version — the persisted-index cache key component (ScaleSoak's
     * fitFp, shared here so both caches invalidate identically). */
