@@ -47,11 +47,12 @@ object ScaleSoak {
     // round-9 extension: the round-8 heavy family
     "s19_pq_topk", "d17_contamination_frac", "s12_semantic_dedup",
     "g9_weighted_sssp", "t49_cluster_safe_split",
-    // round-10 extension: the round-9 family. s20 follows the s19
-    // convention (fits included, expected fit-dominated ≈ 0);
-    // s20_indexed_read isolates the ADC-SCAN term the fits mask —
-    // frozen ×1-fit quantizers, persisted list-partitioned index built
-    // outside the timed window, only the probe+scan+rerank timed.
+    // round-10 extension: the round-9 family. s19/s20's quantizer fits
+    // ride the IndexCache memo since r12 (the probes' timed term is the
+    // inline encode + ADC scan — still scheduling-dominated at sf0.1);
+    // s20_indexed_read isolates the pure ADC-SCAN term — frozen ×1-fit
+    // quantizers, persisted list-partitioned index built outside the
+    // timed window, only the probe+scan+rerank timed.
     "s20_ivfadc_topk", "s20_indexed_read", "mm6_phash_radius",
     "t50_weighted_reservoir", "t51_group_weighted_reservoir",
     // r10: the 62-bit production-width phash pairing — the regime
