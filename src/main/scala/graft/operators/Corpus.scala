@@ -735,7 +735,8 @@ object Corpus {
         coalesce(col("__id_a"), col("__id_b")).as(idCol),
         when(col("__id_a").isNull, "added")
           .when(col("__id_b").isNull, "removed")
-          .when(col("__h_a") === col("__h_b"), "unchanged")
+          // null-safe: a null text on both sides is unchanged, not changed
+          .when(col("__h_a") <=> col("__h_b"), "unchanged")
           .otherwise("changed").as("status"))
   }
 }

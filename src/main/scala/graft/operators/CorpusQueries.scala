@@ -92,7 +92,7 @@ object CorpusQueries {
         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
         |  CASE WHEN a.doc_id IS NULL THEN 'added'
         |       WHEN b.doc_id IS NULL THEN 'removed'
-        |       WHEN a.h = b.h THEN 'unchanged'
+        |       WHEN a.h IS NOT DISTINCT FROM b.h THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         |ORDER BY doc_id""".stripMargin) { (s, d) =>

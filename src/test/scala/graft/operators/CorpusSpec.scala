@@ -338,6 +338,17 @@ class CorpusSpec extends AnyFunSuite {
       2L -> "removed", 3L -> "added"))
   }
 
+  test("snapshotDiff: null text on both sides is unchanged, null-vs-text is changed") {
+    import spark.implicits._
+    val a = Seq((0L, null: String), (1L, null: String), (2L, "x"))
+      .toDF("doc_id", "text")
+    val b = Seq((0L, null: String), (1L, "now set"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val m = Corpus.snapshotDiff(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(0L -> "unchanged", 1L -> "changed", 2L -> "changed"))
+  }
+
   test("snapshotDiff against an empty snapshot: all added / all removed") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
