@@ -372,6 +372,105 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }
 
+  /** Incremental exact-Jaccard similarity ingest: all pairs with n-gram
+    * Jaccard ≥ `threshold` over `corpus ∪ delta` that TOUCH the delta —
+    * (corpus, delta) cross pairs plus delta-internal pairs — without
+    * re-joining the corpus against itself. This is [[deltaExact]]'s
+    * near-dup sibling: the recrawl-round shape where the standing corpus
+    * is already self-deduped and only the new batch needs pairing.
+    * Ids must be unique across both inputs (an ingest assigns fresh ids);
+    * output is (id_a, id_b, jaccard) with id_a < id_b, as in
+    * [[exactJaccardPairs]].
+    *
+    * Same Bayardo/Xiao prefix-filter machinery as [[exactJaccardPairs]],
+    * with the token order FROZEN at the corpus: document frequencies are
+    * computed over corpus postings only (the statistics a persisted
+    * postings index carries), and delta tokens unseen in the corpus get
+    * df = 0 — they rank first (rarest) and match nothing on the corpus
+    * side, which only SHORTENS probe postings. Correctness does not
+    * depend on the order being rarity-optimal, only on both sides using
+    * ONE total order — (df, hash) under frozen df is total, corpus
+    * documents contain no df-0 tokens, so every prefix is identical to
+    * the one the frozen index materialized. DedupSpec proves the
+    * identity: delta run ≡ full [[exactJaccardPairs]] over the union
+    * restricted to delta-touching pairs.
+    *
+    * Scale notes (the O(|Δ|)-per-round shape):
+    *  - the corpus contributes exactly its persisted prefix-postings
+    *    relation (t, id, sz, rn) and its sorted shingle-hash arrays —
+    *    both written once at index build, re-read pruned by the probe's
+    *    prefix-token equi join; nothing rescans corpus text;
+    *  - per round, only delta documents are shingled and ranked; probe
+    *    cost is |delta postings| plus matched candidates, and the verify
+    *    touches candidates alone (fused sorted-merge over 8-byte hash
+    *    arrays — the d9 discipline: collisions only add candidates, the
+    *    exact verify rejects them);
+    *  - appending the survivors' postings (re-ranked under the SAME
+    *    frozen df) closes the loop for the next round; as ingested
+    *    volume drifts the vocabulary, frozen-df prefix selectivity
+    *    degrades gracefully (longer postings, never lost pairs) — the
+    *    rebuild trigger mirrors [[Similarity.ivfDriftStats]]'s
+    *    freeze-and-monitor regime.
+    */
+  def deltaJaccardPairs(corpus: DataFrame, delta: DataFrame,
+      threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    def shingled(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"),
+          TextFunctions.words(col(textCol)).as("w"))
+        .select(col("id"),
+          graft.functions.Sketches.shingleHashArray(col("w"), n).as("g"))
+        .withColumn("sz", size(col("g")))
+        .filter(col("sz") > 0)
+    val shC = shingled(corpus)
+    val shD = shingled(delta)
+    val postC = shC.select(col("id"), col("sz"), explode(col("g")).as("t"))
+    // the frozen index-time statistics: corpus-only document frequency
+    val docFreq = postC.groupBy("t").agg(count(lit(1)).as("df"))
+    val Eps = 1e-6 // FP-safe ceil bounds — see exactJaccardPairs
+    def rankAndPrefix(p: DataFrame): DataFrame = p
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("t"))))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - Eps) + 1)
+      .select("t", "id", "sz", "rn")
+    // corpus prefixes under the frozen order — the persisted relation
+    val prefC = rankAndPrefix(postC.join(docFreq, "t"))
+    // delta prefixes under the SAME order; unseen tokens take df = 0
+    val prefD = rankAndPrefix(
+      shD.select(col("id"), col("sz"), explode(col("g")).as("t"))
+        .join(docFreq, Seq("t"), "left")
+        .withColumn("df", coalesce(col("df"), lit(0L))))
+    val minOverlap =
+      ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - Eps)
+    def sideA(p: DataFrame): DataFrame = p.select(col("t"),
+      col("id").as("id_a"), col("sz").as("sz_a"), col("rn").as("rn_a"))
+    def sideB(p: DataFrame): DataFrame = p.select(col("t"),
+      col("id").as("id_b"), col("sz").as("sz_b"), col("rn").as("rn_b"))
+    def prune(pairs: DataFrame): DataFrame = pairs
+      .filter(col("sz_b") >= ceil(col("sz_a") * threshold - Eps) &&
+        col("sz_b") * threshold <= col("sz_a") + Eps &&
+        least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) + 1 >= minOverlap)
+    // corpus×delta probe (ids disjoint — no triangle; normalized below)
+    // plus the delta-internal triangle, both inside prefix-token buckets
+    val cands = prune(sideA(prefC).join(sideB(prefD), Seq("t")))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .unionAll(prune(sideA(prefD).join(sideB(prefD), Seq("t")))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b"))
+      .distinct()
+    val shAll = shC.unionAll(shD)
+    cands
+      .join(shAll.select(col("id").as("id_a"), col("g").as("g_a")), "id_a")
+      .join(shAll.select(col("id").as("id_b"), col("g").as("g_b")), "id_b")
+      .withColumn("j",
+        graft.functions.Sketches.sortedJaccard(col("g_a"), col("g_b")))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+  }
+
   /** Fuzzy string matching: all distinct-value pairs within Levenshtein
     * distance `maxDist` (vocabulary-level fuzzy dedup — titles, names,
     * URLs). Two LOSSLESS equi blocking stages feed the exact

@@ -872,6 +872,56 @@ object PipelineQueries {
         .select("doc_id", "source").orderBy("doc_id")
     },
 
+    // incremental NEAR-dup ingest: a recrawl delta paired against the
+    // frozen corpus postings index in O(|delta|) — d18's exact-digest
+    // step upgraded to 3-gram Jaccard ≥ 0.4 (Dedup.deltaJaccardPairs:
+    // frozen-df Bayardo prefixes, probe join + delta triangle). Corpus =
+    // id-gate low 50%, delta = the [350, 650) mid-band re-ingested under
+    // fresh ids, so (corpus, delta) J = 1 re-fetch pairs, natural
+    // near-dups straddling the gate, and delta-internal pairs all
+    // populate. Oracle: quadratic union Jaccard restricted to
+    // delta-touching pairs (the d9 oracle + the touch filter).
+    "d20_delta_jaccard_pairs" -> QueryDef.sql(
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substring(md5(doc_id::VARCHAR || '#djp'), 1, 8))::UBIGINT
+        |      % 1000 AS u
+        |  FROM documents),
+        |un AS (
+        |  SELECT doc_id, text FROM g WHERE u < 500
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM g
+        |  WHERE u >= 350 AND u < 650),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END) AS g
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                      x -> x <> '') AS ws
+        |        FROM un))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id >= 1000000 OR b.doc_id >= 1000000)
+        |  AND len(a.g) > 0 AND len(b.g) > 0
+        |  AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def u = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("#djp"))), 1, 8),
+        16, 10).cast("long") % 1000
+      val corpus = docs.filter(u < 500).select("doc_id", "text")
+      val delta = docs.filter(u >= 350 && u < 650)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.deltaJaccardPairs(corpus, delta, threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- similarity search -------------------------------------------------
     "s1_cosine_topk" -> QueryDef.sql(
       """SELECT vec_id, round(list_cosine_similarity(

@@ -492,4 +492,57 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.sameElements(Array(5L, 7L)))
   }
+
+  // ---- deltaJaccardPairs (incremental near-dup ingest) ---------------------
+
+  test("deltaJaccardPairs ≡ exactJaccardPairs(corpus ∪ delta) restricted to delta-touching pairs") {
+    // the frozen-corpus-order losslessness proof: one delta round must
+    // find exactly the union run's pairs that touch a delta id — cross
+    // pairs AND delta-internal pairs, none lost to the frozen df ranking
+    val all = graft.Tables.documents(spark, TestSpark.sfDir)
+      .filter(col("doc_id") < 200)
+    val corpus = all.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val delta = all.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val tau = 0.35
+    val incremental = Dedup.deltaJaccardPairs(corpus, delta, threshold = tau)
+      .orderBy("id_a", "id_b").collect()
+    val full = Dedup.exactJaccardPairs(corpus.unionByName(delta), threshold = tau)
+      .filter(col("id_a") >= 1000L || col("id_b") >= 1000L)
+      .orderBy("id_a", "id_b").collect()
+    assert(incremental.map(_.toString).toSeq === full.map(_.toString).toSeq)
+    assert(full.exists(r => r.getLong(0) < 1000L && r.getLong(1) >= 1000L),
+      "fixture should contain at least one corpus-delta cross pair")
+    assert(full.exists(r => r.getLong(0) >= 1000L),
+      "fixture should contain at least one delta-internal pair")
+  }
+
+  test("deltaJaccardPairs finds pairs whose vocabulary is unseen in the corpus") {
+    // delta-internal near-dups over df-0 tokens: the frozen order ranks
+    // unseen tokens first (df 0, hash ties) on BOTH sides of the delta
+    // triangle, so the shared-prefix guarantee still holds
+    val corpus = Seq((0L, "completely different words here")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "zyx wvu tsr qpo nml kji hgf"),
+      (11L, "zyx wvu tsr qpo nml kji xyz"),   // 6/7 words shared with 10
+      (12L, "unrelated payload nothing close")).toDF("doc_id", "text")
+    val pairs = Dedup.deltaJaccardPairs(corpus, delta, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 11L)))
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L))
+  }
+
+  test("deltaJaccardPairs with an empty corpus degenerates to exactJaccardPairs") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val delta = graft.Tables.documents(spark, TestSpark.sfDir)
+      .filter(col("doc_id") < 120)
+    val tau = 0.35
+    val inc = Dedup.deltaJaccardPairs(corpus, delta, threshold = tau)
+      .orderBy("id_a", "id_b").collect()
+    val full = Dedup.exactJaccardPairs(delta, threshold = tau)
+      .orderBy("id_a", "id_b").collect()
+    assert(inc.map(_.toString).toSeq === full.map(_.toString).toSeq)
+    assert(full.nonEmpty)
+  }
 }
