@@ -58,7 +58,11 @@ object ScaleSoak {
     // r10: the 62-bit production-width phash pairing — the regime
     // where band buckets stay occupancy-bounded as the corpus grows
     // (its 16-bit twin above saturates by construction)
-    "mm7_phash_radius_wide")
+    "mm7_phash_radius_wide",
+    // r12: incremental near-dup ingest — weak scaling multiplies corpus
+    // AND delta ×N (copy-disjoint shingles keep pairs within-copy), so
+    // the O(|Δ|)-per-round claim predicts near-linear time in N
+    "d20_delta_jaccard_pairs")
 
   /** Frozen quantizers for [[s20_indexed_read]]: fit ONCE per source
     * corpus (the freeze-and-append operational model — nLists and
@@ -166,7 +170,8 @@ object ScaleSoak {
            "d17_contamination_frac", "t49_cluster_safe_split",
            "g9_weighted_sssp", "s12_semantic_dedup",
            "mm6_phash_radius", "mm7_phash_radius_wide",
-           "t50_weighted_reservoir", "t51_group_weighted_reservoir")
+           "t50_weighted_reservoir", "t51_group_weighted_reservoir",
+           "d20_delta_jaccard_pairs")
          if prefixes.isEmpty || prefixes.exists(q.startsWith)) q match {
       case "d9_exact_jaccard_pairs" =>
         val (c1, cN) = (countRows(q, srcDir), countRows(q, ampDir))
@@ -207,6 +212,20 @@ object ScaleSoak {
         val outExp = math.log(cN.toDouble / c1) / math.log(factor.toDouble)
         System.err.println(f"[soak] invariant $q pairs: $c1 -> $cN " +
           f"(output exponent $outExp%.2f — compare the TIME exponent to this, not to 1)")
+      case "d20_delta_jaccard_pairs" =>
+        // corpus/delta derive from the md5 id gate, and copy k's shifted
+        // ids draw a DIFFERENT (iid same-rate) split than copy 0's — so
+        // per-copy pair counts need not replicate and the guaranteed
+        // bound is monotonicity (copy 0 embeds verbatim: ids, texts, and
+        // hence its split and pairs persist). Expected output exponent
+        // ≈ 1 (N iid per-copy splits); compare the time exponent to the
+        // printed output exponent.
+        val (c1, cN) = (countRows(q, srcDir), countRows(q, ampDir))
+        require(cN >= c1,
+          s"amplifier anomaly: $q pairs shrank $c1 -> $cN (copy-0 pairs lost)")
+        val outExp = math.log(cN.toDouble / c1) / math.log(factor.toDouble)
+        System.err.println(f"[soak] invariant $q pairs: $c1 -> $cN " +
+          f"(output exponent $outExp%.2f)")
       case "t50_weighted_reservoir" | "t51_group_weighted_reservoir" =>
         // exact-k (per group): the output SIZE is scale-invariant by
         // construction — k rows (per group) at any corpus size
