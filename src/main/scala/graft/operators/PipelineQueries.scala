@@ -1011,6 +1011,23 @@ object PipelineQueries {
         idCap = Some(200L))
     },
 
+    // s6's incremental-ingest round (the embedding leg of the d18/d20
+    // delta family): corpus = vec_id < 150, delta = [150, 200) re-ingested
+    // under fresh ids, paired against the frozen-hyperplane postings in
+    // O(|delta|). No SQL twin (seeded buckets, like s6) — the spec gates
+    // the EXACT identity `delta round ≡ full bucketed run restricted to
+    // delta-touching pairs` (deterministic bucketing makes it an
+    // identity, not a recall bound).
+    "s30_embed_neardup_delta" -> QueryDef.noOracle { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val nT = Similarity.recommendedTables(0.25, targetRecall = 0.9, nBits = 2)
+      Similarity.nearDupPairsBucketedDelta(
+        emb.filter(col("vec_id") < 150),
+        emb.filter(col("vec_id") >= 150 && col("vec_id") < 200)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        threshold = 0.25, nBits = 2, nTables = nT)
+    },
+
     "s4_ivf_topk" -> QueryDef.noOracle { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val centroids = Similarity.ivfCentroids(emb, nCentroids = 16)

@@ -319,6 +319,64 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental embedding near-dup ingest — [[nearDupPairsBucketed]]'s
+    * delta round, completing the three-modality incremental family
+    * ([[Dedup.deltaExact]] digests, [[Dedup.deltaJaccardPairs]] text
+    * shingles, this for vectors): all TRUE-cosine ≥ `threshold` pairs
+    * over `corpus ∪ delta` that touch the delta, found by probing the
+    * corpus's (table, bucket) postings with the delta alone. Ids must be
+    * unique across both inputs; output contract is
+    * [[nearDupPairsBucketed]]'s (id_a < id_b, exact `sim`).
+    *
+    * The hyperplanes are seed-deterministic — the index geometry is
+    * frozen by construction, so the corpus participates only as its
+    * persisted (t, bkt, vec_id) postings (bucketed-written once at index
+    * build: the probe join is then exchange-free on the corpus side) and
+    * its id-addressed vectors for the verify. Per round only the delta
+    * is hashed: cost is |Δ|·nTables postings plus bucket-bounded
+    * candidates — O(|Δ|), never a corpus rescan. Because bucketing is a
+    * pure function of the vector, the delta round returns EXACTLY the
+    * full run's delta-touching pairs (identity gated in spec — stronger
+    * than a recall bound); recall vs exact cosine pairs keeps
+    * [[nearDupPairsBucketed]]'s S-curve guarantee, and precision stays
+    * exact (the verify recomputes the true cosine).
+    */
+  def nearDupPairsBucketedDelta(corpus: DataFrame, delta: DataFrame,
+      threshold: Double, nBits: Int = 8, nTables: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val eC = prep(corpus)
+    val eD = prep(delta)
+    val buckets = array((0 until nTables).map(t =>
+      lshBucket(col("v"), hyperplanes(nBits, dim, seed + t))): _*)
+    def posted(e: DataFrame): DataFrame =
+      e.select(col("vec_id"), posexplode(buckets)).toDF("vec_id", "t", "bkt")
+    val pC = posted(eC) // in deployment: the persisted postings relation
+    val pD = posted(eD)
+    // corpus×delta probe (ids disjoint — normalized below) ∪ the
+    // delta-internal triangle; id pairs only through the distinct
+    val cross = pC.select(col("t"), col("bkt"), col("vec_id").as("id_a"))
+      .join(pD.select(col("t"), col("bkt"), col("vec_id").as("id_b")),
+        Seq("t", "bkt"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val tri = pD.select(col("t"), col("bkt"), col("vec_id").as("id_a"))
+      .join(pD.select(col("t"), col("bkt"), col("vec_id").as("id_b")),
+        Seq("t", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val cands = cross.unionAll(tri).distinct()
+    val eAll = eC.unionAll(eD)
+    cands
+      .join(eAll.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(eAll.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Approximate top-k: exact search restricted to the query vector's LSH
     * bucket and its Hamming-1 neighbor buckets (multi-probe).
     */

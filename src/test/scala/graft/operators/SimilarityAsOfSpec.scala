@@ -851,6 +851,37 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"bucketed recall $recall below S-curve bound 0.95")
   }
 
+  test("bucketed delta round ≡ full bucketed run restricted to delta-touching pairs") {
+    // bucketing is a pure function of the vector under frozen seeded
+    // hyperplanes, so the incremental round must return EXACTLY the full
+    // run's delta-touching pairs — an identity, not a recall bound
+    val base = Tables.embeddings(spark, TestSpark.sfDir)
+      .filter(col("vec_id") < 300).select("vec_id", "embedding")
+    // plant near-dups straddling the split so cross pairs exist
+    val planted = base.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x + (i % 3 - 1) * lit(0.01f)).cast("float")).as("embedding"))
+    val corpus = base
+    val delta = base.filter(col("vec_id") >= 200)
+      .select((col("vec_id") + 20000L).as("vec_id"), col("embedding"))
+      .unionByName(planted)
+    val tau = 0.35
+    val inc = Similarity.nearDupPairsBucketedDelta(corpus, delta, tau,
+        nBits = 2, nTables = 6)
+      .collect().map(_.toString).toSeq
+    val fullRows = Similarity.nearDupPairsBucketed(corpus.unionByName(delta), tau,
+        nBits = 2, nTables = 6)
+      .filter(col("id_a") >= 10000L || col("id_b") >= 10000L)
+      .orderBy("id_a", "id_b").collect()
+    assert(inc === fullRows.map(_.toString).toSeq)
+    // the planted copies guarantee at least one corpus-delta cross pair
+    assert(fullRows.exists(r => r.getLong(0) < 10000L && r.getLong(1) >= 10000L),
+      "expected a planted corpus-delta cross pair")
+    assert(fullRows.exists(r => r.getLong(0) >= 10000L),
+      "expected a delta-internal pair")
+  }
+
   test("recommendedTables inverts the S-curve sensibly") {
     // higher recall target or lower threshold ⇒ more tables
     val t1 = Similarity.recommendedTables(0.9, 0.95, nBits = 8)
