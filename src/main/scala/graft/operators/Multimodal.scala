@@ -266,12 +266,65 @@ object Multimodal {
       .filter(col("hamming") <= radius)
   }
 
+  /** Incremental media near-dup ingest — [[phashNearDupPairs]]'s delta
+    * round, the fourth modality of the incremental family
+    * ([[Dedup.deltaExact]] digests, [[Dedup.deltaJaccardPairs]] text,
+    * [[Similarity.nearDupPairsBucketedDelta]] embeddings): all
+    * same-kind pairs within Hamming `radius` over `corpus ∪ delta` that
+    * touch the delta. The corpus participates only as its persisted
+    * (kind, band, band-bits, id, phash) postings — written once at
+    * index build from the decode pass, so no corpus media is re-decoded
+    * or re-hashed per round; the delta alone decodes, hashes, and
+    * posts. Banding is a pure function of the hash and the pigeonhole
+    * band cover is complete, so the round is EXACT — the quadratic
+    * DuckDB twin restricted to delta-touching pairs is a real oracle
+    * (mm8), not a golden. Ids must be unique across both inputs; output
+    * contract is [[phashNearDupPairs]]'s (kind, id_a < id_b, hamming).
+    */
+  def phashNearDupPairsDelta(corpusMedia: DataFrame, deltaMedia: DataFrame,
+      codec: MediaCodec = MediaCodec.Stub,
+      bins: Int = 16, radius: Int = 1): DataFrame = {
+    require(radius >= 0 && radius < bins, "need 0 <= radius < bins")
+    val nSlices = radius + 1
+    // same even-width band layout as phashNearDupPairs (the pigeonhole
+    // completeness proof needs every band non-empty)
+    val slices = (0 until nSlices).map { s =>
+      val lo = (s.toLong * bins / nSlices).toInt
+      val width = ((s + 1).toLong * bins / nSlices).toInt - lo
+      val mask = ((1L << width) - 1) << lo
+      struct(lit(s).as("band"), col("phash").bitwiseAND(lit(mask)).as("bv"))
+    }
+    def posted(media: DataFrame): DataFrame =
+      perceptualHash(media, codec, bins)
+        .select(col("kind"), col("media_id"), col("phash"),
+          explode(array(slices: _*)).as("sl"))
+        .select(col("kind"), col("media_id"), col("phash"),
+          col("sl.band").as("band"), col("sl.bv").as("bv"))
+    val postC = posted(corpusMedia) // in deployment: the persisted postings
+    val postD = posted(deltaMedia)
+    def sideA(p: DataFrame): DataFrame = p.select(col("kind"), col("band"),
+      col("bv"), col("media_id").as("id_a"), col("phash").as("ha"))
+    def sideB(p: DataFrame): DataFrame = p.select(col("kind"), col("band"),
+      col("bv"), col("media_id").as("id_b"), col("phash").as("hb"))
+    def verified(pairs: DataFrame): DataFrame = pairs
+      .select(col("kind"),
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+    val cross = verified(sideA(postC).join(sideB(postD), Seq("kind", "band", "bv")))
+    val tri = verified(sideA(postD).join(sideB(postD), Seq("kind", "band", "bv"))
+      .filter(col("id_a") < col("id_b")))
+    cross.unionAll(tri)
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
+
   /** The generated phash relation both mm5/mm6 oracles share: per-bin
     * ascii counts (the mm2 character-wise recovery — documents are
     * ASCII) power the same integer bit rule the Stub codec induces;
     * MultimodalSpec pins this bit rule against hand-computed hashes
     * independently of this SQL. */
-  private def phashCte(bins: Int): String = {
+  private def phashCte(bins: Int, from: String = "documents"): String = {
     val bits = (0 until bins).map { j =>
       s"""CASE WHEN $bins * len(list_filter(string_split(text, ''),
          |      c -> c <> '' AND ascii(c) % $bins = $j)) >
@@ -282,7 +335,7 @@ object Multimodal {
        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        |    CAST($bits AS BIGINT) AS phash
-       |  FROM documents)""".stripMargin
+       |  FROM $from)""".stripMargin
   }
 
   /** mm5's DuckDB twin, generated: [[phashCte]] + the min-id grouping. */
@@ -305,6 +358,29 @@ object Multimodal {
        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
        |FROM m a JOIN m b ON a.kind = b.kind AND a.media_id < b.media_id
        |WHERE bit_count(xor(a.phash, b.phash)) <= $radius
+       |ORDER BY a.kind, id_a, id_b""".stripMargin
+
+  /** mm8's DuckDB twin: the md5-id-gate corpus/delta derivation (d20's
+    * pattern), [[phashCte]] over the union, and the quadratic popcount
+    * pair join RESTRICTED to delta-touching pairs — a real oracle
+    * because the delta round is pigeonhole-exact. */
+  private def phashDeltaOracleSql(bins: Int, radius: Int): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, text,
+       |    ('0x' || substring(md5(doc_id::VARCHAR || '#mmd'), 1, 8))::UBIGINT
+       |      % 1000 AS u
+       |  FROM documents),
+       |un AS (
+       |  SELECT doc_id, text FROM g WHERE u < 500
+       |  UNION ALL
+       |  SELECT doc_id + 1000002 AS doc_id, text FROM g
+       |  WHERE u >= 350 AND u < 650),
+       |${phashCte(bins, from = "un")}
+       |SELECT a.kind, a.media_id AS id_a, b.media_id AS id_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM m a JOIN m b ON a.kind = b.kind AND a.media_id < b.media_id
+       |WHERE (a.media_id >= 1000000 OR b.media_id >= 1000000)
+       |  AND bit_count(xor(a.phash, b.phash)) <= $radius
        |ORDER BY a.kind, id_a, id_b""".stripMargin
 
   def defs: Map[String, QueryDef] = Map(
@@ -337,6 +413,24 @@ object Multimodal {
     "mm7_phash_radius_wide" -> QueryDef.sql(phashPairsOracleSql(62, 2)) { (s, d) =>
       phashNearDupPairs(mediaFromDocuments(graft.Tables.documents(s, d)),
           bins = 62, radius = 2)
+        .orderBy("kind", "id_a", "id_b")
+    },
+
+    // mm6's incremental-ingest round (the media leg of the d18/d20/s30
+    // delta family): the md5-id-gate recrawl delta decodes, hashes, and
+    // band-posts ALONE, probing the corpus's persisted band postings +
+    // its own triangle. Pigeonhole-exact ⇒ real restricted-quadratic
+    // oracle.
+    "mm8_phash_delta" -> QueryDef.sql(phashDeltaOracleSql(16, 1)) { (s, d) =>
+      val docs = graft.Tables.documents(s, d)
+      def u = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("#mmd"))), 1, 8),
+        16, 10).cast("long") % 1000
+      val corpus = docs.filter(u < 500).select("doc_id", "text")
+      val delta = docs.filter(u >= 350 && u < 650)
+        .select((col("doc_id") + 1000002L).as("doc_id"), col("text"))
+      phashNearDupPairsDelta(mediaFromDocuments(corpus),
+          mediaFromDocuments(delta), bins = 16, radius = 1)
         .orderBy("kind", "id_a", "id_b")
     },
 

@@ -180,4 +180,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(banded === brute,
       s"radius-9 banded ${banded.size} pairs != brute-force ${brute.size}")
   }
+
+  test("phash delta round ≡ full pairs run restricted to delta-touching pairs") {
+    // the incremental contract: banding is a pure function of the hash,
+    // so probing frozen corpus postings with the delta alone must equal
+    // the full run's delta-touching pairs exactly (the mm8 oracle's
+    // relational form of the same identity)
+    // parity split (NOT %3 — kind IS doc_id%3, and a %3 split would
+    // strand the delta in a kind the corpus lacks: no cross pairs);
+    // the shift stays ≡ 0 (mod 3) so each delta doc keeps its kind
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val corpus = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 1000002L).as("doc_id"), col("text"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("kind"), r.getAs[Long]("id_a"),
+        r.getAs[Long]("id_b"), r.getAs[Long]("hamming"))
+    val inc = Multimodal.phashNearDupPairsDelta(
+        Multimodal.mediaFromDocuments(corpus),
+        Multimodal.mediaFromDocuments(delta), bins = 16, radius = 1)
+      .collect().map(key).toSet
+    val full = Multimodal.phashNearDupPairs(
+        Multimodal.mediaFromDocuments(corpus.unionByName(delta)),
+        bins = 16, radius = 1)
+      .filter(col("id_a") >= 1000000L || col("id_b") >= 1000000L)
+      .collect().map(key).toSet
+    assert(inc === full)
+    assert(full.exists(p => p._2 < 1000000L && p._3 >= 1000000L),
+      "fixture should contain a corpus-delta cross pair")
+    assert(full.exists(p => p._2 >= 1000000L),
+      "fixture should contain a delta-internal pair")
+  }
 }
