@@ -62,7 +62,11 @@ object ScaleSoak {
     // r12: incremental near-dup ingest — weak scaling multiplies corpus
     // AND delta ×N (copy-disjoint shingles keep pairs within-copy), so
     // the O(|Δ|)-per-round claim predicts near-linear time in N
-    "d20_delta_jaccard_pairs")
+    "d20_delta_jaccard_pairs",
+    // r12: the media delta leg — mm7's caveat applies (Stub-codec
+    // hashes collide across copies, output grows superlinearly); the
+    // claim is time exponent ≤ output exponent, like mm6/mm7
+    "mm8_phash_delta")
 
   /** Frozen quantizers for [[s20_indexed_read]]: fit ONCE per source
     * corpus (the freeze-and-append operational model — nLists and
@@ -171,7 +175,7 @@ object ScaleSoak {
            "g9_weighted_sssp", "s12_semantic_dedup",
            "mm6_phash_radius", "mm7_phash_radius_wide",
            "t50_weighted_reservoir", "t51_group_weighted_reservoir",
-           "d20_delta_jaccard_pairs")
+           "d20_delta_jaccard_pairs", "mm8_phash_delta")
          if prefixes.isEmpty || prefixes.exists(q.startsWith)) q match {
       case "d9_exact_jaccard_pairs" =>
         val (c1, cN) = (countRows(q, srcDir), countRows(q, ampDir))
@@ -206,6 +210,19 @@ object ScaleSoak {
         // from sparse-histogram collisions); the timing claim is
         // OUTPUT-PROPORTIONALITY (time exponent ≤ the printed pair
         // exponent), never a fixed growth law.
+        val (c1, cN) = (countRows(q, srcDir), countRows(q, ampDir))
+        require(cN >= c1,
+          s"amplifier anomaly: $q pairs shrank $c1 -> $cN (copy-0 pairs lost)")
+        val outExp = math.log(cN.toDouble / c1) / math.log(factor.toDouble)
+        System.err.println(f"[soak] invariant $q pairs: $c1 -> $cN " +
+          f"(output exponent $outExp%.2f — compare the TIME exponent to this, not to 1)")
+      case "mm8_phash_delta" =>
+        // mm7's regime: zz-suffixed copies mint fresh sparse-histogram
+        // hashes that collide ACROSS copies, so output grows
+        // superlinearly under the Stub codec; the guaranteed bound is
+        // monotonicity (copy 0 embeds verbatim — gate, kinds, hashes,
+        // pairs all persist) and the timing claim is
+        // time exponent ≤ the printed output exponent.
         val (c1, cN) = (countRows(q, srcDir), countRows(q, ampDir))
         require(cN >= c1,
           s"amplifier anomaly: $q pairs shrank $c1 -> $cN (copy-0 pairs lost)")
