@@ -76,7 +76,7 @@ object Bench {
     val varianceClass = results.map(_._1).filter(n =>
         n.startsWith("st") ||
           Set("d7_neardup_clusters", "s12_semantic_dedup",
-            "t49_cluster_safe_split").contains(n))
+            "t49_cluster_safe_split", "d21_ingest_round").contains(n))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // The driver parses the LAST stdout line as JSON from a bounded tail

@@ -471,6 +471,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
   }
 
+  /** The complete clean-ingest round a crawl pipeline runs per batch,
+    * composed from the incremental family — returns the delta rows that
+    * enter the corpus:
+    *
+    *  1. exact dedup ([[deltaExact]]): drop exact copies of corpus
+    *     documents; keep the lowest-id representative of each distinct
+    *     text within the batch (re-fetch copies);
+    *  2. near-dup pairing ([[deltaJaccardPairs]]): all n-gram Jaccard ≥
+    *     `threshold` pairs touching the surviving batch, in O(|Δ|)
+    *     against the frozen corpus postings;
+    *  3. corpus-adjacency drop: a survivor DIRECTLY paired with any
+    *     corpus document is a near-refetch — dropped. Deliberately
+    *     non-transitive (near-duplication is not an equivalence; a
+    *     batch doc whose only link to the corpus runs through another
+    *     dropped batch doc stays, and its cluster decides its fate);
+    *  4. within-batch clustering ([[clusters]] over the remaining
+    *     batch-batch pairs): keep the minimum-id representative per
+    *     near-dup cluster, singletons keep themselves.
+    *
+    * Every step is engine-deterministic, so the WHOLE round is
+    * oracle-checkable (d21: the d18 gate derivation + the d9 quadratic
+    * pair oracle + the d7 recursive-CTE components, composed). Ids must
+    * be unique across corpus ∪ delta ([[deltaJaccardPairs]]'s contract).
+    *
+    * Scale shape: steps 1–2 are the delta family's O(|Δ|) probes of
+    * maintained digest/postings indexes; step 3 is a semi join of the
+    * pair list (candidate-sized) against corpus ids; step 4 iterates
+    * only over batch-internal edges (localCheckpoint discipline) —
+    * cluster diameters are batch-bounded, never corpus-bounded.
+    */
+  def ingestRound(corpus: DataFrame, delta: DataFrame,
+      threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val survivors = deltaExact(corpus, delta, idCol, textCol)
+    // localCheckpoint, not cache: three consumers (adjacency, the CC
+    // edge list, and the CC iteration itself) — materialize the pair
+    // list once and re-root the plan (the d7 discipline); blocks are
+    // reclaimed by the ContextCleaner once the result is consumed
+    val pairs = deltaJaccardPairs(corpus, survivors, threshold, n,
+      idCol, textCol).select("id_a", "id_b").localCheckpoint()
+    val corpusIds = corpus.select(col(idCol).as("__cid"))
+    // batch ids directly paired with a corpus doc (pairs are unordered —
+    // check both orientations; membership joins, no id-range assumption)
+    val adjacent = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+      .unionAll(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
+      .join(corpusIds, col("y") === col("__cid"), "left_semi")
+      .select(col("x").as(idCol)).distinct()
+    val remaining = survivors.join(adjacent, Seq(idCol), "left_anti")
+    val remIds = remaining.select(col(idCol))
+    val batchEdges = pairs
+      .join(remIds.select(col(idCol).as("id_a")), Seq("id_a"), "left_semi")
+      .join(remIds.select(col(idCol).as("id_b")), Seq("id_b"), "left_semi")
+      .select("id_a", "id_b")
+    val comp = clusters(batchEdges)
+    remaining
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(coalesce(col("cluster_id"), col(idCol)) === col(idCol))
+      .drop("cluster_id")
+  }
+
   /** Fuzzy string matching: all distinct-value pairs within Levenshtein
     * distance `maxDist` (vocabulary-level fuzzy dedup — titles, names,
     * URLs). Two LOSSLESS equi blocking stages feed the exact

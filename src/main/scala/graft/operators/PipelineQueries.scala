@@ -922,6 +922,87 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // the COMPLETE clean-ingest round (Dedup.ingestRound): exact dedup
+    // vs corpus + within batch, near-dup pairing against the frozen
+    // postings, direct corpus-adjacency drop, min-id rep per
+    // within-batch near-dup cluster. Delta = the d18-style recrawl
+    // shape under FRESH ids (+1M re-ingest overlapping the corpus, +2M
+    // internal re-fetch copies); every step is engine-deterministic so
+    // the whole round oracles as d18's keep ∘ d9's quadratic pairs ∘
+    // d7's recursive-CTE components.
+    "d21_ingest_round" -> QueryDef.sql(
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substring(md5(doc_id::VARCHAR || '#djp'), 1, 8))::UBIGINT
+        |      % 1000 AS u
+        |  FROM documents),
+        |corpus AS (SELECT doc_id, text FROM g WHERE u < 500),
+        |delta AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM g
+        |  WHERE u >= 350 AND u < 650
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM g
+        |  WHERE u >= 600 AND u < 700),
+        |surv AS (
+        |  SELECT min(doc_id) AS doc_id FROM delta
+        |  WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)
+        |  GROUP BY md5(text)),
+        |sd AS (SELECT d.doc_id, d.text FROM delta d JOIN surv USING (doc_id)),
+        |un AS (SELECT * FROM corpus UNION ALL SELECT * FROM sd),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+        |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_transform(range(len(ws) - 2),
+        |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END) AS g
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                      x -> x <> '') AS ws
+        |        FROM un)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE (a.doc_id >= 1000000 OR b.doc_id >= 1000000)
+        |    AND len(a.g) > 0 AND len(b.g) > 0
+        |    AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.4),
+        |adj AS (
+        |  SELECT DISTINCT CASE WHEN id_a >= 1000000 THEN id_a ELSE id_b END
+        |    AS doc_id
+        |  FROM pairs WHERE (id_a < 1000000) <> (id_b < 1000000)),
+        |rem AS (SELECT doc_id FROM sd
+        |        WHERE doc_id NOT IN (SELECT doc_id FROM adj)),
+        |dd AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  WHERE id_a IN (SELECT doc_id FROM rem)
+        |    AND id_b IN (SELECT doc_id FROM rem)),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM dd
+        |  UNION SELECT id_b, id_a FROM dd),
+        |reach AS (
+        |  WITH RECURSIVE r(id, lab) AS (
+        |    SELECT a, a FROM edges
+        |    UNION
+        |    SELECT e.a, r.lab FROM edges e JOIN r ON e.b = r.id)
+        |  SELECT id, min(lab) AS cluster_id FROM r GROUP BY id)
+        |SELECT doc_id FROM rem
+        |WHERE NOT EXISTS (SELECT 1 FROM reach
+        |                  WHERE reach.id = rem.doc_id
+        |                    AND reach.cluster_id < rem.doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def u = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("#djp"))), 1, 8),
+        16, 10).cast("long") % 1000
+      val corpus = docs.filter(u < 500).select("doc_id", "text")
+      val delta = docs.filter(u >= 350 && u < 650)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionAll(docs.filter(u >= 600 && u < 700)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Dedup.ingestRound(corpus, delta, threshold = 0.4)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // ---- similarity search -------------------------------------------------
     "s1_cosine_topk" -> QueryDef.sql(
       """SELECT vec_id, round(list_cosine_similarity(

@@ -533,6 +533,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L))
   }
 
+  test("ingestRound: exact-drop, rep-keep, corpus-adjacency drop (non-transitive), cluster rep") {
+    // half-overlap construction: J(P++Q, P++R) = 13/43 ≈ 0.302 for
+    // 15-word halves with distinct tokens (13 shared windows of 28),
+    // so τ = 0.25 links exactly the pairs built to share a half
+    def seg(p: String) = (1 to 15).map(i => s"$p$i").mkString(" ")
+    val A = seg("xx") + " " + seg("zz")
+    val C = seg("cc") + " " + seg("qq")
+    val corpus = Seq((0L, A)).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, A),                          // exact corpus dup → step-1 drop
+      (11L, C),                          // fresh → kept
+      (12L, C),                          // internal re-fetch → step-1 drop (11 is rep)
+      (13L, seg("xx") + " " + seg("yy")),// shares a half with corpus A → step-3 drop
+      (14L, seg("ww") + " " + seg("yy")),// shares a half with 13 ONLY — 13 is
+                                         // dropped, and adjacency is direct, not
+                                         // transitive → kept as a singleton
+      (15L, seg("dd") + " " + seg("ee")),// within-batch near-dup pair (15,16):
+      (16L, seg("dd") + " " + seg("ff")) // cluster keeps min id 15, drops 16
+    ).toDF("doc_id", "text")
+    val kept = Dedup.ingestRound(corpus, delta, threshold = 0.25)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(11L, 14L, 15L)))
+  }
+
   test("deltaJaccardPairs with an empty corpus degenerates to exactJaccardPairs") {
     val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val delta = graft.Tables.documents(spark, TestSpark.sfDir)
