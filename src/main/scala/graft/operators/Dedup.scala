@@ -415,33 +415,84 @@ object Dedup {
   def deltaJaccardPairs(corpus: DataFrame, delta: DataFrame,
       threshold: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val (shC, prefC, docFreq) =
+      buildJaccardIndex(corpus, threshold, n, idCol, textCol)
+    deltaJaccardPairsIndexed(shC, prefC, docFreq, delta, threshold, n,
+      idCol, textCol)
+  }
+
+  /** The three relations a persisted exact-Jaccard postings index
+    * consists of, built from the corpus text:
+    *
+    *  - `shingled` (id, g, sz): the per-document SORTED 8-byte shingle
+    *    hash array the verify stage merges over;
+    *  - `prefix` (t, id, sz, rn): the rarity-ranked prefix postings the
+    *    probe equi-joins on — write it bucketed/partitioned by `t` and
+    *    the probe's corpus side never re-shuffles;
+    *  - `docFreq` (t, df): the FROZEN index-time token statistics every
+    *    later delta must rank under.
+    *
+    * Prefix length is derived from `threshold` — an index built at
+    * threshold t serves any query threshold ≥ t (longer prefixes only
+    * ADD candidates; the exact verify rejects them), so build at the
+    * lowest threshold you intend to query.
+    * PartitioningSpec proves a parquet round-trip of all three
+    * relations probes bit-identically to the in-memory run.
+    */
+  def buildJaccardIndex(corpus: DataFrame, threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    def shingled(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"),
-          TextFunctions.words(col(textCol)).as("w"))
-        .select(col("id"),
-          graft.functions.Sketches.shingleHashArray(col("w"), n).as("g"))
-        .withColumn("sz", size(col("g")))
-        .filter(col("sz") > 0)
-    val shC = shingled(corpus)
-    val shD = shingled(delta)
+    val shC = shingleHashed(corpus, n, idCol, textCol)
     val postC = shC.select(col("id"), col("sz"), explode(col("g")).as("t"))
     // the frozen index-time statistics: corpus-only document frequency
     val docFreq = postC.groupBy("t").agg(count(lit(1)).as("df"))
-    val Eps = 1e-6 // FP-safe ceil bounds — see exactJaccardPairs
-    def rankAndPrefix(p: DataFrame): DataFrame = p
-      .withColumn("rn", row_number().over(
+    val prefC = rankAndPrefix(postC.join(docFreq, "t"), threshold)
+    (shC, prefC, docFreq)
+  }
+
+  /** (id, sorted shingle-hash array, size) for the similarity-join
+    * family — one imperative pass per document, empty-shingle docs
+    * dropped (they pair with nothing at any positive threshold). */
+  private def shingleHashed(df: DataFrame, n: Int,
+      idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextFunctions.words(col(textCol)).as("w"))
+      .select(col("id"),
+        graft.functions.Sketches.shingleHashArray(col("w"), n).as("g"))
+      .withColumn("sz", size(col("g")))
+      .filter(col("sz") > 0)
+
+  private val Eps = 1e-6 // FP-safe ceil bounds — see exactJaccardPairs
+
+  /** Rarity-ranked Bayardo prefix of each posting list: keep the first
+    * |S| − ⌈t·|S|⌉ + 1 tokens under the global (df, hash) order. */
+  private def rankAndPrefix(p: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    p.withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("t"))))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - Eps) + 1)
       .select("t", "id", "sz", "rn")
-    // corpus prefixes under the frozen order — the persisted relation
-    val prefC = rankAndPrefix(postC.join(docFreq, "t"))
-    // delta prefixes under the SAME order; unseen tokens take df = 0
+  }
+
+  /** [[deltaJaccardPairs]] probing PREBUILT index relations (the
+    * [[buildJaccardIndex]] triple, typically read back from parquet) —
+    * the deployment form: per round only the delta is shingled and
+    * ranked; the corpus contributes the persisted relations unchanged.
+    */
+  def deltaJaccardPairsIndexed(corpusShingled: DataFrame,
+      corpusPrefix: DataFrame, docFreq: DataFrame, delta: DataFrame,
+      threshold: Double, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val shD = shingleHashed(delta, n, idCol, textCol)
+    // delta prefixes under the SAME frozen order; unseen tokens take df = 0
     val prefD = rankAndPrefix(
       shD.select(col("id"), col("sz"), explode(col("g")).as("t"))
         .join(docFreq, Seq("t"), "left")
-        .withColumn("df", coalesce(col("df"), lit(0L))))
+        .withColumn("df", coalesce(col("df"), lit(0L))), threshold)
+    val prefC = corpusPrefix
+    val shC = corpusShingled
     val minOverlap =
       ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - Eps)
     def sideA(p: DataFrame): DataFrame = p.select(col("t"),

@@ -429,4 +429,34 @@ class PartitioningSpec extends AnyFunSuite {
   test("stream-built index handoff under a qualified file:// URI (scheme/authority normalization)") {
     streamedHandoffScenario(raw => s"file://$raw")
   }
+
+  test("persisted Jaccard postings index: parquet round-trip probes bit-identically") {
+    // the deployment form of the text delta-ingest round: write the
+    // buildJaccardIndex triple once (prefix postings partition-bucketed
+    // on the probe key), read it back, and the indexed probe must equal
+    // the in-memory run exactly — the persisted-index claim as a test,
+    // not a scaladoc promise
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      .select("doc_id", "text")
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val tau = 0.35
+    val (sh, pref, df) = Dedup.buildJaccardIndex(corpus, tau)
+    val dir = graft.TestSpark.tempDir("graft_jacc_idx")
+    sh.write.mode("overwrite").parquet(s"$dir/shingled")
+    // the probe equi-joins on t — persist the postings keyed by it
+    pref.repartition(col("t")).write.mode("overwrite").parquet(s"$dir/prefix")
+    df.write.mode("overwrite").parquet(s"$dir/docfreq")
+    val fromDisk = Dedup.deltaJaccardPairsIndexed(
+        spark.read.parquet(s"$dir/shingled"),
+        spark.read.parquet(s"$dir/prefix"),
+        spark.read.parquet(s"$dir/docfreq"),
+        delta, threshold = tau)
+      .orderBy("id_a", "id_b").collect().map(_.toString).toSeq
+    val inMemory = Dedup.deltaJaccardPairs(corpus, delta, threshold = tau)
+      .orderBy("id_a", "id_b").collect().map(_.toString).toSeq
+    assert(fromDisk === inMemory)
+    assert(inMemory.nonEmpty, "fixture should produce delta-touching pairs")
+  }
 }
