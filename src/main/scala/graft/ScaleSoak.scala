@@ -101,17 +101,7 @@ object ScaleSoak {
     // (values alone miss an ivfAssign/pqEncode CODE change that leaves
     // the fit identical but alters the persisted codes — the encoder
     // constant is bumped with any such change).
-    val fitFp = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val bb = java.nio.ByteBuffer.allocate(8)
-      def put(d: Double): Unit = {
-        bb.clear(); bb.putDouble(d); md.update(bb.array()); ()
-      }
-      md.update(Similarity.EncoderVersion.toByte)
-      cents.foreach(_.foreach(put))
-      books.foreach(_.foreach(_.foreach(put)))
-      md.digest().take(6).map("%02x".format(_)).mkString
-    }
+    val fitFp = graft.operators.IndexCache.fitFingerprint(cents, books)
     val idxDir = s"/tmp/graft_soak_ivfidx_${AmpVersion}_${fitFp}_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_")
     if (!new java.io.File(s"$idxDir/_SUCCESS").exists())

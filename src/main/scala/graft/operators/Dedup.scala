@@ -242,63 +242,16 @@ object Dedup {
     */
   def exactJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    // Postings are 8-byte shingle HASHES, never strings (hash collisions
-    // only add candidates — the exact verify rejects them), produced by
-    // one imperative pass per document (ShingleHashesExpr).
-    val words = docs.select(col(idCol).as("id"),
-      TextFunctions.words(col(textCol)).as("w"))
-    val sh = words.select(col("id"),
-        graft.functions.Sketches.shingleHashArray(col("w"), n).as("g"))
-      .withColumn("sz", size(col("g")))
-      .filter(col("sz") > 0)
-    val postings = sh.select(col("id"), col("sz"), explode(col("g")).as("t"))
-    val docFreq = postings.groupBy("t").agg(count(lit(1)).as("df"))
-    // prefix length |S| − ⌈t·|S|⌉ + 1 under the global (df, hash) order
-    // FP-safety for every derived integer bound: thresholds like 0.4
-    // overshoot their rational value in IEEE double (0.4/1.4 > 2/7), so a
-    // bare ceil() can land one ABOVE the exact bound and silently drop a
-    // pair sitting exactly at τ (found by exact-rational audit: |A|=5,
-    // |B|=2, B⊆A has J = 2/5 = 0.4 but ceil(7·fp(2/7)) = 3 > 2). Every
-    // ceil subtracts Eps first: a bound can then only err DOWNWARD —
-    // admitting a few extra candidates, never losing a true pair.
-    val Eps = 1e-6
-    val ranked = postings.join(docFreq, "t")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("t"))))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - Eps) + 1)
-      .select("t", "id", "sz", "rn")
-    // candidate equi join on the prefix hash, pruned BEFORE the distinct:
-    //  - length-ratio filter: J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t
-    //  - positional filter (Xiao et al., "Efficient Similarity Joins for
-    //    Near Duplicate Detection", WWW'08): a shared prefix token at
-    //    positions (i, j) bounds the overlap by min(|A|−i, |B|−j)+1,
-    //    which must reach the Jaccard overlap minimum t/(1+t)·(|A|+|B|).
-    //    True pairs always pass at their first shared token, so keeping
-    //    any-passing pairs is lossless.
-    val minOverlap =
-      ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - Eps)
-    val cands = ranked.select(col("t"), col("id").as("id_a"),
-        col("sz").as("sz_a"), col("rn").as("rn_a"))
-      .join(ranked.select(col("t"), col("id").as("id_b"),
-        col("sz").as("sz_b"), col("rn").as("rn_b")), Seq("t"))
-      .filter(col("id_a") < col("id_b") &&
-        col("sz_b") >= ceil(col("sz_a") * threshold - Eps) &&
-        col("sz_b") * threshold <= col("sz_a") + Eps &&
-        least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) + 1 >= minOverlap)
-      .select("id_a", "id_b")
-      .distinct()
-    // exact verify on the candidate set only, as a two-pointer merge over
-    // the precomputed SORTED hash arrays (ShingleHashesExpr's contract) —
-    // no per-pair hashing, no interpreted array_intersect HOFs (each was
-    // measured a further ~5× / ~20× slower on this operator at sf0.1)
-    cands
-      .join(sh.select(col("id").as("id_a"), col("g").as("g_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("g").as("g_b")), "id_b")
-      .withColumn("j", graft.functions.Sketches.sortedJaccard(col("g_a"), col("g_b")))
-      .filter(col("j") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+    // the single-collection form of the shared machinery: self-join the
+    // prefix relation on its own triangle, then the exact verify
+    val (sh, ranked, _) = buildJaccardIndex(docs, threshold, n, idCol, textCol)
+    val cands =
+      prunePairs(prefixSideA(ranked).join(prefixSideB(ranked), Seq("t")),
+          threshold)
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    verifyPairs(cands, sh, sh, threshold)
   }
 
   /** Cross-corpus near-duplicate join: all (left, right) pairs with
@@ -331,45 +284,27 @@ object Dedup {
   def crossJaccardPairs(left: DataFrame, right: DataFrame,
       threshold: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    def shingled(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"),
-          TextFunctions.words(col(textCol)).as("w"))
-        .select(col("id"),
-          graft.functions.Sketches.shingleHashArray(col("w"), n).as("g"))
-        .withColumn("sz", size(col("g")))
-        .filter(col("sz") > 0)
-    val shL = shingled(left)
-    val shR = shingled(right)
+    val shL = shingleHashed(left, n, idCol, textCol)
+    val shR = shingleHashed(right, n, idCol, textCol)
     val postL = shL.select(col("id"), col("sz"), explode(col("g")).as("t"))
     val postR = shR.select(col("id"), col("sz"), explode(col("g")).as("t"))
+    // ONE global order over the UNION of both sides' postings — the
+    // shared-prefix guarantee needs both prefixes ranked identically
     val docFreq = postL.select("t").unionAll(postR.select("t"))
       .groupBy("t").agg(count(lit(1)).as("df"))
-    val Eps = 1e-6 // FP-safe ceil bounds — see exactJaccardPairs
-    def ranked(p: DataFrame): DataFrame = p.join(docFreq, "t")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("t"))))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - Eps) + 1)
-      .select("t", "id", "sz", "rn")
-    val minOverlap =
-      ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - Eps)
-    val cands = ranked(postL).select(col("t"), col("id").as("id_a"),
-        col("sz").as("sz_a"), col("rn").as("rn_a"))
-      .join(ranked(postR).select(col("t"), col("id").as("id_b"),
-        col("sz").as("sz_b"), col("rn").as("rn_b")), Seq("t"))
-      .filter(col("sz_b") >= ceil(col("sz_a") * threshold - Eps) &&
-        col("sz_b") * threshold <= col("sz_a") + Eps &&
-        least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) + 1 >= minOverlap)
-      .select("id_a", "id_b")
-      .distinct()
-    cands
-      .join(shL.select(col("id").as("id_a"), col("g").as("g_a")), "id_a")
-      .join(shR.select(col("id").as("id_b"), col("g").as("g_b")), "id_b")
-      .withColumn("j",
-        graft.functions.Sketches.sortedJaccard(col("g_a"), col("g_b")))
-      .filter(col("j") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+    val rankedL = rankAndPrefix(postL.join(docFreq, "t"), threshold)
+    val rankedR = rankAndPrefix(postR.join(docFreq, "t"), threshold)
+    // no id_a < id_b triangle: the sides are distinct collections, and a
+    // doc leaked into both must pair with itself at J = 1. The verify
+    // keeps the sides separate for the same reason — overlapping ids
+    // are legal here, so a union shingle table would double-match.
+    val cands =
+      prunePairs(prefixSideA(rankedL).join(prefixSideB(rankedR), Seq("t")),
+          threshold)
+        .select("id_a", "id_b")
+        .distinct()
+    verifyPairs(cands, shL, shR, threshold)
   }
 
   /** Incremental exact-Jaccard similarity ingest: all pairs with n-gram
@@ -417,8 +352,8 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val (shC, prefC, docFreq) =
       buildJaccardIndex(corpus, threshold, n, idCol, textCol)
-    deltaJaccardPairsIndexed(shC, prefC, docFreq, delta, threshold, n,
-      idCol, textCol)
+    deltaJaccardPairsIndexed(shC, prefC, docFreq, delta, threshold,
+      builtAt = threshold, n = n, idCol = idCol, textCol = textCol)
   }
 
   /** The three relations a persisted exact-Jaccard postings index
@@ -463,7 +398,15 @@ object Dedup {
       .withColumn("sz", size(col("g")))
       .filter(col("sz") > 0)
 
-  private val Eps = 1e-6 // FP-safe ceil bounds — see exactJaccardPairs
+  /** FP-safety for every derived integer bound in the similarity-join
+    * family: thresholds like 0.4 overshoot their rational value in IEEE
+    * double (0.4/1.4 > 2/7), so a bare ceil() can land one ABOVE the
+    * exact bound and silently drop a pair sitting exactly at τ (found
+    * by exact-rational audit: |A|=5, |B|=2, B⊆A has J = 2/5 = 0.4 but
+    * ceil(7·fp(2/7)) = 3 > 2). Every ceil subtracts Eps first: a bound
+    * can then only err DOWNWARD — admitting a few extra candidates,
+    * never losing a true pair. */
+  private val Eps = 1e-6
 
   /** Rarity-ranked Bayardo prefix of each posting list: keep the first
     * |S| − ⌈t·|S|⌉ + 1 tokens under the global (df, hash) order. */
@@ -475,51 +418,87 @@ object Dedup {
       .select("t", "id", "sz", "rn")
   }
 
+  private def prefixSideA(p: DataFrame): DataFrame = p.select(col("t"),
+    col("id").as("id_a"), col("sz").as("sz_a"), col("rn").as("rn_a"))
+
+  private def prefixSideB(p: DataFrame): DataFrame = p.select(col("t"),
+    col("id").as("id_b"), col("sz").as("sz_b"), col("rn").as("rn_b"))
+
+  /** Candidate prune applied inside the prefix-token equi join, BEFORE
+    * the distinct — both stages lossless:
+    *  - length-ratio filter: J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t;
+    *  - positional filter (Xiao et al., "Efficient Similarity Joins for
+    *    Near Duplicate Detection", WWW'08): a shared prefix token at
+    *    positions (i, j) bounds the overlap by min(|A|−i, |B|−j)+1,
+    *    which must reach the Jaccard overlap minimum t/(1+t)·(|A|+|B|);
+    *    true pairs always pass at their first shared token. */
+  private def prunePairs(pairs: DataFrame, threshold: Double): DataFrame = {
+    val minOverlap =
+      ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - Eps)
+    pairs.filter(col("sz_b") >= ceil(col("sz_a") * threshold - Eps) &&
+      col("sz_b") * threshold <= col("sz_a") + Eps &&
+      least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) + 1 >= minOverlap)
+  }
+
+  /** Exact verify on the candidate id pairs only, as a two-pointer merge
+    * over the precomputed SORTED hash arrays (ShingleHashesExpr's
+    * contract) — no per-pair hashing, no interpreted array_intersect
+    * HOFs (each was measured a further ~5× / ~20× slower at sf0.1).
+    * `shA`/`shB` attach each side's arrays; pass the same relation for a
+    * single collection, distinct relations when ids may overlap across
+    * sides (the crossJaccardPairs leak case). */
+  private def verifyPairs(cands: DataFrame, shA: DataFrame, shB: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(shA.select(col("id").as("id_a"), col("g").as("g_a")), "id_a")
+      .join(shB.select(col("id").as("id_b"), col("g").as("g_b")), "id_b")
+      .withColumn("j",
+        graft.functions.Sketches.sortedJaccard(col("g_a"), col("g_b")))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+
   /** [[deltaJaccardPairs]] probing PREBUILT index relations (the
     * [[buildJaccardIndex]] triple, typically read back from parquet) —
     * the deployment form: per round only the delta is shingled and
     * ranked; the corpus contributes the persisted relations unchanged.
+    *
+    * `builtAt` is the threshold the index was BUILT at — the relations
+    * themselves cannot reveal it, and probing below it would silently
+    * lose true pairs (corpus prefixes too short for the lower bound),
+    * so the caller must state it and `threshold >= builtAt` is
+    * enforced. Record it next to the persisted relations.
     */
   def deltaJaccardPairsIndexed(corpusShingled: DataFrame,
       corpusPrefix: DataFrame, docFreq: DataFrame, delta: DataFrame,
-      threshold: Double, n: Int = 3,
+      threshold: Double, builtAt: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    require(threshold >= builtAt,
+      s"probe threshold $threshold below the index build threshold " +
+        s"$builtAt: corpus prefixes are too short for this bound and " +
+        "true pairs would be lost — rebuild the index at (or below) " +
+        "the lowest threshold you query")
     val shD = shingleHashed(delta, n, idCol, textCol)
     // delta prefixes under the SAME frozen order; unseen tokens take df = 0
     val prefD = rankAndPrefix(
       shD.select(col("id"), col("sz"), explode(col("g")).as("t"))
         .join(docFreq, Seq("t"), "left")
         .withColumn("df", coalesce(col("df"), lit(0L))), threshold)
-    val prefC = corpusPrefix
-    val shC = corpusShingled
-    val minOverlap =
-      ceil((col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - Eps)
-    def sideA(p: DataFrame): DataFrame = p.select(col("t"),
-      col("id").as("id_a"), col("sz").as("sz_a"), col("rn").as("rn_a"))
-    def sideB(p: DataFrame): DataFrame = p.select(col("t"),
-      col("id").as("id_b"), col("sz").as("sz_b"), col("rn").as("rn_b"))
-    def prune(pairs: DataFrame): DataFrame = pairs
-      .filter(col("sz_b") >= ceil(col("sz_a") * threshold - Eps) &&
-        col("sz_b") * threshold <= col("sz_a") + Eps &&
-        least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) + 1 >= minOverlap)
     // corpus×delta probe (ids disjoint — no triangle; normalized below)
     // plus the delta-internal triangle, both inside prefix-token buckets
-    val cands = prune(sideA(prefC).join(sideB(prefD), Seq("t")))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
-      .unionAll(prune(sideA(prefD).join(sideB(prefD), Seq("t")))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b"))
-      .distinct()
-    val shAll = shC.unionAll(shD)
-    cands
-      .join(shAll.select(col("id").as("id_a"), col("g").as("g_a")), "id_a")
-      .join(shAll.select(col("id").as("id_b"), col("g").as("g_b")), "id_b")
-      .withColumn("j",
-        graft.functions.Sketches.sortedJaccard(col("g_a"), col("g_b")))
-      .filter(col("j") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+    val cands =
+      prunePairs(prefixSideA(corpusPrefix).join(prefixSideB(prefD), Seq("t")),
+          threshold)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .unionAll(
+          prunePairs(prefixSideA(prefD).join(prefixSideB(prefD), Seq("t")),
+              threshold)
+            .filter(col("id_a") < col("id_b"))
+            .select("id_a", "id_b"))
+        .distinct()
+    val shAll = corpusShingled.unionAll(shD)
+    verifyPairs(cands, shAll, shAll, threshold)
   }
 
   /** The complete clean-ingest round a crawl pipeline runs per batch,

@@ -74,13 +74,18 @@ object IndexCache {
     * OPQ-ROTATED L2-normalized embeddings — the s29 composed-stack
     * configuration (depends on [[opqQuantizers]]' rotation). */
   def annQuantizersOpqRotated(s: SparkSession, dir: String)
-      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    // resolve the rotation BEFORE entering the composed key's memo:
+    // computeIfAbsent forbids recursive updates of the same map — a
+    // nested opqQuantizers call inside this mapping function throws
+    // "Recursive update" whenever the two keys land in one bin
+    val (r, _) = opqQuantizers(s, dir)
     memo(s"annopqrot:$dir") {
-      val (r, _) = opqQuantizers(s, dir)
       Similarity.annQuantizers(
         Similarity.rotated(emb(s, dir, normalized = true), r),
         residual = true)
     }
+  }
 
   /** MD5-hex fingerprint of fitted quantizer values + the encoder
     * version — the persisted-index cache key component (ScaleSoak's
@@ -98,17 +103,50 @@ object IndexCache {
     md.digest().take(6).map("%02x".format(_)).mkString
   }
 
-  /** Persisted list-partitioned code index for (`kind`, `dir`, `fitFp`):
-    * built once (guarded by the parquet `_SUCCESS` marker, so the cache
-    * survives across JVMs the way ScaleSoak's does), then served by a
-    * plain partitioned scan — the DPP-capable layout every indexed read
-    * path wants. `build` must write partitionBy("centroid_id") parquet
-    * to the directory it is given. */
+  /** Cheap source-dataset fingerprint: (name, length, mtime) of every
+    * file under `path`, md5'd. The fit fingerprint alone cannot catch a
+    * REGENERATED source whose bounded, sorted fit sample happens to be
+    * unchanged (appended vectors sorting after the sample leave fitFp
+    * identical while the index is missing rows) — the cross-JVM cache
+    * key needs a component that moves with the data itself. */
+  private def dataFingerprint(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .foreach(walk)
+      else md.update(
+        s"${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8"))
+    walk(new java.io.File(path))
+    md.digest().take(6).map("%02x".format(_)).mkString
+  }
+
+  /** Persisted list-partitioned code index for (`kind`, `dir`, `fitFp`,
+    * source-data fingerprint): built once (guarded by the parquet
+    * `_SUCCESS` marker, so the cache survives across JVMs the way
+    * ScaleSoak's does), then served by a plain partitioned scan — the
+    * DPP-capable layout every indexed read path wants. `build` must
+    * write partitionBy("centroid_id") parquet to the directory it is
+    * given. Concurrent JVMs are safe: each builder writes a private
+    * temp directory and atomically renames it into place; the loser of
+    * the rename race discards its copy — no writer ever mutates a
+    * directory another JVM may be reading or writing. */
   def persistedIndex(kind: String, dir: String, fitFp: String)(
       build: String => Unit): String = {
     val idxDir = s"/tmp/graft_idxcache_${kind}_${fitFp}_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
-    if (!new java.io.File(s"$idxDir/_SUCCESS").exists()) build(idxDir)
+      s"${dataFingerprint(dir)}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    if (!new java.io.File(s"$idxDir/_SUCCESS").exists()) {
+      val tmp = idxDir + "_build_" + java.util.UUID.randomUUID().toString
+      build(tmp)
+      if (!new java.io.File(tmp).renameTo(new java.io.File(idxDir)))
+        deleteRecursively(new java.io.File(tmp)) // another JVM won the race
+    }
     idxDir
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
   }
 }

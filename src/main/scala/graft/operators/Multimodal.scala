@@ -234,26 +234,7 @@ object Multimodal {
   def phashNearDupPairs(media: DataFrame, codec: MediaCodec = MediaCodec.Stub,
       bins: Int = 16, radius: Int = 1): DataFrame = {
     require(radius >= 0 && radius < bins, "need 0 <= radius < bins")
-    val nSlices = radius + 1
-    val h = perceptualHash(media, codec, bins)
-    // Bits distribute EVENLY across bands (band s covers
-    // [s·bins/nSlices, (s+1)·bins/nSlices)): radius < bins ⇒ nSlices ≤
-    // bins ⇒ every band holds ≥ 1 bit. A ceil-width layout instead
-    // leaves trailing bands EMPTY once radius+1 exceeds bins/width —
-    // an empty band's mask is 0, its equi join degenerates to all-pairs
-    // same-kind (quadratic candidates, silently), and dropping empty
-    // bands would break the pigeonhole completeness proof (radius
-    // differing bits CAN touch all of fewer-than-radius+1 bands).
-    val slices = (0 until nSlices).map { s =>
-      val lo = (s.toLong * bins / nSlices).toInt
-      val width = ((s + 1).toLong * bins / nSlices).toInt - lo
-      val mask = ((1L << width) - 1) << lo
-      struct(lit(s).as("band"), col("phash").bitwiseAND(lit(mask)).as("bv"))
-    }
-    val posted = h.select(col("kind"), col("media_id"), col("phash"),
-        explode(array(slices: _*)).as("sl"))
-      .select(col("kind"), col("media_id"), col("phash"),
-        col("sl.band").as("band"), col("sl.bv").as("bv"))
+    val posted = bandPostings(perceptualHash(media, codec, bins), bins, radius)
     val a = posted.select(col("kind"), col("band"), col("bv"),
       col("media_id").as("id_a"), col("phash").as("ha"))
     val b = posted.select(col("kind"), col("band"), col("bv"),
@@ -264,6 +245,34 @@ object Multimodal {
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= radius)
+  }
+
+  /** The ONE band layout both the full pair join and its delta round
+    * post under — sharing it is what makes the delta-vs-full identity
+    * structural rather than a comment (a layout tweak cannot diverge
+    * the persisted corpus postings from a later delta's).
+    *
+    * Bits distribute EVENLY across the radius+1 bands (band s covers
+    * [s·bins/nSlices, (s+1)·bins/nSlices)): radius < bins ⇒ nSlices ≤
+    * bins ⇒ every band holds ≥ 1 bit. A ceil-width layout instead
+    * leaves trailing bands EMPTY once radius+1 exceeds bins/width —
+    * an empty band's mask is 0, its equi join degenerates to all-pairs
+    * same-kind (quadratic candidates, silently), and dropping empty
+    * bands would break the pigeonhole completeness proof (radius
+    * differing bits CAN touch all of fewer-than-radius+1 bands).
+    */
+  private def bandPostings(hashed: DataFrame, bins: Int, radius: Int): DataFrame = {
+    val nSlices = radius + 1
+    val slices = (0 until nSlices).map { s =>
+      val lo = (s.toLong * bins / nSlices).toInt
+      val width = ((s + 1).toLong * bins / nSlices).toInt - lo
+      val mask = ((1L << width) - 1) << lo
+      struct(lit(s).as("band"), col("phash").bitwiseAND(lit(mask)).as("bv"))
+    }
+    hashed.select(col("kind"), col("media_id"), col("phash"),
+        explode(array(slices: _*)).as("sl"))
+      .select(col("kind"), col("media_id"), col("phash"),
+        col("sl.band").as("band"), col("sl.bv").as("bv"))
   }
 
   /** Incremental media near-dup ingest — [[phashNearDupPairs]]'s delta
@@ -285,23 +294,12 @@ object Multimodal {
       codec: MediaCodec = MediaCodec.Stub,
       bins: Int = 16, radius: Int = 1): DataFrame = {
     require(radius >= 0 && radius < bins, "need 0 <= radius < bins")
-    val nSlices = radius + 1
-    // same even-width band layout as phashNearDupPairs (the pigeonhole
-    // completeness proof needs every band non-empty)
-    val slices = (0 until nSlices).map { s =>
-      val lo = (s.toLong * bins / nSlices).toInt
-      val width = ((s + 1).toLong * bins / nSlices).toInt - lo
-      val mask = ((1L << width) - 1) << lo
-      struct(lit(s).as("band"), col("phash").bitwiseAND(lit(mask)).as("bv"))
-    }
-    def posted(media: DataFrame): DataFrame =
-      perceptualHash(media, codec, bins)
-        .select(col("kind"), col("media_id"), col("phash"),
-          explode(array(slices: _*)).as("sl"))
-        .select(col("kind"), col("media_id"), col("phash"),
-          col("sl.band").as("band"), col("sl.bv").as("bv"))
-    val postC = posted(corpusMedia) // in deployment: the persisted postings
-    val postD = posted(deltaMedia)
+    // the SHARED bandPostings layout — bit-identical to what the full
+    // pair join (and so the persisted corpus postings) was built with
+    val postC = bandPostings(perceptualHash(corpusMedia, codec, bins),
+      bins, radius) // in deployment: the persisted postings
+    val postD = bandPostings(perceptualHash(deltaMedia, codec, bins),
+      bins, radius)
     def sideA(p: DataFrame): DataFrame = p.select(col("kind"), col("band"),
       col("bv"), col("media_id").as("id_a"), col("phash").as("ha"))
     def sideB(p: DataFrame): DataFrame = p.select(col("kind"), col("band"),

@@ -1198,7 +1198,8 @@ object PipelineQueries {
     // cold run), so the TIMED runs measure the SERVE path — one
     // DPP-pruned scan of the persisted list-partitioned index — which
     // is what the regression gate watches (BASELINE.md fit/serve
-    // split; s19/s20 keep the old fit-included convention).
+    // split; s19/s20's fits ride the same IndexCache memo since r12 —
+    // their timed term is the inline encode + ADC scan).
     "s23_ivfadc_batch" -> QueryDef.noOracle { (s, d) =>
       val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
       val (cents, books) = IndexCache.annQuantizers(s, d)

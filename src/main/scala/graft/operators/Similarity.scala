@@ -300,10 +300,7 @@ object Similarity {
       idCap: Option[Long] = None): DataFrame = {
     val base = idCap.fold(embeddings)(c => embeddings.filter(col("vec_id") < c))
     val e = base.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val buckets = array((0 until nTables).map(t =>
-      lshBucket(col("v"), hyperplanes(nBits, dim, seed + t))): _*)
-    val posted = e.select(col("vec_id"), posexplode(buckets))
-      .toDF("vec_id", "t", "bkt")
+    val posted = lshPostings(e, nBits, nTables, dim, seed)
     val a = posted.select(col("t"), col("bkt"), col("vec_id").as("id_a"))
     val b = posted.select(col("t"), col("bkt"), col("vec_id").as("id_b"))
     val cands = a.join(b, Seq("t", "bkt"))
@@ -317,6 +314,19 @@ object Similarity {
         round(cosine(col("va"), col("vb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
       .orderBy("id_a", "id_b")
+  }
+
+  /** The ONE multi-table (table, bucket) posting layout both the full
+    * bucketed pair join and its delta round hash under — sharing it is
+    * what makes the delta-vs-full identity structural rather than a
+    * comment (a table-seed or bucket tweak cannot diverge the persisted
+    * corpus postings from a later delta's). `e` must carry
+    * (vec_id, v: array<double>). */
+  private def lshPostings(e: DataFrame, nBits: Int, nTables: Int,
+      dim: Int, seed: Long): DataFrame = {
+    val buckets = array((0 until nTables).map(t =>
+      lshBucket(col("v"), hyperplanes(nBits, dim, seed + t))): _*)
+    e.select(col("vec_id"), posexplode(buckets)).toDF("vec_id", "t", "bkt")
   }
 
   /** Incremental embedding near-dup ingest — [[nearDupPairsBucketed]]'s
@@ -348,12 +358,10 @@ object Similarity {
       df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val eC = prep(corpus)
     val eD = prep(delta)
-    val buckets = array((0 until nTables).map(t =>
-      lshBucket(col("v"), hyperplanes(nBits, dim, seed + t))): _*)
-    def posted(e: DataFrame): DataFrame =
-      e.select(col("vec_id"), posexplode(buckets)).toDF("vec_id", "t", "bkt")
-    val pC = posted(eC) // in deployment: the persisted postings relation
-    val pD = posted(eD)
+    // the SHARED lshPostings layout — bit-identical to what the full
+    // run (and so the persisted corpus postings) was built with
+    val pC = lshPostings(eC, nBits, nTables, dim, seed) // persisted in deployment
+    val pD = lshPostings(eD, nBits, nTables, dim, seed)
     // corpus×delta probe (ids disjoint — normalized below) ∪ the
     // delta-internal triangle; id pairs only through the distinct
     val cross = pC.select(col("t"), col("bkt"), col("vec_id").as("id_a"))
@@ -1200,14 +1208,16 @@ object Similarity {
       val n = p.getName; n.startsWith("_") || n.startsWith(".")
     }
     val orphans = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val hiddenNorms = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath
       val n = norm(p)
-      if (st.isFile && !n.startsWith(metaPrefix) && !hidden(p) &&
-          !committed.contains(n))
-        orphans += p
+      if (st.isFile && !n.startsWith(metaPrefix)) {
+        if (hidden(p)) hiddenNorms += n
+        else if (!committed.contains(n)) orphans += p
+      }
     }
     // Delete cost is driver-side O(orphans) RPCs in the worst case; at
     // a large index an aborted build can leave a whole list partition
@@ -1221,8 +1231,13 @@ object Similarity {
     byParent.foreach { case (parentN, files) =>
       val parent = files.head.getParent
       val parentPrefix = parentN + "/"
+      // recursive delete only when NOTHING below the parent must
+      // survive: no committed file AND no hidden marker — the sweep's
+      // own contract keeps hidden names, so a directory sheltering one
+      // falls back to per-file deletes
       val wholeDir = parentN != norm(root) &&
-        !committed.exists(_.startsWith(parentPrefix))
+        !committed.exists(_.startsWith(parentPrefix)) &&
+        !hiddenNorms.exists(_.startsWith(parentPrefix))
       if (wholeDir) fs.delete(parent, true)
       else files.foreach(fs.delete(_, false))
     }

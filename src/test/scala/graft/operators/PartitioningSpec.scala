@@ -383,6 +383,15 @@ class PartitioningSpec extends AnyFunSuite {
     java.nio.file.Files.write(strayInDir.toPath, Array[Byte](4, 5, 6))
     val hiddenMarker = new java.io.File(idxRaw, "_custom_marker")
     java.nio.file.Files.write(hiddenMarker.toPath, Array[Byte](7))
+    // an all-orphan directory SHELTERING a hidden marker must not take
+    // the batched recursive delete: the orphan file goes per-file, the
+    // marker (and so the directory) survives
+    val strayDirMarked = new java.io.File(idxRaw, "centroid_id=98")
+    strayDirMarked.mkdir()
+    val strayMarkedOrphan = new java.io.File(strayDirMarked, "stray-task-0008.parquet")
+    java.nio.file.Files.write(strayMarkedOrphan.toPath, Array[Byte](8))
+    val nestedMarker = new java.io.File(strayDirMarked, "_nested_marker")
+    java.nio.file.Files.write(nestedMarker.toPath, Array[Byte](9))
 
     // the lifecycle APIs themselves refuse to touch the dir while the
     // sink log is present — forgetting the handoff is a hard error, not
@@ -408,6 +417,11 @@ class PartitioningSpec extends AnyFunSuite {
       "all-orphan partition directory should go in one batched delete")
     assert(hiddenMarker.exists(),
       "hidden marker files are not data and must survive the sweep")
+    assert(!strayMarkedOrphan.exists(),
+      "orphan beside a hidden marker still swept (per-file path)")
+    assert(nestedMarker.exists(),
+      "hidden marker inside an all-orphan directory must survive — " +
+        "the batched recursive delete must not take this directory")
 
     // appends AFTER the handoff are plain batch writes — fully visible
     delta.write.mode("append").partitionBy("centroid_id").parquet(idxDir)
@@ -452,7 +466,7 @@ class PartitioningSpec extends AnyFunSuite {
         spark.read.parquet(s"$dir/shingled"),
         spark.read.parquet(s"$dir/prefix"),
         spark.read.parquet(s"$dir/docfreq"),
-        delta, threshold = tau)
+        delta, threshold = tau, builtAt = tau)
       .orderBy("id_a", "id_b").collect().map(_.toString).toSeq
     val inMemory = Dedup.deltaJaccardPairs(corpus, delta, threshold = tau)
       .orderBy("id_a", "id_b").collect().map(_.toString).toSeq
