@@ -444,6 +444,34 @@ class PartitioningSpec extends AnyFunSuite {
     streamedHandoffScenario(raw => s"file://$raw")
   }
 
+  test("delta-family plans: every candidate join is an equi join — no cartesian, no nested loop") {
+    // the O(|Δ|) claim dies silently if a candidate stage ever plans as
+    // a cross product; gate the shape for all three delta modalities +
+    // the composed ingest round
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val corpusT = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+    val deltaT = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 1000002L).as("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val plans = Map(
+      "d20" -> Dedup.deltaJaccardPairs(corpusT, deltaT, threshold = 0.35),
+      "mm8" -> Multimodal.phashNearDupPairsDelta(
+        Multimodal.mediaFromDocuments(corpusT),
+        Multimodal.mediaFromDocuments(deltaT)),
+      "s30" -> Similarity.nearDupPairsBucketedDelta(
+        emb.filter(col("vec_id") < 150),
+        emb.filter(col("vec_id") >= 150 && col("vec_id") < 200)
+          .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")),
+        threshold = 0.25, nBits = 2, nTables = 6))
+    plans.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join:\n$p")
+    }
+  }
+
   test("persisted Jaccard postings index: parquet round-trip probes bit-identically") {
     // the deployment form of the text delta-ingest round: write the
     // buildJaccardIndex triple once (prefix postings partition-bucketed
