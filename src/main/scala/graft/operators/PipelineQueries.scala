@@ -544,6 +544,56 @@ object PipelineQueries {
         .orderBy("doc_id", "term")
     },
 
+    // hybrid retrieval: BM25 leg + cosine leg fused by reciprocal-rank
+    // fusion (Cormack SIGIR'09) — the t16 × s1 serving composition. The
+    // per-doc BM25 total is a term-ordered LEFT FOLD on both engines
+    // (Spark aggregate ∘ sort_array ≡ DuckDB list_reduce ∘ ordered
+    // list: identical operand order, bit-identical sums); each leg
+    // ranks by its 6-d.p. score with the id tiebreak inside its
+    // top-100, and the fused 1/(60+r) expression is the same two-term
+    // IEEE computation on both sides.
+    "t52_hybrid_rrf" -> QueryDef.sql(
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id <> 0),
+        |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+        |       WHERE term IN ('data', 'table', 'row', 'spark')
+        |       GROUP BY 1, 2, 3),
+        |d AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+        |st AS (SELECT count(*) AS n, sum(len(ws)) AS sumdl FROM w),
+        |sc AS (SELECT doc_id, term,
+        |  ((n - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE)) *
+        |    ((tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |     (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE *
+        |        (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n))))) AS score
+        |  FROM d, st),
+        |lex AS (SELECT doc_id,
+        |          list_reduce(list(score ORDER BY term), (a, x) -> a + x)
+        |            AS lex_score
+        |        FROM sc GROUP BY doc_id),
+        |lexr AS (SELECT doc_id, row_number() OVER (
+        |           ORDER BY round(lex_score, 6) DESC, doc_id) AS lex_rank
+        |         FROM lex QUALIFY lex_rank <= 100),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |semr AS (SELECT vec_id AS doc_id, row_number() OVER (
+        |           ORDER BY round(list_cosine_similarity(v,
+        |             (SELECT v FROM e WHERE vec_id = 0)), 6) DESC, vec_id)
+        |             AS sem_rank
+        |         FROM e WHERE vec_id <> 0 QUALIFY sem_rank <= 100)
+        |SELECT doc_id,
+        |  CAST(coalesce(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+        |  CAST(coalesce(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+        |  (coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0::DOUBLE) +
+        |   coalesce(1.0::DOUBLE / (60 + s.sem_rank), 0.0::DOUBLE)) AS rrf
+        |FROM lexr l FULL OUTER JOIN semr s USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      Relevance.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+        Seq("data", "table", "row", "spark"), queryVecId = 0L)
+    },
+
     // Temperature-based source rebalancing (Conneau & Lample 2019 mix
     // rule, α = 0.5): keep-rate per source = √(count/count_max), applied
     // through the md5 permille gate. floor(√ratio·1000) is bit-identical

@@ -110,6 +110,73 @@ object Relevance {
         col("df").cast("long").as("df"), col("dl"), col("score"))
   }
 
+  /** Hybrid lexical + vector retrieval via reciprocal-rank fusion
+    * (Cormack, Clarke & Büttcher, SIGIR'09): fuse the BM25 leg and the
+    * cosine leg as Σ 1/(kRrf + rank), ranks taken within each leg's
+    * top-`m` — the standard serving-side composition of the t16 and s1
+    * machinery (a leg a document misses contributes 0). Candidates
+    * exclude the query's own id; documents pair with vectors by id.
+    *
+    * Determinism (the oracle contract):
+    *  - per-term BM25 scores are bit-identical cross-engine (t16); the
+    *    per-document TOTAL is a LEFT FOLD over the term-sorted score
+    *    list (`aggregate(sort_array(collect_list(...)))` here,
+    *    `list_reduce(list(... ORDER BY term))` in DuckDB) — identical
+    *    operand order ⇒ bit-identical IEEE sums, never an unordered
+    *    engine SUM;
+    *  - each leg ranks by its 6-d.p.-rounded score with the id as the
+    *    total tiebreak; the fused score is the same two-term expression
+    *    on both engines.
+    *
+    * Scale shape: each leg collapses to TakeOrderedAndProject (orderBy +
+    * limit — distributed partial top-m, no global sort, no
+    * corpus-sized window); the rank window then runs over ≤ m rows, so
+    * its single-partition stage is bounded by the knob, not the corpus.
+    * The BM25 leg's shuffle is query-hit-proportional (bm25PerTerm's
+    * scan-local isin) and the cosine leg is one scan with a broadcast
+    * query vector — at serving scale the legs would read the inverted
+    * index (t20) and the ANN index (s23) instead of scanning; the
+    * fusion stage is unchanged either way.
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long, k: Int = 20, m: Int = 100,
+      kRrf: Int = 60, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0 && m > 0 && kRrf > 0, "k, m, kRrf must be positive")
+    val per = bm25PerTerm(docs.filter(col(idCol) =!= queryVecId), queryTerms,
+      k1, b, idCol, textCol)
+    val lexTot = per.groupBy(idCol)
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("score")))),
+        lit(0.0), (acc, x) => acc + x.getField("score")).as("lex_score"))
+    val lexTop = lexTot
+      .orderBy(round(col("lex_score"), 6).desc, col(idCol)).limit(m)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(round(col("lex_score"), 6).desc, col(idCol))))
+      .select(col(idCol), col("lex_rank"))
+    val q = broadcast(embeddings.filter(col("vec_id") === queryVecId)
+      .select(Similarity.asDouble(col("embedding")).as("qv")))
+    val semTop = embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .select(col("vec_id").as(idCol),
+        round(Similarity.cosine(Similarity.asDouble(col("embedding")),
+          col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol)).limit(m)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("sim").desc, col(idCol))))
+      .select(col(idCol), col("sem_rank"))
+    lexTop.join(semTop, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("sem_rank")), lit(0.0)))
+          .as("rrf"),
+        coalesce(col("lex_rank"), lit(0)).cast("long").as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).cast("long").as("sem_rank"))
+      .select(col(idCol), col("lex_rank"), col("sem_rank"), col("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Inverted index: one row per term with document frequency, collection
     * frequency, and the doc_id-ordered posting list serialized as
     * `"id:tf,id:tf,…"` — the retrieval-side artifact BM25/TF-IDF serve

@@ -162,4 +162,32 @@ class RelevanceSpec extends AnyFunSuite {
       .select("term").collect().map(_.getString(0)).sorted
     assert(pruned.toSeq === Seq("a", "b"))
   }
+
+  test("hybridRrf: both-leg docs outrank single-leg docs; single-leg contributes 1/(k+r)") {
+    import spark.implicits._
+    // doc 1: lexical hit AND the vector nearest the query
+    // doc 2: lexical hit only (it has NO vector — e.g. not yet embedded)
+    // doc 3: vector hit only (no query term in its text)
+    val docs = Seq(
+      (0L, "query anchor document"),
+      (1L, "spark spark data engine"),
+      (2L, "spark data rows"),
+      (3L, "nothing relevant textually")).toDF("doc_id", "text")
+    val embeddings = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.8f, 0.2f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Relevance.hybridRrf(docs, embeddings, Seq("spark", "data"),
+        queryVecId = 0L, k = 10).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1 fuses both legs → strictly above every single-leg doc
+    assert(got(1L)._1 > 0 && got(1L)._2 > 0)
+    assert(got(1L)._3 > got(2L)._3 && got(1L)._3 > got(3L)._3)
+    // single-leg contributions are exactly 1/(60 + rank)
+    assert(got(2L)._2 === 0L)
+    assert(got(2L)._3 === 1.0 / (60 + got(2L)._1))
+    assert(got(3L)._1 === 0L)
+    assert(got(3L)._3 === 1.0 / (60 + got(3L)._2))
+  }
 }
