@@ -103,21 +103,34 @@ object IndexCache {
     md.digest().take(6).map("%02x".format(_)).mkString
   }
 
-  /** Cheap source-dataset fingerprint: (name, length, mtime) of every
-    * file under `path`, md5'd. The fit fingerprint alone cannot catch a
-    * REGENERATED source whose bounded, sorted fit sample happens to be
-    * unchanged (appended vectors sorting after the sample leave fitFp
-    * identical while the index is missing rows) — the cross-JVM cache
-    * key needs a component that moves with the data itself. */
+  /** Cheap source-dataset fingerprint: (relative path, length, mtime)
+    * of every file under `path`, md5'd. The fit fingerprint alone
+    * cannot catch a REGENERATED source whose bounded, sorted fit sample
+    * happens to be unchanged (appended vectors sorting after the sample
+    * leave fitFp identical while the index is missing rows) — the
+    * cross-JVM cache key needs a component that moves with the data
+    * itself. Relative paths (not leaf names) so a partition-directory
+    * restructure with preserved mtimes still moves the key.
+    *
+    * Local-filesystem only BY DESIGN (this keys a /tmp bench cache) —
+    * and enforced: a path java.io.File cannot see (URI-qualified,
+    * remote scheme, typo) would otherwise hash to a CONSTANT and
+    * silently defeat exactly the staleness protection this exists for.
+    */
   private def dataFingerprint(path: String): String = {
+    val root = new java.io.File(path)
+    require(root.exists(),
+      s"persistedIndex source '$path' is not a local path java.io.File " +
+        "can stat — the data fingerprint would be constant and stale " +
+        "indexes would serve silently")
     val md = java.security.MessageDigest.getInstance("MD5")
-    def walk(f: java.io.File): Unit =
+    def walk(f: java.io.File, rel: String): Unit =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
-          .foreach(walk)
+          .foreach(c => walk(c, s"$rel/${c.getName}"))
       else md.update(
-        s"${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8"))
-    walk(new java.io.File(path))
+        s"$rel:${f.length}:${f.lastModified}".getBytes("UTF-8"))
+    walk(root, "")
     md.digest().take(6).map("%02x".format(_)).mkString
   }
 
@@ -135,11 +148,28 @@ object IndexCache {
       build: String => Unit): String = {
     val idxDir = s"/tmp/graft_idxcache_${kind}_${fitFp}_" +
       s"${dataFingerprint(dir)}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-    if (!new java.io.File(s"$idxDir/_SUCCESS").exists()) {
-      val tmp = idxDir + "_build_" + java.util.UUID.randomUUID().toString
-      build(tmp)
-      if (!new java.io.File(tmp).renameTo(new java.io.File(idxDir)))
-        deleteRecursively(new java.io.File(tmp)) // another JVM won the race
+    def success = new java.io.File(s"$idxDir/_SUCCESS").exists()
+    if (!success) {
+      val tmp = new java.io.File(
+        idxDir + "_build_" + java.util.UUID.randomUUID().toString)
+      try {
+        build(tmp.getPath)
+        if (!tmp.renameTo(new java.io.File(idxDir))) {
+          // rename failed because idxDir exists: either another JVM just
+          // completed it (has _SUCCESS — discard ours) or it is a
+          // corrupt leftover (e.g. a /tmp reaper ate _SUCCESS but left
+          // data files — the old in-place overwrite could repair this,
+          // so must we): replace it with the fresh copy
+          if (!success) {
+            deleteRecursively(new java.io.File(idxDir))
+            tmp.renameTo(new java.io.File(idxDir)); ()
+          }
+        }
+      } finally deleteRecursively(tmp) // no-op after a successful rename
+      // never serve a directory we cannot prove complete — fail loudly
+      // instead of returning partial ANN results
+      require(success,
+        s"persistedIndex could not produce a complete index at $idxDir")
     }
     idxDir
   }

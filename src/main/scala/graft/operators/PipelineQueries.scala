@@ -548,10 +548,11 @@ object PipelineQueries {
     // fusion (Cormack SIGIR'09) — the t16 × s1 serving composition. The
     // per-doc BM25 total is a term-ordered LEFT FOLD on both engines
     // (Spark aggregate ∘ sort_array ≡ DuckDB list_reduce ∘ ordered
-    // list: identical operand order, bit-identical sums); each leg
-    // ranks by its 6-d.p. score with the id tiebreak inside its
-    // top-100, and the fused 1/(60+r) expression is the same two-term
-    // IEEE computation on both sides.
+    // list: identical operand order, bit-identical sums — so the
+    // lexical leg ranks UNROUNDED; the cosine leg rounds to 6 d.p.,
+    // the s1 discipline), id tiebreaks inside each top-100, and the
+    // fused 1/(60+r) expression is the same two-term IEEE computation
+    // on both sides.
     "t52_hybrid_rrf" -> QueryDef.sql(
       """WITH w AS (
         |  SELECT doc_id,
@@ -575,7 +576,7 @@ object PipelineQueries {
         |            AS lex_score
         |        FROM sc GROUP BY doc_id),
         |lexr AS (SELECT doc_id, row_number() OVER (
-        |           ORDER BY round(lex_score, 6) DESC, doc_id) AS lex_rank
+        |           ORDER BY lex_score DESC, doc_id) AS lex_rank
         |         FROM lex QUALIFY lex_rank <= 100),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |semr AS (SELECT vec_id AS doc_id, row_number() OVER (

@@ -123,10 +123,13 @@ object Relevance {
     *    list (`aggregate(sort_array(collect_list(...)))` here,
     *    `list_reduce(list(... ORDER BY term))` in DuckDB) — identical
     *    operand order ⇒ bit-identical IEEE sums, never an unordered
-    *    engine SUM;
-    *  - each leg ranks by its 6-d.p.-rounded score with the id as the
-    *    total tiebreak; the fused score is the same two-term expression
-    *    on both engines.
+    *    engine SUM — so the lexical leg ranks the UNROUNDED total
+    *    (round() of a quotient on a decimal half diverges HALF_UP vs
+    *    HALF_EVEN across engines);
+    *  - the cosine leg ranks its 6-d.p.-rounded score (engine cosines
+    *    are not bit-identical; rounding collapses the ulp noise — the
+    *    s1 discipline), id as the total tiebreak in both legs; the
+    *    fused score is the same two-term expression on both engines.
     *
     * Scale shape: each leg collapses to TakeOrderedAndProject (orderBy +
     * limit — distributed partial top-m, no global sort, no
@@ -149,11 +152,24 @@ object Relevance {
       .agg(aggregate(
         sort_array(collect_list(struct(col("term"), col("score")))),
         lit(0.0), (acc, x) => acc + x.getField("score")).as("lex_score"))
+    // rank by the UNROUNDED total: it is bit-identical cross-engine by
+    // the left-fold construction, whereas round() of a quotient landing
+    // on a decimal half diverges HALF_UP vs HALF_EVEN (CLAUDE.md) — the
+    // cosine leg below keeps the 6-d.p. round because engine cosines
+    // are NOT bit-identical (the s1 discipline: rounding collapses ulp
+    // noise, tiebreak on the id)
     val lexTop = lexTot
-      .orderBy(round(col("lex_score"), 6).desc, col(idCol)).limit(m)
+      .orderBy(col("lex_score").desc, col(idCol)).limit(m)
       .withColumn("lex_rank", row_number().over(
-        Window.orderBy(round(col("lex_score"), 6).desc, col(idCol))))
+        Window.orderBy(col("lex_score").desc, col(idCol))))
       .select(col(idCol), col("lex_rank"))
+    val qRows = embeddings.filter(col("vec_id") === queryVecId).limit(2)
+      .select(Similarity.asDouble(col("embedding")).as("qv"))
+      .collect()
+    require(qRows.length == 1,
+      s"queryVecId $queryVecId matched ${qRows.length} embedding rows — " +
+        "an absent vector would silently degrade to a pure-BM25 ranking " +
+        "and a duplicate would double every candidate")
     val q = broadcast(embeddings.filter(col("vec_id") === queryVecId)
       .select(Similarity.asDouble(col("embedding")).as("qv")))
     val semTop = embeddings.filter(col("vec_id") =!= queryVecId)

@@ -446,8 +446,11 @@ class PartitioningSpec extends AnyFunSuite {
 
   test("delta-family plans: every candidate join is an equi join — no cartesian, no nested loop") {
     // the O(|Δ|) claim dies silently if a candidate stage ever plans as
-    // a cross product; gate the shape for all three delta modalities +
-    // the composed ingest round
+    // a cross product; gate the shape for all three delta modalities
+    // (the composed d21 ingest round is built from d20's machinery plus
+    // semi joins and the separately-gated CC iteration — and its
+    // clusters() stage executes eagerly, so it is not a lazily
+    // explainable frame here)
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val corpusT = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
     val deltaT = docs.filter(col("doc_id") % 2 === 1)
@@ -464,6 +467,9 @@ class PartitioningSpec extends AnyFunSuite {
           .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")),
         threshold = 0.25, nBits = 2, nTables = 6))
     plans.foreach { case (name, df) =>
+      // run first: AQE re-plans at runtime, so only the FINAL adaptive
+      // plan is authoritative (CLAUDE.md plan-gate discipline)
+      df.write.format("noop").mode("overwrite").save()
       val p = df.queryExecution.executedPlan.toString()
       assert(!p.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$p")
