@@ -557,6 +557,39 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.sameElements(Array(11L, 14L, 15L)))
   }
 
+  test("deltaJaccardPairs identity holds on seeded randomized corpora") {
+    // the fixture-based identity tests pin realistic data; this sweeps
+    // deterministic random corpora over a TINY vocabulary so empty
+    // docs, single-word docs, exact clones, and dense near-dup
+    // structure all occur — any frozen-order edge the fixtures miss
+    // shows up as a lost or phantom pair
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val vocab = (0 until 15).map(i => s"w${trial}x$i")
+      def randDoc(): String =
+        Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val all = (0L until 60L).map(i => (i, randDoc()))
+      val corpus = all.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+      // odd originals re-ingested under fresh ids, plus exact clones of
+      // a few corpus docs — random 3-gram sets rarely clear τ on their
+      // own, and the guard below must never pass on an empty identity
+      val clones = all.filter(t => t._1 % 10 == 0 && t._2.nonEmpty)
+        .map { case (i, t) => (i + 2000L, t) }
+      val delta = (all.filter(_._1 % 2 == 1)
+        .map { case (i, t) => (i + 1000L, t) } ++ clones)
+        .toDF("doc_id", "text")
+      val tau = 0.3
+      val inc = Dedup.deltaJaccardPairs(corpus, delta, threshold = tau)
+        .orderBy("id_a", "id_b").collect().map(_.toString).toSeq
+      val full = Dedup.exactJaccardPairs(corpus.unionByName(delta), threshold = tau)
+        .filter(col("id_a") >= 1000L || col("id_b") >= 1000L)
+        .orderBy("id_a", "id_b").collect().map(_.toString).toSeq
+      assert(inc === full, s"trial $trial diverged")
+      assert(full.nonEmpty,
+        s"trial $trial produced no pairs — vocabulary too large to exercise the identity")
+    }
+  }
+
   test("deltaJaccardPairs with an empty corpus degenerates to exactJaccardPairs") {
     val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val delta = graft.Tables.documents(spark, TestSpark.sfDir)
