@@ -466,7 +466,12 @@ object Dedup {
     * themselves cannot reveal it, and probing below it would silently
     * lose true pairs (corpus prefixes too short for the lower bound),
     * so the caller must state it and `threshold >= builtAt` is
-    * enforced. Record it next to the persisted relations.
+    * enforced. Record it next to the persisted relations under a
+    * HIDDEN name (underscore/dot prefix, e.g. `_built_at`): any other
+    * sidecar is deleted by [[Similarity.finalizeStreamedIndex]]'s
+    * orphan sweep if the relations pass through a stream-to-batch
+    * handoff, and a visible name would also pollute plain directory
+    * reads.
     */
   def deltaJaccardPairsIndexed(corpusShingled: DataFrame,
       corpusPrefix: DataFrame, docFreq: DataFrame, delta: DataFrame,

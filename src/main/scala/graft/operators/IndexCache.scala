@@ -143,35 +143,45 @@ object IndexCache {
     * given. Concurrent JVMs are safe: each builder writes a private
     * temp directory and atomically renames it into place; the loser of
     * the rename race discards its copy — no writer ever mutates a
-    * directory another JVM may be reading or writing. */
+    * directory another JVM may be reading or writing. That contract
+    * extends to CORRUPT leftovers (a /tmp reaper ate `_SUCCESS` but left
+    * data files): the repair promotes the fresh copy under a new
+    * generation name (`…__r<uuid>`) rather than delete+rename over the
+    * original path, which could yank files from under a JVM that
+    * resolved the path before the marker vanished and is still scanning.
+    * The corrupt directory stays inert — no `_SUCCESS` means it is never
+    * served — so repeated corruption costs a rebuild per call, never a
+    * wrong or truncated read. Callers must treat the RETURNED path as
+    * the index location (it is not always the deterministic base path).
+    */
   def persistedIndex(kind: String, dir: String, fitFp: String)(
       build: String => Unit): String = {
     val idxDir = s"/tmp/graft_idxcache_${kind}_${fitFp}_" +
       s"${dataFingerprint(dir)}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-    def success = new java.io.File(s"$idxDir/_SUCCESS").exists()
-    if (!success) {
+    def ok(p: String) = new java.io.File(p, "_SUCCESS").exists()
+    if (ok(idxDir)) idxDir
+    else {
       val tmp = new java.io.File(
         idxDir + "_build_" + java.util.UUID.randomUUID().toString)
-      try {
-        build(tmp.getPath)
-        if (!tmp.renameTo(new java.io.File(idxDir))) {
-          // rename failed because idxDir exists: either another JVM just
-          // completed it (has _SUCCESS — discard ours) or it is a
-          // corrupt leftover (e.g. a /tmp reaper ate _SUCCESS but left
-          // data files — the old in-place overwrite could repair this,
-          // so must we): replace it with the fresh copy
-          if (!success) {
-            deleteRecursively(new java.io.File(idxDir))
-            tmp.renameTo(new java.io.File(idxDir)); ()
+      val served: String =
+        try {
+          build(tmp.getPath)
+          if (tmp.renameTo(new java.io.File(idxDir)) || ok(idxDir)) idxDir
+          else {
+            // rename failed AND no _SUCCESS: a corrupt leftover occupies
+            // the base path. Never mutate it in place — promote our
+            // complete copy under a fresh generation name instead.
+            val repair =
+              idxDir + "__r" + java.util.UUID.randomUUID().toString
+            if (tmp.renameTo(new java.io.File(repair))) repair else idxDir
           }
-        }
-      } finally deleteRecursively(tmp) // no-op after a successful rename
+        } finally deleteRecursively(tmp) // no-op after a successful rename
       // never serve a directory we cannot prove complete — fail loudly
       // instead of returning partial ANN results
-      require(success,
-        s"persistedIndex could not produce a complete index at $idxDir")
+      require(ok(served),
+        s"persistedIndex could not produce a complete index at $served")
+      served
     }
-    idxDir
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -902,7 +902,7 @@ object PipelineQueries {
         |delta AS (
         |  SELECT doc_id, text, source FROM g WHERE u >= 350
         |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, text, source FROM g
+        |  SELECT doc_id + 1000000 AS doc_id, text, source FROM g
         |  WHERE u BETWEEN 600 AND 699),
         |keep AS (
         |  SELECT min(doc_id) AS doc_id FROM delta
@@ -917,7 +917,11 @@ object PipelineQueries {
       val delta = docs.filter(u >= 350)
         .select(col("doc_id"), col("text"), col("source"))
         .unionAll(docs.filter(u.between(600, 699))
-          .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          // 1e6-class shift (the d20/d21/mm8 convention): re-fetch copy
+          // ids must clear any realistic scale factor's doc_id range —
+          // a collision would change pair semantics identically on both
+          // engines, so the oracle could never catch it
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
             col("source")))
       Dedup.deltaExact(corpus, delta)
         .select("doc_id", "source").orderBy("doc_id")

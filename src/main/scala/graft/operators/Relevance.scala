@@ -163,6 +163,14 @@ object Relevance {
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("lex_score").desc, col(idCol))))
       .select(col(idCol), col("lex_rank"))
+    // Eager by design: the cardinality check below must fail at
+    // CONSTRUCTION time (an absent vector would silently degrade to a
+    // pure-BM25 ranking; a duplicate would double every candidate), so
+    // one bounded Spark job runs here — and its collected row is then
+    // reused as the query-vector LITERAL, so the fail-fast guarantee
+    // costs exactly that one job and the semantic leg needs no join at
+    // all (the one-row broadcast relation it replaced cost a second
+    // filter job plus a BroadcastExchange).
     val qRows = embeddings.filter(col("vec_id") === queryVecId).limit(2)
       .select(Similarity.asDouble(col("embedding")).as("qv"))
       .collect()
@@ -170,13 +178,11 @@ object Relevance {
       s"queryVecId $queryVecId matched ${qRows.length} embedding rows — " +
         "an absent vector would silently degrade to a pure-BM25 ranking " +
         "and a duplicate would double every candidate")
-    val q = broadcast(embeddings.filter(col("vec_id") === queryVecId)
-      .select(Similarity.asDouble(col("embedding")).as("qv")))
+    val qv = typedLit(qRows.head.getSeq[Double](0).toIndexedSeq)
     val semTop = embeddings.filter(col("vec_id") =!= queryVecId)
-      .crossJoin(q)
       .select(col("vec_id").as(idCol),
         round(Similarity.cosine(Similarity.asDouble(col("embedding")),
-          col("qv")), 6).as("sim"))
+          qv), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol)).limit(m)
       .withColumn("sem_rank", row_number().over(
         Window.orderBy(col("sim").desc, col(idCol))))

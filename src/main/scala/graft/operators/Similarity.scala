@@ -1178,6 +1178,12 @@ object Similarity {
     * read, so removing it loses nothing observable — which also means
     * batch appends belong AFTER the handoff, never between build and
     * finalize (the spec gates both orderings).
+    *
+    * Sidecar files beware: the sweep removes ANY visible data file the
+    * sink log did not commit, whatever its name. Only underscore- or
+    * dot-prefixed entries (hidden to Spark reads, e.g. `_built_at`)
+    * survive the handoff — an operator parking metadata next to the
+    * index before finalize must use a hidden name or lose it.
     */
   def finalizeStreamedIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {

@@ -478,6 +478,41 @@ class PartitioningSpec extends AnyFunSuite {
     }
   }
 
+  test("IndexCache corrupt-leftover repair promotes a fresh generation, never mutates the occupied path") {
+    // Simulate the /tmp-reaper scenario: a completed cache entry loses
+    // its _SUCCESS marker but keeps data files. A JVM that resolved the
+    // base path before the marker vanished may still be scanning those
+    // files, so the repair must NOT delete+rename over the base path —
+    // it must serve a fresh generation directory and leave the corrupt
+    // one byte-for-byte intact.
+    val src = graft.TestSpark.tempDir("graft_idxcache_src")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "data.bin"), Array[Byte](1, 2, 3))
+    def build(p: String): Unit = {
+      val d = new java.io.File(p)
+      assert(d.mkdirs() || d.isDirectory)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p, "part-00000"), Array[Byte](9))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p, "_SUCCESS"), Array.empty[Byte])
+    }
+    val kind = "spec_repair_" + java.util.UUID.randomUUID().toString.take(8)
+    val first = IndexCache.persistedIndex(kind, src, "fp")(build)
+    assert(new java.io.File(first, "_SUCCESS").exists())
+    // reaper eats the marker; a sentinel marks the reader-held files
+    assert(new java.io.File(first, "_SUCCESS").delete())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(first, "reader-held"), Array[Byte](7))
+    val repaired = IndexCache.persistedIndex(kind, src, "fp")(build)
+    assert(repaired !== first,
+      "repair must not serve (or overwrite) the corrupt base path")
+    assert(new java.io.File(repaired, "_SUCCESS").exists() &&
+      new java.io.File(repaired, "part-00000").exists())
+    assert(new java.io.File(first, "reader-held").exists() &&
+      new java.io.File(first, "part-00000").exists(),
+      "corrupt base directory must remain untouched for in-flight readers")
+  }
+
   test("persisted Jaccard postings index: parquet round-trip probes bit-identically") {
     // the deployment form of the text delta-ingest round: write the
     // buildJaccardIndex triple once (prefix postings partition-bucketed
