@@ -595,6 +595,52 @@ object PipelineQueries {
         Seq("data", "table", "row", "spark"), queryVecId = 0L)
     },
 
+    // retrieval-quality eval harness over a 10-query batch (label
+    // relevance as proxy qrels): hits/precision/recall@10, MRR, and
+    // nEDCG@10 — nDCG under a dyadic 2^-(rank-1) discount, which makes
+    // the DCG sum order-independent-exact and the normalized quotient
+    // bit-identical cross-engine (the log2 discount is libm-dependent;
+    // see Relevance.retrievalEval). Every other metric is one division
+    // of small integers. This is the gate the whole ANN stack's recall
+    // numbers are judged against.
+    "t53_retrieval_eval" -> QueryDef.sql(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         CAST(label AS BIGINT) AS lab
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv, lab AS qlab FROM e
+        |      WHERE vec_id % 50 = 0 AND vec_id < 500),
+        |lc AS (SELECT lab, count(*) AS lab_cnt FROM e GROUP BY lab),
+        |qn AS (SELECT qid, qlab, qv, CAST(lab_cnt - 1 AS BIGINT) AS n_rel
+        |       FROM q JOIN lc ON qlab = lc.lab),
+        |scored AS (
+        |  SELECT qn.qid, qn.n_rel, e.vec_id,
+        |    CASE WHEN e.lab = qn.qlab THEN 1 ELSE 0 END AS rel,
+        |    round(list_cosine_similarity(e.v, qn.qv), 6) AS sim
+        |  FROM e, qn WHERE e.vec_id <> qn.qid),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM scored QUALIFY rnk <= 10),
+        |m AS (
+        |  SELECT qid, n_rel, CAST(sum(rel) AS BIGINT) AS hits,
+        |    coalesce(1.0::DOUBLE / min(CASE WHEN rel = 1 THEN rnk END),
+        |             0.0::DOUBLE) AS mrr,
+        |    sum(rel * (1.0::DOUBLE /
+        |          CAST(1::BIGINT << (rnk - 1) AS DOUBLE))) AS dcg
+        |  FROM ranked GROUP BY qid, n_rel)
+        |SELECT qid, n_rel, hits,
+        |  CAST(hits AS DOUBLE) / 10 AS precision_k,
+        |  CAST(hits AS DOUBLE) / n_rel AS recall_k,
+        |  mrr,
+        |  CASE WHEN n_rel = 0 THEN 0.0::DOUBLE ELSE
+        |    dcg / (2.0::DOUBLE - 1.0::DOUBLE /
+        |      CAST(1::BIGINT << (least(n_rel, 10) - 1) AS DOUBLE)) END AS nedcg
+        |FROM m ORDER BY qid""".stripMargin) { (s, d) =>
+      Relevance.retrievalEval(Tables.embeddings(s, d),
+        col("vec_id") % 50 === 0 && col("vec_id") < 500, k = 10)
+    },
+
     // Temperature-based source rebalancing (Conneau & Lample 2019 mix
     // rule, α = 0.5): keep-rate per source = √(count/count_max), applied
     // through the md5 permille gate. floor(√ratio·1000) is bit-identical

@@ -225,4 +225,73 @@ object Relevance {
             e => concat_ws(":", e.getField(idCol), e.getField("tf"))))
           .as("postings"))
       .filter(col("df") >= minDf)
+
+  /** Batched retrieval-quality evaluation: exact cosine top-`k` for every
+    * query vector selected by `queryPred`, judged against label
+    * relevance (a candidate is relevant iff it shares the query's
+    * `label` — the standard proxy-qrel construction when no human
+    * judgments exist), emitting per query: relevant-pool size,
+    * hits@k, precision@k, recall@k, MRR, and nEDCG@k.
+    *
+    * nEDCG is nDCG with an EXPONENTIAL (dyadic) rank discount
+    * `2^-(rank-1)` in place of the textbook `1/log2(rank+1)`
+    * (Järvelin & Kekäläinen 2002 leave the discount pluggable): every
+    * weight is an exact power of two, so the DCG sum of ≤ k terms is
+    * exactly representable in a double REGARDLESS of summation order,
+    * the ideal DCG has the closed form `2 − 2^-(min(n_rel,k)−1)`, and
+    * the normalized quotient is bit-identical on any IEEE engine — the
+    * log2 discount is one libm ulp away from portable (CLAUDE.md float
+    * discipline). The other metrics are single divisions of small
+    * integers (exact on every engine). Cosines round to 6 d.p. with id
+    * tiebreak before ranking (the s1 discipline).
+    *
+    * Scale shape: the query batch is a broadcast relation into one
+    * corpus scan (the s23 batched-probe shape — Q·N scored rows, no
+    * self-shuffle), and the `rank <= k` filter on the per-query
+    * row_number collapses to a map-side group limit before the exchange
+    * (Spark's WindowGroupLimit), so the shuffle carries Q·k rows, not
+    * Q·N. Relevant-pool sizes come from one label-count aggregate
+    * joined back to the query batch — never a driver loop.
+    */
+  def retrievalEval(embeddings: DataFrame, queryPred: Column, k: Int = 10)
+      : DataFrame = {
+    require(k > 0 && k <= 62, "k must be in [1, 62] (dyadic weights shift a Long)")
+    val e = embeddings.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"),
+      col("label").cast("long").as("lab"))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("lab").as("qlab"))
+    val labCnt = e.groupBy(col("lab")).agg(count(lit(1)).as("lab_cnt"))
+    // n_rel excludes the query itself (it always shares its own label)
+    val qn = q.join(labCnt, col("qlab") === col("lab"))
+      .select(col("qid"), col("qlab"), col("qv"),
+        (col("lab_cnt") - 1).cast("long").as("n_rel"))
+    val scored = e.join(broadcast(qn), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("n_rel"), col("vec_id"),
+        (col("lab") === col("qlab")).cast("int").as("rel"),
+        round(Similarity.cosine(col("v"), col("qv")), 6).as("sim"))
+    val ranked = scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+    // dyadic discount 1/2^(rnk-1): integer shift + power-of-two divide,
+    // no libm call anywhere (expr form: the functions.shiftleft wrapper
+    // only takes a literal Int shift, the Catalyst node takes a column)
+    val w = lit(1.0) / expr("shiftleft(1L, rnk - 1)").cast("double")
+    ranked.groupBy(col("qid"), col("n_rel"))
+      .agg(sum(col("rel")).cast("long").as("hits"),
+        coalesce(lit(1.0) / min(when(col("rel") === 1, col("rnk"))),
+          lit(0.0)).as("mrr"),
+        sum(col("rel") * w).as("dcg"))
+      .select(col("qid"), col("n_rel"), col("hits"),
+        (col("hits").cast("double") / lit(k)).as("precision_k"),
+        (col("hits").cast("double") / col("n_rel")).as("recall_k"),
+        col("mrr"),
+        when(col("n_rel") === 0, lit(0.0)).otherwise(col("dcg") /
+          (lit(2.0) - lit(1.0) / expr(
+            s"shiftleft(1L, least(n_rel, ${k}L) - 1)").cast("double")))
+          .as("nedcg"))
+      .orderBy("qid")
+  }
 }

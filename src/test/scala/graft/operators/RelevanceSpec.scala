@@ -190,4 +190,50 @@ class RelevanceSpec extends AnyFunSuite {
     assert(got(3L)._1 === 0L)
     assert(got(3L)._3 === 1.0 / (60 + got(3L)._2))
   }
+
+  test("retrievalEval: hand-computed metrics on a 2D fixture, exact dyadic nEDCG") {
+    import spark.implicits._
+    // query 0 (label 0) at (1,0); candidates on known angles:
+    //   id1 (2,0)  lab 0 → cos 1.0       rank 1, relevant
+    //   id2 (1,1)  lab 1 → cos 0.707107  rank 2, not relevant
+    //   id3 (0,1)  lab 0 → cos 0.0       rank 3 (outside k=2)
+    // n_rel(label 0) = 2; hits@2 = 1; precision = 0.5; recall = 0.5;
+    // MRR = 1/1; DCG = 1·2^0 = 1.0; IDCG(min(2,2)) = 1 + 1/2 = 1.5;
+    // nEDCG = 1/1.5 — an exact IEEE quotient both engines share.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(2.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 1.0f), 1),
+      (3L, Seq(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Relevance.retrievalEval(emb, col("vec_id") === 0, k = 2)
+    val r = out.collect()
+    assert(r.length === 1)
+    val m = r.head
+    assert(m.getLong(0) === 0L && m.getLong(1) === 2L && m.getLong(2) === 1L)
+    assert(m.getDouble(3) === 0.5 && m.getDouble(4) === 0.5)
+    assert(m.getDouble(5) === 1.0)
+    assert(m.getDouble(6) === 1.0 / 1.5)
+    // scale gate: the rank<=k filter must collapse to a map-side group
+    // limit so the per-query shuffle carries Q·k rows, not Q·N (assert
+    // on the FINAL adaptive plan — AQE hides markers pre-execution)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"),
+      s"retrievalEval top-k should plan a WindowGroupLimit:\n$plan")
+  }
+
+  test("retrievalEval: all-relevant top-k yields nEDCG 1.0 and MRR 1.0") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 5),
+      (1L, Seq(3.0f, 1.0f), 5),
+      (2L, Seq(2.0f, 1.0f), 5),
+      (3L, Seq(-1.0f, 0.0f), 7)).toDF("vec_id", "embedding", "label")
+    val m = Relevance.retrievalEval(emb, col("vec_id") === 0, k = 2)
+      .collect().head
+    // both top-2 share label 5: hits=2, perfect ranking metrics
+    assert(m.getLong(2) === 2L)
+    assert(m.getDouble(5) === 1.0 && m.getDouble(6) === 1.0)
+    assert(m.getDouble(3) === 1.0)       // precision@2
+    assert(m.getDouble(4) === 1.0)       // recall: n_rel = 2, hits = 2
+  }
 }
