@@ -62,6 +62,14 @@ object IndexCache {
       Similarity.pqCodebooks(emb(s, dir, normalized = true), m = 8, ksub = 16)
     }
 
+  /** Memoized [[Similarity.sqBounds]] over the L2-normalized
+    * embeddings — the s31 SQ8 configuration. */
+  def sqBounds(s: SparkSession, dir: String)
+      : (Array[Double], Array[Double]) =
+    memo(s"sq:$dir") {
+      Similarity.sqBounds(emb(s, dir, normalized = true))
+    }
+
   /** Memoized [[Similarity.opqQuantizers]] (rotation + codebooks) over
     * the L2-normalized embeddings — the s28/s29 OPQ configuration. */
   def opqQuantizers(s: SparkSession, dir: String)

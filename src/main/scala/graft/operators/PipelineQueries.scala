@@ -1247,6 +1247,20 @@ object PipelineQueries {
         nProbe = 4, rerank = 4)
     },
 
+    // 8-bit SCALAR quantization top-k (faiss SQ8 — the other standard
+    // codec beside PQ/OPQ: d bytes a vector, per-dim affine levels, no
+    // trained codebooks): approximate L2 over in-row DECODED codes,
+    // exact cosine rerank. No SQL twin (sample-trained bounds); the
+    // SimilarityAsOfSpec s31 gates pin the candidate-coverage identity
+    // against a driver-side recompute, the rerank*k>=N exact-scan
+    // degeneracy, the half-level reconstruction bound, and the codec
+    // ladder position (SQ8 ADC error below every 8-byte encoder).
+    "s31_sq8_topk" -> QueryDef.noOracle { (s, d) =>
+      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
+      val (mins, maxs) = IndexCache.sqBounds(s, d)
+      Similarity.sqTopK(emb, queryId = 0L, k = 20, mins, maxs, rerank = 4)
+    },
+
     // IVF drift monitor — per-list occupancy + mean squared distance
     // against a data-defined frozen quantizer (centroids = the 16
     // lowest-id embeddings, so the oracle can join them relationally).

@@ -971,6 +971,93 @@ object Similarity {
     }
   }
 
+  /** Per-dimension scalar-quantizer bounds (faiss `ScalarQuantizer`
+    * QT_8bit): `[min_i, max_i]` per dimension from the bounded
+    * [[ivfFitSample]] (the same trainer discipline as every quantizer
+    * here — at 100 TB the fit sees a sample, never the corpus, so
+    * [[sqEncode]] clamps out-of-sample values into the trained range;
+    * faiss's RangeStat_minmax does the same). Returned driver-side
+    * (2 × dim doubles — KBs) to re-enter plans as literals.
+    */
+  def sqBounds(embeddings: DataFrame, seed: Long = 42L,
+      sampleCentroids: Int = 16, pointsPerCentroid: Int = 256,
+      vecCol: String = "embedding"): (Array[Double], Array[Double]) = {
+    val sample = collectFitSample(embeddings, sampleCentroids,
+      pointsPerCentroid, seed, vecCol)
+    val dim = sample(0).length
+    val mins = Array.fill(dim)(Double.MaxValue)
+    val maxs = Array.fill(dim)(Double.MinValue)
+    sample.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        if (v(i) < mins(i)) mins(i) = v(i)
+        if (v(i) > maxs(i)) maxs(i) = v(i)
+        i += 1
+      }
+    }
+    (mins, maxs)
+  }
+
+  /** Rows plus their 8-bit scalar-quantization code (`sq_code`,
+    * array<int>, one 0–255 level per dimension): the OTHER standard
+    * faiss codec beside PQ — d bytes a vector instead of m, trading 8×
+    * the PQ footprint (64-dim float → 64 B, still 4× smaller than
+    * float32) for near-exact recall with NO trained codebooks, just
+    * per-dim affine levels. All in-row (literal bound arrays, no join,
+    * no UDF); a collapsed dimension (max == min) encodes 0 and decodes
+    * to min exactly. At scale this is the write-side: persist
+    * (id, sq_code) and drop raw vectors from the scan, like [[pqEncode]].
+    */
+  def sqEncode(embeddings: DataFrame, mins: Array[Double],
+      maxs: Array[Double], vecCol: String = "embedding"): DataFrame = {
+    require(mins.length == maxs.length, "mins/maxs length mismatch")
+    val minsLit = array(mins.toIndexedSeq.map(lit(_)): _*)
+    val scales = mins.indices.map(i =>
+      if (maxs(i) > mins(i)) 255.0 / (maxs(i) - mins(i)) else 0.0)
+    val scaleLit = array(scales.map(lit(_)): _*)
+    val v = asDouble(col(vecCol))
+    val code = transform(v, (x, i) =>
+      least(greatest(round((x - element_at(minsLit, i + 1)) *
+        element_at(scaleLit, i + 1)).cast("int"), lit(0)), lit(255)))
+    oncePerRow(embeddings, "sq_code" -> code)
+  }
+
+  /** The decoded (reconstructed) vector of `sq_code`:
+    * `min_i + code_i · (max_i − min_i)/255` — reconstruction error is
+    * at most half a level per dimension for in-range values.
+    */
+  private def sqDecoded(mins: Array[Double], maxs: Array[Double]): Column = {
+    val minsLit = array(mins.toIndexedSeq.map(lit(_)): _*)
+    val steps = mins.indices.map(i => (maxs(i) - mins(i)) / 255.0)
+    val stepLit = array(steps.map(lit(_)): _*)
+    transform(col("sq_code"), (c, i) =>
+      element_at(minsLit, i + 1) + c.cast("double") * element_at(stepLit, i + 1))
+  }
+
+  /** SQ8 top-k with exact rerank: approximate L2 scan over the DECODED
+    * codes (in-row reconstruction — at scale the scan reads the d-byte
+    * code column, not the float vectors), TakeOrdered keeps the
+    * `rerank × k` best, exact cosine ranks only those (the [[pqTopK]]
+    * tail). Pass [[l2Normalized]] inputs so the L2 ordering matches the
+    * cosine rerank. Degeneracy: `rerank × k ≥ N` makes the rerank the
+    * exact scan.
+    */
+  def sqTopK(embeddings: DataFrame, queryId: Long, k: Int,
+      mins: Array[Double], maxs: Array[Double], rerank: Int = 4): DataFrame = {
+    require(k >= 1 && rerank >= 1, "k and rerank must be at least 1")
+    val qRows = embeddings.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv")).limit(1).collect()
+    if (qRows.isEmpty)
+      return embeddings.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val qArr = qRows(0).getSeq[Double](0).toArray
+    val qLit = array(qArr.toIndexedSeq.map(lit(_)): _*)
+    val dec = sqDecoded(mins, maxs)
+    val adist = aggregate(zip_with(dec, qLit, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    adcRerankTail(sqEncode(embeddings, mins, maxs)
+      .filter(col("vec_id") =!= queryId), adist, qArr, k, rerank)
+  }
+
   /** IVFADC (Jégou, Douze & Schmid, TPAMI 2011 §V — faiss's default at
     * billion scale): [[topKCosineIVF]]'s coarse-quantizer prune COMPOSED
     * with [[pqTopK]]'s ADC code scan. The query ranks its `nProbe`

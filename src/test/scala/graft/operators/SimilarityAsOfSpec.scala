@@ -667,6 +667,103 @@ class SimilarityAsOfSpec extends AnyFunSuite {
       f"OPQ+residual $opqResErr%.6f materially worse than residual " +
         f"$resErr%.6f — the rotation must not hurt the composed encoder")
     assert(dim == r.length)
+
+    // SQ8 rung (s31): d bytes a vector instead of m — 8× the budget
+    // must buy a strictly lower approximation error than the BEST
+    // 8-byte encoder (this is the bytes-vs-recall tradeoff statement
+    // the codec family exists to offer, measured not assumed)
+    val (mins, maxs) = Similarity.sqBounds(emb)
+    val steps = mins.indices.map(i => (maxs(i) - mins(i)) / 255.0)
+    val sqCodes = Similarity.sqEncode(emb, mins, maxs)
+      .select("vec_id", "sq_code")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val vecsAll = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qv = vecsAll(0L)
+    val sqErrs = vecsAll.keys.filter(_ != 0L).map { id =>
+      val v = vecsAll(id)
+      val code = sqCodes(id)
+      val trueD = v.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum
+      val approxD = mins.indices.map { i =>
+        val diff = mins(i) + code(i) * steps(i) - qv(i); diff * diff
+      }.sum
+      math.abs(approxD - trueD)
+    }
+    val sqErr = sqErrs.sum / sqErrs.size
+    info(f"SQ8 (64 B) ADC error $sqErr%.6f vs best 8-byte $opqResErr%.6f")
+    assert(sqErr < opqResErr,
+      f"SQ8 $sqErr%.6f must beat every 8-byte encoder at 8x the bytes")
+  }
+
+  test("s31 gate: SQ8 hits = exact ∩ decoded-L2 candidates; half-level reconstruction; full rerank is exact (sf0.1)") {
+    // the s19 identity argument, SQ8 form: the rerank leg is exact
+    // cosine over the decoded-L2 candidate set, so measured recall
+    // EQUALS candidate coverage of the exact top-k — and the candidate
+    // set is recomputed DRIVER-SIDE from the codes and bounds with the
+    // same fold order, cross-checking the in-row decode expression
+    // against an independent implementation.
+    val emb = Similarity.l2Normalized(
+      Tables.embeddings(spark, "/root/testdata/sf0.1"))
+    val k = 20
+    val rerank = 4
+    val (mins, maxs) = Similarity.sqBounds(emb)
+    val dim = mins.length
+    val steps = mins.indices.map(i => (maxs(i) - mins(i)) / 255.0)
+    val codes = Similarity.sqEncode(emb, mins, maxs)
+      .select("vec_id", "sq_code")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val vecs = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // reconstruction bound: the fit sample is the whole corpus at this
+    // sf (4096-row cap > 2000 rows), so every value is in-range and
+    // decode∘encode errs at most half a level per dimension
+    vecs.foreach { case (id, v) =>
+      val code = codes(id)
+      var i = 0
+      while (i < dim) {
+        val dec = mins(i) + code(i) * steps(i)
+        assert(math.abs(dec - v(i)) <= steps(i) / 2 + 1e-9,
+          s"dim $i of vec $id breaks the half-level reconstruction bound")
+        i += 1
+      }
+    }
+    var predictedHits = 0
+    var measuredHits = 0
+    Seq(0L, 400L, 800L, 1200L, 1600L).foreach { qid =>
+      val q = vecs(qid)
+      val cands = codes.iterator.collect { case (id, code) if id != qid =>
+        var d = 0.0
+        var i = 0
+        while (i < dim) {
+          val diff = mins(i) + code(i) * steps(i) - q(i); d += diff * diff
+          i += 1
+        }
+        id -> d
+      }.toSeq.sortBy { case (id, d) => (d, id) }.take(rerank * k)
+        .map(_._1).toSet
+      val exact = Similarity.topKCosine(emb, qid, k).collect().map(_.getLong(0))
+      val sq = Similarity.sqTopK(emb, qid, k, mins, maxs, rerank)
+        .collect().map(_.getLong(0)).toSet
+      predictedHits += exact.count(cands)
+      measuredHits += exact.count(sq)
+    }
+    assert(measuredHits === predictedHits,
+      s"SQ8 measured hits $measuredHits != decoded-L2 candidate coverage $predictedHits")
+    val recall = measuredHits.toDouble / (5 * k)
+    info(f"SQ8 rerank=4 recall $recall%.3f")
+    // d-byte codes at 64 dims are near-lossless: the candidate cut is
+    // effectively the exact cut (measured 1.00 on this corpus; gate at
+    // 0.9 for fit-sample jitter headroom)
+    assert(recall >= 0.9, s"SQ8 recall $recall below the near-lossless floor")
+    // rerank*k covering the corpus degenerates to the exact scan
+    val exactPairs = Similarity.topKCosine(emb, 0L, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.sqTopK(emb, 0L, k, mins, maxs, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exactPairs,
+      "rerank*k >= N must reproduce the exact scan bit-for-bit")
   }
 
   test("null and zero embeddings never claim ADC top-k slots") {
