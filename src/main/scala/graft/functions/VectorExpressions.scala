@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.GraftBridge
+
+/** Dense linear-algebra kernels as fused Catalyst expressions.
+  *
+  * The higher-order-function formulation of a d×d rotation — one
+  * `aggregate ∘ zip_with` fold per OUTPUT dimension — is semantically
+  * right but evaluates interpreted: d zip arrays allocated and d boxed
+  * folds per row (d² lambda invocations — 8.2 M per thousand rows at
+  * d = 64). Same lesson as the text sketches (t9/t10/d12): one
+  * imperative pass per row replaces all of it.
+  */
+object Vectors {
+
+  /** `y = R·x` for a literal row-major matrix `R` (the OPQ rotation
+    * shape). Bit-identical to the `aggregate(zip_with(x, row), 0, +)`
+    * per-output-row formulation it replaces: the inner loop is the
+    * same ascending-index left fold over the same doubles, so fitted
+    * quantizers, index fingerprints and golden ladder values are
+    * unchanged (parity-gated in spec).
+    */
+  def matVec(vec: Column, r: Array[Array[Double]]): Column =
+    GraftBridge.toColumn(MatVecExpr(GraftBridge.toExpression(vec), r))
+
+  /** Argmin-L2² index of `vec` against a literal centroid table — the
+    * [[graft.operators.Similarity.ivfAssign]] kernel. Ties (possible
+    * only for bit-identical distances) resolve to the lowest index,
+    * exactly like the `array_position(dists, array_min(dists))`
+    * formulation it replaces (first strict minimum wins).
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    GraftBridge.toColumn(
+      NearestCentroidExpr(GraftBridge.toExpression(vec), centroids))
+
+  /** The whole PQ code in one pass: per block `j`, the argmin-L2² of
+    * `vec[j·dsub, (j+1)·dsub)` against codebook `j` — replaces m × ksub
+    * `aggregate ∘ zip_with ∘ slice` folds (128 interpreted folds per row
+    * at the probe config) with one imperative loop nest. Identical
+    * per-block fold order and first-min tie rule.
+    */
+  def pqCode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftBridge.toColumn(
+      PqEncodeExpr(GraftBridge.toExpression(vec), codebooks))
+
+  /** ADC distance of a PQ code against precomputed per-block lookup
+    * tables (the query-side literals): `Σ_j luts[j][code[j]]`, the same
+    * left-to-right add chain as the `element_at ∘ reduce(_ + _)`
+    * formulation.
+    */
+  def adcSum(code: Column, luts: Array[Array[Double]]): Column =
+    GraftBridge.toColumn(AdcSumExpr(GraftBridge.toExpression(code), luts))
+
+  /** `vec − table[idx]` with a literal row table — the coarse-residual
+    * kernel (`x − c(x)`), replacing
+    * `zip_with(v, element_at(tableLit, idx + 1), _ − _)`.
+    */
+  def subIndexedRow(vec: Column, idx: Column,
+      table: Array[Array[Double]]): Column =
+    GraftBridge.toColumn(SubIndexedRowExpr(GraftBridge.toExpression(vec),
+      GraftBridge.toExpression(idx), table))
+}
+
+case class MatVecExpr(child: Expression, r: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "mat_vec"
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData].toDoubleArray()
+    val n = r.length
+    val out = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      val row = r(j)
+      require(x.length == row.length,
+        s"mat_vec: vector length ${x.length} != matrix columns ${row.length}")
+      var s = 0.0
+      var i = 0
+      while (i < row.length) { s += x(i) * row(i); i += 1 }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class NearestCentroidExpr(child: Expression,
+    centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData].toDoubleArray()
+    VectorKernels.argminL2(x, 0, x.length, centroids)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class PqEncodeExpr(child: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData].toDoubleArray()
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val book = codebooks(j)
+      val dsub = book(0).length
+      out(j) = VectorKernels.argminL2(x, off, dsub, book)
+      off += dsub
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class AdcSumExpr(child: Expression, luts: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "adc_sum"
+
+  override def nullSafeEval(input: Any): Any = {
+    val code = input.asInstanceOf[ArrayData]
+    // reduce(_ + _) parity: seed from block 0, left-add the rest
+    var s = luts(0)(code.getInt(0))
+    var j = 1
+    while (j < luts.length) { s += luts(j)(code.getInt(j)); j += 1 }
+    s
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SubIndexedRowExpr(left: Expression, right: Expression,
+    table: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "sub_indexed_row"
+
+  override def nullSafeEval(v: Any, i: Any): Any = {
+    val x = v.asInstanceOf[ArrayData].toDoubleArray()
+    val row = table(i.asInstanceOf[Int])
+    require(x.length == row.length,
+      s"sub_indexed_row: vector length ${x.length} != row length ${row.length}")
+    val out = new Array[Double](x.length)
+    var k = 0
+    while (k < x.length) { out(k) = x(k) - row(k); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Shared imperative kernels — fold order matches the HOF formulations
+  * they replace exactly (ascending index, left fold, strict-< first-min
+  * tie rule).
+  */
+private[functions] object VectorKernels {
+
+  /** First index of the minimal `Σ_i (x[off+i] − c[i])²` over the
+    * centroid table (ascending scan, strict <) — bit-equal to
+    * `array_position(dists, array_min(dists)) − 1` for the same
+    * distances.
+    */
+  def argminL2(x: Array[Double], off: Int, len: Int,
+      centroids: Array[Array[Double]]): Int = {
+    require(off + len <= x.length,
+      s"argmin_l2: slice [$off, ${off + len}) exceeds vector length ${x.length}")
+    var best = 0
+    var bd = Double.NaN
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      require(cent.length == len,
+        s"argmin_l2: centroid length ${cent.length} != slice length $len")
+      var s = 0.0
+      var i = 0
+      while (i < len) { val d = x(off + i) - cent(i); s += d * d; i += 1 }
+      if (c == 0 || s < bd) { bd = s; best = c }
+      c += 1
+    }
+    best
+  }
+}

@@ -436,16 +436,17 @@ object Similarity {
       (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
   /** Index of the nearest centroid (L2), evaluated in-row — no UDF, no
-    * shuffle. Built as an ARRAY of the per-centroid distances + argmin
-    * (array_position of the min): the expression tree stays LINEAR in the
-    * centroid count. (A when()-chain fold would copy the accumulator
-    * subtree into both branches and grow 2^nCentroids nodes.) Ties — only
-    * possible for bit-identical distances — resolve to the lowest index.
+    * shuffle. Fused imperative argmin ([[graft.functions.VectorKernels]]):
+    * one pass per row instead of nCentroids interpreted
+    * `aggregate ∘ zip_with` folds plus an array+argmin tree. Fold order
+    * and the first-min tie rule are bit-equal to the
+    * `array_position(dists, array_min(dists))` formulation it replaces
+    * (ties — only possible for bit-identical distances — resolve to
+    * the lowest index), so assignments, persisted indexes, and every
+    * golden gate are unchanged (parity-gated in SimilarityAsOfSpec).
     */
-  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = array(centroids.toIndexedSeq.map(c => l2sq(v, c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.Vectors.nearestCentroid(v, centroids)
 
   /** [[nearestCentroid]] under the s22 oracle's float contract: each
     * per-centroid d² rounds to 6 d.p. BEFORE the argmin (so a DuckDB
@@ -855,7 +856,11 @@ object Similarity {
     * invalidates them even though the fit is identical — without it a
     * stale index's pq_codes would score against freshly-derived LUTs.
     */
-  val EncoderVersion: Int = 1
+  val EncoderVersion: Int = 2 // v2: fused PqEncodeExpr — codes are
+  // bit-identical for non-null vectors, but a NULL embedding now
+  // persists a NULL pq_code (nullSafeEval) where the HOF formulation
+  // wrote an array of NULL elements; consumers treat both as
+  // non-candidates, caches must still not mix the representations
 
   /** Rows plus their PQ code (`pq_code`, array<int> of length m): per
     * block, the [[nearestCentroid]] argmin over that block's codebook —
@@ -866,15 +871,16 @@ object Similarity {
     */
   def pqEncode(embeddings: DataFrame,
       codebooks: Array[Array[Array[Double]]],
-      vecCol: String = "embedding"): DataFrame = {
-    val dsub = codebooks(0)(0).length
-    val codes = codebooks.toIndexedSeq.zipWithIndex.map { case (book, j) =>
-      nearestCentroid(slice(asDouble(col(vecCol)), j * dsub + 1, dsub), book)
-    }
+      vecCol: String = "embedding"): DataFrame =
+    // fused whole-code expression (one imperative loop nest per row) —
+    // the per-block slice ∘ argmin HOF tree cost m × ksub interpreted
+    // folds per row and ~3 s of the s19 probe; per-block fold order and
+    // tie rule are bit-identical (SimilarityAsOfSpec parity gate).
     // oncePerRow: the ADC scan reads element_at(pq_code, j) m times —
-    // inlining would re-run the full m×ksub argmin per lookup
-    oncePerRow(embeddings, "pq_code" -> array(codes: _*))
-  }
+    // inlining would re-run the full encode per lookup
+    oncePerRow(embeddings,
+      "pq_code" -> graft.functions.Vectors.pqCode(asDouble(col(vecCol)),
+        codebooks))
 
   /** PQ top-k with exact rerank: asymmetric-distance (ADC) scan over
     * the codes — per row, m table lookups into the query's
@@ -919,15 +925,15 @@ object Similarity {
   private def rawAdcDist(codebooks: Array[Array[Array[Double]]],
       qArr: Array[Double]): Column = {
     val dsub = codebooks(0)(0).length
-    val luts = codebooks.toIndexedSeq.zipWithIndex.map { case (book, j) =>
-      val qBlock = qArr.slice(j * dsub, (j + 1) * dsub)
-      array(book.toIndexedSeq.map { c =>
-        lit(c.zip(qBlock).map { case (x, y) => (x - y) * (x - y) }.sum)
-      }: _*)
-    }
-    luts.zipWithIndex.map { case (lut, j) =>
-      element_at(lut, element_at(col("pq_code"), j + 1) + 1)
-    }.reduce(_ + _)
+    // same driver-side LUT doubles as before; the per-row m-lookup add
+    // chain is now one fused expression with reduce(_ + _) parity
+    val luts: Array[Array[Double]] =
+      codebooks.zipWithIndex.map { case (book, j) =>
+        val qBlock = qArr.slice(j * dsub, (j + 1) * dsub)
+        book.map(c =>
+          c.zip(qBlock).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }
+    graft.functions.Vectors.adcSum(col("pq_code"), luts)
   }
 
   /** TakeOrdered the `rerank × k` best rows of `adist`, then rank ONLY
@@ -1489,12 +1495,14 @@ object Similarity {
   def rotated(embeddings: DataFrame, r: Array[Array[Double]],
       vecCol: String = "embedding"): DataFrame = {
     val v = asDouble(col(vecCol))
-    val rows = r.toIndexedSeq.map { row =>
-      val rl = array(row.toIndexedSeq.map(lit(_)): _*)
-      aggregate(zip_with(v, rl, (x, w) => x * w), lit(0.0), (a, x) => a + x)
-    }
+    // fused imperative mat-vec (one pass per row) — the HOF
+    // formulation (one aggregate∘zip_with fold per output dim) costs
+    // d² interpreted lambda evals per row; the kernel is bit-identical
+    // (same ascending left fold), so fits/fingerprints/goldens are
+    // unchanged (parity-gated in SimilarityAsOfSpec). NULL embeddings
+    // stay NULL (nullSafeEval), preserving the null-seam contract.
     oncePerRow(embeddings,
-      vecCol -> when(v.isNotNull, array(rows: _*)))
+      vecCol -> graft.functions.Vectors.matVec(v, r))
   }
 
   // ---- residual-encoded IVFADC (the full Jégou §V formulation) --------
@@ -1556,10 +1564,12 @@ object Similarity {
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
       vecCol: String = "embedding"): DataFrame = {
-    val centLit = array(centroids.toIndexedSeq.map(c =>
-      array(c.toIndexedSeq.map(lit(_)): _*)): _*)
-    val resid = zip_with(asDouble(col(vecCol)),
-      element_at(centLit, col("centroid_id") + 1), (x, c) => x - c)
+    // fused residual kernel: x − centroids[centroid_id] in one pass
+    // (was zip_with against an element_at of the full centroid-table
+    // literal — an O(nLists·d) literal plus an interpreted O(d) lambda
+    // per row); identical element order and subtraction
+    val resid = graft.functions.Vectors.subIndexedRow(
+      asDouble(col(vecCol)), col("centroid_id"), centroids)
     pqEncode(oncePerRow(ivfAssign(embeddings, centroids), "__resid" -> resid),
       codebooks, "__resid").drop("__resid")
   }

@@ -696,6 +696,29 @@ class SimilarityAsOfSpec extends AnyFunSuite {
       f"SQ8 $sqErr%.6f must beat every 8-byte encoder at 8x the bytes")
   }
 
+  test("rotated: fused mat-vec is bit-identical to the aggregate∘zip_with formulation") {
+    // the fused kernel replaces d aggregate(zip_with(v, row), 0, +)
+    // folds per row; both are the ascending-index left fold, so every
+    // output double must be BIT-equal — fitted quantizers, index
+    // fingerprints, and the s29 ladder goldens all hang off this
+    val emb = Similarity.l2Normalized(
+      Tables.embeddings(spark, TestSpark.sfDir))
+    val (r, _) = Similarity.opqQuantizers(emb, m = 8, ksub = 16)
+    val v = Similarity.asDouble(col("embedding"))
+    val hofRows = r.toIndexedSeq.map { row =>
+      val rl = array(row.toIndexedSeq.map(lit(_)): _*)
+      aggregate(zip_with(v, rl, (x, w) => x * w), lit(0.0), (a, x) => a + x)
+    }
+    val both = Similarity.rotated(emb, r)
+      .select(col("vec_id"), col("embedding").as("fused"))
+      .join(emb.select(col("vec_id"),
+        when(v.isNotNull, array(hofRows: _*)).as("hof")), Seq("vec_id"))
+    val mismatches = both
+      .filter(not(col("fused") <=> col("hof"))).count()
+    assert(mismatches === 0L,
+      "fused mat-vec diverged from the HOF left-fold on some row")
+  }
+
   test("s31 gate: SQ8 hits = exact ∩ decoded-L2 candidates; half-level reconstruction; full rerank is exact (sf0.1)") {
     // the s19 identity argument, SQ8 form: the rerank leg is exact
     // cosine over the decoded-L2 candidate set, so measured recall
