@@ -311,6 +311,47 @@ object Corpus {
         coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0)).as("rr"))
   }
 
+  /** Quality-quantile curriculum plan (curriculum learning / quality
+    * annealing: order training phases by data quality, e.g. Bengio et
+    * al. ICML'09 easy-first scheduling, or the anneal-on-best-data
+    * regime of modern pretraining): documents split into `phases`
+    * quality quantiles (phase 1 = lowest), each phase reported with its
+    * document count, token budget, quality bounds, and the cumulative
+    * token count through that phase — the schedule table a training
+    * loop consumes.
+    *
+    * Determinism & scale: the per-doc quality is the fused single-pass
+    * [[graft.functions.TextStats]] score rounded to 6 d.p. (the t5
+    * cross-engine form); the quantile assignment is
+    * [[Scale.groupPercentRank]] (the sliced, no-global-sort rank — the
+    * machinery that survives 100 TB, NOT a single-partition ntile) with
+    * doc-id tiebreak, and `phase = min(phases−1, ⌊pct·phases⌋) + 1` is
+    * the same double arithmetic on any engine. The cumulative sum runs
+    * over `phases` rows — exact BIGINTs.
+    */
+  def qualityCurriculum(docs: DataFrame, phases: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phases >= 1, "phases must be positive")
+    val st = docs.select(col(idCol),
+        graft.functions.TextStats.textStats(col(textCol)).as("st"))
+      .select(col(idCol), round(col("st.quality"), 6).as("q"),
+        col("st.token_est").as("tok"))
+      .withColumn("__all", lit(1))
+    val ranked = Scale.groupPercentRank(st, "__all", "q", idCol = idCol,
+      outCol = "pct")
+    val phase = (least(lit((phases - 1).toDouble),
+      floor(col("pct") * phases)).cast("int") + 1).as("phase")
+    ranked.select(phase, col("q"), col("tok"))
+      .groupBy("phase")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("tok")).cast("long").as("n_tokens"),
+        min("q").as("q_min"), max("q").as("q_max"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.orderBy("phase").rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .orderBy("phase")
+  }
+
   /** Per-source corpus report (the Dolma/RefinedWeb-style dataset
     * datasheet row): document and token counts, quality mass from the
     * fused [[graft.functions.TextStats]] pass, low-quality counts and

@@ -266,6 +266,53 @@ object CorpusQueries {
       Corpus.sourceKl(Tables.documents(s, d)).orderBy("source")
     },
 
+    // Quality-quantile curriculum schedule (Corpus.qualityCurriculum):
+    // 4 phases by the t5 quality score (rounded 6 d.p., doc-id
+    // tiebreak), assigned via the SLICED percent rank (the 100 TB
+    // machinery — the oracle's row_number()/count(*) is the semantic
+    // twin, Scale.groupPercentRank the engine shape) with
+    // phase = min(3, ⌊pct·4⌋) + 1 in identical double arithmetic.
+    // Counts/token sums are exact BIGINTs; the cumulative budget runs
+    // over 4 rows.
+    "t54_quality_curriculum" -> QueryDef.sql(
+      s"""WITH base AS (
+        |  SELECT doc_id, length(text) AS len, $sqlWords AS ws,
+        |    len(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{}-]')) AS punct,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+        |       + len(regexp_extract_all(text, '[0-9]'))
+        |       + len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS BIGINT) AS token_est
+        |  FROM documents),
+        |qd AS (
+        |  SELECT doc_id, token_est,
+        |    round((least(len / 500.0, 1.0)
+        |      + least((CASE WHEN len(ws) = 0 THEN 0.0
+        |          ELSE CAST(len(list_filter(ws, x -> list_contains(
+        |            ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'], x))) AS DOUBLE) / len(ws) END) * 4.0, 1.0)
+        |      + CASE WHEN (CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / len END) > 0.3 THEN 0.0
+        |             ELSE 1.0 - (CASE WHEN len = 0 THEN 0.0 ELSE CAST(punct AS DOUBLE) / len END) END
+        |      + CASE WHEN (CASE WHEN len(ws) = 0 THEN 0.0
+        |            ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) END) < 2.0
+        |          OR (CASE WHEN len(ws) = 0 THEN 0.0
+        |            ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) END) > 12.0
+        |          THEN 0.2 ELSE 1.0 END) / 4.0, 6) AS q
+        |  FROM base),
+        |r AS (
+        |  SELECT token_est, q,
+        |    CAST(row_number() OVER (ORDER BY q, doc_id) - 1 AS DOUBLE)
+        |      / CAST(count(*) OVER () - 1 AS DOUBLE) AS pct
+        |  FROM qd),
+        |p AS (SELECT CAST(least(3.0::DOUBLE, floor(pct * 4)) AS INTEGER) + 1
+        |        AS phase, token_est, q FROM r)
+        |SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(token_est) AS BIGINT) AS n_tokens,
+        |  min(q) AS q_min, max(q) AS q_max,
+        |  CAST(sum(sum(token_est)) OVER (ORDER BY phase
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |FROM p GROUP BY phase ORDER BY phase""".stripMargin) { (s, d) =>
+      Corpus.qualityCurriculum(Tables.documents(s, d), phases = 4)
+    },
+
     "t26_source_overlap" -> QueryDef.sql(
       s"""WITH sh AS (
         |  SELECT DISTINCT source AS src, g FROM (

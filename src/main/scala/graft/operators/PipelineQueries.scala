@@ -601,8 +601,11 @@ object PipelineQueries {
     // the DCG sum order-independent-exact and the normalized quotient
     // bit-identical cross-engine (the log2 discount is libm-dependent;
     // see Relevance.retrievalEval). Every other metric is one division
-    // of small integers. This is the gate the whole ANN stack's recall
-    // numbers are judged against.
+    // of small integers. Extends s11 (hits/recall/rr) with the RANKED
+    // metrics a retrieval benchmark actually reports and the map-side
+    // WindowGroupLimit top-k (plan-gated) — the full-pool recall
+    // denominator here vs s11's min(k, pool) is deliberate: both
+    // conventions exist in the literature, and each probe pins one.
     "t53_retrieval_eval" -> QueryDef.sql(
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -349,6 +349,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(m === Map(0L -> "unchanged", 1L -> "changed", 2L -> "changed"))
   }
 
+  test("qualityCurriculum: quantiles partition the corpus, bounds ascend, budget telescopes") {
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sfDir)
+    val n = docs.count()
+    val rows = Corpus.qualityCurriculum(docs, phases = 4).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
+    assert(rows.map(_.getLong(1)).sum === n,
+      "phases must partition the corpus exactly")
+    // quantile sizes differ by at most 1 (percent-rank split of a
+    // total order)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"unbalanced phases: ${sizes.toSeq}")
+    // quality bounds ascend phase over phase (phase 1 = lowest)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(4) <= b.getDouble(3) + 1e-12,
+        s"phase ${a.getInt(0)} q_max ${a.getDouble(4)} above " +
+          s"phase ${b.getInt(0)} q_min ${b.getDouble(3)}")
+    }
+    // cumulative budget telescopes to the total token count
+    assert(rows.last.getLong(5) === rows.map(_.getLong(2)).sum)
+  }
+
   test("snapshotDiff against an empty snapshot: all added / all removed") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
