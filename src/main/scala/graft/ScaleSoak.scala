@@ -66,7 +66,11 @@ object ScaleSoak {
     // r12: the media delta leg — mm7's caveat applies (Stub-codec
     // hashes collide across copies, output grows superlinearly); the
     // claim is time exponent ≤ output exponent, like mm6/mm7
-    "mm8_phash_delta")
+    "mm8_phash_delta",
+    // r13: the SQ8 codec scan — one linear pass over the d-byte code
+    // column + TakeOrdered, the s19 shape with per-row decode instead
+    // of LUT lookups; expected exponent ≈ s19/s20's (scan-dominated)
+    "s31_sq8_topk")
 
   /** Frozen quantizers for [[s20_indexed_read]]: fit ONCE per source
     * corpus (the freeze-and-append operational model — nLists and
