@@ -73,8 +73,12 @@ case class MatVecExpr(child: Expression, r: Array[Array[Double]])
 
   override def prettyName: String = "mat_vec"
 
+  // a null-bearing array yields NULL even under a non-nullable child
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
-    val x = input.asInstanceOf[ArrayData].toDoubleArray()
+    val x = VectorKernels.doublesOrNull(input.asInstanceOf[ArrayData])
+    if (x == null) return null
     val n = r.length
     val out = new Array[Double](n)
     var j = 0
@@ -103,9 +107,13 @@ case class NearestCentroidExpr(child: Expression,
 
   override def prettyName: String = "nearest_centroid"
 
+  // a null-bearing array yields NULL even under a non-nullable child
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
-    val x = input.asInstanceOf[ArrayData].toDoubleArray()
-    VectorKernels.argminL2(x, 0, x.length, centroids)
+    val x = VectorKernels.doublesOrNull(input.asInstanceOf[ArrayData])
+    if (x == null) null
+    else VectorKernels.argminL2(x, 0, x.length, centroids)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -120,8 +128,12 @@ case class PqEncodeExpr(child: Expression,
 
   override def prettyName: String = "pq_encode"
 
+  // a null-bearing array yields NULL even under a non-nullable child
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
-    val x = input.asInstanceOf[ArrayData].toDoubleArray()
+    val x = VectorKernels.doublesOrNull(input.asInstanceOf[ArrayData])
+    if (x == null) return null
     val m = codebooks.length
     val out = new Array[Int](m)
     var j = 0
@@ -147,8 +159,16 @@ case class AdcSumExpr(child: Expression, luts: Array[Array[Double]])
 
   override def prettyName: String = "adc_sum"
 
+  // a null-bearing array yields NULL even under a non-nullable child
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val code = input.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < luts.length) { // null code element -> null adist (old
+      if (code.isNullAt(i)) return null // element_at-chain semantics)
+      i += 1
+    }
     // reduce(_ + _) parity: seed from block 0, left-add the rest
     var s = luts(0)(code.getInt(0))
     var j = 1
@@ -169,8 +189,12 @@ case class SubIndexedRowExpr(left: Expression, right: Expression,
 
   override def prettyName: String = "sub_indexed_row"
 
+  // a null-bearing array yields NULL even under a non-nullable child
+  override def nullable: Boolean = true
+
   override def nullSafeEval(v: Any, i: Any): Any = {
-    val x = v.asInstanceOf[ArrayData].toDoubleArray()
+    val x = VectorKernels.doublesOrNull(v.asInstanceOf[ArrayData])
+    if (x == null) return null
     val row = table(i.asInstanceOf[Int])
     require(x.length == row.length,
       s"sub_indexed_row: vector length ${x.length} != row length ${row.length}")
@@ -189,6 +213,20 @@ case class SubIndexedRowExpr(left: Expression, right: Expression,
   * tie rule).
   */
 private[functions] object VectorKernels {
+
+  /** NULL-element seam: `ArrayData.toDoubleArray`/`getInt` silently
+    * read a null element as 0, which would score garbage where the
+    * replaced HOF formulations propagated NULL (null zip product →
+    * null fold → null distance/code → the row never claims a top-k
+    * slot). A null-bearing array makes the whole kernel result NULL
+    * instead — same downstream effect, one O(d) check.
+    */
+  def doublesOrNull(a: ArrayData): Array[Double] = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    a.toDoubleArray()
+  }
 
   /** First index of the minimal `Σ_i (x[off+i] − c[i])²` over the
     * centroid table (ascending scan, strict <) — bit-equal to

@@ -158,7 +158,9 @@ object IndexCache {
     * original path, which could yank files from under a JVM that
     * resolved the path before the marker vanished and is still scanning.
     * The corrupt directory stays inert — no `_SUCCESS` means it is never
-    * served — so repeated corruption costs a rebuild per call, never a
+    * served — and later calls REDISCOVER the promoted generation (the
+    * lexicographically-first completed `__r` dir, so every JVM
+    * converges), paying one rebuild per corruption event, never a
     * wrong or truncated read. Callers must treat the RETURNED path as
     * the index location (it is not always the deterministic base path).
     */
@@ -167,8 +169,20 @@ object IndexCache {
     val idxDir = s"/tmp/graft_idxcache_${kind}_${fitFp}_" +
       s"${dataFingerprint(dir)}_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     def ok(p: String) = new java.io.File(p, "_SUCCESS").exists()
+    // a corrupt base is never repaired in place, so later calls must
+    // REDISCOVER the promoted generation — otherwise one corruption
+    // event would cost a full rebuild (and leak a fresh __r dir) per
+    // call forever; lexicographically-first completed generation wins
+    // so every JVM converges on the same directory
+    def repairGen(): Option[String] = {
+      val base = new java.io.File(idxDir)
+      Option(base.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(base.getName + "__r") &&
+          ok(f.getPath))
+        .sortBy(_.getName).headOption.map(_.getPath)
+    }
     if (ok(idxDir)) idxDir
-    else {
+    else repairGen().getOrElse {
       val tmp = new java.io.File(
         idxDir + "_build_" + java.util.UUID.randomUUID().toString)
       val served: String =
@@ -178,10 +192,14 @@ object IndexCache {
           else {
             // rename failed AND no _SUCCESS: a corrupt leftover occupies
             // the base path. Never mutate it in place — promote our
-            // complete copy under a fresh generation name instead.
-            val repair =
-              idxDir + "__r" + java.util.UUID.randomUUID().toString
-            if (tmp.renameTo(new java.io.File(repair))) repair else idxDir
+            // complete copy under a fresh generation name instead
+            // (unless a racing JVM completed one in the meantime — serve
+            // the convergent winner and discard ours).
+            repairGen().getOrElse {
+              val repair =
+                idxDir + "__r" + java.util.UUID.randomUUID().toString
+              if (tmp.renameTo(new java.io.File(repair))) repair else idxDir
+            }
           }
         } finally deleteRecursively(tmp) // no-op after a successful rename
       // never serve a directory we cannot prove complete — fail loudly

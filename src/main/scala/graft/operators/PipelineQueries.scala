@@ -634,7 +634,8 @@ object PipelineQueries {
         |  FROM ranked GROUP BY qid, n_rel)
         |SELECT qid, n_rel, hits,
         |  CAST(hits AS DOUBLE) / 10 AS precision_k,
-        |  CAST(hits AS DOUBLE) / n_rel AS recall_k,
+        |  CASE WHEN n_rel = 0 THEN 0.0::DOUBLE
+        |       ELSE CAST(hits AS DOUBLE) / n_rel END AS recall_k,
         |  mrr,
         |  CASE WHEN n_rel = 0 THEN 0.0::DOUBLE ELSE
         |    dcg / (2.0::DOUBLE - 1.0::DOUBLE /

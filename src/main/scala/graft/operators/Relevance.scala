@@ -178,7 +178,12 @@ object Relevance {
       s"queryVecId $queryVecId matched ${qRows.length} embedding rows — " +
         "an absent vector would silently degrade to a pure-BM25 ranking " +
         "and a duplicate would double every candidate")
-    val qv = typedLit(qRows.head.getSeq[Double](0).toIndexedSeq)
+    val qvSeq = qRows.head.getSeq[Double](0)
+    require(qvSeq != null,
+      s"queryVecId $queryVecId has a NULL embedding — the semantic leg " +
+        "would rank nothing and the fusion would silently degrade to " +
+        "pure BM25")
+    val qv = typedLit(qvSeq.toIndexedSeq)
     val semTop = embeddings.filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id").as(idCol),
         round(Similarity.cosine(Similarity.asDouble(col("embedding")),
@@ -286,7 +291,10 @@ object Relevance {
         sum(col("rel") * w).as("dcg"))
       .select(col("qid"), col("n_rel"), col("hits"),
         (col("hits").cast("double") / lit(k)).as("precision_k"),
-        (col("hits").cast("double") / col("n_rel")).as("recall_k"),
+        // n_rel = 0 (a query whose label is unique): recall is 0 by
+        // convention, and the unguarded 0/0 would THROW under ANSI
+        when(col("n_rel") === 0, lit(0.0)).otherwise(
+          col("hits").cast("double") / col("n_rel")).as("recall_k"),
         col("mrr"),
         when(col("n_rel") === 0, lit(0.0)).otherwise(col("dcg") /
           (lit(2.0) - lit(1.0) / expr(

@@ -1022,9 +1022,13 @@ object Similarity {
       if (maxs(i) > mins(i)) 255.0 / (maxs(i) - mins(i)) else 0.0)
     val scaleLit = array(scales.map(lit(_)): _*)
     val v = asDouble(col(vecCol))
+    // clamp in DOUBLE space BEFORE the int cast: a far-out-of-range
+    // value against nearly-collapsed sampled bounds (scale ~ 1e11)
+    // would overflow the ANSI int cast if clamped after; NaN components
+    // clamp to the top level (Spark's least/greatest order NaN last)
     val code = transform(v, (x, i) =>
       least(greatest(round((x - element_at(minsLit, i + 1)) *
-        element_at(scaleLit, i + 1)).cast("int"), lit(0)), lit(255)))
+        element_at(scaleLit, i + 1)), lit(0.0)), lit(255.0)).cast("int"))
     oncePerRow(embeddings, "sq_code" -> code)
   }
 

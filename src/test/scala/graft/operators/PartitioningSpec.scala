@@ -511,6 +511,12 @@ class PartitioningSpec extends AnyFunSuite {
     assert(new java.io.File(first, "reader-held").exists() &&
       new java.io.File(first, "part-00000").exists(),
       "corrupt base directory must remain untouched for in-flight readers")
+    // later calls REDISCOVER the promoted generation: same path back,
+    // no rebuild, no fresh __r directory per call
+    val again = IndexCache.persistedIndex(kind, src, "fp") { _ =>
+      fail("a completed repair generation exists — must not rebuild")
+    }
+    assert(again === repaired)
   }
 
   test("persisted Jaccard postings index: parquet round-trip probes bit-identically") {
