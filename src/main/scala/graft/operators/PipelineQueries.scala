@@ -1265,6 +1265,19 @@ object PipelineQueries {
       Similarity.sqTopK(emb, queryId = 0L, k = 20, mins, maxs, rerank = 4)
     },
 
+    // Matryoshka truncated-dimension retrieval (MRL, Kusupati et al.
+    // NeurIPS'22): cheap cosine over the first 16 of 64 dims, exact
+    // full-dim rerank — the adaptive-retrieval read path (prefix bytes
+    // only in the first pass). Golden: the SimilarityAsOfSpec s32
+    // gates pin the prefix-candidate coverage identity against a
+    // driver-side recompute, the dPrefix = dim ∧ rerank·k ≥ N exact
+    // degeneracy, and the measured recall floor.
+    "s32_matryoshka_topk" -> QueryDef.noOracle { (s, d) =>
+      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
+      Similarity.matryoshkaTopK(emb, queryId = 0L, k = 20, dPrefix = 16,
+        rerank = 4)
+    },
+
     // IVF drift monitor — per-list occupancy + mean squared distance
     // against a data-defined frozen quantizer (centroids = the 16
     // lowest-id embeddings, so the oracle can join them relationally).

@@ -1068,6 +1068,44 @@ object Similarity {
       .filter(col("vec_id") =!= queryId), adist, qArr, k, rerank)
   }
 
+  /** Matryoshka truncated-dimension retrieval (MRL — Kusupati et al.,
+    * NeurIPS 2022): rank by cosine over the FIRST `dPrefix` dimensions
+    * only, then exact full-dimension cosine rerank of the
+    * `rerank × k` survivors — the adaptive-retrieval shape where the
+    * cheap pass reads a prefix slice (dPrefix/d of the vector bytes;
+    * with a column layout or a separate prefix column, dPrefix/d of
+    * the IO) and the expensive pass touches `rerank × k` rows.
+    * Prefix cosines round to 6 d.p. with id tiebreak before the cut
+    * (the s1 discipline — also what makes the spec's driver-side
+    * candidate recompute exact). Degeneracy: `dPrefix = dim` makes the
+    * prefix ranking the exact ranking, so any `rerank ≥ 1` returns the
+    * exact top-k. On MRL-trained embeddings the prefix carries most of
+    * the signal; on generic embeddings recall is whatever the
+    * coverage identity measures — the machinery is the contract, the
+    * trained-embedding recall is the model's property, not the
+    * engine's.
+    */
+  def matryoshkaTopK(embeddings: DataFrame, queryId: Long, k: Int,
+      dPrefix: Int, rerank: Int = 4): DataFrame = {
+    require(k >= 1 && rerank >= 1 && dPrefix >= 1,
+      "k, rerank and dPrefix must be at least 1")
+    val qRows = embeddings.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv")).limit(1).collect()
+    if (qRows.isEmpty)
+      return embeddings.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val qArr = qRows(0).getSeq[Double](0).toArray
+    require(dPrefix <= qArr.length,
+      s"dPrefix $dPrefix exceeds embedding dimension ${qArr.length}")
+    val qPrefix = qArr.take(dPrefix)
+    val qpLit = array(qPrefix.toIndexedSeq.map(lit(_)): _*)
+    val vPrefix = slice(asDouble(col("embedding")), 1, dPrefix)
+    // ascending "distance" for the shared rerank tail: negated rounded
+    // prefix cosine (ties on the id, like every cut here)
+    val adist = -round(cosine(vPrefix, qpLit), 6)
+    adcRerankTail(embeddings.filter(col("vec_id") =!= queryId),
+      adist, qArr, k, rerank)
+  }
+
   /** IVFADC (Jégou, Douze & Schmid, TPAMI 2011 §V — faiss's default at
     * billion scale): [[topKCosineIVF]]'s coarse-quantizer prune COMPOSED
     * with [[pqTopK]]'s ADC code scan. The query ranks its `nProbe`

@@ -789,6 +789,63 @@ class SimilarityAsOfSpec extends AnyFunSuite {
       "rerank*k >= N must reproduce the exact scan bit-for-bit")
   }
 
+  test("s32 gate: matryoshka hits = exact ∩ prefix-cosine candidates; dPrefix = dim is exact (sf0.1)") {
+    // the s19/s31 identity argument, prefix-cosine form: the rerank leg
+    // is exact full-dim cosine over the prefix candidate set, so
+    // measured recall EQUALS candidate coverage — and the candidates
+    // are recomputed DRIVER-SIDE with the same fold order, try_divide
+    // totalization, HALF_UP 6-d.p. round, and −0.0-normalized sort key.
+    val emb = Similarity.l2Normalized(
+      Tables.embeddings(spark, "/root/testdata/sf0.1"))
+    val k = 20
+    val rerank = 4
+    val p = 16
+    val vecs = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def prefixCos(a: Array[Double], q: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nq = 0.0; var i = 0
+      while (i < p) { d += a(i) * q(i); na += a(i) * a(i); nq += q(i) * q(i); i += 1 }
+      val denom = math.sqrt(na) * math.sqrt(nq)
+      val raw = if (denom == 0.0) 0.0 else d / denom
+      val safe = if (raw.isNaN) 0.0 else raw
+      java.math.BigDecimal.valueOf(safe)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    var predictedHits = 0
+    var measuredHits = 0
+    Seq(0L, 400L, 800L, 1200L, 1600L).foreach { qid =>
+      val q = vecs(qid)
+      val cands = vecs.iterator.collect { case (id, v) if id != qid =>
+        id -> prefixCos(v, q)
+      }.toSeq.sortBy { case (id, c) => (-c + 0.0, id) }.take(rerank * k)
+        .map(_._1).toSet
+      val exact = Similarity.topKCosine(emb, qid, k).collect().map(_.getLong(0))
+      val got = Similarity.matryoshkaTopK(emb, qid, k, p, rerank)
+        .collect().map(_.getLong(0)).toSet
+      predictedHits += exact.count(cands)
+      measuredHits += exact.count(got)
+    }
+    assert(measuredHits === predictedHits,
+      s"matryoshka hits $measuredHits != prefix candidate coverage $predictedHits")
+    val recall = measuredHits.toDouble / (5 * k)
+    info(f"matryoshka p=16/64 rerank=4 recall $recall%.3f")
+    // these embeddings are NOT MRL-trained — the prefix carries 1/4 of
+    // generic dimensions, so only a usable-share floor is claimed (the
+    // s3/s4 convention; measured 0.32 here — the identity above, not
+    // this number, is the engine's contract)
+    assert(recall >= 0.3, s"matryoshka recall $recall degenerate for p=16")
+    // dPrefix = dim: the prefix ranking IS the exact ranking, so any
+    // rerank returns the exact top-k bit-for-bit
+    val dim = vecs(0L).length
+    val exactPairs = Similarity.topKCosine(emb, 0L, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.matryoshkaTopK(emb, 0L, k, dim, rerank = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exactPairs,
+      "dPrefix = dim must reproduce the exact scan bit-for-bit")
+  }
+
   test("null and zero embeddings never claim ADC top-k slots") {
     import spark.implicits._
     // id 2 is NULL (null code → null adist; ASC sorts nulls FIRST, so
