@@ -87,7 +87,7 @@ object StreamingQueries {
     * within one (key, issued_at) collapse to max(value) so the winning
     * revision is unique. Mirrored 1:1 by the oracle's `rev` CTE.
     */
-  private def revisionFeed(ev: DataFrame): DataFrame =
+  private[streaming] def revisionFeed(ev: DataFrame): DataFrame =
     ev.groupBy(
         (col("user_id") % 3).cast("double").as("latitude"),
         lit(10.0).as("longitude"),
@@ -108,7 +108,7 @@ object StreamingQueries {
   private val RevEnc = org.apache.spark.sql.Encoders.product[WeatherStreams.Revision]
   private val ObsEnc = org.apache.spark.sql.Encoders.product[WeatherStreams.Observation]
 
-  private def revisionStream(s: SparkSession, dropDir: String) =
+  private[streaming] def revisionStream(s: SparkSession, dropDir: String) =
     s.readStream.schema(RevEnc.schema).option("timestampFormat", TsFmt)
       .json(dropDir).as[WeatherStreams.Revision](RevEnc)
 

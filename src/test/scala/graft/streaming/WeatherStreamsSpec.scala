@@ -19,6 +19,51 @@ class WeatherStreamsSpec extends AnyFunSuite {
   private def rev(issued: String, valid: String, temp: Double): Revision =
     Revision(50.0, 14.0, ts(valid), ts(issued), temp, 0.0)
 
+  test("streaming replay anatomy: the st2-shaped AvailableNow run is few batches, lifecycle-dominated") {
+    // evidence for the bench ledger's "streaming probes are
+    // checkpoint/replay-structural" claim: run the exact st2 shape
+    // (json feeds -> stream-stream interval join -> memory sink) once
+    // and read the per-batch duration breakdown off the progress
+    // events. Also a regression gate: an accidental per-file batching
+    // (maxFilesPerTrigger) would multiply every st-probe's bench cost.
+    import org.apache.spark.sql.streaming.Trigger
+    val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val ev = graft.Tables.events(spark, TestSpark.sfDir)
+    val fDir = TestSpark.tempDir("graft_anat_f")
+    StreamingQueries.revisionFeed(ev).repartition(4).write
+      .mode("overwrite").option("timestampFormat", TsFmt).json(fDir)
+    val oDir = TestSpark.tempDir("graft_anat_o")
+    ev.groupBy((col("user_id") % 3).cast("double").as("latitude"),
+        lit(10.0).as("longitude"),
+        (date_trunc("hour", col("ts")) +
+          expr("INTERVAL 30 MINUTES")).as("obs_ts"))
+      .agg(max("value").as("observed_temp"))
+      .repartition(2).write.mode("overwrite")
+      .option("timestampFormat", TsFmt).json(oDir)
+    val obsEnc =
+      org.apache.spark.sql.Encoders.product[WeatherStreams.Observation]
+    val ck = TestSpark.tempDir("graft_anat_ck")
+    val obsStream = spark.readStream.schema(obsEnc.schema)
+      .option("timestampFormat", TsFmt).json(oDir)
+      .as[WeatherStreams.Observation](obsEnc)
+    val q = WeatherStreams.forecastVsObserved(
+        StreamingQueries.revisionStream(spark, fDir), obsStream)
+      .writeStream.format("memory").queryName("anat_sink")
+      .outputMode("append").option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val prog = q.recentProgress
+    info(s"batches: ${prog.length}")
+    prog.foreach { p =>
+      info(s"batch ${p.batchId}: rows=${p.numInputRows} " +
+        s"durations=${p.durationMs}")
+    }
+    assert(prog.length <= 6,
+      s"AvailableNow replay ran ${prog.length} micro-batches — the " +
+        "st-probe bench cost model assumes a handful")
+    assert(spark.table("anat_sink").count() > 0)
+  }
+
   test("stream-stream interval join pairs observations with their valid-hour forecast") {
     import spark.implicits._
     import WeatherStreams.Observation
