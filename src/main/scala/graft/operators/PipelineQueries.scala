@@ -1265,6 +1265,57 @@ object PipelineQueries {
       Similarity.sqTopK(emb, queryId = 0L, k = 20, mins, maxs, rerank = 4)
     },
 
+    // SQ8 with DATA-DEFINED bounds — the rare ANN probe with real SQL
+    // ground truth (the s22 data-defined-quantizer trick, codec form):
+    // exact per-dim min/max are relational, the floor(u+0.5) level is
+    // the same double op on both engines, decode is literal affine
+    // arithmetic, the decoded-L2 ranks on its 6-d.p. round (id ties),
+    // and the exact rerank is the s1 cosine discipline — so DuckDB
+    // reproduces bounds → codes → ADC rank → rerank END TO END and the
+    // hash gate covers the entire codec path, not a golden proxy.
+    "s33_sq8_exact_topk" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |b AS (
+        |  SELECT i, min(v[i+1]) AS mn, max(v[i+1]) AS mx
+        |  FROM e, (SELECT unnest(range((SELECT max(len(v)) FROM e))) AS i)
+        |  GROUP BY i),
+        |bm AS (SELECT
+        |    list(mn ORDER BY i) AS mins,
+        |    list(CASE WHEN mx > mn THEN 255.0 / (mx - mn)
+        |              ELSE 0.0 END ORDER BY i) AS scales,
+        |    list(CASE WHEN mx > mn THEN (mx - mn) / 255.0
+        |              ELSE 0.0 END ORDER BY i) AS steps
+        |  FROM b),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |c AS (
+        |  SELECT e.vec_id, e.v,
+        |    list_transform(range(len(e.v)), i ->
+        |      CAST(least(greatest(floor(
+        |        (e.v[i+1] - bm.mins[i+1]) * bm.scales[i+1] + 0.5),
+        |        0.0), 255.0) AS INTEGER)) AS code
+        |  FROM e, bm WHERE e.vec_id <> 0),
+        |a AS (
+        |  SELECT c.vec_id, c.v,
+        |    round(list_sum(list_transform(range(len(c.code)), i ->
+        |      (bm.mins[i+1] + c.code[i+1] * bm.steps[i+1] - q.qv[i+1])
+        |      * (bm.mins[i+1] + c.code[i+1] * bm.steps[i+1] - q.qv[i+1]))),
+        |      6) AS adist
+        |  FROM c, bm, q),
+        |cand AS (SELECT vec_id, v FROM a
+        |         QUALIFY row_number() OVER (ORDER BY adist, vec_id) <= 80)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 6)
+        |    + 0.0::DOUBLE AS sim
+        |FROM cand ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (mins, maxs) = Similarity.sqBoundsExact(emb)
+      Similarity.sqTopK(emb, queryId = 0L, k = 20, mins, maxs, rerank = 4,
+          roundAdistTo = 6)
+        .select(col("vec_id"), (col("sim") + lit(0.0)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    },
+
     // Matryoshka truncated-dimension retrieval (MRL, Kusupati et al.
     // NeurIPS'22): cheap cosine over the first 16 of 64 dims, exact
     // full-dim rerank — the adaptive-retrieval read path (prefix bytes

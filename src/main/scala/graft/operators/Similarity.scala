@@ -856,11 +856,15 @@ object Similarity {
     * invalidates them even though the fit is identical — without it a
     * stale index's pq_codes would score against freshly-derived LUTs.
     */
-  val EncoderVersion: Int = 2 // v2: fused PqEncodeExpr — codes are
+  val EncoderVersion: Int = 3 // v2: fused PqEncodeExpr — codes are
   // bit-identical for non-null vectors, but a NULL embedding now
   // persists a NULL pq_code (nullSafeEval) where the HOF formulation
   // wrote an array of NULL elements; consumers treat both as
-  // non-candidates, caches must still not mix the representations
+  // non-candidates, caches must still not mix the representations.
+  // v3: sqEncode levels moved from round() to the engine-portable
+  // floor(u + 0.5) — identical except where the float addition u + 0.5
+  // crosses an integer that decimal HALF_UP would not (adversarial
+  // boundary doubles), so persisted sq codes could differ.
 
   /** Rows plus their PQ code (`pq_code`, array<int> of length m): per
     * block, the [[nearestCentroid]] argmin over that block's codebook —
@@ -1004,6 +1008,26 @@ object Similarity {
     (mins, maxs)
   }
 
+  /** EXACT per-dimension bounds — the data-defined quantizer (true
+    * corpus min/max per dim, one posexplode aggregate, d×2 doubles
+    * collected): unlike the sample-trained [[sqBounds]] this is fully
+    * RELATIONAL, so a SQL oracle derives the identical bounds from the
+    * same table and the whole SQ8 path gets real ground truth (the
+    * s22 data-defined-quantizer trick, codec form). At 100 TB the
+    * aggregate is one map-combinable pass — affordable, unlike a
+    * KMeans fit — so exact bounds are a legitimate production choice,
+    * not just an oracle device.
+    */
+  def sqBoundsExact(embeddings: DataFrame,
+      vecCol: String = "embedding"): (Array[Double], Array[Double]) = {
+    val rows = embeddings.filter(col(vecCol).isNotNull)
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").collect()
+    require(rows.nonEmpty, "sqBoundsExact: no vectors")
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
   /** Rows plus their 8-bit scalar-quantization code (`sq_code`,
     * array<int>, one 0–255 level per dimension): the OTHER standard
     * faiss codec beside PQ — d bytes a vector instead of m, trading 8×
@@ -1022,13 +1046,19 @@ object Similarity {
       if (maxs(i) > mins(i)) 255.0 / (maxs(i) - mins(i)) else 0.0)
     val scaleLit = array(scales.map(lit(_)): _*)
     val v = asDouble(col(vecCol))
-    // clamp in DOUBLE space BEFORE the int cast: a far-out-of-range
-    // value against nearly-collapsed sampled bounds (scale ~ 1e11)
-    // would overflow the ANSI int cast if clamped after; NaN components
-    // clamp to the top level (Spark's least/greatest order NaN last)
+    // level = floor(u + 0.5): round-half-up in float-addition semantics,
+    // the ENGINE-PORTABLE form — floor of an identical double is the
+    // same everywhere, whereas round() is HALF_UP on Spark and
+    // half-even/away elsewhere, so this is what lets the s33 oracle
+    // reproduce codes bit-exactly in SQL. Clamp in DOUBLE space BEFORE
+    // the int cast: a far-out-of-range value against nearly-collapsed
+    // sampled bounds (scale ~ 1e11) would overflow the ANSI int cast if
+    // clamped after; NaN components clamp to the top level (least/
+    // greatest order NaN last on both engines).
     val code = transform(v, (x, i) =>
-      least(greatest(round((x - element_at(minsLit, i + 1)) *
-        element_at(scaleLit, i + 1)), lit(0.0)), lit(255.0)).cast("int"))
+      least(greatest(floor((x - element_at(minsLit, i + 1)) *
+        element_at(scaleLit, i + 1) + lit(0.5)), lit(0.0)), lit(255.0))
+        .cast("int"))
     oncePerRow(embeddings, "sq_code" -> code)
   }
 
@@ -1053,7 +1083,8 @@ object Similarity {
     * exact scan.
     */
   def sqTopK(embeddings: DataFrame, queryId: Long, k: Int,
-      mins: Array[Double], maxs: Array[Double], rerank: Int = 4): DataFrame = {
+      mins: Array[Double], maxs: Array[Double], rerank: Int = 4,
+      roundAdistTo: Int = -1): DataFrame = {
     require(k >= 1 && rerank >= 1, "k and rerank must be at least 1")
     val qRows = embeddings.filter(col("vec_id") === queryId)
       .select(asDouble(col("embedding")).as("qv")).limit(1).collect()
@@ -1062,8 +1093,15 @@ object Similarity {
     val qArr = qRows(0).getSeq[Double](0).toArray
     val qLit = array(qArr.toIndexedSeq.map(lit(_)): _*)
     val dec = sqDecoded(mins, maxs)
-    val adist = aggregate(zip_with(dec, qLit, (a, b) => (a - b) * (a - b)),
+    val rawAdist = aggregate(zip_with(dec, qLit, (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
+    // roundAdistTo >= 0: the oracle-checked form — ranking on the
+    // 6-d.p.-rounded decoded L2 (ties to the id) absorbs summation-
+    // order ulps, so a SQL twin's unordered per-dim sum ranks
+    // identically (the s22 discipline); the golden probes keep the
+    // raw fold
+    val adist = if (roundAdistTo >= 0) round(rawAdist, roundAdistTo)
+                else rawAdist
     adcRerankTail(sqEncode(embeddings, mins, maxs)
       .filter(col("vec_id") =!= queryId), adist, qArr, k, rerank)
   }
