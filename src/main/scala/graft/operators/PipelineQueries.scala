@@ -1329,6 +1329,32 @@ object PipelineQueries {
         rerank = 4)
     },
 
+    // ORACLE-checked matryoshka (s32's raw-embedding twin): prefix
+    // cosine is pure SQL (list slice + list_cosine_similarity, 6 d.p.,
+    // id ties), the cut is a row_number window, the rerank is the s1
+    // discipline — prefix ranking is scale-invariant, so the raw form
+    // covers the same read path the normalized golden probe serves.
+    "s34_matryoshka_exact" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT vec_id, v FROM (
+        |    SELECT e.vec_id, e.v,
+        |      round(list_cosine_similarity(e.v[1:16], q.qv[1:16]), 6)
+        |        + 0.0::DOUBLE AS psim
+        |    FROM e, q WHERE e.vec_id <> 0)
+        |  QUALIFY row_number() OVER (ORDER BY psim DESC, vec_id) <= 80)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 6)
+        |    + 0.0::DOUBLE AS sim
+        |FROM cand ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      Similarity.matryoshkaTopK(Tables.embeddings(s, d), queryId = 0L,
+          k = 20, dPrefix = 16, rerank = 4)
+        .select(col("vec_id"), (col("sim") + lit(0.0)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    },
+
     // IVF drift monitor — per-list occupancy + mean squared distance
     // against a data-defined frozen quantizer (centroids = the 16
     // lowest-id embeddings, so the oracle can join them relationally).

@@ -1138,8 +1138,10 @@ object Similarity {
     val qpLit = array(qPrefix.toIndexedSeq.map(lit(_)): _*)
     val vPrefix = slice(asDouble(col("embedding")), 1, dPrefix)
     // ascending "distance" for the shared rerank tail: negated rounded
-    // prefix cosine (ties on the id, like every cut here)
-    val adist = -round(cosine(vPrefix, qpLit), 6)
+    // prefix cosine (ties on the id, like every cut here). The +0.0
+    // normalizes a −0.0 round result before negation so a SQL twin
+    // ranking `psim DESC` sees the identical key (the t24 lesson).
+    val adist = -(round(cosine(vPrefix, qpLit), 6) + lit(0.0))
     adcRerankTail(embeddings.filter(col("vec_id") =!= queryId),
       adist, qArr, k, rerank)
   }
