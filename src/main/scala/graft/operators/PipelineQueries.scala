@@ -1273,6 +1273,12 @@ object PipelineQueries {
     // and the exact rerank is the s1 cosine discipline — so DuckDB
     // reproduces bounds → codes → ADC rank → rerank END TO END and the
     // hash gate covers the entire codec path, not a golden proxy.
+    // NOTE the deliberate deviation from sqTopK's "pass l2Normalized
+    // inputs" guidance: cross-engine normalization is NOT
+    // bit-reproducible (the norm is an unrounded fold), so the oracle
+    // form runs on RAW vectors — the candidate cut is norm-biased
+    // relative to the cosine rerank, which the oracle mirrors exactly;
+    // the metric-matched production path stays s31's golden probe.
     "s33_sq8_exact_topk" -> QueryDef.sql(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
@@ -1282,18 +1288,18 @@ object PipelineQueries {
         |  GROUP BY i),
         |bm AS (SELECT
         |    list(mn ORDER BY i) AS mins,
-        |    list(CASE WHEN mx > mn THEN 255.0 / (mx - mn)
-        |              ELSE 0.0 END ORDER BY i) AS scales,
-        |    list(CASE WHEN mx > mn THEN (mx - mn) / 255.0
-        |              ELSE 0.0 END ORDER BY i) AS steps
+        |    list(CASE WHEN mx > mn THEN 255.0::DOUBLE / (mx - mn)
+        |              ELSE 0.0::DOUBLE END ORDER BY i) AS scales,
+        |    list(CASE WHEN mx > mn THEN (mx - mn) / 255.0::DOUBLE
+        |              ELSE 0.0::DOUBLE END ORDER BY i) AS steps
         |  FROM b),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         |c AS (
         |  SELECT e.vec_id, e.v,
         |    list_transform(range(len(e.v)), i ->
         |      CAST(least(greatest(floor(
-        |        (e.v[i+1] - bm.mins[i+1]) * bm.scales[i+1] + 0.5),
-        |        0.0), 255.0) AS INTEGER)) AS code
+        |        (e.v[i+1] - bm.mins[i+1]) * bm.scales[i+1] + 0.5::DOUBLE),
+        |        0.0::DOUBLE), 255.0::DOUBLE) AS INTEGER)) AS code
         |  FROM e, bm WHERE e.vec_id <> 0),
         |a AS (
         |  SELECT c.vec_id, c.v,
@@ -1340,9 +1346,16 @@ object PipelineQueries {
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         |cand AS (
         |  SELECT vec_id, v FROM (
+        |    -- zero-norm prefix guard: the engine's cosine totalizes
+        |    -- degenerate inputs to 0.0 while list_cosine_similarity
+        |    -- returns -1.0 for a zero vector; sums of squares compare
+        |    -- to 0 EXACTLY so the guard is ulp-safe
         |    SELECT e.vec_id, e.v,
-        |      round(list_cosine_similarity(e.v[1:16], q.qv[1:16]), 6)
-        |        + 0.0::DOUBLE AS psim
+        |      CASE WHEN list_sum(list_transform(e.v[1:16], x -> x * x)) = 0
+        |             OR list_sum(list_transform(q.qv[1:16], x -> x * x)) = 0
+        |           THEN 0.0::DOUBLE
+        |           ELSE round(list_cosine_similarity(e.v[1:16], q.qv[1:16]), 6)
+        |             + 0.0::DOUBLE END AS psim
         |    FROM e, q WHERE e.vec_id <> 0)
         |  QUALIFY row_number() OVER (ORDER BY psim DESC, vec_id) <= 80)
         |SELECT vec_id,

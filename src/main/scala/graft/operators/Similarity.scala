@@ -1053,12 +1053,18 @@ object Similarity {
     // reproduce codes bit-exactly in SQL. Clamp in DOUBLE space BEFORE
     // the int cast: a far-out-of-range value against nearly-collapsed
     // sampled bounds (scale ~ 1e11) would overflow the ANSI int cast if
-    // clamped after; NaN components clamp to the top level (least/
-    // greatest order NaN last on both engines).
-    val code = transform(v, (x, i) =>
-      least(greatest(floor((x - element_at(minsLit, i + 1)) *
-        element_at(scaleLit, i + 1) + lit(0.5)), lit(0.0)), lit(255.0))
-        .cast("int"))
+    // clamped after. NaN needs its own branch: Spark's floor is
+    // integral-typed and maps NaN to 0 (it never reaches the clamp),
+    // while DuckDB's floor keeps NaN and clamps to 255 — pin the top
+    // level explicitly on the engine side so both agree (and v2's
+    // round() semantics are preserved).
+    val code = transform(v, (x, i) => {
+      val u = (x - element_at(minsLit, i + 1)) *
+        element_at(scaleLit, i + 1) + lit(0.5)
+      when(isnan(u), lit(255.0))
+        .otherwise(least(greatest(floor(u), lit(0.0)), lit(255.0)))
+        .cast("int")
+    })
     oncePerRow(embeddings, "sq_code" -> code)
   }
 
@@ -1079,8 +1085,10 @@ object Similarity {
     * code column, not the float vectors), TakeOrdered keeps the
     * `rerank × k` best, exact cosine ranks only those (the [[pqTopK]]
     * tail). Pass [[l2Normalized]] inputs so the L2 ordering matches the
-    * cosine rerank. Degeneracy: `rerank × k ≥ N` makes the rerank the
-    * exact scan.
+    * cosine rerank (the s33 oracle probe deliberately runs RAW — a
+    * cross-engine-reproducible normalization does not exist, so its
+    * cut is norm-biased and its oracle mirrors exactly that).
+    * Degeneracy: `rerank × k ≥ N` makes the rerank the exact scan.
     */
   def sqTopK(embeddings: DataFrame, queryId: Long, k: Int,
       mins: Array[Double], maxs: Array[Double], rerank: Int = 4,

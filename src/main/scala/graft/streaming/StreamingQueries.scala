@@ -32,7 +32,7 @@ object StreamingQueries {
     * timestamps carry microseconds, so spell the format out on BOTH sides
     * of a drop or the replay silently truncates issue times
     */
-  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  private[streaming] val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
   private def tempDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
@@ -74,7 +74,7 @@ object StreamingQueries {
     * after start(), so an earlier restore races). At cluster scale this
     * knob goes UP with key cardinality instead.
     */
-  private def withStateShuffle[T](s: SparkSession, partitions: Int = 8)(
+  private[streaming] def withStateShuffle[T](s: SparkSession, partitions: Int = 8)(
       body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try { s.conf.set("spark.sql.shuffle.partitions", partitions.toString); body }
@@ -106,7 +106,20 @@ object StreamingQueries {
       |  FROM events GROUP BY 1, 2, 3, 4)""".stripMargin
 
   private val RevEnc = org.apache.spark.sql.Encoders.product[WeatherStreams.Revision]
-  private val ObsEnc = org.apache.spark.sql.Encoders.product[WeatherStreams.Observation]
+  private[streaming] val ObsEnc = org.apache.spark.sql.Encoders.product[WeatherStreams.Observation]
+
+  /** The deterministic observation feed (st2/st10's observed side):
+    * events collapse to per-(lat, lon, half-hour) max temperature —
+    * shared by both probes and the replay-anatomy spec so the
+    * "exact st2 shape" evidence cannot drift from the probes.
+    */
+  private[streaming] def observationFeed(ev: DataFrame): DataFrame =
+    ev.groupBy(
+        (col("user_id") % 3).cast("double").as("latitude"),
+        lit(10.0).as("longitude"),
+        (date_trunc("hour", col("ts")) +
+          expr("INTERVAL 30 MINUTES")).as("obs_ts"))
+      .agg(max("value").as("observed_temp"))
 
   private[streaming] def revisionStream(s: SparkSession, dropDir: String) =
     s.readStream.schema(RevEnc.schema).option("timestampFormat", TsFmt)
@@ -247,13 +260,7 @@ object StreamingQueries {
         revisionFeed(Tables.events(s, d)).repartition(4).write
           .mode("overwrite").option("timestampFormat", TsFmt).json(dir))
       val oDrop = cachedDrop(s"st2o:$d", dir =>
-        Tables.events(s, d).groupBy(
-            (col("user_id") % 3).cast("double").as("latitude"),
-            lit(10.0).as("longitude"),
-            (date_trunc("hour", col("ts")) +
-              expr("INTERVAL 30 MINUTES")).as("obs_ts"))
-          .agg(max("value").as("observed_temp"))
-          .repartition(2).write
+        observationFeed(Tables.events(s, d)).repartition(2).write
           .mode("overwrite").option("timestampFormat", TsFmt).json(dir))
       val ckDir = tempDir("graft_st2_ck")
 
@@ -817,13 +824,7 @@ object StreamingQueries {
           .repartition(2).write
           .mode("overwrite").option("timestampFormat", TsFmt).json(dir))
       val oDrop = cachedDrop(s"st10o:$d", dir =>
-        Tables.events(s, d).groupBy(
-            (col("user_id") % 3).cast("double").as("latitude"),
-            lit(10.0).as("longitude"),
-            (date_trunc("hour", col("ts")) +
-              expr("INTERVAL 30 MINUTES")).as("obs_ts"))
-          .agg(max("value").as("observed_temp"))
-          .repartition(2).write
+        observationFeed(Tables.events(s, d)).repartition(2).write
           .mode("overwrite").option("timestampFormat", TsFmt).json(dir))
       val ckDir = tempDir("graft_st10_ck")
 

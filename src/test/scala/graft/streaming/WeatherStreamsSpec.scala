@@ -22,45 +22,45 @@ class WeatherStreamsSpec extends AnyFunSuite {
   test("streaming replay anatomy: the st2-shaped AvailableNow run is few batches, lifecycle-dominated") {
     // evidence for the bench ledger's "streaming probes are
     // checkpoint/replay-structural" claim: run the exact st2 shape
-    // (json feeds -> stream-stream interval join -> memory sink) once
-    // and read the per-batch duration breakdown off the progress
-    // events. Also a regression gate: an accidental per-file batching
-    // (maxFilesPerTrigger) would multiply every st-probe's bench cost.
+    // (the probes' OWN feed builders and state-partition pin, json
+    // feeds -> stream-stream interval join -> memory sink) once and
+    // read the per-batch duration breakdown off the progress events.
+    // Also a regression gate: an accidental per-file batching
+    // (maxFilesPerTrigger = 1 over the 4+2 feed files would run 5
+    // micro-batches) must trip the <= 3 bound — the healthy count is
+    // exactly 2 (data + watermark-advance).
     import org.apache.spark.sql.streaming.Trigger
-    val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val TsFmt = StreamingQueries.TsFmt
     val ev = graft.Tables.events(spark, TestSpark.sfDir)
     val fDir = TestSpark.tempDir("graft_anat_f")
     StreamingQueries.revisionFeed(ev).repartition(4).write
       .mode("overwrite").option("timestampFormat", TsFmt).json(fDir)
     val oDir = TestSpark.tempDir("graft_anat_o")
-    ev.groupBy((col("user_id") % 3).cast("double").as("latitude"),
-        lit(10.0).as("longitude"),
-        (date_trunc("hour", col("ts")) +
-          expr("INTERVAL 30 MINUTES")).as("obs_ts"))
-      .agg(max("value").as("observed_temp"))
-      .repartition(2).write.mode("overwrite")
-      .option("timestampFormat", TsFmt).json(oDir)
-    val obsEnc =
-      org.apache.spark.sql.Encoders.product[WeatherStreams.Observation]
+    StreamingQueries.observationFeed(ev).repartition(2).write
+      .mode("overwrite").option("timestampFormat", TsFmt).json(oDir)
     val ck = TestSpark.tempDir("graft_anat_ck")
-    val obsStream = spark.readStream.schema(obsEnc.schema)
-      .option("timestampFormat", TsFmt).json(oDir)
-      .as[WeatherStreams.Observation](obsEnc)
-    val q = WeatherStreams.forecastVsObserved(
-        StreamingQueries.revisionStream(spark, fDir), obsStream)
-      .writeStream.format("memory").queryName("anat_sink")
-      .outputMode("append").option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val q = StreamingQueries.withStateShuffle(spark) {
+      val obsStream = spark.readStream
+        .schema(StreamingQueries.ObsEnc.schema)
+        .option("timestampFormat", TsFmt).json(oDir)
+        .as[WeatherStreams.Observation](StreamingQueries.ObsEnc)
+      val q = WeatherStreams.forecastVsObserved(
+          StreamingQueries.revisionStream(spark, fDir), obsStream)
+        .writeStream.format("memory").queryName("anat_sink")
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q
+    }
     val prog = q.recentProgress
     info(s"batches: ${prog.length}")
     prog.foreach { p =>
       info(s"batch ${p.batchId}: rows=${p.numInputRows} " +
         s"durations=${p.durationMs}")
     }
-    assert(prog.length <= 6,
+    assert(prog.length <= 3,
       s"AvailableNow replay ran ${prog.length} micro-batches — the " +
-        "st-probe bench cost model assumes a handful")
+        "st-probe bench cost model assumes data + watermark-advance")
     assert(spark.table("anat_sink").count() > 0)
   }
 
