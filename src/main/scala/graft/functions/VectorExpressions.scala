@@ -34,9 +34,10 @@ object Vectors {
     * exactly like the `array_position(dists, array_min(dists))`
     * formulation it replaces (first strict minimum wins).
     */
-  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]],
+      roundTo: Int = -1): Column =
     GraftBridge.toColumn(
-      NearestCentroidExpr(GraftBridge.toExpression(vec), centroids))
+      NearestCentroidExpr(GraftBridge.toExpression(vec), centroids, roundTo))
 
   /** The whole PQ code in one pass: per block `j`, the argmin-L2² of
     * `vec[j·dsub, (j+1)·dsub)` against codebook `j` — replaces m × ksub
@@ -44,9 +45,10 @@ object Vectors {
     * at the probe config) with one imperative loop nest. Identical
     * per-block fold order and first-min tie rule.
     */
-  def pqCode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+  def pqCode(vec: Column, codebooks: Array[Array[Array[Double]]],
+      roundTo: Int = -1): Column =
     GraftBridge.toColumn(
-      PqEncodeExpr(GraftBridge.toExpression(vec), codebooks))
+      PqEncodeExpr(GraftBridge.toExpression(vec), codebooks, roundTo))
 
   /** ADC distance of a PQ code against precomputed per-block lookup
     * tables (the query-side literals): `Σ_j luts[j][code[j]]`, the same
@@ -100,7 +102,7 @@ case class MatVecExpr(child: Expression, r: Array[Array[Double]])
 }
 
 case class NearestCentroidExpr(child: Expression,
-    centroids: Array[Array[Double]])
+    centroids: Array[Array[Double]], roundTo: Int = -1)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = IntegerType
@@ -113,7 +115,7 @@ case class NearestCentroidExpr(child: Expression,
   override def nullSafeEval(input: Any): Any = {
     val x = VectorKernels.doublesOrNull(input.asInstanceOf[ArrayData])
     if (x == null) null
-    else VectorKernels.argminL2(x, 0, x.length, centroids)
+    else VectorKernels.argminL2(x, 0, x.length, centroids, roundTo)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -121,7 +123,7 @@ case class NearestCentroidExpr(child: Expression,
 }
 
 case class PqEncodeExpr(child: Expression,
-    codebooks: Array[Array[Array[Double]]])
+    codebooks: Array[Array[Array[Double]]], roundTo: Int = -1)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -141,7 +143,7 @@ case class PqEncodeExpr(child: Expression,
     while (j < m) {
       val book = codebooks(j)
       val dsub = book(0).length
-      out(j) = VectorKernels.argminL2(x, off, dsub, book)
+      out(j) = VectorKernels.argminL2(x, off, dsub, book, roundTo)
       off += dsub
       j += 1
     }
@@ -234,7 +236,7 @@ private[functions] object VectorKernels {
     * distances.
     */
   def argminL2(x: Array[Double], off: Int, len: Int,
-      centroids: Array[Array[Double]]): Int = {
+      centroids: Array[Array[Double]], roundTo: Int = -1): Int = {
     require(off + len <= x.length,
       s"argmin_l2: slice [$off, ${off + len}) exceeds vector length ${x.length}")
     var best = 0
@@ -247,6 +249,13 @@ private[functions] object VectorKernels {
       var s = 0.0
       var i = 0
       while (i < len) { val d = x(off + i) - cent(i); s += d * d; i += 1 }
+      // roundTo >= 0: the oracle-checked form — compare 6-d.p.-rounded
+      // distances (Spark Round semantics: decimal HALF_UP of the
+      // double), so a SQL twin's rounded relational argmin ranks
+      // identically (the s22 discipline)
+      if (roundTo >= 0)
+        s = java.math.BigDecimal.valueOf(s)
+          .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
       if (c == 0 || s < bd) { bd = s; best = c }
       c += 1
     }

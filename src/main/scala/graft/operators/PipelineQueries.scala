@@ -1335,6 +1335,74 @@ object PipelineQueries {
         rerank = 4)
     },
 
+    // ORACLE-checked IVFADC — the full faiss-default composition with
+    // DATA-DEFINED quantizers (coarse centroids = the 16 lowest-id
+    // vectors; block-j codebook = their j-th 8-dim slices), so EVERY
+    // stage is relational: coarse assignment (rounded argmin, lowest
+    // ties), the query's 4-list probe ranking, per-block codes, the
+    // m × ksub ADC tables, the rounded ADC total, the 80-candidate cut
+    // and the exact cosine rerank — all reproduced by DuckDB from the
+    // same table and hash-gated end to end. The trained-quantizer
+    // probes (s19–s29) keep their golden identities; this pins the
+    // COMPOSITION itself against SQL ground truth.
+    "s35_ivfadc_exact_topk" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |pl AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid, round(list_sum(list_transform(range(len(c.cv)),
+        |      i -> (c.cv[i+1] - q.qv[i+1]) * (c.cv[i+1] - q.qv[i+1]))), 6)
+        |      AS d2
+        |    FROM cent c, q)
+        |  QUALIFY row_number() OVER (ORDER BY d2, cid) <= 4),
+        |asg AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      round(list_sum(list_transform(range(len(e.v)),
+        |        i -> (e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]))), 6)
+        |        AS d2
+        |    FROM e, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY d2, cid) = 1),
+        |probed AS (
+        |  SELECT a.vec_id, a.v FROM asg a JOIN pl USING (cid)
+        |  WHERE a.vec_id <> 0),
+        |code AS (
+        |  SELECT vec_id, j, cid AS c FROM (
+        |    SELECT p.vec_id, jj.j, c.cid,
+        |      round(list_sum(list_transform(range(8),
+        |        i -> (p.v[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1])
+        |           * (p.v[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1]))), 6)
+        |        AS bd
+        |    FROM probed p, (SELECT unnest(range(8)) AS j) jj, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |                             ORDER BY bd, cid) = 1),
+        |lut AS (
+        |  SELECT jj.j, c.cid,
+        |    round(list_sum(list_transform(range(8),
+        |      i -> (q.qv[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1])
+        |         * (q.qv[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1]))), 6)
+        |      AS ld
+        |  FROM (SELECT unnest(range(8)) AS j) jj, cent c, q),
+        |a AS (
+        |  SELECT code.vec_id, round(sum(l.ld), 6) AS adist
+        |  FROM code JOIN lut l ON l.j = code.j AND l.cid = code.c
+        |  GROUP BY code.vec_id),
+        |cand AS (SELECT vec_id FROM a
+        |         QUALIFY row_number() OVER (ORDER BY adist, vec_id) <= 80)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6)
+        |    + 0.0::DOUBLE AS sim
+        |FROM cand JOIN e USING (vec_id)
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      Similarity.ivfAdcTopKDataDefined(Tables.embeddings(s, d),
+          queryId = 0L, k = 20, nCents = 16, m = 8, nProbe = 4, rerank = 4)
+        .select(col("vec_id"), (col("sim") + lit(0.0)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+    },
+
     // ORACLE-checked matryoshka (s32's raw-embedding twin): prefix
     // cosine is pure SQL (list slice + list_cosine_similarity, 6 d.p.,
     // id ties), the cut is a row_number window, the rerank is the s1

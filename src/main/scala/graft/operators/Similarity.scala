@@ -455,11 +455,12 @@ object Similarity {
     * production [[ivfAssign]] path stays unrounded.
     */
   def nearestCentroidRounded(v: Column,
-      centroids: Array[Array[Double]]): Column = {
-    val dists = array(centroids.toIndexedSeq.map(c =>
-      round(l2sq(v, c), 6)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+      centroids: Array[Array[Double]]): Column =
+    // fused kernel, rounded form: BigDecimal HALF_UP of the identical
+    // ascending fold ≡ round(l2sq(v, c), 6) + array-argmin (Spark's
+    // Round is the same decimal HALF_UP of the double) — s13/s22
+    // oracles pin it
+    graft.functions.Vectors.nearestCentroid(v, centroids, roundTo = 6)
 
   /** Derive the IVF list count from the corpus size instead of
     * hand-tuning: query cost ≈ nProbe·N/nLists scan + nLists centroid
@@ -1112,6 +1113,67 @@ object Similarity {
                 else rawAdist
     adcRerankTail(sqEncode(embeddings, mins, maxs)
       .filter(col("vec_id") =!= queryId), adist, qArr, k, rerank)
+  }
+
+  /** The FULL IVFADC read path with DATA-DEFINED quantizers — the s22
+    * trick applied to every stage: coarse centroids are the `nCents`
+    * lowest-id vectors and block-`j`'s codebook is their `j`-th block
+    * slices, so assignment, codes, probe ranking, ADC tables and the
+    * rerank are all RELATIONAL and a SQL oracle reproduces the entire
+    * pipeline from the same table (s35 — real ground truth for the
+    * composition the trained-quantizer probes can only golden-gate).
+    * Float discipline throughout: every distance (assign, per-block
+    * code, probe rank, LUT entry, ADC total) rounds to 6 d.p. before
+    * its argmin/cut with ties to the lowest id — the cross-engine
+    * relational-argmin recipe s22/s13 pin.
+    */
+  def ivfAdcTopKDataDefined(embeddings: DataFrame, queryId: Long, k: Int,
+      nCents: Int = 16, m: Int = 8, nProbe: Int = 4,
+      rerank: Int = 4): DataFrame = {
+    require(k >= 1 && rerank >= 1 && nProbe >= 1 && nProbe <= nCents,
+      "need k, rerank >= 1 and 1 <= nProbe <= nCents")
+    val centRows = embeddings.filter(col("vec_id") < nCents)
+      .select(col("vec_id"), asDouble(col("embedding")))
+      .collect().sortBy(_.getLong(0))
+    require(centRows.length == nCents,
+      s"expected the $nCents lowest-id vectors as centroids, " +
+        s"got ${centRows.length}")
+    val cents = centRows.map(_.getSeq[Double](1).toArray)
+    val dim = cents(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m blocks")
+    val dsub = dim / m
+    val books: Array[Array[Array[Double]]] =
+      (0 until m).map(j => cents.map(_.slice(j * dsub, (j + 1) * dsub)))
+        .toArray
+    val qRows = embeddings.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv")).limit(1).collect()
+    if (qRows.isEmpty)
+      return embeddings.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val qArr = qRows(0).getSeq[Double](0).toArray
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val probeLists = cents.zipWithIndex
+      .map { case (c, i) => (r6(d2(c, qArr)), i) }
+      .sortBy { case (d, i) => (d, i) }.take(nProbe).map(_._2)
+    val v = asDouble(col("embedding"))
+    val probed = oncePerRow(embeddings,
+        "centroid_id" -> nearestCentroidRounded(v, cents))
+      .filter(col("vec_id") =!= queryId &&
+        col("centroid_id").isin(probeLists.toIndexedSeq.map(Int.box): _*))
+    val encoded = oncePerRow(probed,
+      "pq_code" -> graft.functions.Vectors.pqCode(v, books, roundTo = 6))
+    val luts: Array[Array[Double]] = books.zipWithIndex.map { case (book, j) =>
+      val qb = qArr.slice(j * dsub, (j + 1) * dsub)
+      book.map(c => r6(d2(c, qb)))
+    }
+    val adist =
+      round(graft.functions.Vectors.adcSum(col("pq_code"), luts), 6)
+    adcRerankTail(encoded, adist, qArr, k, rerank)
   }
 
   /** Matryoshka truncated-dimension retrieval (MRL — Kusupati et al.,
