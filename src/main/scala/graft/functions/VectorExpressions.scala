@@ -166,6 +166,12 @@ case class AdcSumExpr(child: Expression, luts: Array[Array[Double]])
 
   override def nullSafeEval(input: Any): Any = {
     val code = input.asInstanceOf[ArrayData]
+    // representation-mismatch guard: a pq_code shorter than the LUT
+    // count (stale or foreign index past the fingerprint gate) must
+    // fail loudly, never read past the array into garbage distances
+    require(code.numElements() == luts.length,
+      s"adc_sum: pq_code has ${code.numElements()} blocks, " +
+        s"expected ${luts.length}")
     var i = 0
     while (i < luts.length) { // null code element -> null adist (old
       if (code.isNullAt(i)) return null // element_at-chain semantics)

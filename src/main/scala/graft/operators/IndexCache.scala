@@ -176,10 +176,26 @@ object IndexCache {
     // so every JVM converges on the same directory
     def repairGen(): Option[String] = {
       val base = new java.io.File(idxDir)
-      Option(base.getParentFile.listFiles()).getOrElse(Array.empty)
+      val gens = Option(base.getParentFile.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith(base.getName + "__r") &&
           ok(f.getPath))
-        .sortBy(_.getName).headOption.map(_.getPath)
+        .sortBy(_.getName)
+      // when two JVMs race the repair, both promote a complete __r
+      // generation but only the lexicographically-first is ever
+      // REDISCOVERED — the loser would leak its full index dir in /tmp
+      // indefinitely. Sweep losers opportunistically, but only past an
+      // age cutoff: the losing PROMOTER itself serves its own copy for
+      // the remainder of its run (its persistedIndex call returned that
+      // path), so an immediate delete could yank files from an
+      // in-flight scan. One hour dwarfs any real scan; until then the
+      // leak bound is one completed generation per concurrent repair
+      // racer, each swept on the next rediscovery after the cutoff.
+      if (gens.length > 1) {
+        val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+        gens.drop(1).filter(_.lastModified < cutoff)
+          .foreach(deleteRecursively)
+      }
+      gens.headOption.map(_.getPath)
     }
     if (ok(idxDir)) idxDir
     else repairGen().getOrElse {

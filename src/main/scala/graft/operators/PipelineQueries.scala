@@ -596,7 +596,8 @@ object PipelineQueries {
     },
 
     // retrieval-quality eval harness over a 10-query batch (label
-    // relevance as proxy qrels): hits/precision/recall@10, MRR, and
+    // relevance as proxy qrels): hits/precision/recall@10, MRR@10
+    // (truncated at k — the `mrr_k` column name carries the cutoff), and
     // nEDCG@10 — nDCG under a dyadic 2^-(rank-1) discount, which makes
     // the DCG sum order-independent-exact and the normalized quotient
     // bit-identical cross-engine (the log2 discount is libm-dependent;
@@ -628,7 +629,7 @@ object PipelineQueries {
         |m AS (
         |  SELECT qid, n_rel, CAST(sum(rel) AS BIGINT) AS hits,
         |    coalesce(1.0::DOUBLE / min(CASE WHEN rel = 1 THEN rnk END),
-        |             0.0::DOUBLE) AS mrr,
+        |             0.0::DOUBLE) AS mrr_k,
         |    sum(rel * (1.0::DOUBLE /
         |          CAST(1::BIGINT << (rnk - 1) AS DOUBLE))) AS dcg
         |  FROM ranked GROUP BY qid, n_rel)
@@ -636,7 +637,7 @@ object PipelineQueries {
         |  CAST(hits AS DOUBLE) / 10 AS precision_k,
         |  CASE WHEN n_rel = 0 THEN 0.0::DOUBLE
         |       ELSE CAST(hits AS DOUBLE) / n_rel END AS recall_k,
-        |  mrr,
+        |  mrr_k,
         |  CASE WHEN n_rel = 0 THEN 0.0::DOUBLE ELSE
         |    dcg / (2.0::DOUBLE - 1.0::DOUBLE /
         |      CAST(1::BIGINT << (least(n_rel, 10) - 1) AS DOUBLE)) END AS nedcg

@@ -236,7 +236,12 @@ object Relevance {
     * relevance (a candidate is relevant iff it shares the query's
     * `label` — the standard proxy-qrel construction when no human
     * judgments exist), emitting per query: relevant-pool size,
-    * hits@k, precision@k, recall@k, MRR, and nEDCG@k.
+    * hits@k, precision@k, recall@k, MRR@k, and nEDCG@k.
+    *
+    * The reciprocal-rank column is `mrr_k` — MRR TRUNCATED AT k, the
+    * cutoff convention (a first relevant hit at rank k+1 scores 0),
+    * NOT full-ranking MRR from standard eval tools; the name carries
+    * the cutoff so the two are never conflated downstream.
     *
     * nEDCG is nDCG with an EXPONENTIAL (dyadic) rank discount
     * `2^-(rank-1)` in place of the textbook `1/log2(rank+1)`
@@ -287,7 +292,7 @@ object Relevance {
     ranked.groupBy(col("qid"), col("n_rel"))
       .agg(sum(col("rel")).cast("long").as("hits"),
         coalesce(lit(1.0) / min(when(col("rel") === 1, col("rnk"))),
-          lit(0.0)).as("mrr"),
+          lit(0.0)).as("mrr_k"),
         sum(col("rel") * w).as("dcg"))
       .select(col("qid"), col("n_rel"), col("hits"),
         (col("hits").cast("double") / lit(k)).as("precision_k"),
@@ -295,7 +300,7 @@ object Relevance {
         // convention, and the unguarded 0/0 would THROW under ANSI
         when(col("n_rel") === 0, lit(0.0)).otherwise(
           col("hits").cast("double") / col("n_rel")).as("recall_k"),
-        col("mrr"),
+        col("mrr_k"),
         when(col("n_rel") === 0, lit(0.0)).otherwise(col("dcg") /
           (lit(2.0) - lit(1.0) / expr(
             s"shiftleft(1L, least(n_rel, ${k}L) - 1)").cast("double")))

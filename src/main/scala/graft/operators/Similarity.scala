@@ -1072,6 +1072,16 @@ object Similarity {
   /** The decoded (reconstructed) vector of `sq_code`:
     * `min_i + code_i · (max_i − min_i)/255` — reconstruction error is
     * at most half a level per dimension for in-range values.
+    *
+    * DELIBERATE deviation from faiss's QT_8bit convention: faiss
+    * decodes at BIN CENTERS (`min + (code + 0.5) · step/256`), this
+    * codec decodes at GRID POINTS, which is self-consistent with the
+    * `floor(u + 0.5)` encoder above (each grid point is the nearest
+    * representable value to the input, giving the half-level bound the
+    * spec gates). Do NOT "fix" this to faiss parity silently: decode
+    * semantics are part of the persisted-code contract, so a parity
+    * change needs an [[EncoderVersion]] bump and a migration story for
+    * persisted `sq_code` columns.
     */
   private def sqDecoded(mins: Array[Double], maxs: Array[Double]): Column = {
     val minsLit = array(mins.toIndexedSeq.map(lit(_)): _*)
