@@ -66,6 +66,19 @@ object Vectors {
       table: Array[Array[Double]]): Column =
     GraftBridge.toColumn(SubIndexedRowExpr(GraftBridge.toExpression(vec),
       GraftBridge.toExpression(idx), table))
+
+  /** [[adcSum]] with a PER-LIST table selected in-row by `idx` (the
+    * row's coarse list id): `Σ_j luts[idx][j][code[j]]` — the
+    * residual-IVFADC scan kernel, where the lookup table depends on
+    * which probed list the candidate lives in. `luts` is indexed by
+    * centroid id directly (entries for unprobed lists are never read —
+    * candidate rows are pre-filtered to probed lists). Same
+    * left-to-right add chain as the `element_at` chain it replaces.
+    */
+  def adcSumIndexed(code: Column, idx: Column,
+      luts: Array[Array[Array[Double]]]): Column =
+    GraftBridge.toColumn(AdcSumIndexedExpr(GraftBridge.toExpression(code),
+      GraftBridge.toExpression(idx), luts))
 }
 
 case class MatVecExpr(child: Expression, r: Array[Array[Double]])
@@ -186,6 +199,46 @@ case class AdcSumExpr(child: Expression, luts: Array[Array[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+case class AdcSumIndexedExpr(left: Expression, right: Expression,
+    luts: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "adc_sum_indexed"
+
+  // a null-bearing array yields NULL even under a non-nullable child
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(codeAny: Any, idxAny: Any): Any = {
+    val code = codeAny.asInstanceOf[ArrayData]
+    val idx = idxAny.asInstanceOf[Int]
+    // representation-mismatch guards, like adc_sum: a foreign list id
+    // or short code must fail loudly, never read garbage distances
+    require(idx >= 0 && idx < luts.length,
+      s"adc_sum_indexed: list id $idx outside the ${luts.length}-entry " +
+        "LUT table")
+    val lut = luts(idx)
+    require(code.numElements() == lut.length,
+      s"adc_sum_indexed: pq_code has ${code.numElements()} blocks, " +
+        s"expected ${lut.length}")
+    var i = 0
+    while (i < lut.length) { // null code element -> null adist
+      if (code.isNullAt(i)) return null
+      i += 1
+    }
+    var s = lut(0)(code.getInt(0))
+    var j = 1
+    while (j < lut.length) { s += lut(j)(code.getInt(j)); j += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class SubIndexedRowExpr(left: Expression, right: Expression,

@@ -241,13 +241,15 @@ object Corpus {
   def hardNegativesAnn(embeddings: DataFrame, index: DataFrame,
       queryCap: Long, k: Int, centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], poolK: Int = 50,
-      nProbe: Int = 4, rerank: Int = 4): DataFrame = {
+      nProbe: Int = 4, rerank: Int = 4, roundTo: Int = -1): DataFrame = {
     require(k >= 1 && poolK >= k, "need poolK >= k >= 1")
     val labels = embeddings.select(col("vec_id"),
       col("label").cast("long").as("label"))
     val queries = embeddings.filter(col("vec_id") < queryCap)
+    // roundTo >= 0 flows to the candidate generator only — the label
+    // attach and the final different-label cut are exact regardless
     val pool = Similarity.ivfAdcTopKBatch(index, embeddings, queries,
-      poolK, centroids, codebooks, nProbe, rerank)
+      poolK, centroids, codebooks, nProbe, rerank, roundTo = roundTo)
     val qLab = broadcast(labels.filter(col("vec_id") < queryCap)
       .select(col("vec_id").as("qid"), col("label").as("qlabel")))
     // the pool is |Q| × poolK rows — BROADCAST IT against the

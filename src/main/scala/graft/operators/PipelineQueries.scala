@@ -1468,63 +1468,263 @@ object PipelineQueries {
     // the FULL Jégou IVFADC: PQ codes of coarse-quantizer RESIDUALS
     // with per-probed-list ADC tables — strictly tighter quantization
     // at the same m-byte budget (spec asserts the ADC-error drop vs
-    // s20's raw encoding). Golden gates: s20-style two-stage coverage
-    // identity + exact-scan degeneracy (SimilarityAsOfSpec).
-    "s21_ivfadc_residual" -> QueryDef.noOracle { (s, d) =>
-      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
-      val (cents, books) = IndexCache.annQuantizers(s, d, residual = true)
-      Similarity.ivfAdcResidualTopK(emb, queryId = 0L, k = 20, cents, books,
-        nProbe = 4, rerank = 4)
+    // s20's raw encoding, on the TRAINED path — those golden gates stay
+    // in SimilarityAsOfSpec untouched). ORACLE-CHECKED since r14 via
+    // the s35 data-defined-quantizer recipe extended to the residual
+    // composition: assignment, the residual subtraction (exact IEEE),
+    // per-block residual codes, the per-(probed list, block) 6-d.p.
+    // LUTs from q − c_L, the rounded ADC total, the cut and the exact
+    // rerank are all relational — DuckDB reproduces the ENTIRE residual
+    // pipeline from the same table. Raw vectors (the s33 rule:
+    // cross-engine normalization is not bit-reproducible).
+    "s21_ivfadc_residual" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |pl AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid, round(list_sum(list_transform(range(len(c.cv)),
+        |      i -> (c.cv[i+1] - q.qv[i+1]) * (c.cv[i+1] - q.qv[i+1]))), 6)
+        |      AS d2
+        |    FROM cent c, q)
+        |  QUALIFY row_number() OVER (ORDER BY d2, cid) <= 4),
+        |asg AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      round(list_sum(list_transform(range(len(e.v)),
+        |        i -> (e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]))), 6)
+        |        AS d2
+        |    FROM e, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY d2, cid) = 1),
+        |probed AS (
+        |  SELECT a.vec_id, a.v, a.cid, c.cv AS acv
+        |  FROM asg a JOIN pl ON pl.cid = a.cid
+        |  JOIN cent c ON c.cid = a.cid
+        |  WHERE a.vec_id <> 0),
+        |code AS (
+        |  SELECT vec_id, j, cid AS c FROM (
+        |    SELECT p.vec_id, jj.j, c.cid,
+        |      round(list_sum(list_transform(range(8),
+        |        i -> ((p.v[jj.j*8 + i + 1] - p.acv[jj.j*8 + i + 1])
+        |               - c.cv[jj.j*8 + i + 1])
+        |           * ((p.v[jj.j*8 + i + 1] - p.acv[jj.j*8 + i + 1])
+        |               - c.cv[jj.j*8 + i + 1]))), 6)
+        |        AS bd
+        |    FROM probed p, (SELECT unnest(range(8)) AS j) jj, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |                             ORDER BY bd, cid) = 1),
+        |lut AS (
+        |  SELECT pl.cid AS l, jj.j, c.cid,
+        |    round(list_sum(list_transform(range(8),
+        |      i -> ((q.qv[jj.j*8 + i + 1] - cl.cv[jj.j*8 + i + 1])
+        |             - c.cv[jj.j*8 + i + 1])
+        |         * ((q.qv[jj.j*8 + i + 1] - cl.cv[jj.j*8 + i + 1])
+        |             - c.cv[jj.j*8 + i + 1]))), 6)
+        |      AS ld
+        |  FROM pl JOIN cent cl ON cl.cid = pl.cid,
+        |       (SELECT unnest(range(8)) AS j) jj, cent c, q),
+        |a AS (
+        |  SELECT p.vec_id, round(sum(l.ld), 6) AS adist
+        |  FROM probed p JOIN code ON code.vec_id = p.vec_id
+        |  JOIN lut l ON l.l = p.cid AND l.j = code.j AND l.cid = code.c
+        |  GROUP BY p.vec_id),
+        |cand AS (SELECT vec_id FROM a
+        |         QUALIFY row_number() OVER (ORDER BY adist, vec_id) <= 80)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6)
+        |    + 0.0::DOUBLE AS sim
+        |FROM cand JOIN e USING (vec_id)
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      Similarity.ivfAdcResidualTopKDataDefined(Tables.embeddings(s, d),
+          queryId = 0L, k = 20, nCents = 16, m = 8, nProbe = 4, rerank = 4)
+        .select(col("vec_id"), (col("sim") + lit(0.0)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
     },
 
     // BATCHED IVFADC — the production retrieval read path: a query SET
     // against ONE scan of the code index (per-query probe lists, ADC
     // tables and candidacy all ride a broadcast |Q|·nProbe-row probe
-    // relation; per-query top-k via the salted two-stage window). No
-    // SQL twin (trained quantizers); the SimilarityAsOfSpec s23 gates
-    // pin per-query BIT-equality with the single-query indexed path,
-    // the per-query two-stage coverage identity, the one-scan+DPP plan
-    // shape, and the exact-scan degeneracy. Bench note: fit + index
-    // build amortize through IndexCache (paid once, in the discarded
-    // cold run), so the TIMED runs measure the SERVE path — one
-    // DPP-pruned scan of the persisted list-partitioned index — which
-    // is what the regression gate watches (BASELINE.md fit/serve
-    // split; s19/s20's fits ride the same IndexCache memo since r12 —
-    // their timed term is the inline encode + ADC scan).
-    "s23_ivfadc_batch" -> QueryDef.noOracle { (s, d) =>
-      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
-      val (cents, books) = IndexCache.annQuantizers(s, d)
-      val idxDir = IndexCache.persistedIndex("ivfpq", d,
+    // relation; per-query top-k via the salted two-stage window).
+    // ORACLE-CHECKED since r14: s35's data-defined-quantizer recipe
+    // extended to the Q-query batch — per-query probe ranking, the
+    // shared code index, per-query LUTs and the per-query cuts are all
+    // relational windows, so DuckDB reproduces the whole batch from the
+    // same table. The TRAINED-quantizer batch path keeps its golden
+    // gates in SimilarityAsOfSpec (per-query bit-equality with the
+    // single-query indexed path, coverage identity, one-scan+DPP plan
+    // shape, exact-scan degeneracy) — those run on annQuantizers and
+    // are untouched. Raw vectors (the s33 normalization rule).
+    // Bench note: the index build amortizes through IndexCache (paid
+    // once, in the discarded cold run), so the TIMED runs measure the
+    // SERVE path — one DPP-pruned scan of the persisted
+    // list-partitioned index — which is what the regression gate
+    // watches (BASELINE.md fit/serve split).
+    "s23_ivfadc_batch" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |pl AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, c.cid,
+        |      round(list_sum(list_transform(range(len(c.cv)),
+        |        i -> (c.cv[i+1] - q.qv[i+1]) * (c.cv[i+1] - q.qv[i+1]))), 6)
+        |        AS d2
+        |    FROM cent c, q)
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |                             ORDER BY d2, cid) <= 4),
+        |asg AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      round(list_sum(list_transform(range(len(e.v)),
+        |        i -> (e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]))), 6)
+        |        AS d2
+        |    FROM e, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY d2, cid) = 1),
+        |code AS (
+        |  SELECT vec_id, j, cid AS c FROM (
+        |    SELECT a.vec_id, jj.j, c.cid,
+        |      round(list_sum(list_transform(range(8),
+        |        i -> (a.v[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1])
+        |           * (a.v[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1]))), 6)
+        |        AS bd
+        |    FROM asg a, (SELECT unnest(range(8)) AS j) jj, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |                             ORDER BY bd, cid) = 1),
+        |lut AS (
+        |  SELECT q.qid, jj.j, c.cid,
+        |    round(list_sum(list_transform(range(8),
+        |      i -> (q.qv[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1])
+        |         * (q.qv[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1]))), 6)
+        |      AS ld
+        |  FROM q, (SELECT unnest(range(8)) AS j) jj, cent c),
+        |a AS (
+        |  SELECT pl.qid, a2.vec_id, round(sum(l.ld), 6) AS adist
+        |  FROM pl JOIN asg a2 ON a2.cid = pl.cid
+        |  JOIN code ON code.vec_id = a2.vec_id
+        |  JOIN lut l ON l.qid = pl.qid AND l.j = code.j AND l.cid = code.c
+        |  WHERE a2.vec_id <> pl.qid
+        |  GROUP BY pl.qid, a2.vec_id),
+        |cand AS (SELECT qid, vec_id FROM a
+        |         QUALIFY row_number() OVER (PARTITION BY qid
+        |                                    ORDER BY adist, vec_id) <= 40)
+        |SELECT cand.qid, e.vec_id,
+        |  round(list_cosine_similarity(e.v, q.qv), 6) + 0.0::DOUBLE AS sim
+        |FROM cand JOIN e ON e.vec_id = cand.vec_id
+        |JOIN q ON q.qid = cand.qid
+        |QUALIFY row_number() OVER (PARTITION BY cand.qid
+        |                           ORDER BY sim DESC, e.vec_id) <= 10
+        |ORDER BY cand.qid, sim DESC, e.vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (cents, books) =
+        Similarity.dataDefinedQuantizers(emb, nCents = 16, m = 8)
+      val idxDir = IndexCache.persistedIndex("ivfpqdd6", d,
         IndexCache.fitFingerprint(cents, books)) { out =>
-        Similarity.pqEncode(Similarity.ivfAssign(emb, cents), books)
+        Similarity.pqEncode(Similarity.ivfAssign(emb, cents, roundTo = 6),
+            books, roundTo = 6)
           .select("vec_id", "centroid_id", "pq_code")
           .write.mode("overwrite").partitionBy("centroid_id").parquet(out)
       }
       val queries = emb.filter(col("vec_id") % 100 === 0)
       Similarity.ivfAdcTopKBatch(s.read.parquet(idxDir), emb, queries,
-        k = 10, cents, books, nProbe = 4, rerank = 4)
+          k = 10, cents, books, nProbe = 4, rerank = 4, roundTo = 6)
+        .select(col("qid"), col("vec_id"), (col("sim") + lit(0.0)).as("sim"))
+        .orderBy(col("qid"), col("sim").desc, col("vec_id"))
     },
 
     // batched RESIDUAL IVFADC — the s23 read path with the s21 encoder:
     // per-(query, probed list) ADC tables derive in-row on the
     // probe-pair relation (query residual against each probed centroid,
     // oncePerRow-barriered), one DPP-pruned scan of the residual-code
-    // index serves the whole query set. Golden: SimilarityAsOfSpec s25
-    // gate pins per-query BIT-equality with ivfAdcResidualTopK + the
-    // one-scan/DPP plan shape.
+    // index serves the whole query set. ORACLE-CHECKED since r14: the
+    // s21 residual twin × the s23 batch windows — the LUT keys on
+    // (query, probed list, block, entry) and everything stays
+    // relational. Trained-path golden gates (per-query BIT-equality
+    // with ivfAdcResidualTopK, one-scan/DPP plan shape) stay in
+    // SimilarityAsOfSpec untouched. Raw vectors (the s33 rule).
     // Bench note: serve-path timing via IndexCache, like s23.
-    "s25_ivfadc_residual_batch" -> QueryDef.noOracle { (s, d) =>
-      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
-      val (cents, books) = IndexCache.annQuantizers(s, d, residual = true)
-      val idxDir = IndexCache.persistedIndex("ivfpqres", d,
+    "s25_ivfadc_residual_batch" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |pl AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, c.cid,
+        |      round(list_sum(list_transform(range(len(c.cv)),
+        |        i -> (c.cv[i+1] - q.qv[i+1]) * (c.cv[i+1] - q.qv[i+1]))), 6)
+        |        AS d2
+        |    FROM cent c, q)
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |                             ORDER BY d2, cid) <= 4),
+        |asg AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      round(list_sum(list_transform(range(len(e.v)),
+        |        i -> (e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]))), 6)
+        |        AS d2
+        |    FROM e, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY d2, cid) = 1),
+        |code AS (
+        |  SELECT vec_id, cid, j, ccid AS c FROM (
+        |    SELECT a.vec_id, a.cid, jj.j, c.cid AS ccid,
+        |      round(list_sum(list_transform(range(8),
+        |        i -> ((a.v[jj.j*8 + i + 1] - ca.cv[jj.j*8 + i + 1])
+        |               - c.cv[jj.j*8 + i + 1])
+        |           * ((a.v[jj.j*8 + i + 1] - ca.cv[jj.j*8 + i + 1])
+        |               - c.cv[jj.j*8 + i + 1]))), 6)
+        |        AS bd
+        |    FROM asg a JOIN cent ca ON ca.cid = a.cid,
+        |         (SELECT unnest(range(8)) AS j) jj, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |                             ORDER BY bd, ccid) = 1),
+        |lut AS (
+        |  SELECT pl.qid, pl.cid AS l, jj.j, c.cid,
+        |    round(list_sum(list_transform(range(8),
+        |      i -> ((q.qv[jj.j*8 + i + 1] - cl.cv[jj.j*8 + i + 1])
+        |             - c.cv[jj.j*8 + i + 1])
+        |         * ((q.qv[jj.j*8 + i + 1] - cl.cv[jj.j*8 + i + 1])
+        |             - c.cv[jj.j*8 + i + 1]))), 6)
+        |      AS ld
+        |  FROM pl JOIN q ON q.qid = pl.qid
+        |  JOIN cent cl ON cl.cid = pl.cid,
+        |       (SELECT unnest(range(8)) AS j) jj, cent c),
+        |a AS (
+        |  SELECT pl.qid, code.vec_id, round(sum(l.ld), 6) AS adist
+        |  FROM pl JOIN code ON code.cid = pl.cid
+        |  JOIN lut l ON l.qid = pl.qid AND l.l = code.cid
+        |            AND l.j = code.j AND l.cid = code.c
+        |  WHERE code.vec_id <> pl.qid
+        |  GROUP BY pl.qid, code.vec_id),
+        |cand AS (SELECT qid, vec_id FROM a
+        |         QUALIFY row_number() OVER (PARTITION BY qid
+        |                                    ORDER BY adist, vec_id) <= 40)
+        |SELECT cand.qid, e.vec_id,
+        |  round(list_cosine_similarity(e.v, q.qv), 6) + 0.0::DOUBLE AS sim
+        |FROM cand JOIN e ON e.vec_id = cand.vec_id
+        |JOIN q ON q.qid = cand.qid
+        |QUALIFY row_number() OVER (PARTITION BY cand.qid
+        |                           ORDER BY sim DESC, e.vec_id) <= 10
+        |ORDER BY cand.qid, sim DESC, e.vec_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (cents, books) =
+        Similarity.dataDefinedQuantizers(emb, nCents = 16, m = 8)
+      val idxDir = IndexCache.persistedIndex("ivfpqresdd6", d,
         IndexCache.fitFingerprint(cents, books)) { out =>
-        Similarity.pqEncodeResidual(emb, cents, books)
+        Similarity.pqEncodeResidual(emb, cents, books, roundTo = 6)
           .select("vec_id", "centroid_id", "pq_code")
           .write.mode("overwrite").partitionBy("centroid_id").parquet(out)
       }
       val queries = emb.filter(col("vec_id") % 100 === 0)
       Similarity.ivfAdcResidualTopKBatch(s.read.parquet(idxDir), emb,
-        queries, k = 10, cents, books, nProbe = 4, rerank = 4)
+          queries, k = 10, cents, books, nProbe = 4, rerank = 4,
+          roundTo = 6)
+        .select(col("qid"), col("vec_id"), (col("sim") + lit(0.0)).as("sim"))
+        .orderBy(col("qid"), col("sim").desc, col("vec_id"))
     },
 
     // ANN-accelerated hard-negative mining — the batch read path
@@ -1532,21 +1732,102 @@ object PipelineQueries {
     // candidates from ONE ivfAdcTopKBatch pass over the code index,
     // labels attached to the |Q|·poolK pool via a broadcast join,
     // per-query different-label top-k under the exact-miner contract.
-    // Golden (trained quantizers); CorpusSpec pins the
-    // full-probe/corpus-pool degeneracy ≡ exact hardNegatives.
+    // ORACLE-CHECKED since r14: the s23 data-defined batch twin plus a
+    // relational label join and a second per-query window — the WHOLE
+    // mining pipeline (probe → ADC → pool rerank → label filter → cut)
+    // hash-gates against DuckDB. Trained-quantizer coverage stays in
+    // CorpusSpec (full-probe/corpus-pool degeneracy ≡ exact
+    // hardNegatives), untouched. Raw vectors (the s33 rule).
     // Bench note: serve-path timing via IndexCache (shares s23's
-    // persisted "ivfpq" index — same fit, same fingerprint).
-    "s26_hard_negatives_ann" -> QueryDef.noOracle { (s, d) =>
-      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
-      val (cents, books) = IndexCache.annQuantizers(s, d)
-      val idxDir = IndexCache.persistedIndex("ivfpq", d,
+    // persisted "ivfpqdd6" index — same quantizers, same fingerprint).
+    "s26_hard_negatives_ann" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+        |pl AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, c.cid,
+        |      round(list_sum(list_transform(range(len(c.cv)),
+        |        i -> (c.cv[i+1] - q.qv[i+1]) * (c.cv[i+1] - q.qv[i+1]))), 6)
+        |        AS d2
+        |    FROM cent c, q)
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |                             ORDER BY d2, cid) <= 4),
+        |asg AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      round(list_sum(list_transform(range(len(e.v)),
+        |        i -> (e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]))), 6)
+        |        AS d2
+        |    FROM e, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY d2, cid) = 1),
+        |code AS (
+        |  SELECT vec_id, j, cid AS c FROM (
+        |    SELECT a.vec_id, jj.j, c.cid,
+        |      round(list_sum(list_transform(range(8),
+        |        i -> (a.v[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1])
+        |           * (a.v[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1]))), 6)
+        |        AS bd
+        |    FROM asg a, (SELECT unnest(range(8)) AS j) jj, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |                             ORDER BY bd, cid) = 1),
+        |lut AS (
+        |  SELECT q.qid, jj.j, c.cid,
+        |    round(list_sum(list_transform(range(8),
+        |      i -> (q.qv[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1])
+        |         * (q.qv[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1]))), 6)
+        |      AS ld
+        |  FROM q, (SELECT unnest(range(8)) AS j) jj, cent c),
+        |a AS (
+        |  SELECT pl.qid, a2.vec_id, round(sum(l.ld), 6) AS adist
+        |  FROM pl JOIN asg a2 ON a2.cid = pl.cid
+        |  JOIN code ON code.vec_id = a2.vec_id
+        |  JOIN lut l ON l.qid = pl.qid AND l.j = code.j AND l.cid = code.c
+        |  WHERE a2.vec_id <> pl.qid
+        |  GROUP BY pl.qid, a2.vec_id),
+        |cand AS (SELECT qid, vec_id FROM a
+        |         QUALIFY row_number() OVER (PARTITION BY qid
+        |                                    ORDER BY adist, vec_id) <= 200),
+        |pool AS (
+        |  SELECT cand.qid, e.vec_id,
+        |    round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+        |  FROM cand JOIN e ON e.vec_id = cand.vec_id
+        |  JOIN q ON q.qid = cand.qid
+        |  QUALIFY row_number() OVER (PARTITION BY cand.qid
+        |                             ORDER BY sim DESC, e.vec_id) <= 50),
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+        |        FROM embeddings),
+        |neg AS (
+        |  SELECT p.qid, ql.label AS qlabel, p.vec_id AS neg_id,
+        |         nl.label AS neg_label, p.sim
+        |  FROM pool p JOIN lab ql ON ql.vec_id = p.qid
+        |  JOIN lab nl ON nl.vec_id = p.vec_id
+        |  WHERE nl.label <> ql.label),
+        |topneg AS (
+        |  SELECT qid, qlabel, neg_id, neg_label, sim FROM neg
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |                             ORDER BY sim DESC, neg_id) <= 5)
+        |SELECT qid, qlabel, neg_id, neg_label,
+        |  sim + 0.0::DOUBLE AS sim
+        |FROM topneg ORDER BY qid, sim DESC, neg_id""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (cents, books) =
+        Similarity.dataDefinedQuantizers(emb, nCents = 16, m = 8)
+      val idxDir = IndexCache.persistedIndex("ivfpqdd6", d,
         IndexCache.fitFingerprint(cents, books)) { out =>
-        Similarity.pqEncode(Similarity.ivfAssign(emb, cents), books)
+        Similarity.pqEncode(Similarity.ivfAssign(emb, cents, roundTo = 6),
+            books, roundTo = 6)
           .select("vec_id", "centroid_id", "pq_code")
           .write.mode("overwrite").partitionBy("centroid_id").parquet(out)
       }
       Corpus.hardNegativesAnn(emb, s.read.parquet(idxDir), queryCap = 20L,
-        k = 5, cents, books, poolK = 50, nProbe = 4, rerank = 4)
+          k = 5, cents, books, poolK = 50, nProbe = 4, rerank = 4,
+          roundTo = 6)
+        .select(col("qid"), col("qlabel"), col("neg_id"), col("neg_label"),
+          (col("sim") + lit(0.0)).as("sim"))
+        .orderBy(col("qid"), col("sim").desc, col("neg_id"))
     },
 
     // END-TO-END index lifecycle (the s22 machinery composed into the

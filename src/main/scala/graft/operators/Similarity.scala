@@ -660,10 +660,15 @@ object Similarity {
     * [[oncePerRow]] barrier: the k-centroid argmin must not be inlined
     * into every downstream consumer (a pushed `isin` filter would
     * otherwise re-derive it inside the predicate).
+    * `roundTo >= 0` is the oracle-checked assignment contract
+    * ([[nearestCentroidRounded]]'s: each d² rounds before the argmin,
+    * ties to the lowest list); production paths keep the raw default.
     */
-  def ivfAssign(embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+  def ivfAssign(embeddings: DataFrame, centroids: Array[Array[Double]],
+      roundTo: Int = -1): DataFrame =
     oncePerRow(embeddings,
-      "centroid_id" -> nearestCentroid(asDouble(col("embedding")), centroids))
+      "centroid_id" -> graft.functions.Vectors.nearestCentroid(
+        asDouble(col("embedding")), centroids, roundTo))
 
   /** IVF approximate top-k: rank the query's nProbe nearest lists
     * driver-side (centroids are in hand), then exact cosine only over
@@ -876,16 +881,19 @@ object Similarity {
     */
   def pqEncode(embeddings: DataFrame,
       codebooks: Array[Array[Array[Double]]],
-      vecCol: String = "embedding"): DataFrame =
+      vecCol: String = "embedding", roundTo: Int = -1): DataFrame =
     // fused whole-code expression (one imperative loop nest per row) —
     // the per-block slice ∘ argmin HOF tree cost m × ksub interpreted
     // folds per row and ~3 s of the s19 probe; per-block fold order and
     // tie rule are bit-identical (SimilarityAsOfSpec parity gate).
     // oncePerRow: the ADC scan reads element_at(pq_code, j) m times —
-    // inlining would re-run the full encode per lookup
+    // inlining would re-run the full encode per lookup.
+    // roundTo >= 0: the oracle-checked encode (each per-entry block d²
+    // rounds before its argmin — the data-defined-quantizer contract);
+    // production/trained paths keep the raw default.
     oncePerRow(embeddings,
       "pq_code" -> graft.functions.Vectors.pqCode(asDouble(col(vecCol)),
-        codebooks))
+        codebooks, roundTo))
 
   /** PQ top-k with exact rerank: asymmetric-distance (ADC) scan over
     * the codes — per row, m table lookups into the query's
@@ -1142,6 +1150,44 @@ object Similarity {
       rerank: Int = 4): DataFrame = {
     require(k >= 1 && rerank >= 1 && nProbe >= 1 && nProbe <= nCents,
       "need k, rerank >= 1 and 1 <= nProbe <= nCents")
+    val (cents, books) = dataDefinedQuantizers(embeddings, nCents, m)
+    val dsub = cents(0).length / m
+    val qRows = embeddings.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv")).limit(1).collect()
+    if (qRows.isEmpty)
+      return embeddings.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val qArr = qRows(0).getSeq[Double](0).toArray
+    val probeLists = cents.zipWithIndex
+      .map { case (c, i) => (round6(l2sq(c, qArr)), i) }
+      .sortBy { case (d, i) => (d, i) }.take(nProbe).map(_._2)
+    val v = asDouble(col("embedding"))
+    val probed = oncePerRow(embeddings,
+        "centroid_id" -> nearestCentroidRounded(v, cents))
+      .filter(col("vec_id") =!= queryId &&
+        col("centroid_id").isin(probeLists.toIndexedSeq.map(Int.box): _*))
+    val encoded = oncePerRow(probed,
+      "pq_code" -> graft.functions.Vectors.pqCode(v, books, roundTo = 6))
+    val luts: Array[Array[Double]] = books.zipWithIndex.map { case (book, j) =>
+      val qb = qArr.slice(j * dsub, (j + 1) * dsub)
+      book.map(c => round6(l2sq(c, qb)))
+    }
+    val adist =
+      round(graft.functions.Vectors.adcSum(col("pq_code"), luts), 6)
+    adcRerankTail(encoded, adist, qArr, k, rerank)
+  }
+
+  /** The s22/s35 DATA-DEFINED quantizer pair: coarse centroids are the
+    * `nCents` LOWEST-ID vectors of the table, and block-`j`'s codebook
+    * is their `j`-th dsub-slice (ksub = nCents) — quantizers a SQL
+    * oracle re-derives RELATIONALLY from the same table, which is what
+    * makes whole ANN compositions built on them hash-checkable end to
+    * end (the CLAUDE.md oracle recipe). NOT a production fit — trained
+    * quantizers come from [[annQuantizers]]; the fidelity axis here is
+    * the COMPOSITION (assign → encode → probe → ADC → rerank), which is
+    * identical code either way.
+    */
+  def dataDefinedQuantizers(embeddings: DataFrame, nCents: Int = 16,
+      m: Int = 8): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val centRows = embeddings.filter(col("vec_id") < nCents)
       .select(col("vec_id"), asDouble(col("embedding")))
       .collect().sortBy(_.getLong(0))
@@ -1155,34 +1201,66 @@ object Similarity {
     val books: Array[Array[Array[Double]]] =
       (0 until m).map(j => cents.map(_.slice(j * dsub, (j + 1) * dsub)))
         .toArray
+    (cents, books)
+  }
+
+  /** 6-d.p. HALF_UP round — the driver-side twin of Spark's `round(x, 6)`
+    * (same decimal HALF_UP of the double), used wherever a driver-side
+    * scalar must equal an engine/oracle-side rounded distance. */
+  private def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Ascending-index left-fold L2² — the fold order every kernel here
+    * shares (bit-identical to the engine-side folds). */
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** [[ivfAdcResidualTopK]] with DATA-DEFINED quantizers — the s35
+    * oracle recipe applied to the RESIDUAL composition (the full Jégou
+    * IVFADC: PQ codes of coarse residuals, per-probed-list ADC tables).
+    * Every stage is relational: rounded-argmin assignment, the exact
+    * in-row residual subtraction (x − c is the same IEEE op on both
+    * engines), rounded per-block code argmins, per-(list, block)
+    * 6-d.p. LUT entries from the query residual q − c_L, the rounded
+    * ADC total, and the exact cosine rerank — so a DuckDB twin
+    * reproduces the ENTIRE residual pipeline from the same table and
+    * the hash gate covers it end to end (the trained-quantizer residual
+    * path keeps its golden gates in spec). The scan kernel is the fused
+    * [[graft.functions.Vectors.adcSumIndexed]] — the per-list table
+    * selects in-row by the candidate's `centroid_id`, never a join.
+    */
+  def ivfAdcResidualTopKDataDefined(embeddings: DataFrame, queryId: Long,
+      k: Int, nCents: Int = 16, m: Int = 8, nProbe: Int = 4,
+      rerank: Int = 4): DataFrame = {
+    require(k >= 1 && rerank >= 1 && nProbe >= 1 && nProbe <= nCents,
+      "need k, rerank >= 1 and 1 <= nProbe <= nCents")
+    val (cents, books) = dataDefinedQuantizers(embeddings, nCents, m)
+    val dsub = cents(0).length / m
     val qRows = embeddings.filter(col("vec_id") === queryId)
       .select(asDouble(col("embedding")).as("qv")).limit(1).collect()
     if (qRows.isEmpty)
       return embeddings.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
     val qArr = qRows(0).getSeq[Double](0).toArray
-    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
     val probeLists = cents.zipWithIndex
-      .map { case (c, i) => (r6(d2(c, qArr)), i) }
+      .map { case (c, i) => (round6(l2sq(c, qArr)), i) }
       .sortBy { case (d, i) => (d, i) }.take(nProbe).map(_._2)
-    val v = asDouble(col("embedding"))
-    val probed = oncePerRow(embeddings,
-        "centroid_id" -> nearestCentroidRounded(v, cents))
+    val encoded = pqEncodeResidual(embeddings, cents, books, roundTo = 6)
       .filter(col("vec_id") =!= queryId &&
         col("centroid_id").isin(probeLists.toIndexedSeq.map(Int.box): _*))
-    val encoded = oncePerRow(probed,
-      "pq_code" -> graft.functions.Vectors.pqCode(v, books, roundTo = 6))
-    val luts: Array[Array[Double]] = books.zipWithIndex.map { case (book, j) =>
-      val qb = qArr.slice(j * dsub, (j + 1) * dsub)
-      book.map(c => r6(d2(c, qb)))
-    }
-    val adist =
-      round(graft.functions.Vectors.adcSum(col("pq_code"), luts), 6)
+    // per-list ADC tables from the query residual q − c_L, indexed by
+    // centroid id directly (unprobed entries are never read)
+    val luts: Array[Array[Array[Double]]] = cents.indices.map { l =>
+      val qRes = qArr.zip(cents(l)).map { case (x, c) => x - c }
+      books.zipWithIndex.map { case (book, j) =>
+        val qb = qRes.slice(j * dsub, (j + 1) * dsub)
+        book.map(c => round6(l2sq(c, qb)))
+      }
+    }.toArray
+    val adist = round(graft.functions.Vectors.adcSumIndexed(
+      col("pq_code"), col("centroid_id"), luts), 6)
     adcRerankTail(encoded, adist, qArr, k, rerank)
   }
 
@@ -1725,15 +1803,18 @@ object Similarity {
   def pqEncodeResidual(embeddings: DataFrame,
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", roundTo: Int = -1): DataFrame = {
     // fused residual kernel: x − centroids[centroid_id] in one pass
     // (was zip_with against an element_at of the full centroid-table
     // literal — an O(nLists·d) literal plus an interpreted O(d) lambda
-    // per row); identical element order and subtraction
+    // per row); identical element order and subtraction. roundTo flows
+    // to BOTH argmins (assign + block codes) — the oracle contract.
     val resid = graft.functions.Vectors.subIndexedRow(
       asDouble(col(vecCol)), col("centroid_id"), centroids)
-    pqEncode(oncePerRow(ivfAssign(embeddings, centroids), "__resid" -> resid),
-      codebooks, "__resid").drop("__resid")
+    pqEncode(
+      oncePerRow(ivfAssign(embeddings, centroids, roundTo),
+        "__resid" -> resid),
+      codebooks, "__resid", roundTo).drop("__resid")
   }
 
   /** [[ivfAdcTopK]] with residual encoding: within probed list L the
@@ -1822,12 +1903,16 @@ object Similarity {
       queries: DataFrame, k: Int, centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
       nProbe: Int = 4, rerank: Int = 4,
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", roundTo: Int = -1): DataFrame = {
     require(k >= 1 && rerank >= 1 && nProbe >= 1 &&
       nProbe <= centroids.length,
       "need 1 <= nProbe <= nLists and positive k, rerank")
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
+    // roundTo >= 0: the oracle contract — every distance (probe rank,
+    // LUT entry, ADC total) rounds before its argmin/cut, matching the
+    // single-query data-defined path; trained paths keep the raw default
+    def rq(c: Column): Column = if (roundTo >= 0) round(c, roundTo) else c
     val centLit = array(centroids.toIndexedSeq.map(c =>
       array(c.toIndexedSeq.map(lit(_)): _*)): _*)
     // (1) in-row probe ranking: d2 to every centroid, array_sort on
@@ -1836,8 +1921,8 @@ object Similarity {
     val probeStructs = transform(
       sequence(lit(0), lit(centroids.length - 1)), cid =>
         struct(
-          aggregate(zip_with(col("qv"), element_at(centLit, cid + 1),
-            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("d2"),
+          rq(aggregate(zip_with(col("qv"), element_at(centLit, cid + 1),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)).as("d2"),
           cid.as("cid")))
     val probes = slice(array_sort(probeStructs), 1, nProbe)
     // (2) per-query ADC tables from the literal codebooks — the exact
@@ -1846,15 +1931,16 @@ object Similarity {
       val bookLit = array(codebooks(j).toIndexedSeq.map(c =>
         array(c.toIndexedSeq.map(lit(_)): _*)): _*)
       transform(bookLit, c =>
-        aggregate(zip_with(c, slice(col("qv"), j * dsub + 1, dsub),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+        rq(aggregate(zip_with(c, slice(col("qv"), j * dsub + 1, dsub),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)))
     }: _*)
     val q = queries.select(col("vec_id").cast("long").as("qid"),
       asDouble(col(vecCol)).as("qv"))
     val probePairs = oncePerRow(q, "qlut" -> qlut, "probes" -> probes)
       .select(col("qid"), col("qlut"), explode(col("probes")).as("pr"))
       .select(col("qid"), col("qlut"), col("pr.cid").as("centroid_id"))
-    adcBatchTail(index, embeddings, probePairs, q, k, rerank, m, vecCol)
+    adcBatchTail(index, embeddings, probePairs, q, k, rerank, m, vecCol,
+      roundTo)
   }
 
   /** [[ivfAdcTopKBatch]] with RESIDUAL encoding — the batched twin of
@@ -1873,19 +1959,21 @@ object Similarity {
       queries: DataFrame, k: Int, centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
       nProbe: Int = 4, rerank: Int = 4,
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", roundTo: Int = -1): DataFrame = {
     require(k >= 1 && rerank >= 1 && nProbe >= 1 &&
       nProbe <= centroids.length,
       "need 1 <= nProbe <= nLists and positive k, rerank")
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
+    // roundTo >= 0: the oracle contract, as in [[ivfAdcTopKBatch]]
+    def rq(c: Column): Column = if (roundTo >= 0) round(c, roundTo) else c
     val centLit = array(centroids.toIndexedSeq.map(c =>
       array(c.toIndexedSeq.map(lit(_)): _*)): _*)
     val probeStructs = transform(
       sequence(lit(0), lit(centroids.length - 1)), cid =>
         struct(
-          aggregate(zip_with(col("qv"), element_at(centLit, cid + 1),
-            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("d2"),
+          rq(aggregate(zip_with(col("qv"), element_at(centLit, cid + 1),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)).as("d2"),
           cid.as("cid")))
     val probes = slice(array_sort(probeStructs), 1, nProbe)
     val q = queries.select(col("vec_id").cast("long").as("qid"),
@@ -1899,8 +1987,8 @@ object Similarity {
       val bookLit = array(codebooks(j).toIndexedSeq.map(c =>
         array(c.toIndexedSeq.map(lit(_)): _*)): _*)
       transform(bookLit, c =>
-        aggregate(zip_with(c, slice(col("__qres"), j * dsub + 1, dsub),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+        rq(aggregate(zip_with(c, slice(col("__qres"), j * dsub + 1, dsub),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)))
     }: _*)
     val pairs = oncePerRow(q, "probes" -> probes)
       .select(col("qid"), col("qv"), explode(col("probes")).as("pr"))
@@ -1908,7 +1996,8 @@ object Similarity {
     val probePairs = oncePerRow(
         oncePerRow(pairs, "__qres" -> qres), "qlut" -> qlut)
       .select("qid", "centroid_id", "qlut")
-    adcBatchTail(index, embeddings, probePairs, q, k, rerank, m, vecCol)
+    adcBatchTail(index, embeddings, probePairs, q, k, rerank, m, vecCol,
+      roundTo)
   }
 
   /** Shared tail of the batched ADC read paths: (3) the probe relation
@@ -1922,11 +2011,12 @@ object Similarity {
     */
   private def adcBatchTail(index: DataFrame, embeddings: DataFrame,
       probePairs: DataFrame, q: DataFrame, k: Int, rerank: Int, m: Int,
-      vecCol: String): DataFrame = {
-    val adist = (1 to m).map { j =>
+      vecCol: String, roundTo: Int = -1): DataFrame = {
+    val rawAdist = (1 to m).map { j =>
       element_at(element_at(col("qlut"), j),
         element_at(col("pq_code"), j) + 1)
     }.reduce(_ + _)
+    val adist = if (roundTo >= 0) round(rawAdist, roundTo) else rawAdist
     val cands = index
       .join(broadcast(probePairs), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("qid"))

@@ -1225,4 +1225,73 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     assert(got(12L)._1 === 0L)
     assert(math.abs(got(12L)._2 - 0.707107) < 1e-9) // cos 45°, rounded 6 d.p.
   }
+
+  test("data-defined oracle family: batched raw/residual == single-query data-defined per query") {
+    // the family relation that makes the s21/s23/s25 oracle probes
+    // trustworthy together: the roundTo=6 batch paths must be
+    // BIT-identical per query to the single-query data-defined paths
+    // (same rounded probe ranking, codes, LUTs, cuts, rerank)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val (cents, books) =
+      Similarity.dataDefinedQuantizers(emb, nCents = 16, m = 8)
+    val k = 10; val nProbe = 4; val rerank = 4
+    val qids = Seq(0L, 100L, 300L)
+    val queries = emb.filter(col("vec_id").isin(qids.map(Long.box): _*))
+    val index = Similarity.pqEncode(
+        Similarity.ivfAssign(emb, cents, roundTo = 6), books, roundTo = 6)
+      .select("vec_id", "centroid_id", "pq_code")
+    val batch = Similarity.ivfAdcTopKBatch(index, emb, queries, k, cents,
+        books, nProbe, rerank, roundTo = 6)
+      .collect().groupBy(_.getAs[Long]("qid"))
+    qids.foreach { qid =>
+      val single = Similarity.ivfAdcTopKDataDefined(emb, qid, k,
+          nCents = 16, m = 8, nProbe = nProbe, rerank = rerank).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch(qid)
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+      assert(got === single,
+        s"raw dd batch diverges from the single-query dd path for $qid")
+    }
+    val rIndex = Similarity.pqEncodeResidual(emb, cents, books, roundTo = 6)
+      .select("vec_id", "centroid_id", "pq_code")
+    val rBatch = Similarity.ivfAdcResidualTopKBatch(rIndex, emb, queries,
+        k, cents, books, nProbe, rerank, roundTo = 6)
+      .collect().groupBy(_.getAs[Long]("qid"))
+    qids.foreach { qid =>
+      val single = Similarity.ivfAdcResidualTopKDataDefined(emb, qid, k,
+          nCents = 16, m = 8, nProbe = nProbe, rerank = rerank).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = rBatch(qid)
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+      assert(got === single,
+        s"residual dd batch diverges from the single-query dd path for $qid")
+    }
+  }
+
+  test("adcSumIndexed kernel: per-list LUT selection matches the lookup chain; guards fail loudly") {
+    val luts = Array(
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)),    // list 0: m=2, ksub=2
+      Array(Array(10.0, 20.0), Array(30.0, 40.0))) // list 1
+    val df = Seq((Seq(0, 1), 0), (Seq(1, 0), 1))
+      .toDF("pq_code", "centroid_id")
+    val got = df.select(graft.functions.Vectors.adcSumIndexed(
+        col("pq_code"), col("centroid_id"), luts).as("s"))
+      .orderBy("s").collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(1.0 + 4.0, 20.0 + 30.0))
+    // a short code (stale/foreign index) must fail loudly, never read
+    // garbage distances
+    val shortCode = Seq((Seq(0), 0)).toDF("pq_code", "centroid_id")
+      .select(graft.functions.Vectors.adcSumIndexed(
+        col("pq_code"), col("centroid_id"), luts))
+    val e1 = intercept[Exception] { shortCode.collect() }
+    assert(e1.toString.contains("adc_sum_indexed") ||
+      Option(e1.getCause).exists(_.toString.contains("adc_sum_indexed")))
+    // a foreign list id outside the LUT table must fail loudly too
+    val badList = Seq((Seq(0, 1), 7)).toDF("pq_code", "centroid_id")
+      .select(graft.functions.Vectors.adcSumIndexed(
+        col("pq_code"), col("centroid_id"), luts))
+    val e2 = intercept[Exception] { badList.collect() }
+    assert(e2.toString.contains("adc_sum_indexed") ||
+      Option(e2.getCause).exists(_.toString.contains("adc_sum_indexed")))
+  }
 }
