@@ -750,6 +750,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // t49's 100 TB-SHAPED twin: the SAME cluster-keyed split gate over
+    // Dedup.nearDupClusters — LSH (MinHash band) candidates + exact
+    // Jaccard verify — instead of the exact all-pairs join. At τ = 0.3
+    // the exact prefix filter degrades (t49 is the slowest non-streaming
+    // bench row for exactly that reason); the banded candidate join is
+    // the plan that survives 100 TB, at the standard LSH recall cost
+    // (a missed edge can split a true cluster across splits — the
+    // documented dial). Golden: LSH pairs ⊆ exact pairs, so LSH
+    // clusters REFINE t49's oracle-checked clustering — the DedupSpec
+    // t55 gate pins the refinement invariant and a measured
+    // co-cluster-pair recall floor against the exact path.
+    "t55_cluster_safe_split_lsh" -> QueryDef.noOracle { (s, d) =>
+      val clustered = Dedup.nearDupClusters(
+          Tables.documents(s, d), threshold = 0.3)
+        .withColumn("cluster_id", col("cluster_id").cast("long"))
+      Scale.assignSplit(clustered, idCol = "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // Per-source rank normalization: the two-phase distributed rank
     // (groupPercentRank), oracled by the naive per-source window. The
     // pct quotient divides identical integers on both engines —

@@ -602,4 +602,59 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.map(_.toString).toSeq === full.map(_.toString).toSeq)
     assert(full.nonEmpty)
   }
+
+  test("t55 gate: LSH clustering refines the exact clustering; co-cluster pair recall floor; split rides the cluster") {
+    // the scale-path twin of the t49 oracle probe: LSH-verified pairs
+    // are a SUBSET of the exact pairs (same exact-Jaccard verify on
+    // banded candidates), so every LSH cluster must sit INSIDE one
+    // exact cluster (refinement — a violated edge would mean a fake
+    // pair survived the verify), and the recall dial is the fraction
+    // of exact co-cluster pairs the LSH path preserves.
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+    val tau = 0.3
+    def clusterMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col("doc_id"),
+          col("cluster_id").cast("long").as("cluster_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = clusterMap(Dedup.nearDupClustersExact(docs, threshold = tau))
+    val lsh = clusterMap(Dedup.nearDupClusters(docs, threshold = tau))
+    assert(exact.keySet === lsh.keySet, "both paths must label every doc")
+    // refinement: docs sharing an LSH cluster share the exact cluster
+    lsh.groupBy(_._2).foreach { case (cid, members) =>
+      val exactLabels = members.keys.map(exact).toSet
+      assert(exactLabels.size === 1,
+        s"LSH cluster $cid spans exact clusters $exactLabels — a " +
+          "verified-pair edge crossed exact-cluster lines")
+    }
+    // recall on co-cluster PAIRS (the leakage-relevant unit: a missed
+    // pair is a potential cross-split leak)
+    def coPairs(m: Map[Long, Long]): Set[(Long, Long)] =
+      m.groupBy(_._2).values.flatMap { g =>
+        val ids = g.keys.toSeq.sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    val exactPairs = coPairs(exact)
+    val lshPairs = coPairs(lsh)
+    assert(lshPairs.subsetOf(exactPairs),
+      "LSH co-cluster pairs must be a subset of exact co-cluster pairs")
+    assert(exactPairs.nonEmpty, "fixture must contain near-dup clusters")
+    val recall = lshPairs.size.toDouble / exactPairs.size
+    // measured 1.0 at sf0.01 (every exact pair survives the banding at
+    // τ=0.3 on this fixture); floor pinned WELL below to gate collapse,
+    // not noise
+    assert(recall >= 0.8, s"LSH co-cluster pair recall $recall below floor")
+    // the split gate rides the cluster id: members of one LSH cluster
+    // land in one split (the leakage-free invariant the probe exists for)
+    val split = Scale.assignSplit(
+        Dedup.nearDupClusters(docs, threshold = tau)
+          .withColumn("cluster_id", col("cluster_id").cast("long")),
+        idCol = "cluster_id")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    lsh.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.map(split).toSet.size === 1,
+        s"cluster $cid members split across train/val/test")
+    }
+  }
 }
