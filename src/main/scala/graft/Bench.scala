@@ -34,6 +34,20 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // Cumulative stop-the-world GC time of this JVM (ms). Per-query
+    // deltas ride along in BENCH_FULL.json so band forensics can
+    // separate DRIVER-JVM GC pressure (gc delta tracks the inflation)
+    // from external box load (flat gc, inflated wall) — the r13 driver
+    // tail showed GCLocker retries mid-map and the two causes were
+    // indistinguishable from wall-clock alone.
+    def gcMillis(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var s = 0L
+      while (it.hasNext) s += math.max(0L, it.next().getCollectionTime)
+      s
+    }
+
     // Per-query wall-clock offsets (seconds since bench start) ride along
     // in BENCH_FULL.json: a concurrent-load window on the box then shows
     // up as a contiguous TIME BAND of inflated queries instead of a
@@ -43,6 +57,7 @@ object Bench {
       .filter { case (name, _) => only.forall(name.startsWith) }
       .map { case (name, fn) =>
         val at = (System.nanoTime() - benchT0) / 1e9
+        val gc0 = gcMillis()
         val (t, cold) = try {
           def once(): Unit =
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -58,16 +73,21 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             (-1.0, -1.0)
         }
-        (name, t, at, cold)
+        val gcSec = (gcMillis() - gc0) / 1e3 // GC during cold + timed runs
+        (name, t, at, cold, gcSec)
       }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val full = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+    val full = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val startedAt = results.map { case (k, _, at, _) => "\"" + k + "\":" + fmt(at) }
+    val startedAt = results.map { case (k, _, at, _, _) => "\"" + k + "\":" + fmt(at) }
       .mkString("{", ",", "}")
-    val coldMap = results.map { case (k, _, _, c) => "\"" + k + "\":" + fmt(c) }
+    val coldMap = results.map { case (k, _, _, c, _) => "\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
+    val gcMap = results.map { case (k, _, _, _, g) => "\"" + k + "\":" + fmt(g) }
+      .mkString("{", ",", "}")
+    val gcTotal = results.map(_._5).sum
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     // documented 2× run-to-run swing class (CLAUDE.md bench forensics):
     // iterative CC jobs and streaming checkpoint lifecycles — a >2×
     // reading on ONE sample of these rows is noise until reproduced
@@ -76,7 +96,8 @@ object Bench {
     val varianceClass = results.map(_._1).filter(n =>
         n.startsWith("st") ||
           Set("d7_neardup_clusters", "s12_semantic_dedup",
-            "t49_cluster_safe_split", "d21_ingest_round").contains(n))
+            "t49_cluster_safe_split", "t55_cluster_safe_split_lsh",
+            "d21_ingest_round").contains(n))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // The driver parses the LAST stdout line as JSON from a bounded tail
@@ -86,9 +107,9 @@ object Bench {
     // per-query map (+ wall-clock start offsets) to a file.
     val (failed, ok) = results.partition(_._2 < 0)
     val headline = (failed ++ ok.sortBy(-_._2)).take(24)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"started_at":$startedAt,"cold":$coldMap,"variance_class":$varianceClass,"sf":"$sfDir"}"""
-    val wire = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$headline,"sf":"$sfDir"}"""
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"started_at":$startedAt,"cold":$coldMap,"gc":$gcMap,"gc_sec":${fmt(gcTotal)},"heap_gb":${fmt(heapGb)},"variance_class":$varianceClass,"sf":"$sfDir"}"""
+    val wire = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"gc_sec":${fmt(gcTotal)},"queries":$headline,"sf":"$sfDir"}"""
     // BENCH_FULL.json is the canonical full-map artifact (BASELINE.md):
     // a SPARK_GRAFT_BENCH_ONLY-filtered run must never clobber it — those
     // go to BENCH_ONLY.json instead.
