@@ -519,6 +519,66 @@ class PartitioningSpec extends AnyFunSuite {
     assert(again === repaired)
   }
 
+  test("IndexCache repair race: two promoted generations converge on the first; in-flight reads survive; stale loser sweeps") {
+    // The two-JVM interleave behind the r13 generation-repair fix:
+    // JVM A resolves the base path and starts scanning; a reaper eats
+    // _SUCCESS; A and B both rebuild and promote __r generations. The
+    // contract: (1) every rediscovery converges on the lexicographically
+    // FIRST completed generation; (2) neither the corrupt base nor the
+    // losing generation is touched while young — A's in-flight scan of
+    // the base and B's own serve of its loser must both complete;
+    // (3) once past the age cutoff the losing generation is swept.
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val src = graft.TestSpark.tempDir("graft_idxcache_race_src")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "data.bin"), Array[Byte](1, 2, 3))
+    def build(p: String): Unit =
+      Seq((1L, 10), (2L, 20)).toDF("vec_id", "centroid_id")
+        .write.mode("overwrite").parquet(p)
+    val kind = "spec_race_" + java.util.UUID.randomUUID().toString.take(8)
+    val base = IndexCache.persistedIndex(kind, src, "fp")(build)
+    // JVM A resolves the base and holds a lazy scan over it
+    val inFlight = spark.read.parquet(base)
+    // reaper corrupts; JVM A's repair promotes generation A
+    assert(new java.io.File(base, "_SUCCESS").delete())
+    val genA = IndexCache.persistedIndex(kind, src, "fp")(build)
+    assert(genA !== base)
+    // JVM B lost the race: its complete generation sorts AFTER A
+    // (simulated directly — persistedIndex in this JVM would rediscover
+    // A instead of promoting)
+    val genB = base + "__rzzzzzzzz-loser"
+    build(genB)
+    assert(new java.io.File(genB, "_SUCCESS").exists())
+    // (1) rediscovery converges on the first generation, not B's
+    val served = IndexCache.persistedIndex(kind, src, "fp") { _ =>
+      fail("completed generations exist — must not rebuild")
+    }
+    assert(served === genA, s"expected convergence on $genA, got $served")
+    // (2) young loser untouched (B may still be serving it), base
+    // untouched (A's pre-corruption scan must complete)
+    assert(new java.io.File(genB, "_SUCCESS").exists(),
+      "young losing generation must survive rediscovery")
+    assert(inFlight.count() === 2L,
+      "in-flight scan of the corrupted base path must still complete")
+    assert(spark.read.parquet(genB).count() === 2L,
+      "the losing promoter's own serve path must still read")
+    // (3) past the age cutoff the loser sweeps on the next rediscovery
+    def backdate(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+      ()
+    }
+    backdate(new java.io.File(genB))
+    val after = IndexCache.persistedIndex(kind, src, "fp") { _ =>
+      fail("completed generations exist — must not rebuild")
+    }
+    assert(after === genA)
+    assert(!new java.io.File(genB).exists(),
+      "stale losing generation must be swept on rediscovery")
+    assert(new java.io.File(genA, "_SUCCESS").exists(),
+      "the winning generation must never be swept")
+  }
+
   test("persisted Jaccard postings index: parquet round-trip probes bit-identically") {
     // the deployment form of the text delta-ingest round: write the
     // buildJaccardIndex triple once (prefix postings partition-bucketed
