@@ -70,7 +70,24 @@ object ScaleSoak {
     // r13: the SQ8 codec scan — one linear pass over the d-byte code
     // column + TakeOrdered, the s19 shape with per-row decode instead
     // of LUT lookups; expected exponent ≈ s19/s20's (scan-dominated)
-    "s31_sq8_topk")
+    "s31_sq8_topk",
+    // r14: the data-defined oracle family (s33/s34/s35 = the r13
+    // additions; all scan-class — exact bounds/quantizers are fixed by
+    // copy-0's vectors replicating verbatim, so only the scan grows),
+    // the retrieval-eval harness (copy-0 query batch × a ×N corpus
+    // scan — expected near-linear), the curriculum rank (TextStats
+    // scan + two-phase rank), and the LSH cluster-safe split (t49's
+    // scale-path twin — the iterative-CC family, judge across runs)
+    "s33_sq8_exact_topk", "s34_matryoshka_exact", "s35_ivfadc_exact_topk",
+    "t53_retrieval_eval", "t54_quality_curriculum",
+    "t55_cluster_safe_split_lsh",
+    // r14: the batched serve path with a FIXED query set (the
+    // production regime — |Q| does not grow with the corpus; the s23
+    // probe itself scales |Q| with N under weak scaling, which would
+    // measure the |Q|·N/nLists candidate product, not the serve-scan
+    // claim). Synthetic frame: dd index built outside the timed body,
+    // copy-0 queries only; claim = one DPP-pruned scan ⇒ near-linear.
+    "s23_batch_serve")
 
   /** Frozen quantizers for [[s20_indexed_read]]: fit ONCE per source
     * corpus (the freeze-and-append operational model — nLists and
@@ -87,6 +104,29 @@ object ScaleSoak {
     * rerank. */
   private def soakFrame(spark: SparkSession, name: String, dir: String,
       fitDir: String): DataFrame = {
+    if (name == "s23_batch_serve") {
+      import graft.operators.{IndexCache, Similarity}
+      val emb = Tables.embeddings(spark, dir)
+      // the 16 lowest ids are copy 0's originals at every factor
+      // (shifted copies start at Step ≫ any original id), so the
+      // quantizers are frozen by construction — the index geometry
+      // cannot move with the amplification factor
+      val (cents, books) = Similarity.dataDefinedQuantizers(emb, 16, 8)
+      val idxDir = IndexCache.persistedIndex("ivfpqdd6", dir,
+        IndexCache.fitFingerprint(cents, books)) { out =>
+        Similarity.pqEncode(Similarity.ivfAssign(emb, cents, roundTo = 6),
+            books, roundTo = 6)
+          .select("vec_id", "centroid_id", "pq_code")
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(out)
+      }
+      // FIXED query set (copy-0 residues only): the production serve
+      // regime — corpus grows, the query batch does not
+      val queries = emb.filter(col("vec_id") % 100 === 0 &&
+        col("vec_id") < 100000000L)
+      return Similarity.ivfAdcTopKBatch(spark.read.parquet(idxDir), emb,
+        queries, k = 10, cents, books, nProbe = 4, rerank = 4,
+        roundTo = 6)
+    }
     if (name != "s20_indexed_read")
       return SparkEntry.queries(name)(spark, dir)
     import graft.operators.Similarity

@@ -1235,10 +1235,48 @@ object PipelineQueries {
         threshold = 0.25, nBits = 2, nTables = nT)
     },
 
-    "s4_ivf_topk" -> QueryDef.noOracle { (s, d) =>
+    // IVF-Flat top-k. ORACLE-CHECKED since r14 with DATA-DEFINED
+    // centroids (the s22/s35 recipe): rounded-argmin assignment and
+    // probe ranking are relational, the probed-list scan is an exact
+    // 6-d.p. cosine rank — DuckDB reproduces the whole read path. The
+    // TRAINED-centroid IVF path keeps its golden gates in
+    // SimilarityAsOfSpec (deterministic centroids, candidate-scan
+    // shrinkage, recall floor) and its persisted partition-prune gates
+    // in PartitioningSpec — untouched (roundTo default -1).
+    "s4_ivf_topk" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |pl AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid, round(list_sum(list_transform(range(len(c.cv)),
+        |      i -> (c.cv[i+1] - q.qv[i+1]) * (c.cv[i+1] - q.qv[i+1]))), 6)
+        |      AS d2
+        |    FROM cent c, q)
+        |  QUALIFY row_number() OVER (ORDER BY d2, cid) <= 4),
+        |asg AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      round(list_sum(list_transform(range(len(e.v)),
+        |        i -> (e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]))), 6)
+        |        AS d2
+        |    FROM e, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY d2, cid) = 1)
+        |SELECT a.vec_id,
+        |  round(list_cosine_similarity(a.v, (SELECT qv FROM q)), 6)
+        |    + 0.0::DOUBLE AS sim
+        |FROM asg a JOIN pl ON pl.cid = a.cid
+        |WHERE a.vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val centroids = Similarity.ivfCentroids(emb, nCentroids = 16)
-      Similarity.topKCosineIVF(emb, queryId = 0L, k = 20, centroids, nProbe = 4)
+      val (cents, _) =
+        Similarity.dataDefinedQuantizers(emb, nCents = 16, m = 8)
+      Similarity.topKCosineIVF(emb, queryId = 0L, k = 20, cents,
+          nProbe = 4, roundTo = 6)
+        .select(col("vec_id"), (col("sim") + lit(0.0)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
     },
 
     // product quantization (the memory-bound billion-scale ANN form):

@@ -677,22 +677,30 @@ object Similarity {
     * when the index is written partitioned/bucketed by list.
     */
   def topKCosineIVF(embeddings: DataFrame, queryId: Long, k: Int,
-      centroids: Array[Array[Double]], nProbe: Int = 4): DataFrame = {
+      centroids: Array[Array[Double]], nProbe: Int = 4,
+      roundTo: Int = -1): DataFrame = {
     // fetch the query vector ONCE; it is needed driver-side anyway to
     // rank the probe lists, and embedding it as a literal spares the
     // broadcast-join job. An absent queryId yields an empty result (same
     // contract as topKCosine), not a crash.
+    // roundTo >= 0 is the oracle contract (probe ranking + assignment
+    // round each d² before their argmin, ties to the lowest list — the
+    // s22/s35 recipe); the trained path keeps the raw default.
     val qRows = embeddings.filter(col("vec_id") === queryId)
       .select(asDouble(col("embedding")).as("qv")).limit(1).collect()
     if (qRows.isEmpty)
       return embeddings.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
     val qArr = qRows(0).getSeq[Double](0).toArray
     def dist(c: Array[Double]): Double =
-      c.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
-    val probeLists = centroids.zipWithIndex.sortBy { case (c, _) => dist(c) }
+      if (roundTo >= 0) java.math.BigDecimal.valueOf(l2sq(c, qArr))
+        .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+      else c.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probeLists = centroids.zipWithIndex
+      .map { case (c, i) => (dist(c), i) }
+      .sortBy { case (d, i) => (d, i) }
       .take(nProbe).map(_._2)
     val qLit = array(qArr.toIndexedSeq.map(lit(_)): _*)
-    ivfAssign(embeddings, centroids)
+    ivfAssign(embeddings, centroids, roundTo)
       .filter(col("vec_id") =!= queryId &&
         col("centroid_id").isin(probeLists.toIndexedSeq.map(Int.box): _*))
       .select(col("vec_id"),
