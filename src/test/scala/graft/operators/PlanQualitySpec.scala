@@ -308,4 +308,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(generates >= 3, // l2Normalized + ivfAssign + pqEncode
       s"expected the three oncePerRow Generate barriers, found $generates")
   }
+
+  test("s23 data-defined batch: ONE DPP-pruned scan of the persisted dd index serves the query set") {
+    // the oracle-checked probe must keep the production plan shape the
+    // trained-path gate pins: the rounded arithmetic (roundTo = 6) sits
+    // in projections, so the index is still referenced by exactly one
+    // scan, partition-pruned by the broadcast probe relation's dynamic
+    // pruning on centroid_id. Assert on the FINAL adaptive plan (run
+    // first — AQE hides markers pre-execution), Initial Plan cut.
+    val df = SparkEntry.queries("s23_ivfadc_batch")(spark, d)
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scanLines = p.split("\n").filter(l =>
+      l.contains("Location") && l.contains("graft_idxcache_ivfpqdd6"))
+    assert(scanLines.length === 1,
+      s"expected exactly 1 dd-index scan, found ${scanLines.length} in:\n$p")
+    assert(scanLines(0).contains("dynamicpruning"),
+      "probed lists must partition-prune the dd index scan (DPP) — got:\n" +
+        scanLines(0))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dd batch degraded to a product:\n$p")
+  }
 }
