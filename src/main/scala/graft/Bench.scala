@@ -57,8 +57,7 @@ object Bench {
       .filter { case (name, _) => only.forall(name.startsWith) }
       .map { case (name, fn) =>
         val at = (System.nanoTime() - benchT0) / 1e9
-        val gc0 = gcMillis()
-        val (t, cold) = try {
+        val (t, cold, gcSec) = try {
           def once(): Unit =
             fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           // the cold run is discarded from the headline median but kept
@@ -66,14 +65,17 @@ object Bench {
           // (s23/s25/s26) cold ≈ fit + index build and the median ≈ the
           // serve path — the fit/serve split BASELINE.md documents
           val c = time(once())
+          // gc delta spans ONLY the timed runs (sampled after the cold
+          // run), so it corresponds to the median being judged — a cold
+          // index build's GC must not be attributed to the serve path
+          val gc0 = gcMillis()
           val samples = Seq.fill(runs)(time(once())).sorted
-          (samples(samples.size / 2), c)
+          (samples(samples.size / 2), c, (gcMillis() - gc0) / 1e3)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            (-1.0, -1.0)
+            (-1.0, -1.0, 0.0)
         }
-        val gcSec = (gcMillis() - gc0) / 1e3 // GC during cold + timed runs
         (name, t, at, cold, gcSec)
       }
     def fmt(v: Double): String =

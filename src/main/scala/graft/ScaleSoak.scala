@@ -113,16 +113,17 @@ object ScaleSoak {
       // cannot move with the amplification factor
       val (cents, books) = Similarity.dataDefinedQuantizers(emb, 16, 8)
       val idxDir = IndexCache.persistedIndex("ivfpqdd6", dir,
-        IndexCache.fitFingerprint(cents, books)) { out =>
+        IndexCache.fitFingerprint(cents, books, roundTo = 6)) { out =>
         Similarity.pqEncode(Similarity.ivfAssign(emb, cents, roundTo = 6),
             books, roundTo = 6)
           .select("vec_id", "centroid_id", "pq_code")
           .write.mode("overwrite").partitionBy("centroid_id").parquet(out)
       }
-      // FIXED query set (copy-0 residues only): the production serve
-      // regime — corpus grows, the query batch does not
+      // FIXED query set (copy-0 only — shifted copies start at Step):
+      // the production serve regime — corpus grows, the query batch
+      // does not
       val queries = emb.filter(col("vec_id") % 100 === 0 &&
-        col("vec_id") < 100000000L)
+        col("vec_id") < Step)
       return Similarity.ivfAdcTopKBatch(spark.read.parquet(idxDir), emb,
         queries, k = 10, cents, books, nProbe = 4, rerank = 4,
         roundTo = 6)

@@ -96,16 +96,22 @@ object IndexCache {
   }
 
   /** MD5-hex fingerprint of fitted quantizer values + the encoder
-    * version — the persisted-index cache key component (ScaleSoak's
-    * fitFp, shared here so both caches invalidate identically). */
+    * version + the encode-rounding dial — the persisted-index cache key
+    * component (ScaleSoak's fitFp, shared here so both caches
+    * invalidate identically). `roundTo` MUST match what the index
+    * builder passes to ivfAssign/pqEncode: identical fitted values
+    * under roundTo = 6 vs -1 persist DIFFERENT centroid_id/pq_code
+    * bytes, and a kind-string convention alone cannot stop a caller
+    * from scoring one contract's codes against the other's LUTs. */
   def fitFingerprint(cents: Array[Array[Double]],
-      books: Array[Array[Array[Double]]]): String = {
+      books: Array[Array[Array[Double]]], roundTo: Int = -1): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val bb = java.nio.ByteBuffer.allocate(8)
     def put(d: Double): Unit = {
       bb.clear(); bb.putDouble(d); md.update(bb.array()); ()
     }
     md.update(Similarity.EncoderVersion.toByte)
+    md.update(roundTo.toByte)
     cents.foreach(_.foreach(put))
     books.foreach(_.foreach(_.foreach(put)))
     md.digest().take(6).map("%02x".format(_)).mkString
@@ -176,25 +182,27 @@ object IndexCache {
     // so every JVM converges on the same directory
     def repairGen(): Option[String] = {
       val base = new java.io.File(idxDir)
-      val gens = Option(base.getParentFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(base.getName + "__r") &&
-          ok(f.getPath))
+      val all = Option(base.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(base.getName + "__r"))
         .sortBy(_.getName)
+      val gens = all.filter(f => ok(f.getPath))
       // when two JVMs race the repair, both promote a complete __r
-      // generation but only the lexicographically-first is ever
-      // REDISCOVERED — the loser would leak its full index dir in /tmp
-      // indefinitely. Sweep losers opportunistically, but only past an
-      // age cutoff: the losing PROMOTER itself serves its own copy for
-      // the remainder of its run (its persistedIndex call returned that
-      // path), so an immediate delete could yank files from an
-      // in-flight scan. One hour dwarfs any real scan; until then the
-      // leak bound is one completed generation per concurrent repair
-      // racer, each swept on the next rediscovery after the cutoff.
-      if (gens.length > 1) {
-        val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
-        gens.drop(1).filter(_.lastModified < cutoff)
-          .foreach(deleteRecursively)
-      }
+      // generation but only the lexicographically-first is ever served
+      // afterwards — losers (and generations whose own _SUCCESS was
+      // later reaped) would leak full index dirs in /tmp indefinitely.
+      // Sweep everything except the winner, past an age cutoff. Losers
+      // are (almost) never served: the promotion path below re-runs
+      // this rediscovery after promoting and serves the convergent
+      // winner, so a loser is served only when its promoter's
+      // rediscovery raced ahead of the winner's rename (a
+      // milliseconds-wide window); the hour-long age gate covers that
+      // residue — a loser would have to be both race-served AND still
+      // scanning an hour later to be hurt, and the winner is never
+      // deleted.
+      val winner = gens.headOption.map(_.getName).getOrElse("")
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      all.filter(f => f.getName != winner && f.lastModified < cutoff)
+        .foreach(deleteRecursively)
       gens.headOption.map(_.getPath)
     }
     if (ok(idxDir)) idxDir
@@ -214,7 +222,14 @@ object IndexCache {
             repairGen().getOrElse {
               val repair =
                 idxDir + "__r" + java.util.UUID.randomUUID().toString
-              if (tmp.renameTo(new java.io.File(repair))) repair else idxDir
+              if (tmp.renameTo(new java.io.File(repair))) {
+                // re-rediscover AFTER promoting: if a racing JVM's
+                // generation sorts first, serve that convergent winner
+                // instead of our own — then losing generations are
+                // never served (outside the ms-wide double-race
+                // window) and the age-gated sweep is safe
+                repairGen().getOrElse(repair)
+              } else idxDir
             }
           }
         } finally deleteRecursively(tmp) // no-op after a successful rename

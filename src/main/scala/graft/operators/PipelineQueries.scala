@@ -1680,7 +1680,7 @@ object PipelineQueries {
       val (cents, books) =
         Similarity.dataDefinedQuantizers(emb, nCents = 16, m = 8)
       val idxDir = IndexCache.persistedIndex("ivfpqdd6", d,
-        IndexCache.fitFingerprint(cents, books)) { out =>
+        IndexCache.fitFingerprint(cents, books, roundTo = 6)) { out =>
         Similarity.pqEncode(Similarity.ivfAssign(emb, cents, roundTo = 6),
             books, roundTo = 6)
           .select("vec_id", "centroid_id", "pq_code")
@@ -1772,7 +1772,7 @@ object PipelineQueries {
       val (cents, books) =
         Similarity.dataDefinedQuantizers(emb, nCents = 16, m = 8)
       val idxDir = IndexCache.persistedIndex("ivfpqresdd6", d,
-        IndexCache.fitFingerprint(cents, books)) { out =>
+        IndexCache.fitFingerprint(cents, books, roundTo = 6)) { out =>
         Similarity.pqEncodeResidual(emb, cents, books, roundTo = 6)
           .select("vec_id", "centroid_id", "pq_code")
           .write.mode("overwrite").partitionBy("centroid_id").parquet(out)
@@ -1874,7 +1874,7 @@ object PipelineQueries {
       val (cents, books) =
         Similarity.dataDefinedQuantizers(emb, nCents = 16, m = 8)
       val idxDir = IndexCache.persistedIndex("ivfpqdd6", d,
-        IndexCache.fitFingerprint(cents, books)) { out =>
+        IndexCache.fitFingerprint(cents, books, roundTo = 6)) { out =>
         Similarity.pqEncode(Similarity.ivfAssign(emb, cents, roundTo = 6),
             books, roundTo = 6)
           .select("vec_id", "centroid_id", "pq_code")

@@ -691,10 +691,12 @@ object Similarity {
     if (qRows.isEmpty)
       return embeddings.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
     val qArr = qRows(0).getSeq[Double](0).toArray
+    // l2sq is the same ascending left fold the zip/map/sum formulation
+    // computed — bit-identical probe ranking on the trained path
     def dist(c: Array[Double]): Double =
       if (roundTo >= 0) java.math.BigDecimal.valueOf(l2sq(c, qArr))
         .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
-      else c.zip(qArr).map { case (x, y) => (x - y) * (x - y) }.sum
+      else l2sq(c, qArr)
     val probeLists = centroids.zipWithIndex
       .map { case (c, i) => (dist(c), i) }
       .sortBy { case (d, i) => (d, i) }

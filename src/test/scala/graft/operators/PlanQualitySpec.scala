@@ -317,7 +317,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // pruning on centroid_id. Assert on the FINAL adaptive plan (run
     // first — AQE hides markers pre-execution), Initial Plan cut.
     val df = SparkEntry.queries("s23_ivfadc_batch")(spark, d)
-    df.write.mode("overwrite").format("noop").save()
+    // collect() executes df's OWN QueryExecution — a noop write would
+    // run a separate one and leave df.queryExecution at the
+    // pre-execution initial plan
+    df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     val scanLines = p.split("\n").filter(l =>
