@@ -67,6 +67,21 @@ object Vectors {
     GraftBridge.toColumn(SubIndexedRowExpr(GraftBridge.toExpression(vec),
       GraftBridge.toExpression(idx), table))
 
+  /** Fused cosine similarity of two `array<double>` columns — the
+    * exact-scan kernel (`Similarity.cosine`), replacing THREE
+    * interpreted `aggregate ∘ zip_with` folds per row (dot + both
+    * norms: 3·d boxed lambda invocations) with one imperative pass.
+    * Bit-identical to the HOF formulation it replaces: the same three
+    * ascending left folds over the same doubles, `√na·√nb` then one
+    * division, and the same degenerate-input contract — NULL array,
+    * null element, length mismatch (zip_with's null padding), zero
+    * norm, or NaN quotient all score 0.0 (parity-gated in spec against
+    * the retained HOF twin, bit-for-bit).
+    */
+  def cosine(a: Column, b: Column): Column =
+    GraftBridge.toColumn(CosineExpr(GraftBridge.toExpression(a),
+      GraftBridge.toExpression(b)))
+
   /** [[adcSum]] with a PER-LIST table selected in-row by `idx` (the
     * row's coarse list id): `Σ_j luts[idx][j][code[j]]` — the
     * residual-IVFADC scan kernel, where the lookup table depends on
@@ -199,6 +214,59 @@ case class AdcSumExpr(child: Expression, luts: Array[Array[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+case class CosineExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_sim"
+
+  // total over degenerate inputs BY CONTRACT (never null): the HOF
+  // formulation ends in coalesce(..., 0.0)
+  override def nullable: Boolean = false
+
+  // eval (not nullSafeEval): a NULL input array must score 0.0, not
+  // propagate null — coalesce semantics live inside the kernel
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) return 0.0
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    // zip_with pads a length mismatch with null -> null product ->
+    // null fold -> 0.0 after coalesce
+    if (n != y.numElements()) return 0.0
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      // a null element nulls the whole fold -> 0.0
+      if (x.isNullAt(i) || y.isNullAt(i)) return 0.0
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    // try_divide: a zero divisor yields null -> 0.0; nanvl maps a NaN
+    // quotient (0/0, inf/inf, NaN elements) to 0.0
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0
+    else {
+      val q = dot / denom
+      if (java.lang.Double.isNaN(q)) 0.0 else q
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class AdcSumIndexedExpr(left: Expression, right: Expression,

@@ -31,8 +31,22 @@ object Similarity {
     * both score 0.0 instead, as do NULL vectors. Non-degenerate values
     * are bit-identical to the plain quotient (`try_divide` ≡ `/` when
     * the divisor is nonzero), so every existing oracle is unaffected.
+    *
+    * Since r14 this is the FUSED kernel (one imperative pass instead
+    * of three interpreted `aggregate ∘ zip_with` folds per row — the
+    * measured fused-expression lesson applied to the exact-scan hot
+    * path). Bit-identical to [[cosineHof]], which is retained as the
+    * spec parity twin; callers must pass `array<double>` inputs (the
+    * [[asDouble]] discipline every call site already follows).
     */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.Vectors.cosine(a, b)
+
+  /** The pre-r14 higher-order-function formulation of [[cosine]] —
+    * kept ONLY as the bit-parity oracle for the fused kernel
+    * (SimilarityAsOfSpec); not on any hot path.
+    */
+  private[operators] def cosineHof(a: Column, b: Column): Column =
     coalesce(nanvl(try_divide(dot(a, b), norm(a) * norm(b)), lit(0.0)),
       lit(0.0))
 

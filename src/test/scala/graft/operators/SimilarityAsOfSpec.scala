@@ -1268,6 +1268,49 @@ class SimilarityAsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("fused cosine kernel: BIT-identical to the HOF formulation, degenerate contract included") {
+    // the fused kernel replaced three interpreted folds on every
+    // exact-scan path — its contract is bit-equality with the retained
+    // HOF twin on real data AND on every degenerate-input class the
+    // HOF's coalesce∘nanvl∘try_divide chain totalizes
+    val emb = Tables.embeddings(spark, TestSpark.sfDir).limit(200)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(Similarity.asDouble(col("embedding")).as("qv"))
+      .collect()(0).getSeq[Double](0).toArray
+    val qLit = org.apache.spark.sql.functions.array(
+      q.toIndexedSeq.map(lit(_)): _*)
+    val both = emb.select(
+      Similarity.cosine(Similarity.asDouble(col("embedding")), qLit)
+        .as("fused"),
+      Similarity.cosineHof(Similarity.asDouble(col("embedding")), qLit)
+        .as("hof")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"fused ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+    }
+    // degenerate classes: zero vector, NaN element, null element,
+    // NULL array, length mismatch — all must score exactly 0.0 on both
+    val deg = Seq(
+      (Array(0.0, 0.0), Array(1.0, 2.0)),          // zero norm
+      (Array(Double.NaN, 1.0), Array(1.0, 2.0)),   // NaN quotient
+      (Array(1.0, 2.0), Array(1.0, 2.0, 3.0))      // length mismatch
+    ).toDF("a", "b")
+      .union(Seq((Array[java.lang.Double](1.0, null), // null element
+        Array[java.lang.Double](1.0, 2.0))).toDF("a", "b")
+        .select(col("a").cast("array<double>"), col("b").cast("array<double>")))
+      .union(Seq((null: Array[java.lang.Double],      // NULL array
+        Array[java.lang.Double](1.0, 2.0))).toDF("a", "b")
+        .select(col("a").cast("array<double>"), col("b").cast("array<double>")))
+    val degOut = deg.select(
+      Similarity.cosine(col("a"), col("b")).as("fused"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect()
+    degOut.foreach { r =>
+      assert(r.getDouble(0) === 0.0 && r.getDouble(1) === 0.0,
+        s"degenerate input scored (${r.getDouble(0)}, ${r.getDouble(1)})")
+    }
+  }
+
   test("adcSumIndexed kernel: per-list LUT selection matches the lookup chain; guards fail loudly") {
     val luts = Array(
       Array(Array(1.0, 2.0), Array(3.0, 4.0)),    // list 0: m=2, ksub=2
