@@ -120,11 +120,18 @@ object Relational {
     },
 
     // ---- A10: TPC-H Q1 shape (partial/final hash agg) --------------------
+    // sum_disc_price uses EXACT integer units (ExactMoney): the
+    // discount product has 4 true decimals, so its rounded sum is the
+    // summation-order half-boundary class the sf0.1 sweep caught on q5.
+    // Raw-column sums (sum_qty/sum_price: true 2-d.p. sums, 0.005 from
+    // any boundary) keep the plain rounded form — that class is safe.
     "a10_tpch_q1" -> QueryDef.sql(
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        |       AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS cnt
@@ -138,8 +145,9 @@ object Relational {
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
+          ExactMoney.asCurrency(
+            ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")),
+            10000.0).as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("cnt"))

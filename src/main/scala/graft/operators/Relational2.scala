@@ -15,7 +15,10 @@ object Relational2 {
   def defs: Map[String, QueryDef] = Map(
     // ---- TPC-H Q3 shape: selective join + group + top-k by aggregate ---
     "q3_shipping_priority" -> QueryDef.sql(
-      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        |       AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS revenue,
         |  strftime(o_orderdate, '%Y-%m-%d') AS odate
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -29,8 +32,10 @@ object Relational2 {
         .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > lit("1997-03-15").cast("date"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        // exact integer-unit revenue (ExactMoney — the q5 boundary class)
+        .agg(ExactMoney.asCurrency(
+          ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")),
+          10000.0).as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -38,8 +43,17 @@ object Relational2 {
     },
 
     // ---- TPC-H Q5 shape: 6-way star join, revenue per nation ----------
+    // Revenue sums in EXACT integer units (ExactMoney): the sf0.1
+    // oracle sweep caught NATION_11's true sum landing ON a 2-d.p.
+    // half (13237001.475) — float summation order then decides the
+    // rounded digit per engine. Σ cents·(100−pct) is order-independent
+    // BIGINT; the final /10⁴ is a bit-identical quotient, emitted
+    // UNROUNDED (the exact revenue).
     "q5_local_supplier" -> QueryDef.sql(
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        |       AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -59,14 +73,18 @@ object Relational2 {
             col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(ExactMoney.asCurrency(
+          ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")),
+          10000.0).as("revenue"))
         .orderBy("n_name")
     },
 
     // ---- TPC-H Q6 shape: pure scan-filter-agg ---------------------------
     "q6_forecast_revenue" -> QueryDef.sql(
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |           * CAST(round(l_discount * 100, 0) AS BIGINT))
+        |       AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, d) =>
@@ -74,7 +92,10 @@ object Relational2 {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
           col("l_shipdate") < lit("1997-01-01").cast("date") &&
           col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+        // exact integer-unit forecast revenue (ExactMoney)
+        .agg((sum(ExactMoney.cents(col("l_extendedprice"))
+            * ExactMoney.pct(col("l_discount"))).cast("double")
+          / lit(10000.0)).as("revenue"))
     },
 
     // ---- statistical aggregates ----------------------------------------

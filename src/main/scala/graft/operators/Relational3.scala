@@ -68,7 +68,10 @@ object Relational3 {
 
     // ---- TPC-H Q10 shape: returned-item revenue per customer ------------
     "q10_returned_items" -> QueryDef.sql(
-      """SELECT c_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT c_custkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        |       AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -80,8 +83,10 @@ object Relational3 {
         .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("c_custkey")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        // exact integer-unit revenue (ExactMoney — the q5 boundary class)
+        .agg(ExactMoney.asCurrency(
+          ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")),
+          10000.0).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },

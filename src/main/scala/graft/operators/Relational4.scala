@@ -60,20 +60,31 @@ object Relational4 {
 
     // ---- TPC-H Q14 shape: conditional-aggregate ratio over a join -------
     "q14_promo_share" -> QueryDef.sql(
-      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |  / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+      """SELECT CAST(100.0 AS DOUBLE)
+        |  * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+        |      ELSE 0 END) AS DOUBLE)
+        |  / CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        |         AS DOUBLE) AS promo_share
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE l_shipdate >= DATE '1996-01-01'
         |  AND l_shipdate < DATE '1996-04-01'""".stripMargin) { (s, d) =>
-      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      // exact integer-unit revenue on BOTH legs (ExactMoney): the ratio
+      // of two exact BIGINT-derived doubles is a bit-identical quotient
+      // on every engine — emitted UNROUNDED (round() of even an
+      // identical double can split at decimal halves: Spark rounds the
+      // shortest-decimal rendering, DuckDB the numeric value)
+      val units = ExactMoney.cents(col("l_extendedprice")) *
+        (lit(100L) - ExactMoney.pct(col("l_discount")))
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
           col("l_shipdate") < lit("1996-04-01").cast("date"))
         .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
-        .agg(round(lit(100.0) *
-          sum(when(col("p_type") === "PROMO", rev).otherwise(0)) / sum(rev), 6)
-          .as("promo_share"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", units).otherwise(0L)).cast("double")
+          / sum(units).cast("double")).as("promo_share"))
     },
 
     // ---- TPC-H Q16 shape: NOT IN subquery + count distinct --------------
@@ -119,7 +130,10 @@ object Relational4 {
     // Catalyst extracts the common join key from the OR'd bundles so this
     // stays an equi-join with a residual filter, not a nested loop.
     "q19_disjunctive" -> QueryDef.sql(
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        |       AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
@@ -130,8 +144,10 @@ object Relational4 {
           (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
           (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
           (col("p_type") === "PROMO" && col("l_quantity") >= 25))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        // exact integer-unit revenue (ExactMoney — the q5 boundary class)
+        .agg(ExactMoney.asCurrency(
+          ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")),
+          10000.0).as("revenue"))
     },
 
     // ---- TPC-H Q22 shape: global-avg scalar subquery + NOT EXISTS -------

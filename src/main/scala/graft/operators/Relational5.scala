@@ -19,7 +19,9 @@ object Relational5 {
     // (no ps_supplycost column: profit = discounted revenue)
     "q9_product_profit" -> QueryDef.sql(
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        |       AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS profit
         |FROM lineitem
         |JOIN part ON p_partkey = l_partkey
         |JOIN supplier ON s_suppkey = l_suppkey
@@ -36,8 +38,10 @@ object Relational5 {
         .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).cast("int").as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("profit"))
+        // exact integer-unit profit (ExactMoney — the q5 boundary class)
+        .agg(ExactMoney.asCurrency(
+          ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")),
+          10000.0).as("profit"))
         .orderBy(col("nation"), col("o_year").desc)
     },
 
@@ -68,7 +72,9 @@ object Relational5 {
     "q15_top_supplier" -> QueryDef.sql(
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+        |         AS DOUBLE) / CAST(10000.0 AS DOUBLE) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= DATE '1996-01-01'
         |    AND l_shipdate < DATE '1996-04-01'
@@ -81,8 +87,11 @@ object Relational5 {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
           col("l_shipdate") < lit("1996-04-01").cast("date"))
         .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("total_revenue"))
+        // exact integer-unit revenue (ExactMoney): the argmax selection
+        // below compares EXACT values — no rounded-tie ambiguity
+        .agg(ExactMoney.asCurrency(
+          ExactMoney.revenueUnits(col("l_extendedprice"), col("l_discount")),
+          10000.0).as("total_revenue"))
       val maxRev = revenue.agg(max("total_revenue").as("max_revenue"))
       Tables.supplier(s, d)
         .join(revenue, col("s_suppkey") === col("supplier_no"))
