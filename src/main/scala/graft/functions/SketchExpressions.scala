@@ -35,6 +35,29 @@ object Sketches {
     GraftBridge.toColumn(
       MinHashSignatureExpr(GraftBridge.toExpression(words), numHashes, shingleSize))
 
+  /** ENGINE-PORTABLE MinHash signature (see [[MinHashPortableExpr]]) —
+    * the md5-hex hash family a DuckDB oracle re-derives relationally. */
+  def minhashPortable(words: Column, numHashes: Int, shingleSize: Int): Column =
+    GraftBridge.toColumn(
+      MinHashPortableExpr(GraftBridge.toExpression(words), numHashes, shingleSize))
+
+  /** ENGINE-PORTABLE 64-bit SimHash as two 32-bit halves (see
+    * [[SimHashPortableExpr]]). */
+  def simhashPortable(words: Column): Column =
+    GraftBridge.toColumn(SimHashPortableExpr(GraftBridge.toExpression(words)))
+
+  /** First 32 bits of a string's MD5 as an unsigned value in a Long —
+    * the driver-side twin of Spark `conv(substring(md5(x),1,8),16,10)`
+    * ≡ DuckDB `('0x'||substring(md5(x),1,8))::UBIGINT` (the CLAUDE.md
+    * md5-hex gate recipe, here used to derive hash-family parameters
+    * both engines can recompute). */
+  private[functions] def md5_32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
   def simhash64(words: Column): Column =
     GraftBridge.toColumn(SimHash64Expr(GraftBridge.toExpression(words)))
 
@@ -151,6 +174,154 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int, shingleSize: 
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ENGINE-PORTABLE MinHash signature of a word array — the seeded
+  * [[MinHashSignatureExpr]]'s oracle-checkable twin (the CLAUDE.md
+  * md5-hex recipe applied to a whole hash FAMILY): element k is
+  * min over the document's word `shingleSize`-gram strings of
+  *
+  *   h_k(t) = ((a_k · md5_32(t)) mod P + b_k) mod P,  P = 4294967311
+  *
+  * where md5_32 is the shingle string's first 8 md5 hex chars as an
+  * unsigned 32-bit value (Spark `conv(substring(md5(t),1,8),16,10)` ≡
+  * DuckDB `('0x'||substring(md5(t),1,8))::UBIGINT`) and the parameters
+  * are themselves md5-derived — a_k = md5_32("mh_a#k") mod 2147483646
+  * + 1, b_k = md5_32("mh_b#k") mod P — so a SQL oracle re-derives the
+  * ENTIRE family from the k index with no seed table. Overflow-safe by
+  * construction in SIGNED 64-bit: a_k ≤ 2^31 and md5_32 < 2^32 keep
+  * a·x < 2^63, and the product reduces mod P before b_k is added —
+  * the same expression evaluates exactly in DuckDB BIGINT math.
+  * Shingle rule matches [[WordShinglesExpr]]/`TextFunctions
+  * .wordShingles` (empty → no shingles, 0 < |words| < n → one partial
+  * shingle); duplicates need no dedup (minima are multiset-invariant),
+  * and a no-word document yields Long.MaxValue sentinels — callers
+  * exclude such docs (no shingle evidence), as does the SQL twin's
+  * `len(w) > 0` filter. One imperative pass: one MD5 per window +
+  * numHashes affine transforms, O(shingles + shingles × hashes).
+  */
+case class MinHashPortableExpr(child: Expression, numHashes: Int,
+    shingleSize: Int) extends UnaryExpression with CodegenFallback {
+  require(numHashes >= 1 && shingleSize >= 1,
+    "numHashes and shingleSize must be at least 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_portable"
+
+  private val P = 4294967311L // first prime above 2^32
+
+  @transient private lazy val (mulA, addB) = {
+    val a = Array.tabulate(numHashes)(j =>
+      Sketches.md5_32(s"mh_a#$j") % 2147483646L + 1L)
+    val b = Array.tabulate(numHashes)(j => Sketches.md5_32(s"mh_b#$j") % P)
+    (a, b)
+  }
+
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    if (m > 0) {
+      val words = new Array[Array[Byte]](m)
+      var w = 0
+      while (w < m) {
+        words(w) =
+          if (arr.isNullAt(w)) Array.emptyByteArray
+          else arr.getUTF8String(w).getBytes
+        w += 1
+      }
+      val count = math.max(m - shingleSize + 1, 1)
+      var i = 0
+      while (i < count) {
+        md.reset()
+        val span = math.min(shingleSize, m - i)
+        var j = 0
+        while (j < span) {
+          if (j > 0) md.update(' '.toByte)
+          md.update(words(i + j))
+          j += 1
+        }
+        val d = md.digest()
+        val base = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        var k = 0
+        while (k < numHashes) {
+          val h = ((mulA(k) * base) % P + addB(k)) % P
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ENGINE-PORTABLE 64-bit SimHash of a word array, returned as TWO
+  * 32-bit halves `[s1, s2]` (each a non-negative Long < 2^32) — the
+  * seeded [[SimHash64Expr]]'s oracle-checkable twin. Per token
+  * OCCURRENCE (not distinct), one MD5: half 1 votes with the digest's
+  * first 4 bytes (hex chars 1–8), half 2 with bytes 4–7 (hex chars
+  * 9–16) — DuckDB re-derives both via
+  * `('0x'||substring(md5(t),1,8))::UBIGINT` /
+  * `('0x'||substring(md5(t),9,8))::UBIGINT`. Bit b of a half is set
+  * iff the token vote sum for that bit is strictly positive (integer
+  * votes — exact on both engines; ties → 0). Two halves instead of
+  * one packed 64-bit value because DuckDB BIGINT would overflow on
+  * `hi·2^32 + lo` and UBIGINT↔BIGINT mixing differs per engine —
+  * hamming(a, b) = bit_count(s1⊕s1') + bit_count(s2⊕s2') either way.
+  * Null tokens are skipped (never occur after `TextFunctions.words`).
+  */
+case class SimHashPortableExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_portable"
+
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes1 = new Array[Int](32)
+    val votes2 = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        val h1 = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        val h2 = ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+          ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+        var bit = 0
+        while (bit < 32) {
+          if (((h1 >>> bit) & 1L) == 1L) votes1(bit) += 1 else votes1(bit) -= 1
+          if (((h2 >>> bit) & 1L) == 1L) votes2(bit) += 1 else votes2(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var s1 = 0L; var s2 = 0L
+    var bit = 0
+    while (bit < 32) {
+      if (votes1(bit) > 0) s1 |= (1L << bit)
+      if (votes2(bit) > 0) s2 |= (1L << bit)
+      bit += 1
+    }
+    new GenericArrayData(Array(s1, s2))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

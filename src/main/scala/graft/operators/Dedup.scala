@@ -223,6 +223,134 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[minhashNearDups]] with the ENGINE-PORTABLE md5 affine hash
+    * family ([[graft.functions.MinHashPortableExpr]]) — identical
+    * banded-LSH shape (explode bands → equi join on (band, band-key) →
+    * id-pair distinct → signature re-attach → agreement estimate), but
+    * every stage is re-derivable by a SQL oracle from the same table:
+    * shingles are relational, the hash family's parameters come from
+    * md5 of the hash index, signatures are per-(doc, k) MIN aggregates,
+    * the band key is the comma-joined signature slice, and the
+    * estimate is an EXACT multiple of 1/numHashes (agree / 64 — a
+    * power-of-two divide, bit-identical IEEE everywhere, so the 6-d.p.
+    * round is the identity and the ≥ threshold cut can never sit on a
+    * boundary). Documents with NO words are excluded up front (no
+    * shingle evidence — the seeded path's MaxValue sentinels express
+    * the same; the SQL twin's `len(w) > 0` filter mirrors it). The
+    * xxhash-SEEDED family ([[minhashNearDups]]) keeps its golden
+    * recall gates in spec — same operator, hash family dialed from
+    * fastest-available to engine-portable.
+    */
+  def minhashNearDupsPortable(docs: DataFrame, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = docs
+      .filter(size(TextFunctions.words(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        Sketches.minhashPortable(TextFunctions.words(col(textCol)),
+          numHashes, 3).as("sig"))
+    val banded = sigs
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .select(col("id"), col("b"),
+        concat_ws(",",
+          transform(slice(col("sig"), col("b") * r + 1, lit(r)),
+            x => x.cast("string"))).as("h"))
+    val a = banded.select(col("b"), col("h"), col("id").as("id_a"))
+    val b = banded.select(col("b"), col("h"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("b", "h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(estJaccard(col("sig_a"), col("sig_b")), 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** [[simhashNearDups]] with the ENGINE-PORTABLE md5 bit votes
+    * ([[graft.functions.SimHashPortableExpr]]): the 64-bit signature
+    * lives as two 32-bit halves (s1, s2), hamming distance is
+    * bit_count(s1⊕s1') + bit_count(s2⊕s2'), and the pigeonhole
+    * blocking splits the 64 bits into `maxHamming + 1` slices drawn
+    * from the halves — all integer ops a DuckDB twin evaluates
+    * exactly. `maxHamming + 1` must be even and divide 64 (the d4
+    * configuration, 7 → 8 blocks of 8 bits). Documents with NO words
+    * are excluded (an all-zero vote vector would otherwise pair every
+    * empty doc with every other at hamming 0). The xxhash-seeded
+    * [[simhashNearDups]] keeps its golden gates in spec.
+    */
+  def simhashNearDupsPortable(docs: DataFrame, maxHamming: Int = 7,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val blocks = maxHamming + 1
+    require(blocks % 2 == 0 && 32 % (blocks / 2) == 0,
+      s"maxHamming + 1 = $blocks must be even and split 32-bit halves evenly")
+    val half = blocks / 2
+    val width = 32 / half
+    val mask = (1L << width) - 1
+    val sigs = docs
+      .filter(size(TextFunctions.words(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        Sketches.simhashPortable(TextFunctions.words(col(textCol))).as("sp"))
+      .select(col("id"), element_at(col("sp"), 1).as("s1"),
+        element_at(col("sp"), 2).as("s2"))
+    val blocked = sigs
+      .select(col("id"), col("s1"), col("s2"),
+        explode(sequence(lit(0), lit(blocks - 1))).as("i"))
+      .select(col("id"), col("s1"), col("s2"), col("i"),
+        when(col("i") < half,
+          call_function("shiftright", col("s1"), col("i") * width)
+            .bitwiseAND(mask))
+          .otherwise(
+            call_function("shiftright", col("s2"), (col("i") - half) * width)
+              .bitwiseAND(mask)).as("v"))
+    val a = blocked.select(col("i"), col("v"), col("id").as("id_a"),
+      col("s1").as("s1_a"), col("s2").as("s2_a"))
+    val b = blocked.select(col("i"), col("v"), col("id").as("id_b"),
+      col("s1").as("s1_b"), col("s2").as("s2_b"))
+    a.join(b, Seq("i", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("s1_a").bitwiseXOR(col("s1_b"))) +
+          bit_count(col("s2_a").bitwiseXOR(col("s2_b"))))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[verifiedNearDups]] with the portable candidate generator —
+    * two-phase near-dup (cheap banded candidates at a relaxed
+    * threshold, exact n-gram Jaccard verify at the real one) where
+    * BOTH phases are SQL-reproducible, so the oracle equality is also
+    * the end-to-end FP/recall proof for the banding at this operating
+    * point. The verify kernel is the fused hash-set Jaccard — d9's
+    * oracle already proves it equal to string-set Jaccard on this
+    * corpus.
+    */
+  def verifiedNearDupsPortable(docs: DataFrame, threshold: Double = 0.5,
+      n: Int = 3, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val cands = minhashNearDupsPortable(docs, threshold * 0.6,
+        idCol = idCol, textCol = textCol)
+      .select("id_a", "id_b")
+    val words = docs.select(col(idCol).as("gid"),
+      TextFunctions.words(col(textCol)).as("w"))
+    cands
+      .join(words.select(col("gid").as("id_a"), col("w").as("w_a")), "id_a")
+      .join(words.select(col("gid").as("id_b"), col("w").as("w_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Sketches.ngramJaccard(col("w_a"), col("w_b"), n).as("j0"))
+      // cut on the UNROUNDED value (the d9 oracle discipline: both
+      // engines compare the identical exact quotient), round only the
+      // emitted column
+      .filter(col("j0") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("j0"), 6).as("jaccard"))
+  }
+
   /** EXACT all-pairs n-gram Jaccard similarity join at ≥ `threshold` —
     * no sketch, no loss — via prefix filtering (Bayardo et al., "Scaling
     * Up All Pairs Similarity Search", WWW'07; Chaudhuri et al., ICDE'06):

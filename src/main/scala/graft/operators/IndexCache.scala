@@ -36,64 +36,20 @@ object IndexCache {
     if (normalized) Similarity.l2Normalized(e) else e
   }
 
-  /** Memoized [[Similarity.annQuantizers]] over the L2-normalized
-    * embeddings of `dir` (the probe configuration: 16 lists, m=8,
-    * ksub=16, seed 42). */
-  def annQuantizers(s: SparkSession, dir: String, residual: Boolean = false)
-      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
-    memo(s"ann:$residual:$dir") {
-      Similarity.annQuantizers(emb(s, dir, normalized = true),
-        residual = residual)
-    }
-
   /** Memoized [[Similarity.pqCodebooks]] over the RAW (un-normalized)
-    * embeddings — the s24/s27 lifecycle configuration. */
+    * embeddings — the s24/s27 lifecycle configuration. (The r14-era
+    * memos for the other trained fits — annQuantizers, pqCodebooksNorm,
+    * sqBounds, opqQuantizers, annQuantizersOpqRotated — were deleted in
+    * r15 when the s19/s20/s28/s29/s31/s32 probes moved to data-defined
+    * quantizers with SQL oracles; the trained fits themselves live in
+    * [[Similarity]] and stay golden-gated in SimilarityAsOfSpec, and
+    * the fit/serve memo pattern they demonstrated survives here and in
+    * [[persistedIndex]].) */
   def pqCodebooksRaw(s: SparkSession, dir: String)
       : Array[Array[Array[Double]]] =
     memo(s"pqraw:$dir") {
       Similarity.pqCodebooks(emb(s, dir, normalized = false), m = 8, ksub = 16)
     }
-
-  /** Memoized [[Similarity.pqCodebooks]] over the L2-normalized
-    * embeddings — the s19 plain-PQ configuration. */
-  def pqCodebooksNorm(s: SparkSession, dir: String)
-      : Array[Array[Array[Double]]] =
-    memo(s"pqnorm:$dir") {
-      Similarity.pqCodebooks(emb(s, dir, normalized = true), m = 8, ksub = 16)
-    }
-
-  /** Memoized [[Similarity.sqBounds]] over the L2-normalized
-    * embeddings — the s31 SQ8 configuration. */
-  def sqBounds(s: SparkSession, dir: String)
-      : (Array[Double], Array[Double]) =
-    memo(s"sq:$dir") {
-      Similarity.sqBounds(emb(s, dir, normalized = true))
-    }
-
-  /** Memoized [[Similarity.opqQuantizers]] (rotation + codebooks) over
-    * the L2-normalized embeddings — the s28/s29 OPQ configuration. */
-  def opqQuantizers(s: SparkSession, dir: String)
-      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
-    memo(s"opq:$dir") {
-      Similarity.opqQuantizers(emb(s, dir, normalized = true), m = 8, ksub = 16)
-    }
-
-  /** Memoized residual [[Similarity.annQuantizers]] fit on the
-    * OPQ-ROTATED L2-normalized embeddings — the s29 composed-stack
-    * configuration (depends on [[opqQuantizers]]' rotation). */
-  def annQuantizersOpqRotated(s: SparkSession, dir: String)
-      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    // resolve the rotation BEFORE entering the composed key's memo:
-    // computeIfAbsent forbids recursive updates of the same map — a
-    // nested opqQuantizers call inside this mapping function throws
-    // "Recursive update" whenever the two keys land in one bin
-    val (r, _) = opqQuantizers(s, dir)
-    memo(s"annopqrot:$dir") {
-      Similarity.annQuantizers(
-        Similarity.rotated(emb(s, dir, normalized = true), r),
-        residual = true)
-    }
-  }
 
   /** MD5-hex fingerprint of fitted quantizer values + the encoder
     * version + the encode-rounding dial — the persisted-index cache key

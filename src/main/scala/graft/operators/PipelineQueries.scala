@@ -944,18 +944,172 @@ object PipelineQueries {
         .orderBy("h")
     },
 
-    "d3_minhash_neardup" -> QueryDef.noOracle { (s, d) =>
-      Dedup.minhashNearDups(Tables.documents(s, d), threshold = 0.3)
+    // MinHash+LSH near-dup pairs. ORACLE-CHECKED since r15 via the
+    // ENGINE-PORTABLE md5 affine hash family (MinHashPortableExpr):
+    // the DuckDB twin re-derives shingles, the 64 (a_j, b_j) parameters
+    // (md5 of the hash index — no seed table), per-(doc, j) MIN
+    // signatures, comma-joined band keys, the banded self-join and the
+    // agreement estimate (an exact multiple of 1/64) from the same
+    // table — the full banding pipeline hash-gated end to end. The
+    // xxhash-SEEDED family (Dedup.minhashNearDups) keeps its golden
+    // recall-vs-exact S-curve gates in DedupSpec untouched.
+    "d3_minhash_neardup" -> QueryDef.sql(
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(range(len(w) - 2),
+        |                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END AS g
+        |  FROM ws WHERE len(w) > 0),
+        |hp AS (
+        |  SELECT j,
+        |    ('0x' || substring(md5('mh_a#' || j::VARCHAR), 1, 8))::UBIGINT::BIGINT
+        |      % 2147483646 + 1 AS a,
+        |    ('0x' || substring(md5('mh_b#' || j::VARCHAR), 1, 8))::UBIGINT::BIGINT
+        |      % 4294967311 AS b
+        |  FROM (SELECT unnest(range(64)) AS j)),
+        |mh AS (
+        |  SELECT t.doc_id, hp.j,
+        |    min(((hp.a * ('0x' || substring(md5(t.t), 1, 8))::UBIGINT::BIGINT)
+        |         % 4294967311 + hp.b) % 4294967311) AS v
+        |  FROM (SELECT doc_id, unnest(g) AS t FROM sh) t, hp
+        |  GROUP BY t.doc_id, hp.j),
+        |sg AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |bd AS (
+        |  SELECT doc_id, bb.b,
+        |    array_to_string(sig[bb.b*4 + 1 : bb.b*4 + 4], ',') AS h
+        |  FROM sg, (SELECT unnest(range(16)) AS b) bb),
+        |cp AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bd a JOIN bd c ON a.b = c.b AND a.h = c.h
+        |                      AND a.doc_id < c.doc_id)
+        |SELECT cp.id_a, cp.id_b,
+        |  round(CAST(len(list_filter(range(64),
+        |    i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / 64, 6) AS est_jaccard
+        |FROM cp
+        |JOIN sg sa ON sa.doc_id = cp.id_a
+        |JOIN sg sb ON sb.doc_id = cp.id_b
+        |WHERE CAST(len(list_filter(range(64),
+        |    i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / 64 >= 0.3::DOUBLE
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.minhashNearDupsPortable(Tables.documents(s, d), threshold = 0.3)
         .orderBy("id_a", "id_b")
     },
 
-    "d4_simhash_neardup" -> QueryDef.noOracle { (s, d) =>
-      Dedup.simhashNearDups(Tables.documents(s, d), maxHamming = 7)
+    // SimHash near-dup pairs within hamming ≤ 7. ORACLE-CHECKED since
+    // r15 via the ENGINE-PORTABLE md5 bit votes (SimHashPortableExpr,
+    // two 32-bit halves so every op stays in exact BIGINT range on
+    // both engines): the twin re-derives token hashes (md5 hex chars
+    // 1–8 / 9–16), integer bit votes, the two signature halves, the
+    // 8-block pigeonhole keys, and the xor-popcount hamming — the
+    // pigeonhole-blocking recall guarantee checked as hash equality.
+    // The xxhash-seeded Dedup.simhashNearDups keeps its spec gates.
+    "d4_simhash_neardup" -> QueryDef.sql(
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(t.t), 1, 8))::UBIGINT::BIGINT AS h1,
+        |    ('0x' || substring(md5(t.t), 9, 8))::UBIGINT::BIGINT AS h2
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM ws WHERE len(w) > 0) t),
+        |bv AS (
+        |  SELECT doc_id, bb.b,
+        |    sum(CASE WHEN ((h1 >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS v1,
+        |    sum(CASE WHEN ((h2 >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS v2
+        |  FROM th, (SELECT unnest(range(32)) AS b) bb
+        |  GROUP BY doc_id, bb.b),
+        |sg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v1 > 0 THEN (1::BIGINT << b) ELSE 0 END)
+        |         AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN v2 > 0 THEN (1::BIGINT << b) ELSE 0 END)
+        |         AS BIGINT) AS s2
+        |  FROM bv GROUP BY doc_id),
+        |bd AS (
+        |  SELECT doc_id, s1, s2, bb.i,
+        |    CASE WHEN bb.i < 4 THEN (s1 >> CAST(bb.i * 8 AS INTEGER)) & 255
+        |         ELSE (s2 >> CAST((bb.i - 4) * 8 AS INTEGER)) & 255 END AS v
+        |  FROM sg, (SELECT unnest(range(8)) AS i) bb)
+        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.s1, c.s1)) + bit_count(xor(a.s2, c.s2))
+        |       AS BIGINT) AS hamming
+        |FROM bd a JOIN bd c ON a.i = c.i AND a.v = c.v
+        |                    AND a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.s1, c.s1)) + bit_count(xor(a.s2, c.s2)) <= 7
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.simhashNearDupsPortable(Tables.documents(s, d), maxHamming = 7)
         .orderBy("id_a", "id_b")
     },
 
-    "d5_verified_neardup" -> QueryDef.noOracle { (s, d) =>
-      Dedup.verifiedNearDups(Tables.documents(s, d), threshold = 0.4)
+    // two-phase verified near-dup: portable-MinHash banded candidates
+    // at the relaxed 0.6·t threshold, exact 3-gram Jaccard verify at
+    // t = 0.4 (cut on the UNROUNDED quotient — the d9 discipline).
+    // ORACLE-CHECKED since r15: the twin runs the d3 candidate
+    // pipeline at the relaxed cut, then the d9 string-set Jaccard on
+    // the survivors — equality is simultaneously the FP-rejection
+    // proof for the hashed verify kernel and the recall proof for the
+    // banding at this operating point. The seeded variant
+    // (Dedup.verifiedNearDups) keeps its spec gates.
+    "d5_verified_neardup" -> QueryDef.sql(
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(range(len(w) - 2),
+        |                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END AS g
+        |  FROM ws WHERE len(w) > 0),
+        |hp AS (
+        |  SELECT j,
+        |    ('0x' || substring(md5('mh_a#' || j::VARCHAR), 1, 8))::UBIGINT::BIGINT
+        |      % 2147483646 + 1 AS a,
+        |    ('0x' || substring(md5('mh_b#' || j::VARCHAR), 1, 8))::UBIGINT::BIGINT
+        |      % 4294967311 AS b
+        |  FROM (SELECT unnest(range(64)) AS j)),
+        |mh AS (
+        |  SELECT t.doc_id, hp.j,
+        |    min(((hp.a * ('0x' || substring(md5(t.t), 1, 8))::UBIGINT::BIGINT)
+        |         % 4294967311 + hp.b) % 4294967311) AS v
+        |  FROM (SELECT doc_id, unnest(g) AS t FROM sh) t, hp
+        |  GROUP BY t.doc_id, hp.j),
+        |sg AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |bd AS (
+        |  SELECT doc_id, bb.b,
+        |    array_to_string(sig[bb.b*4 + 1 : bb.b*4 + 4], ',') AS h
+        |  FROM sg, (SELECT unnest(range(16)) AS b) bb),
+        |cp AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |    FROM bd a JOIN bd c ON a.b = c.b AND a.h = c.h
+        |                        AND a.doc_id < c.doc_id) p
+        |  JOIN sg sa ON sa.doc_id = p.id_a
+        |  JOIN sg sb ON sb.doc_id = p.id_b
+        |  WHERE CAST(len(list_filter(range(64),
+        |      i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / 64
+        |    >= 0.24::DOUBLE),
+        |shd AS (SELECT doc_id, list_distinct(g) AS g FROM sh)
+        |SELECT cp.id_a, cp.id_b,
+        |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
+        |        6) AS jaccard
+        |FROM cp
+        |JOIN shd a ON a.doc_id = cp.id_a
+        |JOIN shd b ON b.doc_id = cp.id_b
+        |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+        |    >= 0.4::DOUBLE
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.verifiedNearDupsPortable(Tables.documents(s, d), threshold = 0.4)
         .orderBy("id_a", "id_b")
     },
 
@@ -1280,48 +1434,180 @@ object PipelineQueries {
     },
 
     // product quantization (the memory-bound billion-scale ANN form):
-    // ADC code scan + exact cosine rerank over L2-normalized vectors.
-    // No SQL twin (codebooks are trained); the SimilarityAsOfSpec gate
-    // pins the candidate-coverage identity (measured hits = exact ∩
-    // ADC candidates) and the rerank*k ≥ N exact-scan degeneracy.
-    // Bench note: the 8 seeded per-block KMeans fits ride the
-    // IndexCache memo (deterministic → bit-identical to a fresh fit),
-    // so the discarded cold run pays them and the timed runs measure
-    // the inline encode + ADC scan (the round-14 fit/serve protocol).
-    "s19_pq_topk" -> QueryDef.noOracle { (s, d) =>
-      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
-      val books = IndexCache.pqCodebooksNorm(s, d)
-      Similarity.pqTopK(emb, queryId = 0L, k = 20, books, rerank = 4)
+    // ADC code scan + exact cosine rerank. ORACLE-CHECKED since r15 via
+    // the data-defined-quantizer recipe (s35 minus the coarse stage):
+    // block codebooks are slices of the 16 lowest-id vectors, per-block
+    // code distances / LUT entries / the ADC total all round 6 d.p.
+    // before their argmin/cut (ties to the lowest id), the rerank is
+    // the exact 6-d.p. cosine — DuckDB reproduces encode → ADC → cut →
+    // rerank from the same table. Raw vectors (the s33 rule). The
+    // TRAINED-codebook path (l2Normalized + IndexCache.pqCodebooksNorm
+    // + pqTopK) keeps its golden gates in SimilarityAsOfSpec untouched:
+    // candidate-coverage identity + the rerank*k ≥ N exact-scan
+    // degeneracy.
+    "s19_pq_topk" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |code AS (
+        |  SELECT vec_id, j, cid AS c FROM (
+        |    SELECT p.vec_id, jj.j, c.cid,
+        |      round(list_sum(list_transform(range(8),
+        |        i -> (p.v[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1])
+        |           * (p.v[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1]))), 6)
+        |        AS bd
+        |    FROM (SELECT vec_id, v FROM e WHERE vec_id <> 0) p,
+        |         (SELECT unnest(range(8)) AS j) jj, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |                             ORDER BY bd, cid) = 1),
+        |lut AS (
+        |  SELECT jj.j, c.cid,
+        |    round(list_sum(list_transform(range(8),
+        |      i -> (q.qv[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1])
+        |         * (q.qv[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1]))), 6)
+        |      AS ld
+        |  FROM (SELECT unnest(range(8)) AS j) jj, cent c, q),
+        |a AS (
+        |  SELECT code.vec_id, round(sum(l.ld), 6) AS adist
+        |  FROM code JOIN lut l ON l.j = code.j AND l.cid = code.c
+        |  GROUP BY code.vec_id),
+        |cand AS (SELECT vec_id FROM a
+        |         QUALIFY row_number() OVER (ORDER BY adist, vec_id) <= 80)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6)
+        |    + 0.0::DOUBLE AS sim
+        |FROM cand JOIN e USING (vec_id)
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      Similarity.pqTopKDataDefined(Tables.embeddings(s, d), queryId = 0L,
+          k = 20, nCents = 16, m = 8, rerank = 4)
+        .select(col("vec_id"), (col("sim") + lit(0.0)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
     },
 
     // IVFADC — s4's coarse-quantizer prune composed with s19's ADC code
     // scan (the faiss billion-scale default): the scan reads
     // ≈ nProbe/nLists of the corpus as m-byte codes, never raw vectors.
-    // No SQL twin (both quantizers are trained); the SimilarityAsOfSpec
-    // s20 gate pins the two-stage coverage identity (measured hits =
-    // exact ∩ probed-list ADC candidates) and the nProbe=nLists ∧
-    // rerank·k≥N exact-scan degeneracy. Bench note: both index fits
-    // (IVF KMeans + 8 PQ block fits) ride the IndexCache memo — the
-    // cold run pays them, timed runs measure the encode + pruned scan.
-    "s20_ivfadc_topk" -> QueryDef.noOracle { (s, d) =>
-      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
-      val (cents, books) = IndexCache.annQuantizers(s, d)
-      Similarity.ivfAdcTopK(emb, queryId = 0L, k = 20, cents, books,
-        nProbe = 4, rerank = 4)
+    // ORACLE-CHECKED since r15 via the s35 data-defined-quantizer
+    // recipe at a SECOND operating point (query 2, nProbe 6, k 15,
+    // rerank 6 — s35 pins query 0 / nProbe 4 / k 20 / rerank 4), so
+    // the composition is hash-gated at two points of its
+    // probe-vs-recall surface. The TRAINED-quantizer path (l2Normalized
+    // + IndexCache.annQuantizers + ivfAdcTopK) keeps its golden gates
+    // in SimilarityAsOfSpec untouched: two-stage coverage identity
+    // (measured hits = exact ∩ probed-list ADC candidates) and the
+    // nProbe=nLists ∧ rerank·k≥N exact-scan degeneracy.
+    "s20_ivfadc_topk" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 2),
+        |pl AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid, round(list_sum(list_transform(range(len(c.cv)),
+        |      i -> (c.cv[i+1] - q.qv[i+1]) * (c.cv[i+1] - q.qv[i+1]))), 6)
+        |      AS d2
+        |    FROM cent c, q)
+        |  QUALIFY row_number() OVER (ORDER BY d2, cid) <= 6),
+        |asg AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      round(list_sum(list_transform(range(len(e.v)),
+        |        i -> (e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]))), 6)
+        |        AS d2
+        |    FROM e, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY d2, cid) = 1),
+        |probed AS (
+        |  SELECT a.vec_id, a.v FROM asg a JOIN pl USING (cid)
+        |  WHERE a.vec_id <> 2),
+        |code AS (
+        |  SELECT vec_id, j, cid AS c FROM (
+        |    SELECT p.vec_id, jj.j, c.cid,
+        |      round(list_sum(list_transform(range(8),
+        |        i -> (p.v[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1])
+        |           * (p.v[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1]))), 6)
+        |        AS bd
+        |    FROM probed p, (SELECT unnest(range(8)) AS j) jj, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |                             ORDER BY bd, cid) = 1),
+        |lut AS (
+        |  SELECT jj.j, c.cid,
+        |    round(list_sum(list_transform(range(8),
+        |      i -> (q.qv[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1])
+        |         * (q.qv[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1]))), 6)
+        |      AS ld
+        |  FROM (SELECT unnest(range(8)) AS j) jj, cent c, q),
+        |a AS (
+        |  SELECT code.vec_id, round(sum(l.ld), 6) AS adist
+        |  FROM code JOIN lut l ON l.j = code.j AND l.cid = code.c
+        |  GROUP BY code.vec_id),
+        |cand AS (SELECT vec_id FROM a
+        |         QUALIFY row_number() OVER (ORDER BY adist, vec_id) <= 90)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6)
+        |    + 0.0::DOUBLE AS sim
+        |FROM cand JOIN e USING (vec_id)
+        |ORDER BY sim DESC, vec_id LIMIT 15""".stripMargin) { (s, d) =>
+      Similarity.ivfAdcTopKDataDefined(Tables.embeddings(s, d),
+          queryId = 2L, k = 15, nCents = 16, m = 8, nProbe = 6, rerank = 6)
+        .select(col("vec_id"), (col("sim") + lit(0.0)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
     },
 
     // 8-bit SCALAR quantization top-k (faiss SQ8 — the other standard
     // codec beside PQ/OPQ: d bytes a vector, per-dim affine levels, no
     // trained codebooks): approximate L2 over in-row DECODED codes,
-    // exact cosine rerank. No SQL twin (sample-trained bounds); the
-    // SimilarityAsOfSpec s31 gates pin the candidate-coverage identity
-    // against a driver-side recompute, the rerank*k>=N exact-scan
-    // degeneracy, the half-level reconstruction bound, and the codec
-    // ladder position (SQ8 ADC error below every 8-byte encoder).
-    "s31_sq8_topk" -> QueryDef.noOracle { (s, d) =>
-      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
-      val (mins, maxs) = IndexCache.sqBounds(s, d)
-      Similarity.sqTopK(emb, queryId = 0L, k = 20, mins, maxs, rerank = 4)
+    // exact cosine rerank. ORACLE-CHECKED since r15 via the s33
+    // data-defined-bounds recipe at a SECOND operating point (query 3,
+    // k 10, rerank 8 — s33 pins query 0 / k 20 / rerank 4), so the
+    // codec path is hash-gated at two points of its candidate-budget
+    // surface. The SAMPLE-TRAINED-bounds path (l2Normalized +
+    // IndexCache.sqBounds + sqTopK) keeps its golden gates in
+    // SimilarityAsOfSpec untouched: candidate-coverage identity,
+    // rerank*k>=N exact-scan degeneracy, half-level reconstruction
+    // bound, and the codec ladder position.
+    "s31_sq8_topk" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |b AS (
+        |  SELECT i, min(v[i+1]) AS mn, max(v[i+1]) AS mx
+        |  FROM e, (SELECT unnest(range((SELECT max(len(v)) FROM e))) AS i)
+        |  GROUP BY i),
+        |bm AS (SELECT
+        |    list(mn ORDER BY i) AS mins,
+        |    list(CASE WHEN mx > mn THEN 255.0::DOUBLE / (mx - mn)
+        |              ELSE 0.0::DOUBLE END ORDER BY i) AS scales,
+        |    list(CASE WHEN mx > mn THEN (mx - mn) / 255.0::DOUBLE
+        |              ELSE 0.0::DOUBLE END ORDER BY i) AS steps
+        |  FROM b),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 3),
+        |c AS (
+        |  SELECT e.vec_id, e.v,
+        |    list_transform(range(len(e.v)), i ->
+        |      CAST(least(greatest(floor(
+        |        (e.v[i+1] - bm.mins[i+1]) * bm.scales[i+1] + 0.5::DOUBLE),
+        |        0.0::DOUBLE), 255.0::DOUBLE) AS INTEGER)) AS code
+        |  FROM e, bm WHERE e.vec_id <> 3),
+        |a AS (
+        |  SELECT c.vec_id, c.v,
+        |    round(list_sum(list_transform(range(len(c.code)), i ->
+        |      (bm.mins[i+1] + c.code[i+1] * bm.steps[i+1] - q.qv[i+1])
+        |      * (bm.mins[i+1] + c.code[i+1] * bm.steps[i+1] - q.qv[i+1]))),
+        |      6) AS adist
+        |  FROM c, bm, q),
+        |cand AS (SELECT vec_id, v FROM a
+        |         QUALIFY row_number() OVER (ORDER BY adist, vec_id) <= 80)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 6)
+        |    + 0.0::DOUBLE AS sim
+        |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val (mins, maxs) = Similarity.sqBoundsExact(emb)
+      Similarity.sqTopK(emb, queryId = 3L, k = 10, mins, maxs, rerank = 8,
+          roundAdistTo = 6)
+        .select(col("vec_id"), (col("sim") + lit(0.0)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
     },
 
     // SQ8 with DATA-DEFINED bounds — the rare ANN probe with real SQL
@@ -1382,16 +1668,39 @@ object PipelineQueries {
     },
 
     // Matryoshka truncated-dimension retrieval (MRL, Kusupati et al.
-    // NeurIPS'22): cheap cosine over the first 16 of 64 dims, exact
-    // full-dim rerank — the adaptive-retrieval read path (prefix bytes
-    // only in the first pass). Golden: the SimilarityAsOfSpec s32
-    // gates pin the prefix-candidate coverage identity against a
-    // driver-side recompute, the dPrefix = dim ∧ rerank·k ≥ N exact
-    // degeneracy, and the measured recall floor.
-    "s32_matryoshka_topk" -> QueryDef.noOracle { (s, d) =>
-      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
-      Similarity.matryoshkaTopK(emb, queryId = 0L, k = 20, dPrefix = 16,
-        rerank = 4)
+    // NeurIPS'22): cheap cosine over a dimension PREFIX, exact full-dim
+    // rerank — the adaptive-retrieval read path (prefix bytes only in
+    // the first pass). ORACLE-CHECKED since r15 via the s34 recipe at a
+    // SECOND operating point on the MRL accuracy ladder (query 5,
+    // dPrefix 32, rerank 2 — s34 pins query 0 / dPrefix 16 / rerank 4),
+    // so the prefix-cut machinery is hash-gated at two truncation
+    // budgets. The NORMALIZED path (l2Normalized + matryoshkaTopK)
+    // keeps its golden gates in SimilarityAsOfSpec untouched:
+    // prefix-candidate coverage identity against a driver-side
+    // recompute, the dPrefix = dim ∧ rerank·k ≥ N exact degeneracy,
+    // and the measured recall floor.
+    "s32_matryoshka_topk" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 5),
+        |cand AS (
+        |  SELECT vec_id, v FROM (
+        |    SELECT e.vec_id, e.v,
+        |      CASE WHEN list_sum(list_transform(e.v[1:32], x -> x * x)) = 0
+        |             OR list_sum(list_transform(q.qv[1:32], x -> x * x)) = 0
+        |           THEN 0.0::DOUBLE
+        |           ELSE round(list_cosine_similarity(e.v[1:32], q.qv[1:32]), 6)
+        |             + 0.0::DOUBLE END AS psim
+        |    FROM e, q WHERE e.vec_id <> 5)
+        |  QUALIFY row_number() OVER (ORDER BY psim DESC, vec_id) <= 40)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 6)
+        |    + 0.0::DOUBLE AS sim
+        |FROM cand ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      Similarity.matryoshkaTopK(Tables.embeddings(s, d), queryId = 5L,
+          k = 20, dPrefix = 32, rerank = 2)
+        .select(col("vec_id"), (col("sim") + lit(0.0)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
     },
 
     // ORACLE-checked IVFADC — the full faiss-default composition with
@@ -1952,37 +2261,160 @@ object PipelineQueries {
         .orderBy("centroid_id")
     },
 
-    // OPQ (Ge et al., CVPR 2013): learned orthogonal rotation before
-    // PQ — redistributes within-block variance so the SAME m × ksub
-    // byte budget quantizes with lower error (spec-measured drop vs
-    // plain PQ; training objective provably ≤ plain PQ's). The probe
-    // is s19's shape over the rotated space: rotation in-row behind
-    // the oncePerRow barrier, ADC scan + exact rerank unchanged.
-    // Golden (trained rotation + codebooks). The 5-iteration OPQ
-    // alternation (40 codebook fits + d×d Procrustes SVDs) rides the
-    // IndexCache memo — cold run pays it, timed runs measure the
-    // rotate + encode + ADC scan.
-    "s28_opq_topk" -> QueryDef.noOracle { (s, d) =>
-      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
-      val (r, books) = IndexCache.opqQuantizers(s, d)
-      Similarity.pqTopK(Similarity.rotated(emb, r), queryId = 0L, k = 20,
-        books, rerank = 4)
+    // OPQ (Ge et al., CVPR 2013): orthogonal transform before PQ —
+    // redistributes within-block variance so the SAME m × ksub byte
+    // budget quantizes with lower error. ORACLE-CHECKED since r15 with
+    // a DATA-DEFINED transform: a permutation matrix (a valid
+    // orthogonal rotation) that round-robins dims over the 8 blocks in
+    // descending exact per-dim range — parametric OPQ's balanced
+    // variance allocation restricted to the transform family a SQL
+    // oracle re-derives (min/max are order-independent, max − min one
+    // IEEE subtract, so both engines sort identical doubles and build
+    // the identical permutation; element moves are exact). The s19
+    // PQ tail then runs over the permuted space (query 4). The
+    // TRAINED Procrustes rotation + codebooks (IndexCache.opqQuantizers
+    // + rotated + pqTopK) keep their golden gates in SimilarityAsOfSpec
+    // untouched, incl. the objective-≤-plain-PQ bound.
+    "s28_opq_topk" -> QueryDef.sql(
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings),
+        |b AS (
+        |  SELECT i, min(v[i+1]) AS mn, max(v[i+1]) AS mx
+        |  FROM e0, (SELECT unnest(range((SELECT max(len(v)) FROM e0))) AS i)
+        |  GROUP BY i),
+        |pm AS (
+        |  SELECT list(i ORDER BY rk % 8, rk // 8) AS p FROM (
+        |    SELECT i, row_number() OVER (ORDER BY (mx - mn) DESC, i) - 1 AS rk
+        |    FROM b)),
+        |e AS (SELECT vec_id, list_transform(pm.p, j -> e0.v[j+1]) AS v
+        |      FROM e0, pm),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 4),
+        |code AS (
+        |  SELECT vec_id, j, cid AS c FROM (
+        |    SELECT p.vec_id, jj.j, c.cid,
+        |      round(list_sum(list_transform(range(8),
+        |        i -> (p.v[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1])
+        |           * (p.v[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1]))), 6)
+        |        AS bd
+        |    FROM (SELECT vec_id, v FROM e WHERE vec_id <> 4) p,
+        |         (SELECT unnest(range(8)) AS j) jj, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |                             ORDER BY bd, cid) = 1),
+        |lut AS (
+        |  SELECT jj.j, c.cid,
+        |    round(list_sum(list_transform(range(8),
+        |      i -> (q.qv[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1])
+        |         * (q.qv[jj.j*8 + i + 1] - c.cv[jj.j*8 + i + 1]))), 6)
+        |      AS ld
+        |  FROM (SELECT unnest(range(8)) AS j) jj, cent c, q),
+        |a AS (
+        |  SELECT code.vec_id, round(sum(l.ld), 6) AS adist
+        |  FROM code JOIN lut l ON l.j = code.j AND l.cid = code.c
+        |  GROUP BY code.vec_id),
+        |cand AS (SELECT vec_id FROM a
+        |         QUALIFY row_number() OVER (ORDER BY adist, vec_id) <= 80)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6)
+        |    + 0.0::DOUBLE AS sim
+        |FROM cand JOIN e USING (vec_id)
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val perm = Similarity.rangePermutation(emb, m = 8)
+      Similarity.pqTopKDataDefined(Similarity.permuted(emb, perm),
+          queryId = 4L, k = 20, nCents = 16, m = 8, rerank = 4)
+        .select(col("vec_id"), (col("sim") + lit(0.0)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
     },
 
-    // the FULL faiss default encoder stack composed — OPQ rotation +
+    // the FULL faiss default encoder stack composed — OPQ transform +
     // IVF coarse quantizer + residual PQ (OPQ{m}_{d},IVF{n},PQ{m} in
-    // faiss index-factory terms): rotate in-row, fit both quantizers
-    // on the rotated space from one shared sample, search via the
-    // per-list residual ADC path. Golden; SimilarityAsOfSpec's s29
-    // encode-quality ladder pins raw ≥ residual ≥ OPQ+residual ADC
-    // error at the identical byte budget (0.583/0.538/0.527 measured).
-    "s29_opq_ivfadc_topk" -> QueryDef.noOracle { (s, d) =>
-      val emb = Similarity.l2Normalized(Tables.embeddings(s, d))
-      val (r, _) = IndexCache.opqQuantizers(s, d)
-      val rot = Similarity.rotated(emb, r)
-      val (cents, books) = IndexCache.annQuantizersOpqRotated(s, d)
-      Similarity.ivfAdcResidualTopK(rot, queryId = 0L, k = 20, cents, books,
-        nProbe = 4, rerank = 4)
+    // faiss index-factory terms). ORACLE-CHECKED since r15: s28's
+    // data-defined range permutation composed with the s21
+    // data-defined residual-IVFADC recipe (query 6), so the DuckDB
+    // twin reproduces permute → assign → residual-encode → probe →
+    // per-list ADC → rerank end to end. The TRAINED stack
+    // (opqQuantizers + annQuantizersOpqRotated + ivfAdcResidualTopK)
+    // keeps its golden gates in SimilarityAsOfSpec untouched, incl.
+    // the encode-quality ladder raw ≥ residual ≥ OPQ+residual
+    // (0.583/0.538/0.527 measured).
+    "s29_opq_ivfadc_topk" -> QueryDef.sql(
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings),
+        |b AS (
+        |  SELECT i, min(v[i+1]) AS mn, max(v[i+1]) AS mx
+        |  FROM e0, (SELECT unnest(range((SELECT max(len(v)) FROM e0))) AS i)
+        |  GROUP BY i),
+        |pm AS (
+        |  SELECT list(i ORDER BY rk % 8, rk // 8) AS p FROM (
+        |    SELECT i, row_number() OVER (ORDER BY (mx - mn) DESC, i) - 1 AS rk
+        |    FROM b)),
+        |e AS (SELECT vec_id, list_transform(pm.p, j -> e0.v[j+1]) AS v
+        |      FROM e0, pm),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 6),
+        |pl AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid, round(list_sum(list_transform(range(len(c.cv)),
+        |      i -> (c.cv[i+1] - q.qv[i+1]) * (c.cv[i+1] - q.qv[i+1]))), 6)
+        |      AS d2
+        |    FROM cent c, q)
+        |  QUALIFY row_number() OVER (ORDER BY d2, cid) <= 4),
+        |asg AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      round(list_sum(list_transform(range(len(e.v)),
+        |        i -> (e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]))), 6)
+        |        AS d2
+        |    FROM e, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY d2, cid) = 1),
+        |probed AS (
+        |  SELECT a.vec_id, a.v, a.cid, c.cv AS acv
+        |  FROM asg a JOIN pl ON pl.cid = a.cid
+        |  JOIN cent c ON c.cid = a.cid
+        |  WHERE a.vec_id <> 6),
+        |code AS (
+        |  SELECT vec_id, j, cid AS c FROM (
+        |    SELECT p.vec_id, jj.j, c.cid,
+        |      round(list_sum(list_transform(range(8),
+        |        i -> ((p.v[jj.j*8 + i + 1] - p.acv[jj.j*8 + i + 1])
+        |               - c.cv[jj.j*8 + i + 1])
+        |           * ((p.v[jj.j*8 + i + 1] - p.acv[jj.j*8 + i + 1])
+        |               - c.cv[jj.j*8 + i + 1]))), 6)
+        |        AS bd
+        |    FROM probed p, (SELECT unnest(range(8)) AS j) jj, cent c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |                             ORDER BY bd, cid) = 1),
+        |lut AS (
+        |  SELECT pl.cid AS l, jj.j, c.cid,
+        |    round(list_sum(list_transform(range(8),
+        |      i -> ((q.qv[jj.j*8 + i + 1] - cl.cv[jj.j*8 + i + 1])
+        |             - c.cv[jj.j*8 + i + 1])
+        |         * ((q.qv[jj.j*8 + i + 1] - cl.cv[jj.j*8 + i + 1])
+        |             - c.cv[jj.j*8 + i + 1]))), 6)
+        |      AS ld
+        |  FROM pl JOIN cent cl ON cl.cid = pl.cid,
+        |       (SELECT unnest(range(8)) AS j) jj, cent c, q),
+        |a AS (
+        |  SELECT p.vec_id, round(sum(l.ld), 6) AS adist
+        |  FROM probed p JOIN code ON code.vec_id = p.vec_id
+        |  JOIN lut l ON l.l = p.cid AND l.j = code.j AND l.cid = code.c
+        |  GROUP BY p.vec_id),
+        |cand AS (SELECT vec_id FROM a
+        |         QUALIFY row_number() OVER (ORDER BY adist, vec_id) <= 80)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.v, (SELECT qv FROM q)), 6)
+        |    + 0.0::DOUBLE AS sim
+        |FROM cand JOIN e USING (vec_id)
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val perm = Similarity.rangePermutation(emb, m = 8)
+      Similarity.ivfAdcResidualTopKDataDefined(
+          Similarity.permuted(emb, perm), queryId = 6L, k = 20,
+          nCents = 16, m = 8, nProbe = 4, rerank = 4)
+        .select(col("vec_id"), (col("sim") + lit(0.0)).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
     },
 
     // index DELETE lifecycle (s24's sibling): build the full index,

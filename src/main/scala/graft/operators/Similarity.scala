@@ -1328,6 +1328,90 @@ object Similarity {
       adist, qArr, k, rerank)
   }
 
+  /** Plain PQ top-k with DATA-DEFINED codebooks — [[pqTopK]]'s
+    * composition (whole-corpus ADC code scan, no coarse quantizer)
+    * under the s22/s35 oracle recipe: block-`j`'s codebook is the
+    * `j`-th dsub-slice of the `nCents` lowest-id vectors, per-block
+    * code distances round to 6 d.p. before their argmin (ties to the
+    * lowest entry id), LUT entries and the ADC total round the same
+    * way, and the rerank is the exact 6-d.p. cosine — every stage
+    * relational, so a DuckDB twin reproduces encode → ADC → cut →
+    * rerank end to end. Raw vectors (the s33 rule: cross-engine
+    * normalization is not bit-reproducible). NOT a production fit —
+    * the trained-codebook path is [[pqTopK]] over [[pqCodebooks]],
+    * golden-gated in SimilarityAsOfSpec; the fidelity axis here is the
+    * COMPOSITION, which is identical code either way.
+    */
+  def pqTopKDataDefined(embeddings: DataFrame, queryId: Long, k: Int,
+      nCents: Int = 16, m: Int = 8, rerank: Int = 4): DataFrame = {
+    require(k >= 1 && rerank >= 1, "k and rerank must be at least 1")
+    val (_, books) = dataDefinedQuantizers(embeddings, nCents, m)
+    val dsub = books(0)(0).length
+    val qRows = embeddings.filter(col("vec_id") === queryId)
+      .select(asDouble(col("embedding")).as("qv")).limit(1).collect()
+    if (qRows.isEmpty)
+      return embeddings.select(col("vec_id"), lit(0.0).as("sim")).limit(0)
+    val qArr = qRows(0).getSeq[Double](0).toArray
+    val encoded = oncePerRow(embeddings,
+        "pq_code" -> graft.functions.Vectors.pqCode(
+          asDouble(col("embedding")), books, roundTo = 6))
+      .filter(col("vec_id") =!= queryId)
+    val luts: Array[Array[Double]] = books.zipWithIndex.map { case (book, j) =>
+      val qb = qArr.slice(j * dsub, (j + 1) * dsub)
+      book.map(c => round6(l2sq(c, qb)))
+    }
+    val adist =
+      round(graft.functions.Vectors.adcSum(col("pq_code"), luts), 6)
+    adcRerankTail(encoded, adist, qArr, k, rerank)
+  }
+
+  /** The DATA-DEFINED stand-in for OPQ's learned rotation: a
+    * PERMUTATION of the dimensions (a permutation matrix IS an
+    * orthogonal rotation) that round-robins dims over the `m` PQ
+    * blocks in descending per-dim RANGE (exact corpus max − min, the
+    * [[sqBoundsExact]] statistic) — the eigenvalue-allocation idea of
+    * parametric OPQ (Ge et al., CVPR 2013 §4: balance variance across
+    * subspaces) restricted to the transform family a SQL oracle can
+    * re-derive. min/max are order-independent aggregates and max − min
+    * is one IEEE subtract, so both engines sort the IDENTICAL doubles
+    * (ties to the dim index) and build the identical permutation.
+    * `perm(pos)` = the source dim at permuted position `pos`; block
+    * `b` holds the dims ranked b, b+m, b+2m, …  NOT the production
+    * fit — the trained Procrustes rotation is [[opqQuantizers]],
+    * golden-gated in spec.
+    */
+  def rangePermutation(embeddings: DataFrame, m: Int,
+      vecCol: String = "embedding"): Array[Int] = {
+    val (mins, maxs) = sqBoundsExact(embeddings, vecCol)
+    val dim = mins.length
+    require(dim % m == 0, s"dim $dim not divisible into $m blocks")
+    val dsub = dim / m
+    val ranked = mins.indices
+      .sortBy(i => (-(maxs(i) - mins(i)), i))
+    val perm = new Array[Int](dim)
+    ranked.zipWithIndex.foreach { case (dimIdx, rk) =>
+      perm((rk % m) * dsub + rk / m) = dimIdx
+    }
+    perm
+  }
+
+  /** The embedding column permuted by `perm` (position `pos` takes
+    * source dim `perm(pos)`) — the permutation-matrix twin of
+    * [[rotated]], exact by construction (pure element moves, no
+    * arithmetic, so unlike a d × d matVec it cannot lose −0.0 signs or
+    * reorder sums). In-row behind the [[oncePerRow]] barrier; NULL
+    * embeddings stay NULL (the engine-wide null seam).
+    */
+  def permuted(embeddings: DataFrame, perm: Array[Int],
+      vecCol: String = "embedding"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val posLit = array(perm.toIndexedSeq.map(p => lit(p + 1)): _*)
+    val permExpr = when(col(vecCol).isNull,
+        lit(null).cast("array<double>"))
+      .otherwise(transform(posLit, p => element_at(v, p)))
+    oncePerRow(embeddings, vecCol -> permExpr)
+  }
+
   /** IVFADC (Jégou, Douze & Schmid, TPAMI 2011 §V — faiss's default at
     * billion scale): [[topKCosineIVF]]'s coarse-quantizer prune COMPOSED
     * with [[pqTopK]]'s ADC code scan. The query ranks its `nProbe`

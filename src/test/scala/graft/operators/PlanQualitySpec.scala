@@ -305,8 +305,10 @@ class PlanQualitySpec extends AnyFunSuite {
       s"vector derivations inlined into a Filter ($aggsInFilters ArrayAggregates) — " +
         "the oncePerRow barrier regressed")
     val generates = opt.collect { case g: Generate => g }.size
-    assert(generates >= 3, // l2Normalized + ivfAssign + pqEncode
-      s"expected the three oncePerRow Generate barriers, found $generates")
+    // since r15 the probe runs the data-defined raw-vector path (no
+    // l2Normalized barrier): ivfAssign + pqEncode remain
+    assert(generates >= 2,
+      s"expected the two oncePerRow Generate barriers, found $generates")
   }
 
   test("s23 data-defined batch: ONE DPP-pruned scan of the persisted dd index serves the query set") {
