@@ -1355,38 +1355,141 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
-    "s3_ann_topk" -> QueryDef.noOracle { (s, d) =>
-      Similarity.topKCosineApprox(Tables.embeddings(s, d), queryId = 0L, k = 20)
+    // single-table multi-probe ANN (query bucket + Hamming-1
+    // neighbors). ORACLE-CHECKED since r15 via DATA-DEFINED
+    // hyperplanes (plane p = exact difference of vectors 2p and 2p+1)
+    // and the 6-d.p. rounded sign rule: the DuckDB twin re-derives the
+    // 8 planes, every bucket, the xor-probe set and the exact cosine
+    // ranking from the same table. The seeded-Gaussian geometry
+    // (Similarity.topKCosineApprox) keeps its golden gates in spec.
+    "s3_ann_topk" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |pl AS (
+        |  SELECT pp.p,
+        |    list_transform(range(len(a.v)), j -> a.v[j+1] - b.v[j+1]) AS pv
+        |  FROM (SELECT unnest(range(8)) AS p) pp
+        |  JOIN e a ON a.vec_id = 2 * pp.p
+        |  JOIN e b ON b.vec_id = 2 * pp.p + 1),
+        |bits AS (
+        |  SELECT e.vec_id, pl.p,
+        |    CASE WHEN round(list_sum(list_transform(range(len(e.v)),
+        |      j -> e.v[j+1] * pl.pv[j+1])), 6) > 0.0::DOUBLE
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM e, pl),
+        |bk AS (
+        |  SELECT vec_id, CAST(sum(bit << CAST(p AS INTEGER)) AS BIGINT) AS bkt
+        |  FROM bits GROUP BY vec_id),
+        |q AS (SELECT e.v AS qv, bk.bkt AS qb
+        |      FROM e JOIN bk USING (vec_id) WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(e.v, q.qv), 6) + 0.0::DOUBLE AS sim
+        |FROM e JOIN bk USING (vec_id) CROSS JOIN q
+        |WHERE e.vec_id <> 0
+        |  AND xor(bk.bkt, q.qb) IN (0, 1, 2, 4, 8, 16, 32, 64, 128)
+        |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      Similarity.topKCosineApproxDataDefined(Tables.embeddings(s, d),
+        queryId = 0L, k = 20, nBits = 8)
     },
 
     // the named scale path for s2: multi-table sign-LSH candidates +
-    // exact cosine verify. Output ⊆ the s2 exact pairs by construction
-    // (the verify is exact); the LSH stage only bounds recall, so there
-    // is no deterministic SQL twin — recall vs exact is golden-tested in
-    // SimilarityAsOfSpec against the S-curve bound recommendedTables
-    // inverts.
-    "s6_embed_neardup_bucketed" -> QueryDef.noOracle { (s, d) =>
-      Similarity.nearDupPairsBucketed(Tables.embeddings(s, d),
-        threshold = 0.25, nBits = 2,
-        nTables = Similarity.recommendedTables(0.25, targetRecall = 0.9, nBits = 2),
-        idCap = Some(200L))
+    // exact cosine verify (output ⊆ the s2 exact pairs — the verify is
+    // exact; LSH only bounds recall). ORACLE-CHECKED since r15 via
+    // DATA-DEFINED hyperplanes (12 planes = differences of the 24
+    // lowest-id vectors, rounded sign rule), so the DuckDB twin
+    // re-derives planes → 6 tables × 2-bit buckets → banded candidates
+    // → exact verify end to end — the full pipeline hash-gated, where
+    // the seeded probe could only golden-gate recall. nTables = 6 is
+    // recommendedTables(0.25, 0.9, nBits = 2), frozen as a literal so
+    // the twin's plane count is explicit. The seeded-Gaussian family
+    // (Similarity.nearDupPairsBucketed) keeps its S-curve recall gates
+    // in SimilarityAsOfSpec.
+    "s6_embed_neardup_bucketed" -> QueryDef.sql(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 200),
+        |pl AS (
+        |  SELECT pp.p,
+        |    list_transform(range(len(a.v)), j -> a.v[j+1] - b.v[j+1]) AS pv
+        |  FROM (SELECT unnest(range(12)) AS p) pp
+        |  JOIN e a ON a.vec_id = 2 * pp.p
+        |  JOIN e b ON b.vec_id = 2 * pp.p + 1),
+        |bits AS (
+        |  SELECT e.vec_id, pl.p,
+        |    CASE WHEN round(list_sum(list_transform(range(len(e.v)),
+        |      j -> e.v[j+1] * pl.pv[j+1])), 6) > 0.0::DOUBLE
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM e, pl),
+        |bk AS (
+        |  SELECT vec_id, p // 2 AS t,
+        |    CAST(sum(bit << CAST(p % 2 AS INTEGER)) AS BIGINT) AS bkt
+        |  FROM bits GROUP BY vec_id, p // 2),
+        |cp AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bk a JOIN bk b ON a.t = b.t AND a.bkt = b.bkt
+        |                      AND a.vec_id < b.vec_id)
+        |SELECT cp.id_a, cp.id_b,
+        |  round(list_cosine_similarity(ea.v, eb.v), 6) + 0.0::DOUBLE AS sim
+        |FROM cp
+        |JOIN e ea ON ea.vec_id = cp.id_a
+        |JOIN e eb ON eb.vec_id = cp.id_b
+        |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) + 0.0::DOUBLE
+        |      >= 0.25::DOUBLE
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Similarity.nearDupPairsBucketedDataDefined(Tables.embeddings(s, d),
+        threshold = 0.25, nBits = 2, nTables = 6, idCap = Some(200L))
     },
 
     // s6's incremental-ingest round (the embedding leg of the d18/d20
-    // delta family): corpus = vec_id < 150, delta = [150, 200) re-ingested
-    // under fresh ids, paired against the frozen-hyperplane postings in
-    // O(|delta|). No SQL twin (seeded buckets, like s6) — the spec gates
-    // the EXACT identity `delta round ≡ full bucketed run restricted to
-    // delta-touching pairs` (deterministic bucketing makes it an
-    // identity, not a recall bound).
-    "s30_embed_neardup_delta" -> QueryDef.noOracle { (s, d) =>
+    // delta family): corpus = vec_id < 150, delta = [150, 200)
+    // re-ingested under fresh ids, paired against the frozen postings
+    // in O(|delta|). ORACLE-CHECKED since r15: the geometry is frozen
+    // by the CORPUS (data-defined planes from its 24 lowest ids), so
+    // the DuckDB twin computes all delta-touching pairs of the union
+    // under the same buckets — the `delta round ≡ full run restricted
+    // to delta-touching pairs` identity is now a hash equality, not
+    // just the spec gate (which stays, on the seeded variant).
+    "s30_embed_neardup_delta" -> QueryDef.sql(
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings),
+        |c AS (SELECT vec_id, v FROM base WHERE vec_id < 150),
+        |dl AS (SELECT vec_id + 1000000 AS vec_id, v FROM base
+        |       WHERE vec_id >= 150 AND vec_id < 200),
+        |u AS (SELECT * FROM c UNION ALL SELECT * FROM dl),
+        |pl AS (
+        |  SELECT pp.p,
+        |    list_transform(range(len(a.v)), j -> a.v[j+1] - b.v[j+1]) AS pv
+        |  FROM (SELECT unnest(range(12)) AS p) pp
+        |  JOIN c a ON a.vec_id = 2 * pp.p
+        |  JOIN c b ON b.vec_id = 2 * pp.p + 1),
+        |bits AS (
+        |  SELECT u.vec_id, pl.p,
+        |    CASE WHEN round(list_sum(list_transform(range(len(u.v)),
+        |      j -> u.v[j+1] * pl.pv[j+1])), 6) > 0.0::DOUBLE
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM u, pl),
+        |bk AS (
+        |  SELECT vec_id, p // 2 AS t,
+        |    CAST(sum(bit << CAST(p % 2 AS INTEGER)) AS BIGINT) AS bkt
+        |  FROM bits GROUP BY vec_id, p // 2),
+        |cp AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bk a JOIN bk b ON a.t = b.t AND a.bkt = b.bkt
+        |                      AND a.vec_id < b.vec_id
+        |  WHERE b.vec_id >= 1000000)
+        |SELECT cp.id_a, cp.id_b,
+        |  round(list_cosine_similarity(ua.v, ub.v), 6) + 0.0::DOUBLE AS sim
+        |FROM cp
+        |JOIN u ua ON ua.vec_id = cp.id_a
+        |JOIN u ub ON ub.vec_id = cp.id_b
+        |WHERE round(list_cosine_similarity(ua.v, ub.v), 6) + 0.0::DOUBLE
+        |      >= 0.25::DOUBLE
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val nT = Similarity.recommendedTables(0.25, targetRecall = 0.9, nBits = 2)
-      Similarity.nearDupPairsBucketedDelta(
+      Similarity.nearDupPairsBucketedDeltaDataDefined(
         emb.filter(col("vec_id") < 150),
         emb.filter(col("vec_id") >= 150 && col("vec_id") < 200)
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
-        threshold = 0.25, nBits = 2, nTables = nT)
+        threshold = 0.25, nBits = 2, nTables = 6)
     },
 
     // IVF-Flat top-k. ORACLE-CHECKED since r14 with DATA-DEFINED

@@ -418,6 +418,158 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- DATA-DEFINED sign-LSH (the s22/s35 oracle recipe, LSH form) -------
+
+  /** DATA-DEFINED hyperplanes: plane `p` is the exact IEEE difference
+    * of the table's vectors 2p and 2p+1 (the 2·nPlanes lowest ids) —
+    * the quantizer-from-the-table trick applied to the sign-LSH
+    * geometry, so a SQL oracle re-derives every plane relationally
+    * (x − y is the same IEEE op on both engines). Differences of
+    * corpus vectors are a legitimate LSH geometry, not just an oracle
+    * device: they follow the data distribution's directions (the idea
+    * behind learned/PCA-style projections), and sign-LSH needs only
+    * DIRECTIONS, not Gaussian coordinates. The seeded Gaussian family
+    * ([[hyperplanes]]) keeps its golden recall gates in spec.
+    */
+  def dataDefinedHyperplanes(embeddings: DataFrame,
+      nPlanes: Int): Array[Array[Double]] = {
+    val rows = embeddings.filter(col("vec_id") < 2 * nPlanes)
+      .select(col("vec_id"), asDouble(col("embedding")))
+      .collect().sortBy(_.getLong(0))
+    require(rows.length == 2 * nPlanes,
+      s"expected the ${2 * nPlanes} lowest-id vectors, got ${rows.length}")
+    val vs = rows.map(_.getSeq[Double](1).toArray)
+    Array.tabulate(nPlanes) { p =>
+      vs(2 * p).zip(vs(2 * p + 1)).map { case (x, y) => x - y }
+    }
+  }
+
+  /** [[lshBucket]] with the ORACLE-SAFE sign rule: bit i = 1 iff the
+    * 6-d.p. ROUND of v · plane_i is strictly positive — the rounding
+    * absorbs summation-order ulps so a SQL twin's per-dim sum takes
+    * the identical branch (the s22 rounded-argmin discipline applied
+    * to a sign test). The unrounded fast form stays [[lshBucket]].
+    */
+  def lshBucketRounded(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+      val plane = array(p.toIndexedSeq.map(lit(_)): _*)
+      acc.bitwiseOR(shiftleft(
+        when(round(dot(v, plane), 6) > 0, 1L).otherwise(0L), i))
+    }
+
+  /** [[lshPostings]] over a FLAT data-defined plane array (table `t`
+    * uses planes [t·nBits, (t+1)·nBits)) with the rounded sign rule —
+    * the posting layout both the full DD pair join and its delta round
+    * share, like the seeded twin. */
+  private def lshPostingsDD(e: DataFrame, nBits: Int, nTables: Int,
+      planes: Array[Array[Double]]): DataFrame = {
+    require(planes.length == nBits * nTables,
+      s"need ${nBits * nTables} planes, got ${planes.length}")
+    val buckets = array((0 until nTables).map(t =>
+      lshBucketRounded(col("v"), planes.slice(t * nBits, (t + 1) * nBits))): _*)
+    e.select(col("vec_id"), posexplode(buckets)).toDF("vec_id", "t", "bkt")
+  }
+
+  /** [[nearDupPairsBucketed]] with DATA-DEFINED hyperplanes and the
+    * rounded sign rule — identical multi-table banded shape (postings →
+    * (t, bkt) equi self-join → id-pair distinct → exact 6-d.p. cosine
+    * verify), but every stage is relational, so a DuckDB twin
+    * re-derives planes → buckets → candidates → verified pairs from
+    * the same table and the hash gate covers the WHOLE pipeline (the
+    * seeded probe could only golden-gate recall). `planes` defaults to
+    * [[dataDefinedHyperplanes]] of the capped input; pass them
+    * explicitly when the geometry must be frozen by a different
+    * relation (the delta round derives them from the corpus).
+    */
+  def nearDupPairsBucketedDataDefined(embeddings: DataFrame,
+      threshold: Double, nBits: Int, nTables: Int,
+      idCap: Option[Long] = None,
+      planes: Option[Array[Array[Double]]] = None): DataFrame = {
+    val base = idCap.fold(embeddings)(c => embeddings.filter(col("vec_id") < c))
+    val e = base.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val pls = planes.getOrElse(dataDefinedHyperplanes(base, nBits * nTables))
+    val posted = lshPostingsDD(e, nBits, nTables, pls)
+    val a = posted.select(col("t"), col("bkt"), col("vec_id").as("id_a"))
+    val b = posted.select(col("t"), col("bkt"), col("vec_id").as("id_b"))
+    val cands = a.join(b, Seq("t", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (round(cosine(col("va"), col("vb")), 6) + lit(0.0)).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** [[nearDupPairsBucketedDelta]] with DATA-DEFINED hyperplanes — the
+    * O(|Δ|) embedding ingest round, oracle-checkable end to end. The
+    * geometry is frozen by the CORPUS (planes from its lowest ids), so
+    * the persisted-postings contract is unchanged: a later delta can
+    * never reshape the index, and the delta round returns exactly the
+    * full run's delta-touching pairs — now checked as hash equality
+    * against the SQL twin rather than a spec identity alone.
+    */
+  def nearDupPairsBucketedDeltaDataDefined(corpus: DataFrame,
+      delta: DataFrame, threshold: Double, nBits: Int, nTables: Int)
+      : DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val eC = prep(corpus)
+    val eD = prep(delta)
+    val pls = dataDefinedHyperplanes(corpus, nBits * nTables)
+    val pC = lshPostingsDD(eC, nBits, nTables, pls) // persisted in deployment
+    val pD = lshPostingsDD(eD, nBits, nTables, pls)
+    val cross = pC.select(col("t"), col("bkt"), col("vec_id").as("id_a"))
+      .join(pD.select(col("t"), col("bkt"), col("vec_id").as("id_b")),
+        Seq("t", "bkt"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val tri = pD.select(col("t"), col("bkt"), col("vec_id").as("id_a"))
+      .join(pD.select(col("t"), col("bkt"), col("vec_id").as("id_b")),
+        Seq("t", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val cands = cross.unionAll(tri).distinct()
+    val eAll = eC.unionAll(eD)
+    cands
+      .join(eAll.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(eAll.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (round(cosine(col("va"), col("vb")), 6) + lit(0.0)).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** [[topKCosineApprox]] with DATA-DEFINED hyperplanes and the rounded
+    * sign rule — single-table multi-probe (query bucket + its
+    * Hamming-1 neighbors), fully SQL-reproducible: the probe set is
+    * `xor(bkt, qb) ∈ {0, 1, 2, 4, …}`, the scan ranks by 6-d.p.
+    * cosine with id ties. The seeded-geometry [[topKCosineApprox]]
+    * keeps its golden gates in spec.
+    */
+  def topKCosineApproxDataDefined(embeddings: DataFrame, queryId: Long,
+      k: Int, nBits: Int = 8): DataFrame = {
+    val planes = dataDefinedHyperplanes(embeddings, nBits)
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val bucketed = oncePerRow(e, "bucket" -> lshBucketRounded(col("v"), planes))
+    val qRow = bucketed.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qb"))
+    val q = broadcast(qRow)
+    val probes = (0 until nBits).map(i =>
+      col("qb").bitwiseXOR(lit(1L << i))) :+ col("qb")
+    bucketed.filter(col("vec_id") =!= queryId)
+      .crossJoin(q)
+      .filter(probes.map(p => col("bucket") === p).reduce(_ || _))
+      .select(col("vec_id"),
+        (round(cosine(col("v"), col("qv")), 6) + lit(0.0)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   // ---- int8 quantization (index compression) ----------------------------
 
   /** Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =
