@@ -1174,6 +1174,22 @@ object Dedup {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
   }
 
+  /** [[nearDupClusters]] over the ENGINE-PORTABLE two-phase pairs
+    * ([[verifiedNearDupsPortable]]): the banded-LSH candidate shape the
+    * 100 TB path needs, with a hash family a SQL oracle re-derives — so
+    * the WHOLE pipeline (portable MinHash banding → exact verify →
+    * connected components) is oracle-checkable end to end (the d7
+    * recursive-CTE recipe), where the xxhash-seeded [[nearDupClusters]]
+    * could only golden-gate refinement/recall against the exact path.
+    */
+  def nearDupClustersPortable(docs: DataFrame, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val comp = clusters(
+      verifiedNearDupsPortable(docs, threshold, idCol = idCol, textCol = textCol))
+    docs.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+  }
+
   /** [[nearDupClusters]] over the EXACT pair list ([[exactJaccardPairs]])
     * instead of LSH candidates: deterministic across engines, so the full
     * pipeline (shingle → exact similarity join → connected components) is

@@ -751,18 +751,88 @@ object PipelineQueries {
     },
 
     // t49's 100 TB-SHAPED twin: the SAME cluster-keyed split gate over
-    // Dedup.nearDupClusters — LSH (MinHash band) candidates + exact
-    // Jaccard verify — instead of the exact all-pairs join. At τ = 0.3
-    // the exact prefix filter degrades (t49 is the slowest non-streaming
-    // bench row for exactly that reason); the banded candidate join is
-    // the plan that survives 100 TB, at the standard LSH recall cost
-    // (a missed edge can split a true cluster across splits — the
-    // documented dial). Golden: LSH pairs ⊆ exact pairs, so LSH
-    // clusters REFINE t49's oracle-checked clustering — the DedupSpec
-    // t55 gate pins the refinement invariant and a measured
-    // co-cluster-pair recall floor against the exact path.
-    "t55_cluster_safe_split_lsh" -> QueryDef.noOracle { (s, d) =>
-      val clustered = Dedup.nearDupClusters(
+    // banded-LSH candidates + exact Jaccard verify instead of the exact
+    // all-pairs prefix join. At τ = 0.3 the exact prefix filter
+    // degrades (t49 is the slowest non-streaming bench row for exactly
+    // that reason); the banded candidate join is the plan that survives
+    // 100 TB, at the standard LSH recall cost (a missed edge can split
+    // a true cluster across splits — the documented dial).
+    // ORACLE-CHECKED since r15 via the d3/d5 engine-portable md5
+    // MinHash family: the DuckDB twin re-derives banding → exact
+    // verify → connected components (WITH RECURSIVE, the d7 recipe) →
+    // the md5 split gate end to end. The xxhash-seeded clustering
+    // (Dedup.nearDupClusters) keeps its DedupSpec refinement +
+    // co-cluster-recall gates against the exact path.
+    "t55_cluster_safe_split_lsh" -> QueryDef.sql(
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(range(len(w) - 2),
+        |                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END AS g
+        |  FROM ws WHERE len(w) > 0),
+        |hp AS (
+        |  SELECT j,
+        |    ('0x' || substring(md5('mh_a#' || j::VARCHAR), 1, 8))::UBIGINT::BIGINT
+        |      % 2147483646 + 1 AS a,
+        |    ('0x' || substring(md5('mh_b#' || j::VARCHAR), 1, 8))::UBIGINT::BIGINT
+        |      % 4294967311 AS b
+        |  FROM (SELECT unnest(range(64)) AS j)),
+        |mh AS (
+        |  SELECT t.doc_id, hp.j,
+        |    min(((hp.a * ('0x' || substring(md5(t.t), 1, 8))::UBIGINT::BIGINT)
+        |         % 4294967311 + hp.b) % 4294967311) AS v
+        |  FROM (SELECT doc_id, unnest(g) AS t FROM sh) t, hp
+        |  GROUP BY t.doc_id, hp.j),
+        |sg AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |bd AS (
+        |  SELECT doc_id, bb.b,
+        |    array_to_string(sig[bb.b*4 + 1 : bb.b*4 + 4], ',') AS h
+        |  FROM sg, (SELECT unnest(range(16)) AS b) bb),
+        |cand AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |    FROM bd a JOIN bd c ON a.b = c.b AND a.h = c.h
+        |                        AND a.doc_id < c.doc_id) p
+        |  JOIN sg sa ON sa.doc_id = p.id_a
+        |  JOIN sg sb ON sb.doc_id = p.id_b
+        |  WHERE CAST(len(list_filter(range(64),
+        |      i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / 64
+        |    >= 0.18::DOUBLE),
+        |shd AS (SELECT doc_id, list_distinct(g) AS g FROM sh),
+        |pairs AS (
+        |  SELECT cand.id_a, cand.id_b
+        |  FROM cand
+        |  JOIN shd a ON a.doc_id = cand.id_a
+        |  JOIN shd b ON b.doc_id = cand.id_b
+        |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+        |      >= 0.3::DOUBLE),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(id, lab) AS (
+        |    SELECT a, a FROM edges
+        |    UNION
+        |    SELECT e.a, r.lab FROM edges e JOIN r ON e.b = r.id)
+        |  SELECT id, min(lab) AS cluster_id FROM r GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id,
+        |         CAST(coalesce(reach.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        |  FROM documents d LEFT JOIN reach ON reach.id = d.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN g < 980 THEN 'train' WHEN g < 990 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, cluster_id,
+        |        CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR) || '#42'), 1, 8) AS UBIGINT) % 1000 AS g
+        |      FROM lab)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val clustered = Dedup.nearDupClustersPortable(
           Tables.documents(s, d), threshold = 0.3)
         .withColumn("cluster_id", col("cluster_id").cast("long"))
       Scale.assignSplit(clustered, idCol = "cluster_id")
