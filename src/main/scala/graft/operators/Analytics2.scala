@@ -755,8 +755,15 @@ object Analytics2 {
         .withColumn("__ord", unix_micros(col("t")))
         .withColumn("__id",
           (col("delta") + 1) * lit(1000000000000L) + col("user_id"))
+        // boundary stream materialized ONCE: groupRunningSum reads its
+        // input three times (bounds agg, slice pass, offsets agg) and
+        // the peak join reads the result twice — without the checkpoint
+        // the two-window session pipeline re-executes per consumer
+        // (the e12 lesson)
+        .localCheckpoint()
       val cum = Scale.groupRunningSum(sweep, "__g", "__ord",
         "__id", "delta", outCol = "cum")
+        .localCheckpoint()
       val peak = broadcast(cum.agg(max(col("cum")).as("__peak")))
       cum.join(peak, col("cum") === col("__peak"))
         .groupBy(col("__peak"))
@@ -939,7 +946,11 @@ object Analytics2 {
         |SELECT node, CAST(min(hops) AS BIGINT) AS hops
         |FROM walk GROUP BY node
         |ORDER BY node""".stripMargin) { (s, d) =>
+      // checkpoint the edge derivation ONCE: the seed aggregate and the
+      // BFS's own edge materialization otherwise each re-run the full
+      // lineitem → pair-explode → support pipeline (the e12 lesson)
       val edges = Analytics.copurchaseEdges(s, d, minSupport = 2)
+        .localCheckpoint()
       val seed = edges.agg(least(min(col("src")), min(col("dst"))).as("s"))
         .head.getLong(0)
       Graph.bfsHops(edges, seed, maxHops = 10)
@@ -991,6 +1002,9 @@ object Analytics2 {
         .filter(col("supp") >= 2)
         .select(col("src"), col("dst"),
           (lit(11L) - least(col("supp"), lit(10L))).as("w"))
+        // one materialization of the weighted-edge derivation: the seed
+        // aggregate and ssspRounds' own checkpoint both read it (e12)
+        .localCheckpoint()
       val seed = ew.agg(least(min(col("src")), min(col("dst")))).head.getLong(0)
       Graph.ssspRounds(ew, seed, rounds = 6)
         .select(col("node"), col("dist").cast("long").as("dist"))

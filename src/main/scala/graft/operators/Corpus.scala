@@ -80,7 +80,7 @@ object Corpus {
     */
   def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val tf = docs
+    val tf = Scale.fanOutSmallScan(docs)
       .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -106,7 +106,7 @@ object Corpus {
   def topNgrams(docs: DataFrame, n: Int, k: Int,
       textCol: String = "text"): DataFrame = {
     require(n >= 1 && k >= 1, "n and k must be positive")
-    docs.select(explode(
+    Scale.fanOutSmallScan(docs).select(explode(
         graft.functions.Sketches.wordShinglesText(col(textCol), n)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).cast("long").as("cnt"))
@@ -136,12 +136,13 @@ object Corpus {
       textCol: String = "text"): DataFrame = {
     require(minCount >= 1, "minCount must be positive")
     val ws = graft.functions.TextFunctions.words(col(textCol))
-    val bigrams = docs.select(ws.as("__ws"), col(textCol))
+    val d = Scale.fanOutSmallScan(docs)
+    val bigrams = d.select(ws.as("__ws"), col(textCol))
       .filter(size(col("__ws")) >= 2)
       .select(explode(
         graft.functions.Sketches.wordShinglesText(col(textCol), 2)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
-    val uni = docs.select(explode(ws).as("w"))
+    val uni = d.select(explode(ws).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val bTot = broadcast(bigrams.agg(sum(col("cnt")).as("b")))
     val nTot = broadcast(uni.agg(sum(col("c")).as("n")))
@@ -399,7 +400,7 @@ object Corpus {
     */
   def sourceKl(docs: DataFrame, sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
-    val tf = docs
+    val tf = Scale.fanOutSmallScan(docs)
       .select(col(sourceCol).as("source"),
         explode(TextFunctions.words(col(textCol))).as("term"))
       .groupBy(col("source"), col("term"))
@@ -437,7 +438,7 @@ object Corpus {
     // per shingle — bounded by the source-count, not the corpus), so a
     // distinct + string-keyed self-join (which would ship every shingle
     // through TWO exchanges and a join) never materializes.
-    val srcSets = docs.select(col(sourceCol).as("src"),
+    val srcSets = Scale.fanOutSmallScan(docs).select(col(sourceCol).as("src"),
         explode(graft.functions.Sketches.wordShinglesText(col(textCol), n)).as("g"))
       .groupBy(col("g"))
       .agg(array_sort(collect_set(col("src"))).as("ss"))
@@ -534,7 +535,7 @@ object Corpus {
     val gate = conv(substring(
         md5(concat(col(idCol).cast("string"), lit("#" + seed))), 1, 8),
       16, 10).cast("long") % 1000
-    val toks = docs
+    val toks = Scale.fanOutSmallScan(docs)
       .select(col(idCol), col(sourceCol),
         explode(TextFunctions.words(col(textCol))).as("term"))
       .withColumn("__train", gate < trainPermille)
@@ -572,7 +573,7 @@ object Corpus {
     require(buckets >= 2, "buckets must be at least 2")
     val bucket = conv(substring(md5(col("term")), 1, 8), 16, 10)
       .cast("long") % buckets
-    val tf = docs
+    val tf = Scale.fanOutSmallScan(docs)
       .select(col(idCol), col(sourceCol),
         explode(TextFunctions.words(col(textCol))).as("term"))
       .withColumn("b", bucket)
@@ -669,7 +670,7 @@ object Corpus {
       batchK: Int = 1): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(rounds >= 1, "rounds must be at least 1")
     require(batchK >= 1, "batchK must be at least 1")
-    var cur = docs
+    var cur = Scale.fanOutSmallScan(docs)
       .select(explode(split(
         regexp_replace(lower(col(textCol)), "^\\s+|\\s+$", ""),
         "\\s+")).as("w"))
@@ -737,7 +738,7 @@ object Corpus {
   def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val ws = graft.functions.TextFunctions.words(col(textCol))
-    val dtf = docs
+    val dtf = Scale.fanOutSmallScan(docs)
       .select(col(idCol), ws.as("__ws"), col(textCol))
       .filter(size(col("__ws")) >= 2)
       .select(col(idCol), explode(

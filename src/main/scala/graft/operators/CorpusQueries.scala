@@ -68,7 +68,8 @@ object CorpusQueries {
           sequence(lit(0L), ceil(size(ws).cast("double") / 6.0).cast("long") - 1),
           i => concat_ws(" ", slice(ws, (i * 6 + 1).cast("int"), lit(6))))))
       Corpus.lineDedup(
-          Tables.documents(s, d).select(col("doc_id"), lined.as("text")),
+          Scale.fanOutSmallScan(Tables.documents(s, d))
+            .select(col("doc_id"), lined.as("text")),
           minDocs = 2)
         .orderBy("doc_id")
     },

@@ -111,7 +111,7 @@ object Dedup {
     */
   def signatures(docs: DataFrame, numHashes: Int = 64, shingleSize: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("id"),
+    Scale.fanOutSmallScan(docs).select(col(idCol).as("id"),
       Sketches.minhashSignature(TextFunctions.words(col(textCol)),
         numHashes, shingleSize).as("sig"))
 
@@ -169,7 +169,7 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
-    val sigs = docs.select(col(idCol).as("id"),
+    val sigs = Scale.fanOutSmallScan(docs).select(col(idCol).as("id"),
       Sketches.simhash64Text(col(textCol)).as("sig"))
     val blocked = sigs
       .select(col("id"), col("sig"),
@@ -213,7 +213,7 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val cands = minhashNearDups(docs, threshold * 0.6, idCol = idCol, textCol = textCol)
       .select("id_a", "id_b")
-    val words = docs.select(col(idCol).as("gid"),
+    val words = Scale.fanOutSmallScan(docs).select(col(idCol).as("gid"),
       TextFunctions.words(col(textCol)).as("w"))
     cands
       .join(words.select(col("gid").as("id_a"), col("w").as("w_a")), "id_a")
@@ -246,7 +246,7 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = docs
+    val sigs = Scale.fanOutSmallScan(docs)
       .filter(size(TextFunctions.words(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         Sketches.minhashPortable(TextFunctions.words(col(textCol)),
@@ -292,7 +292,7 @@ object Dedup {
     val half = blocks / 2
     val width = 32 / half
     val mask = (1L << width) - 1
-    val sigs = docs
+    val sigs = Scale.fanOutSmallScan(docs)
       .filter(size(TextFunctions.words(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         Sketches.simhashPortable(TextFunctions.words(col(textCol))).as("sp"))
@@ -337,7 +337,7 @@ object Dedup {
     val cands = minhashNearDupsPortable(docs, threshold * 0.6,
         idCol = idCol, textCol = textCol)
       .select("id_a", "id_b")
-    val words = docs.select(col(idCol).as("gid"),
+    val words = Scale.fanOutSmallScan(docs).select(col(idCol).as("gid"),
       TextFunctions.words(col(textCol)).as("w"))
     cands
       .join(words.select(col("gid").as("id_a"), col("w").as("w_a")), "id_a")
@@ -519,7 +519,7 @@ object Dedup {
     * dropped (they pair with nothing at any positive threshold). */
   private def shingleHashed(df: DataFrame, n: Int,
       idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
+    Scale.fanOutSmallScan(df).select(col(idCol).as("id"),
         TextFunctions.words(col(textCol)).as("w"))
       .select(col("id"),
         graft.functions.Sketches.shingleHashArray(col("w"), n).as("g"))
@@ -844,7 +844,8 @@ object Dedup {
     val hashes = Sketches.shingleHashArray(
       TextFunctions.words(col(textCol)), n)
     val evalHashes = evalDocs.select(explode(hashes).as("h")).distinct()
-    val candIds = corpus.select(col(idCol), explode(hashes).as("h"))
+    val candIds = Scale.fanOutSmallScan(corpus)
+      .select(col(idCol), explode(hashes).as("h"))
       .join(broadcast(evalHashes), Seq("h"), "left_semi")
       .select(idCol).distinct()
     exactContaminationVerify(corpus, evalDocs, candIds, n, idCol, textCol)
@@ -896,7 +897,8 @@ object Dedup {
     val hashes = Sketches.shingleHashArray(
       TextFunctions.words(col(textCol)), n)
     val evalHashes = evalDocs.select(explode(hashes).as("h")).distinct()
-    val candIds = corpus.select(col(idCol), explode(hashes).as("h"))
+    val candIds = Scale.fanOutSmallScan(corpus)
+      .select(col(idCol), explode(hashes).as("h"))
       .join(broadcast(evalHashes), Seq("h"), "left_semi")
       .select(idCol).distinct()
     // fused imperative shingle kernel throughout (the t23 lesson): the
@@ -909,7 +911,7 @@ object Dedup {
         Sketches.wordShinglesText(col(textCol), n))).as("g"))
       .join(evalSh, Seq("g"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
-    corpus
+    Scale.fanOutSmallScan(corpus)
       .select(col(idCol), size(array_distinct(
         Sketches.wordShinglesText(col(textCol), n))).cast("long")
         .as("n_shingles"))
@@ -961,7 +963,8 @@ object Dedup {
     val mightContain = GraftBridge.toColumn(BloomFilterMightContain(
       Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
       GraftBridge.toExpression(col("h"))))
-    val candIds = corpus.select(col(idCol), explode(hashes).as("h"))
+    val candIds = Scale.fanOutSmallScan(corpus)
+      .select(col(idCol), explode(hashes).as("h"))
       .filter(mightContain)
       .select(idCol).distinct()
     exactContaminationVerify(corpus, evalDocs, candIds, n, idCol, textCol)
@@ -997,7 +1000,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val Eps = 1e-6
-    val words = docs.select(col(idCol).as("id"),
+    val words = Scale.fanOutSmallScan(docs).select(col(idCol).as("id"),
       TextFunctions.words(col(textCol)).as("w"))
     val sh = words.select(col("id"),
         graft.functions.Sketches.shingleHashArray(col("w"), n).as("g"))
@@ -1107,29 +1110,29 @@ object Dedup {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      // each node adopts min(own label, neighbors' labels)
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("label").as("nbr_label"))
+      // ONE materialization per round (r15: was three jobs — neighborMin
+      // checkpoint, a convergence-probe join, the next-labels checkpoint;
+      // at probe scale the per-job fixed cost dominates, so the round is
+      // fused into a single checkpointed plan carrying a change flag):
+      // each node adopts min(own label, neighbors' labels), and `__chg`
+      // records whether anything improved
+      val next = labels
+        .join(edges
+            .join(labels.select(col("id").as("dst"), col("label").as("nl")),
+              Seq("dst"))
+            .groupBy(col("src").as("id"))
+            .agg(min("nl").as("nbr_label")),
+          Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"),
+          (col("nbr_label") < col("label")).as("__chg"))
         .localCheckpoint()
-      // convergence is decidable from neighborMin alone (a node changes
-      // iff some neighbor carries a smaller label) — checked BEFORE
-      // building the next generation, so the confirming round costs one
-      // join instead of a full materialize-compare cycle
-      val changed = labels.join(neighborMin, Seq("id"))
-        .filter(col("nbr_label") < col("label")).limit(1).count()
-      if (changed == 0) converged = true
-      else {
-        val next = labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nbr_label"), col("label")))
-              .as("label"))
-          .localCheckpoint()
-        release(labels)
-        labels = next
-      }
-      release(neighborMin)
+      // convergence probe over the just-materialized partitions — a
+      // scan-only job, no shuffle, no recompute
+      converged = next.filter(col("__chg")).limit(1).isEmpty
+      release(labels)
+      labels = next.drop("__chg")
       round += 1
     }
     // Plain min-propagation needs O(diameter) rounds — O(log n) holds for

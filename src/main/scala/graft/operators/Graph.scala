@@ -48,9 +48,14 @@ object Graph {
     val e = edges.select(col("src"), col("dst"),
         col("weight").cast("double").as("w"))
       .localCheckpoint()
+    // nodes/outW are ROUND-INVARIANT: checkpoint them once so each
+    // iteration's plan reads materialized partitions instead of
+    // re-running the distinct/agg shuffles every round (r15)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .localCheckpoint()
     val nDf = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
     var ranks = nodes.join(nDf)
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
@@ -96,9 +101,12 @@ object Graph {
     val e = edges.select(col("src"), col("dst"),
         col("weight").cast("double").as("w"))
       .localCheckpoint()
+    // round-invariant relations checkpointed once (the pageRank r15 note)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      .localCheckpoint()
     // teleport weight: one literal division of exact operands —
     // bit-identical to the oracle's 1.0::DOUBLE / |seeds|
     def p(node: org.apache.spark.sql.Column) =
@@ -160,8 +168,10 @@ object Graph {
     val e = edges.select(col("src"), col("dst"),
         col("weight").cast("double").as("w"))
       .localCheckpoint()
+    // round-invariant node set checkpointed once (the pageRank r15 note)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val nDf = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
     var hubs = nodes.join(nDf)
       .select(col("node"), (lit(1.0) / col("n")).as("h"))
@@ -263,6 +273,11 @@ object Graph {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    // `visited` accumulates as a LAZY union of the checkpointed
+    // frontiers (r15): each round checkpoints only its new frontier —
+    // one job — instead of also re-materializing the whole visited set;
+    // the anti-join target is then ≤ maxHops cheap materialized scans,
+    // and the plan stays O(rounds), not O(rounds²)
     var visited = Seq((source, 0L)).toDF("node", "hops").localCheckpoint()
     var frontier = visited
     var r = 1L
@@ -277,11 +292,7 @@ object Graph {
         Dedup.release(next)
         done = true
       } else {
-        val prevV = visited
-        val prevF = frontier
-        visited = visited.unionByName(next).localCheckpoint()
-        Dedup.release(prevV)
-        if (prevF ne prevV) Dedup.release(prevF)
+        visited = visited.unionByName(next)
         frontier = next
         r += 1
       }
@@ -529,9 +540,11 @@ object Graph {
     * and duplicate/reverse edges are normalized away first.
     */
   def triangleCount(edges: DataFrame): DataFrame = {
+    // node ids normalized to long up front: the adjacency arrays below go
+    // through the fused sorted-merge intersection, which reads long slots
     val und = edges.select(
-        least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
       // the wedge join re-reads this THREE times — cut the (possibly
@@ -553,18 +566,43 @@ object Graph {
         when(lower, col("b")).otherwise(col("a")).as("v"))
       .localCheckpoint()
     Dedup.release(und)
+    // m is needed for the output anyway; it also drives the adjacency
+    // join strategy below (count over a checkpointed RDD — no recompute)
+    val m = oriented.count()
     // oriented out-adjacency: bounded at O(√m) entries per row by the
-    // degree orientation, so collect_set can never build a celebrity row
-    val adj = oriented.groupBy(col("u")).agg(collect_set(col("v")).as("nbrs"))
+    // degree orientation, so collect_set can never build a celebrity row.
+    // SORTED so the per-edge intersection is one allocation-free merge
+    // pass (graft.functions.Sketches.sortedOverlap) instead of the
+    // hash-set-per-row array_intersect — the fused-kernel lesson applied
+    // to the graph family.
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_set(col("v"))).as("nbrs"))
+    // The adjacency table holds exactly m entries (each oriented edge
+    // appears in exactly one out-list): ~8m bytes + row overhead. Joining
+    // it back onto the m edge rows by SHUFFLE ships every O(√m)-sized
+    // array once per incident edge — m·deg⁺ array elements over the wire,
+    // √m× the table itself. When the table fits a broadcast (≤ ~64 MB of
+    // entries), broadcast BOTH probes instead: the m edge rows then never
+    // leave their partitions and the arrays cross the network once per
+    // executor (guide §3.1: broadcast the side that fits — size known
+    // exactly here, no estimate needed). Past that bound the shuffle join
+    // is the scale-correct shape and AQE sizes it from runtime stats.
+    val adjU = adj.select(col("u"), col("nbrs").as("__nu"))
+    val adjV = adj.select(col("u").as("v"), col("nbrs").as("__nv"))
+    val small = m * 12L < 64L * 1024 * 1024
+    val withAdj =
+      if (small) oriented.join(broadcast(adjU), Seq("u"))
+        .join(broadcast(adjV), Seq("v"))
+      else oriented.join(adjU, Seq("u")).join(adjV, Seq("v"))
     // inner joins are lossless for the COUNT: an endpoint missing from
     // adj has no out-neighbors, so its intersection is empty anyway
-    val tri = oriented
-      .join(adj.select(col("u"), col("nbrs").as("__nu")), Seq("u"))
-      .join(adj.select(col("u").as("v"), col("nbrs").as("__nv")), Seq("v"))
-      .agg(coalesce(sum(size(array_intersect(col("__nu"), col("__nv")))),
-        lit(0)).cast("long").as("n_triangles"))
+    val tri = withAdj
+      .agg(coalesce(sum(graft.functions.Sketches.sortedOverlap(
+        col("__nu"), col("__nv"))), lit(0)).cast("long").as("n_triangles"))
     val nNodes = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
-    val nEdges = oriented.agg(count(lit(1)).cast("long").as("n_edges"))
-    broadcast(nNodes).join(broadcast(nEdges)).join(tri)
+    broadcast(nNodes)
+      .join(broadcast(oriented.sparkSession.range(1)
+        .select(lit(m).as("n_edges"))))
+      .join(tri)
   }
 }

@@ -95,7 +95,8 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false))))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    media.select("media_id", "bytes").mapPartitions { rows =>
+    Scale.fanOutSmallScan(media.select("media_id", "bytes"))
+      .mapPartitions { rows =>
       // codec initialized once per partition, reused across the batch
       val localCodec = codec
       rows.map { r =>
@@ -128,7 +129,8 @@ object Multimodal {
       StructField("n_bytes", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false))))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    media.select("media_id", "kind", "bytes").mapPartitions { rows =>
+    Scale.fanOutSmallScan(media.select("media_id", "kind", "bytes"))
+      .mapPartitions { rows =>
       val localCodec = codec
       rows.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("bytes")).getOrElse(Array.empty)
@@ -223,25 +225,59 @@ object Multimodal {
     * contiguous bands, and a pair differing in ≤ radius bits must agree
     * EXACTLY on at least one band (pigeonhole: radius differing bits
     * cannot touch all radius+1 bands). Candidates are the banded equi
-    * self-join on (kind, band, band-bits) — the d4 SimHash machinery
-    * composed over the media hash, as the mm5 doc promised — and the
-    * `bit_count(xor)` filter verifies true distance, so the band stage
-    * bounds COST only, never the answer. Shuffle traffic is (kind, band
-    * id, 8-byte sliced hash, 8-byte media id) tuples; payloads were
-    * consumed at the decode pass and never travel. radius=0 degenerates
-    * to [[phashDupGroups]]'s exact-bucket semantics, pair form.
+    * self-join on (kind, band, band-bits) over the DISTINCT hash table —
+    * the d4 SimHash machinery composed over the media hash — and the
+    * `bit_count(xor)` filter verifies true distance at HASH granularity,
+    * so the band stage bounds COST only, never the answer; verified hash
+    * pairs expand to id pairs through two membership equi joins. Shuffle
+    * traffic is (kind, band id, 8-byte sliced hash) tuples, one per
+    * distinct hash; payloads were consumed at the decode pass and never
+    * travel. radius=0 degenerates to [[phashDupGroups]]'s exact-bucket
+    * semantics, pair form.
     */
   def phashNearDupPairs(media: DataFrame, codec: MediaCodec = MediaCodec.Stub,
       bins: Int = 16, radius: Int = 1): DataFrame = {
     require(radius >= 0 && radius < bins, "need 0 <= radius < bins")
-    val posted = bandPostings(perceptualHash(media, codec, bins), bins, radius)
-    val a = posted.select(col("kind"), col("band"), col("bv"),
-      col("media_id").as("id_a"), col("phash").as("ha"))
-    val b = posted.select(col("kind"), col("band"), col("bv"),
-      col("media_id").as("id_b"), col("phash").as("hb"))
-    a.join(b, Seq("kind", "band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("kind"), col("id_a"), col("id_b"),
+    // one decode+hash pass, materialized: the hash table is read three
+    // times below (distinct hashes + both membership expansions)
+    val hashes = perceptualHash(media, codec, bins).localCheckpoint()
+    // HASH-granular candidate stage (r15 optimization): the banded self
+    // join runs over DISTINCT (kind, phash) values — never over id-level
+    // postings. Media hashes collide heavily by design (that is what the
+    // dedup is FOR), so the id-level band join shuffled every candidate
+    // id pair through a DISTINCT (measured 3.0M candidate rows for 2.0M
+    // true pairs from only ~130 distinct hashes per kind at sf0.1); the
+    // hash-level join + popcount verify touches one row per distinct
+    // hash pair, and the verified pairs then expand to id pairs by two
+    // equi joins against the hash table — the output itself is the only
+    // quadratic-in-group-size artifact, and it is the answer.
+    val hp = verifiedHashPairs(
+      hashes.select(col("kind"), col("phash")).distinct(), bins, radius)
+    hashes.select(col("kind"), col("phash").as("ha"), col("media_id").as("ia"))
+      .join(hp, Seq("kind", "ha"))
+      .join(hashes.select(col("kind"), col("phash").as("hb"),
+        col("media_id").as("ib")), Seq("kind", "hb"))
+      .filter(col("ha") =!= col("hb") || col("ia") < col("ib"))
+      .select(col("kind"),
+        least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        col("hamming"))
+  }
+
+  /** All unordered distinct-hash pairs (ha ≤ hb, identity included) within
+    * Hamming `radius`, from the pigeonhole band join over a DISTINCT
+    * (kind, phash) table: (kind, ha, hb, hamming). The identity pair
+    * (h, h) carries the same-hash groups; the caller's expansion decides
+    * id ordering. Dedup across bands happens here, at hash granularity.
+    */
+  private def verifiedHashPairs(dh: DataFrame, bins: Int,
+      radius: Int): DataFrame = {
+    val posted = bandPostings(dh, bins, radius)
+    posted.select(col("kind"), col("band"), col("bv"), col("phash").as("ha"))
+      .join(posted.select(col("kind"), col("band"), col("bv"),
+        col("phash").as("hb")), Seq("kind", "band", "bv"))
+      .filter(col("ha") <= col("hb"))
+      .select(col("kind"), col("ha"), col("hb"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= radius)
@@ -269,9 +305,9 @@ object Multimodal {
       val mask = ((1L << width) - 1) << lo
       struct(lit(s).as("band"), col("phash").bitwiseAND(lit(mask)).as("bv"))
     }
-    hashed.select(col("kind"), col("media_id"), col("phash"),
+    hashed.select(col("kind"), col("phash"),
         explode(array(slices: _*)).as("sl"))
-      .select(col("kind"), col("media_id"), col("phash"),
+      .select(col("kind"), col("phash"),
         col("sl.band").as("band"), col("sl.bv").as("bv"))
   }
 
@@ -294,27 +330,56 @@ object Multimodal {
       codec: MediaCodec = MediaCodec.Stub,
       bins: Int = 16, radius: Int = 1): DataFrame = {
     require(radius >= 0 && radius < bins, "need 0 <= radius < bins")
+    // one decode+hash pass per side, materialized (each hash table feeds
+    // its distinct-hash postings AND the id-pair expansion below)
+    val hC = perceptualHash(corpusMedia, codec, bins).localCheckpoint()
+    val hD = perceptualHash(deltaMedia, codec, bins).localCheckpoint()
     // the SHARED bandPostings layout — bit-identical to what the full
-    // pair join (and so the persisted corpus postings) was built with
-    val postC = bandPostings(perceptualHash(corpusMedia, codec, bins),
-      bins, radius) // in deployment: the persisted postings
-    val postD = bandPostings(perceptualHash(deltaMedia, codec, bins),
-      bins, radius)
-    def sideA(p: DataFrame): DataFrame = p.select(col("kind"), col("band"),
-      col("bv"), col("media_id").as("id_a"), col("phash").as("ha"))
-    def sideB(p: DataFrame): DataFrame = p.select(col("kind"), col("band"),
-      col("bv"), col("media_id").as("id_b"), col("phash").as("hb"))
-    def verified(pairs: DataFrame): DataFrame = pairs
-      .select(col("kind"),
-        least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
+    // pair join (and so the persisted corpus index) is built with. Since
+    // the r15 hash-granular reshape the persisted artifacts are the
+    // DISTINCT-hash postings plus the (kind, phash, media_id) membership
+    // table, both written once from the decode pass.
+    val postC = bandPostings(
+      hC.select(col("kind"), col("phash")).distinct(), bins, radius)
+    val postD = bandPostings(
+      hD.select(col("kind"), col("phash")).distinct(), bins, radius)
+    def hashVerified(pairs: DataFrame): DataFrame = pairs
+      .select(col("kind"), col("ha"), col("hb"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
-    val cross = verified(sideA(postC).join(sideB(postD), Seq("kind", "band", "bv")))
-    val tri = verified(sideA(postD).join(sideB(postD), Seq("kind", "band", "bv"))
-      .filter(col("id_a") < col("id_b")))
-    cross.unionAll(tri)
       .distinct()
       .filter(col("hamming") <= radius)
+    // delta-hash × corpus-hash candidates (NOT value-ordered: the two
+    // hash populations overlap, so every (hd, hc) combination is kept
+    // and the expansion normalizes id order) + the delta triangle
+    // (value-ordered like the full join, identity pair included)
+    val cross = hashVerified(
+      postD.select(col("kind"), col("band"), col("bv"), col("phash").as("ha"))
+        .join(postC.select(col("kind"), col("band"), col("bv"),
+          col("phash").as("hb")), Seq("kind", "band", "bv")))
+    val tri = hashVerified(
+      postD.select(col("kind"), col("band"), col("bv"), col("phash").as("ha"))
+        .join(postD.select(col("kind"), col("band"), col("bv"),
+          col("phash").as("hb")), Seq("kind", "band", "bv"))
+        .filter(col("ha") <= col("hb")))
+    // expansion: cross pairs are (delta member) × (corpus member) — ids
+    // are disjoint across the two inputs, so no cross/tri overlap and no
+    // terminal distinct; tri pairs expand like the full join
+    val crossIds = hD
+      .select(col("kind"), col("phash").as("ha"), col("media_id").as("ia"))
+      .join(cross, Seq("kind", "ha"))
+      .join(hC.select(col("kind"), col("phash").as("hb"),
+        col("media_id").as("ib")), Seq("kind", "hb"))
+    val triIds = hD
+      .select(col("kind"), col("phash").as("ha"), col("media_id").as("ia"))
+      .join(tri, Seq("kind", "ha"))
+      .join(hD.select(col("kind"), col("phash").as("hb"),
+        col("media_id").as("ib")), Seq("kind", "hb"))
+      .filter(col("ha") =!= col("hb") || col("ia") < col("ib"))
+    crossIds.unionAll(triIds)
+      .select(col("kind"),
+        least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        col("hamming"))
   }
 
   /** The generated phash relation both mm5/mm6 oracles share: per-bin

@@ -20,6 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Round-robin fan-out of a SMALL-file scan before a CPU-heavy
+    * per-row kernel (guide §2.5 "input skew": one small/unsplittable
+    * input file ⇒ a single scan task, so every downstream narrow
+    * expression — shingle hashing, fused text kernels, line explode —
+    * runs on ONE core regardless of cluster size). No-op when the scan
+    * already carries at least the default parallelism (the 100 TB case:
+    * file splits outnumber cores, so no extra exchange is ever paid at
+    * scale); otherwise ships the raw rows once through one bounded
+    * round-robin exchange. Partition inspection is plan-time only
+    * (`toRdd` builds the DAG; no job runs).
+    *
+    * Apply BELOW the expensive projection (i.e. to the raw scan, before
+    * selecting derived columns) so the kernel evaluates on the
+    * post-exchange side.
+    */
+  def fanOutSmallScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.queryExecution.toRdd.getNumPartitions
+    if (parts >= target) df else df.repartition(target)
+  }
+
   /** Skew-tolerant equi-join (`inner` or `left_outer`). The probe (large,
     * skewed) side gets a random-but-deterministic salt in [0, saltFactor);
     * the build side is exploded once per salt value. Result is exactly the

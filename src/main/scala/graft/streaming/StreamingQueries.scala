@@ -28,14 +28,39 @@ object StreamingQueries {
 
   private val runSeq = new AtomicLong(0)
 
-  /** default JSON timestampFormat is millisecond-precision; the events
-    * timestamps carry microseconds, so spell the format out on BOTH sides
-    * of a drop or the replay silently truncates issue times
+  /** Feeds are dropped as PARQUET since r15: the replay re-reads the drop
+    * on every timed run, and parsing a 100k-row JSON feed per replay was
+    * pure source-side overhead (guide §6 — columnar formats); parquet
+    * also carries the events' microsecond timestamps natively, where the
+    * JSON path needed an explicit microsecond timestampFormat on both
+    * sides or the replay silently truncated issue times.
     */
-  private[streaming] val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** Scratch root for replay artifacts (drop feeds, EPHEMERAL checkpoints,
+    * file-sink outputs — all deleted within the probe or at JVM exit).
+    * The streaming replay cost is dominated by many small fsync-ed files
+    * (WAL + offset log + one state-store delta per partition per batch),
+    * so scratch goes to tmpfs when available (guide §6: put scratch I/O
+    * on the fastest local storage). Production checkpoints live on
+    * durable shared storage and are NOT this path — nothing here
+    * survives the probe by design. Override with SPARK_GRAFT_SCRATCH.
+    */
+  private val scratchRoot: java.nio.file.Path = {
+    val pick = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm)
+        else None
+      }
+      .getOrElse(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir")))
+    Files.createDirectories(pick)
+    pick
+  }
 
   private def tempDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    Files.createTempDirectory(scratchRoot, prefix).toString
 
   private def deleteQuietly(dir: String): Unit = {
     def rec(f: java.io.File): Unit = {
@@ -122,8 +147,8 @@ object StreamingQueries {
       .agg(max("value").as("observed_temp"))
 
   private[streaming] def revisionStream(s: SparkSession, dropDir: String) =
-    s.readStream.schema(RevEnc.schema).option("timestampFormat", TsFmt)
-      .json(dropDir).as[WeatherStreams.Revision](RevEnc)
+    s.readStream.schema(RevEnc.schema)
+      .parquet(dropDir).as[WeatherStreams.Revision](RevEnc)
 
   def defs: Map[String, QueryDef] = Map(
     // Revision upsert through the live stream path: write the feed to a
@@ -150,7 +175,7 @@ object StreamingQueries {
       // are still one AvailableNow batch; the outcome is batch-agnostic)
       val dropDir = cachedDrop(s"st1:$d", dir =>
         revisionFeed(Tables.events(s, d)).repartition(4).write
-          .mode("overwrite").option("timestampFormat", TsFmt).json(dir))
+          .mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st1_ck")
 
       val sinkName = s"graft_st1_sink_${runSeq.incrementAndGet()}"
@@ -195,7 +220,7 @@ object StreamingQueries {
       // identical feed to st1 -> shared cache key
       val dropDir = cachedDrop(s"st1:$d", dir =>
         revisionFeed(Tables.events(s, d)).repartition(4).write
-          .mode("overwrite").option("timestampFormat", TsFmt).json(dir))
+          .mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st13_ck")
 
       val sinkName = s"graft_st13_sink_${runSeq.incrementAndGet()}"
@@ -258,10 +283,10 @@ object StreamingQueries {
         |ORDER BY o.latitude, r.ts_valid, r.issued_at""".stripMargin) { (s, d) =>
       val fDrop = cachedDrop(s"st2f:$d", dir =>
         revisionFeed(Tables.events(s, d)).repartition(4).write
-          .mode("overwrite").option("timestampFormat", TsFmt).json(dir))
+          .mode("overwrite").parquet(dir))
       val oDrop = cachedDrop(s"st2o:$d", dir =>
         observationFeed(Tables.events(s, d)).repartition(2).write
-          .mode("overwrite").option("timestampFormat", TsFmt).json(dir))
+          .mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st2_ck")
 
       val sinkName = s"graft_st2_sink_${runSeq.incrementAndGet()}"
@@ -270,7 +295,7 @@ object StreamingQueries {
       // checkpoint lifecycle, not store count; keep the uniform pin
       try withStateShuffle(s) {
         val obsStream = s.readStream.schema(ObsEnc.schema)
-          .option("timestampFormat", TsFmt).json(oDrop)
+          .parquet(oDrop)
           .as[WeatherStreams.Observation](ObsEnc)
         val q = WeatherStreams
           .forecastVsObserved(revisionStream(s, fDrop), obsStream)
@@ -356,11 +381,9 @@ object StreamingQueries {
         q.awaitTermination()
       }
       try {
-        feed.repartition(4).write.mode("overwrite")
-          .option("timestampFormat", TsFmt).json(dropDir)
+        feed.repartition(4).write.mode("overwrite").parquet(dropDir)
         replay() // run 1: commits watermark to the checkpoint
-        lateFeed.repartition(4).write.mode("append")
-          .option("timestampFormat", TsFmt).json(dropDir)
+        lateFeed.repartition(4).write.mode("append").parquet(dropDir)
         replay() // run 2: recovered watermark drops the too-late rows
       } finally { deleteQuietly(dropDir); deleteQuietly(ckDir) }
 
@@ -395,8 +418,7 @@ object StreamingQueries {
           .withColumn("ingest_ts",
             timestamp_seconds(lit(1704067200L) + col("doc_id")))
           .select("doc_id", "text", "ingest_ts")
-          .repartition(4).write.mode("overwrite")
-          .option("timestampFormat", TsFmt).json(dir))
+          .repartition(4).write.mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st4_ck")
       val outDir = tempDir("graft_st4_out")
       deleteOnExit(outDir)
@@ -410,7 +432,7 @@ object StreamingQueries {
           org.apache.spark.sql.types.TimestampType)))
       try withStateShuffle(s) {
         val q = s.readStream.schema(schema)
-          .option("timestampFormat", TsFmt).json(dropDir)
+          .parquet(dropDir)
           .withColumn("digest", md5(col("text")))
           .withWatermark("ingest_ts", "10 minutes")
           .dropDuplicatesWithinWatermark("digest")
@@ -458,7 +480,7 @@ object StreamingQueries {
       // identical feed to st1 -> shared cache key
       val dropDir = cachedDrop(s"st1:$d", dir =>
         revisionFeed(Tables.events(s, d)).repartition(4).write
-          .mode("overwrite").option("timestampFormat", TsFmt).json(dir))
+          .mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st5_ck")
       val tableDir = tempDir("graft_st5_table")
       deleteOnExit(tableDir)
@@ -535,8 +557,7 @@ object StreamingQueries {
             col("ts").as("issued_at"))
           .agg(max("value").as("temperature_2m"),
             abs(min("value")).as("precipitation"))
-          .repartition(4).write.mode("overwrite")
-          .option("timestampFormat", TsFmt).json(dir))
+          .repartition(4).write.mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st6_ck")
 
       val sinkName = s"graft_st6_sink_${runSeq.incrementAndGet()}"
@@ -574,7 +595,7 @@ object StreamingQueries {
         |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin) { (s, d) =>
       val dropDir = cachedDrop(s"st7:$d", dir =>
         Tables.events(s, d).select("event_id", "user_id")
-          .repartition(4).write.mode("overwrite").json(dir))
+          .repartition(4).write.mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st7_ck")
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_id",
@@ -583,7 +604,7 @@ object StreamingQueries {
           org.apache.spark.sql.types.LongType)))
       val sinkName = s"graft_st7_sink_${runSeq.incrementAndGet()}"
       try withStateShuffle(s) {
-        val q = s.readStream.schema(schema).json(dropDir)
+        val q = s.readStream.schema(schema).parquet(dropDir)
           .agg(graft.functions.HeavyHitters
             .heavyHitters(col("user_id").cast("string"), 4096).as("hh"))
           .writeStream.format("memory").queryName(sinkName)
@@ -614,7 +635,7 @@ object StreamingQueries {
         |GROUP BY 1 ORDER BY nation""".stripMargin) { (s, d) =>
       val dropDir = cachedDrop(s"st8:$d", dir =>
         Tables.events(s, d).select("event_id", "user_id")
-          .repartition(4).write.mode("overwrite").json(dir))
+          .repartition(4).write.mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st8_ck")
       val nation = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -624,7 +645,7 @@ object StreamingQueries {
           org.apache.spark.sql.types.LongType)))
       val sinkName = s"graft_st8_sink_${runSeq.incrementAndGet()}"
       try withStateShuffle(s) {
-        val q = s.readStream.schema(schema).json(dropDir)
+        val q = s.readStream.schema(schema).parquet(dropDir)
           .withColumn("n_nationkey", col("user_id") % 25)
           .join(broadcast(nation), Seq("n_nationkey"))
           .groupBy(col("n_name").as("nation"))
@@ -672,7 +693,7 @@ object StreamingQueries {
       val docs = Tables.documents(s, d)
       val dropDir = cachedDrop(s"st14:$d", dir =>
         docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text")
-          .repartition(4).write.mode("overwrite").json(dir))
+          .repartition(4).write.mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st14_ck")
       val evalSh = docs.filter(col("doc_id") % 7 === 0)
         .select(explode(array_distinct(
@@ -685,7 +706,7 @@ object StreamingQueries {
           org.apache.spark.sql.types.StringType)))
       val sinkName = s"graft_st14_sink_${runSeq.incrementAndGet()}"
       try withStateShuffle(s) {
-        val q = s.readStream.schema(schema).json(dropDir)
+        val q = s.readStream.schema(schema).parquet(dropDir)
           .select(col("doc_id"), explode(array_distinct(
             graft.functions.Sketches.wordShinglesText(col("text"), 8))).as("g"))
           .join(broadcast(evalSh), Seq("g"), "left_semi")
@@ -737,8 +758,7 @@ object StreamingQueries {
         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
       val dropDir = cachedDrop(s"st9:$d", dir =>
         Tables.events(s, d).select("event_id", "user_id", "ts")
-          .repartition(4).write.mode("overwrite")
-          .option("timestampFormat", TsFmt).json(dir))
+          .repartition(4).write.mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st9_ck")
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_id",
@@ -749,8 +769,8 @@ object StreamingQueries {
           org.apache.spark.sql.types.TimestampType)))
       val sinkName = s"graft_st9_sink_${runSeq.incrementAndGet()}"
       try withStateShuffle(s) {
-        val q = s.readStream.schema(schema).option("timestampFormat", TsFmt)
-          .json(dropDir)
+        val q = s.readStream.schema(schema)
+          .parquet(dropDir)
           .withWatermark("ts", "1 hour")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).cast("long").as("n_events"))
@@ -822,10 +842,10 @@ object StreamingQueries {
       val fDrop = cachedDrop(s"st10f:$d", dir =>
         revisionFeed(Tables.events(s, d)).filter(col("latitude") === 0.0)
           .repartition(2).write
-          .mode("overwrite").option("timestampFormat", TsFmt).json(dir))
+          .mode("overwrite").parquet(dir))
       val oDrop = cachedDrop(s"st10o:$d", dir =>
         observationFeed(Tables.events(s, d)).repartition(2).write
-          .mode("overwrite").option("timestampFormat", TsFmt).json(dir))
+          .mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st10_ck")
 
       val sinkName = s"graft_st10_sink_${runSeq.incrementAndGet()}"
@@ -836,7 +856,7 @@ object StreamingQueries {
             col("ts_valid"), col("issued_at"),
             col("temperature_2m").as("forecast_temp"))
         val o = s.readStream.schema(ObsEnc.schema)
-          .option("timestampFormat", TsFmt).json(oDrop)
+          .parquet(oDrop)
           .as[WeatherStreams.Observation](ObsEnc).toDF()
           .withWatermark("obs_ts", "2 hours")
         val q = o.join(f,
@@ -885,8 +905,7 @@ object StreamingQueries {
         Tables.events(s, d)
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))
-          .repartition(4).write.mode("overwrite")
-          .option("timestampFormat", TsFmt).json(dir))
+          .repartition(4).write.mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st11_ck")
       val tableDir = tempDir("graft_st11_table")
       deleteOnExit(tableDir)
@@ -904,7 +923,7 @@ object StreamingQueries {
           org.apache.spark.sql.types.DoubleType)))
       try withStateShuffle(s) {
         val q = s.readStream.schema(evSchema)
-          .option("timestampFormat", TsFmt).json(dropDir)
+          .parquet(dropDir)
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val partial = graft.operators.Incremental.aggState(batch)
@@ -997,7 +1016,7 @@ object StreamingQueries {
       val dropDir = cachedDrop(s"st18:$d", dir =>
         emb.select(col("vec_id"),
             Similarity.asDouble(col("embedding")).as("embedding"))
-          .repartition(4).write.mode("overwrite").json(dir))
+          .repartition(4).write.mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st18_ck")
       val idxDir = tempDir("graft_st18_idx")
       deleteOnExit(idxDir)
@@ -1014,7 +1033,7 @@ object StreamingQueries {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType))))
       try withStateShuffle(s) {
-        val q = s.readStream.schema(eSchema).json(dropDir)
+        val q = s.readStream.schema(eSchema).parquet(dropDir)
           .select(col("vec_id"), col("embedding"),
             element_at(centIds, Similarity.nearestCentroidRounded(
               col("embedding"), cents) + 1).cast("int").as("centroid_id"))
@@ -1066,7 +1085,7 @@ object StreamingQueries {
         emb.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("qid"),
             Similarity.asDouble(col("embedding")).as("qv"))
-          .repartition(4).write.mode("overwrite").json(dir))
+          .repartition(4).write.mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st17_ck")
       val outDir = tempDir("graft_st17_out")
       deleteOnExit(outDir)
@@ -1077,7 +1096,7 @@ object StreamingQueries {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType))))
       try withStateShuffle(s) {
-        val q = s.readStream.schema(qSchema).json(dropDir)
+        val q = s.readStream.schema(qSchema).parquet(dropDir)
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val scored = corpus.join(broadcast(batch),
@@ -1125,7 +1144,7 @@ object StreamingQueries {
       val dropDir = cachedDrop(s"st16:$d", dir =>
         emb.select(col("vec_id"),
             Similarity.asDouble(col("embedding")).as("embedding"))
-          .repartition(4).write.mode("overwrite").json(dir))
+          .repartition(4).write.mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st16_ck")
       val centRows = emb.filter(col("vec_id") < 16)
         .select(col("vec_id"), Similarity.asDouble(col("embedding")))
@@ -1141,7 +1160,7 @@ object StreamingQueries {
             org.apache.spark.sql.types.DoubleType))))
       val sinkName = s"graft_st16_sink_${runSeq.incrementAndGet()}"
       try withStateShuffle(s) {
-        val q = s.readStream.schema(eSchema).json(dropDir)
+        val q = s.readStream.schema(eSchema).parquet(dropDir)
           .select(col("vec_id"),
             element_at(centIds, Similarity.nearestCentroidRounded(
               col("embedding"), cents) + 1).cast("int").as("centroid_id"))
@@ -1182,8 +1201,7 @@ object StreamingQueries {
       val dropDir = cachedDrop(s"st15:$d", dir =>
         Tables.events(s, d)
           .select(col("event_id"), col("ts"), col("event_type"))
-          .repartition(4).write.mode("overwrite")
-          .option("timestampFormat", TsFmt).json(dir))
+          .repartition(4).write.mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st15_ck")
       val tableDir = tempDir("graft_st15_table")
       deleteOnExit(tableDir)
@@ -1197,7 +1215,7 @@ object StreamingQueries {
           org.apache.spark.sql.types.StringType)))
       try withStateShuffle(s) {
         val q = s.readStream.schema(evSchema)
-          .option("timestampFormat", TsFmt).json(dropDir)
+          .parquet(dropDir)
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val partial = batch
@@ -1252,8 +1270,7 @@ object StreamingQueries {
       val dropDir = cachedDrop(s"st12:$d", dir =>
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-          .repartition(4).write.mode("overwrite")
-          .option("timestampFormat", TsFmt).json(dir))
+          .repartition(4).write.mode("overwrite").parquet(dir))
       val ckDir = tempDir("graft_st12_ck")
       val tableDir = tempDir("graft_st12_table")
       deleteOnExit(tableDir)
@@ -1270,7 +1287,7 @@ object StreamingQueries {
           org.apache.spark.sql.types.TimestampType)))
       try withStateShuffle(s) {
         val q = s.readStream.schema(oSchema)
-          .option("timestampFormat", TsFmt).json(dropDir)
+          .parquet(dropDir)
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val partial = batch.join(lines, Seq("o_orderkey"))

@@ -30,19 +30,18 @@ class WeatherStreamsSpec extends AnyFunSuite {
     // micro-batches) must trip the <= 3 bound — the healthy count is
     // exactly 2 (data + watermark-advance).
     import org.apache.spark.sql.streaming.Trigger
-    val TsFmt = StreamingQueries.TsFmt
     val ev = graft.Tables.events(spark, TestSpark.sfDir)
     val fDir = TestSpark.tempDir("graft_anat_f")
     StreamingQueries.revisionFeed(ev).repartition(4).write
-      .mode("overwrite").option("timestampFormat", TsFmt).json(fDir)
+      .mode("overwrite").parquet(fDir)
     val oDir = TestSpark.tempDir("graft_anat_o")
     StreamingQueries.observationFeed(ev).repartition(2).write
-      .mode("overwrite").option("timestampFormat", TsFmt).json(oDir)
+      .mode("overwrite").parquet(oDir)
     val ck = TestSpark.tempDir("graft_anat_ck")
     val q = StreamingQueries.withStateShuffle(spark) {
       val obsStream = spark.readStream
         .schema(StreamingQueries.ObsEnc.schema)
-        .option("timestampFormat", TsFmt).json(oDir)
+        .parquet(oDir)
         .as[WeatherStreams.Observation](StreamingQueries.ObsEnc)
       val q = WeatherStreams.forecastVsObserved(
           StreamingQueries.revisionStream(spark, fDir), obsStream)
