@@ -273,8 +273,11 @@ object Analytics {
         .localCheckpoint()
       val ranked = Seq(("recency_days", "r_pct"), ("freq", "f_pct"),
         ("mon_cents", "m_pct")).foldLeft(base) { case (df, (metric, out)) =>
+        // checkpoint BETWEEN stages too (r15): stage k's bounds/offsets
+        // aggregates otherwise re-execute stages 1..k−1's join chains —
+        // the base checkpoint alone still left ~3× stage re-execution
         Scale.groupPercentRank(df, "__all", metric, idCol = "o_custkey",
-          outCol = out)
+          outCol = out).localCheckpoint()
       }
       def score(pct: String) =
         (least(lit(3.0), floor(col(pct) * lit(4.0)))).cast("int") + 1

@@ -413,8 +413,8 @@ object Dedup {
       threshold: Double, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val shL = shingleHashed(left, n, idCol, textCol)
-    val shR = shingleHashed(right, n, idCol, textCol)
+    val shL = shingleHashed(left, n, idCol, textCol).localCheckpoint()
+    val shR = shingleHashed(right, n, idCol, textCol).localCheckpoint()
     val postL = shL.select(col("id"), col("sz"), explode(col("g")).as("t"))
     val postR = shR.select(col("id"), col("sz"), explode(col("g")).as("t"))
     // ONE global order over the UNION of both sides' postings — the
@@ -506,11 +506,16 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text")
       : (DataFrame, DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val shC = shingleHashed(corpus, n, idCol, textCol)
+    // shC feeds the postings AND both verify legs; prefC feeds both
+    // candidate sides — materialize each once (r15: un-checkpointed,
+    // every broadcast/agg consumer re-ran the shingle kernel pipeline,
+    // ~5 re-derivations per d9/d13-shaped probe)
+    val shC = shingleHashed(corpus, n, idCol, textCol).localCheckpoint()
     val postC = shC.select(col("id"), col("sz"), explode(col("g")).as("t"))
     // the frozen index-time statistics: corpus-only document frequency
     val docFreq = postC.groupBy("t").agg(count(lit(1)).as("df"))
     val prefC = rankAndPrefix(postC.join(docFreq, "t"), threshold)
+      .localCheckpoint()
     (shC, prefC, docFreq)
   }
 
@@ -1006,6 +1011,8 @@ object Dedup {
         graft.functions.Sketches.shingleHashArray(col("w"), n).as("g"))
       .withColumn("sz", size(col("g")))
       .filter(col("sz") > 0)
+      // reused by the postings, the candidate join and both verify legs
+      .localCheckpoint()
     val postings = sh.select(col("id"), col("sz"), explode(col("g")).as("t"))
     val docFreq = postings.groupBy("t").agg(count(lit(1)).as("df"))
     // rarest-first prefix of the prospective SMALLER side
@@ -1115,7 +1122,11 @@ object Dedup {
       // at probe scale the per-job fixed cost dominates, so the round is
       // fused into a single checkpointed plan carrying a change flag):
       // each node adopts min(own label, neighbors' labels), and `__chg`
-      // records whether anything improved
+      // records whether anything improved. (A path-halving second hop —
+      // label := label(label) — was tried in r15 and REVERTED: near-dup
+      // components are star-like with diameter 2–4, so it saved no
+      // rounds while adding a labels self-join per round; for
+      // adversarially-long chains maxRounds stays the diagnosed guard.)
       val next = labels
         .join(edges
             .join(labels.select(col("id").as("dst"), col("label").as("nl")),

@@ -32,9 +32,33 @@ object PipelineQueries {
       scratchDirs.forEach(d => rm(new java.io.File(d)))
     }))
 
+  /** Index scratch goes to tmpfs when available (r15, the
+    * StreamingQueries scratchRoot rationale): the lifecycle probes
+    * write/append/compact a 16-partition parquet index PER RUN — many
+    * small fsync-ed files whose disk latency is probe overhead, not the
+    * lifecycle work under test. Production indexes live on durable
+    * storage; nothing here survives the JVM. SPARK_GRAFT_SCRATCH
+    * overrides.
+    */
+  private val scratchRoot: java.nio.file.Path = {
+    val pick = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) Some(shm)
+        else None
+      }
+      .getOrElse(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(pick)
+    pick
+  }
+
   private def tempIndexDir(prefix: String): String = {
     scratchHook
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    val dir =
+      java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
     scratchDirs.add(dir)
     dir
   }

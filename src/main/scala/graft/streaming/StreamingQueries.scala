@@ -357,7 +357,9 @@ object StreamingQueries {
         |      SELECT * FROM late
         |      WHERE issued_at >= (SELECT w FROM wm))
         |ORDER BY latitude, longitude, ts_valid, issued_at""".stripMargin) { (s, d) =>
-      val feed = revisionFeed(Tables.events(s, d))
+      // materialized once per run: the feed is written AND anti-joined
+      // by the late re-feed derivation below (two consumers)
+      val feed = revisionFeed(Tables.events(s, d)).localCheckpoint()
       val lateFeed = feed
         .withColumn("issued_at",
           col("issued_at") + expr("INTERVAL 1 MINUTE"))
